@@ -1,0 +1,36 @@
+"""Central registry of (query, oracle) pairs across all plan modules.
+
+Every operator claimed done in SURVEY.md §2 registers here; the driver
+contract (__spark_entry__.py) re-exports it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from biglake_iceberg_pipeline_spark.plans import tpch
+
+    return [tpch]
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _modules():
+        for key, fn in mod.QUERIES.items():
+            if key in out:
+                raise ValueError(f"duplicate query key {key!r}")
+            out[key] = fn
+    return out
+
+
+def oracle_queries() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is chosen for the 100 TB target, then sized down by env
+for local testing:
+
+- AQE on: runtime partition coalescing + skew-join splitting replaces
+  hand-tuned shuffle partition counts on a real cluster.
+- ``spark.sql.shuffle.partitions`` defaults to ``SPARK_GRAFT_CPUS`` (32
+  locally); on a 1000-executor cluster you'd set ~2-3x total cores and
+  let AQE coalesce.
+- Arrow enabled so the few Pandas-UDF paths (multimodal stubs) batch
+  via Arrow instead of pickling rows.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "biglake-iceberg-pipeline-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

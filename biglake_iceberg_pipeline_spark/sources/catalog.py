@@ -1,0 +1,51 @@
+"""Test-catalog loader for the driver's TPC-H-ish star schema.
+
+Mirrors the reference's bronze-layer table registry (the loader service
+creates one Iceberg table per inbox prefix; cf. reference
+services/loader/bigquery_manager.py). Here each table is a parquet
+dataset under a scale-factor directory.
+
+Scan-side scale notes: parquet readers get filter/column pushdown for
+free as long as callers keep plans declarative — operators in this repo
+never call ``.collect()`` or ``.rdd`` on these frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; part/supplier/customer grow with SF but
+# remain orders of magnitude below the fact tables — whether they are
+# broadcast is left to AQE + autoBroadcastJoinThreshold, while the
+# constant-size dims are force-broadcast by the plans that join them).
+CONSTANT_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can use spark.sql."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

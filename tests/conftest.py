@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CHECK = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    from biglake_iceberg_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests")
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def assert_matches_oracle(spark_df, duck_con, sql):
+    """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL."""
+    import datetime
+    import math
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6g}"
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, list):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    scols = spark_df.columns
+    srows = [tuple(r) for r in spark_df.collect()]
+    dres = duck_con.execute(sql)
+    dcols = [d[0] for d in dres.description]
+    drows = dres.fetchall()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = sorted("|".join(norm(r[i]) for i in sorder) for r in srows)
+    dset = sorted("|".join(norm(r[i]) for i in dorder) for r in drows)
+    assert sset == dset, f"value mismatch\nspark: {sset[:3]}\nduck : {dset[:3]}"
