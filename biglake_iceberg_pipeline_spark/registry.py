@@ -14,9 +14,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from biglake_iceberg_pipeline_spark.plans import tpch
+    from biglake_iceberg_pipeline_spark.plans import gold, tpch
 
-    return [tpch]
+    return [tpch, gold]
 
 
 def spark_queries() -> dict[str, QueryFn]:

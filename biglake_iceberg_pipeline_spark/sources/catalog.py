@@ -38,6 +38,16 @@ CONSTANT_DIMS = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+        # vectorized reader rejects. Read nanos as long, then truncate
+        # to microseconds (integer DIV — no double round-trip, so no
+        # precision loss on ~1.7e18 nano epochs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
