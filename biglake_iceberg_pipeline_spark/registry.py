@@ -14,9 +14,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from biglake_iceberg_pipeline_spark.plans import gold, tpch
+    from biglake_iceberg_pipeline_spark.plans import (
+        gold,
+        profiling_quality,
+        tpch,
+    )
 
-    return [tpch, gold]
+    return [tpch, gold, profiling_quality]
 
 
 def spark_queries() -> dict[str, QueryFn]:
