@@ -1,0 +1,333 @@
+"""Deduplication family for LLM training-data pipelines.
+
+The reference flags within-file duplicates (agent README: "Flags
+within-file duplicates") and dedups bronze→silver by key
+(silver/transformations/*.sql). For a 100 TB corpus we add the
+standard near-dup arsenal: exact hash dedup, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design:
+- Exact: groupBy on a 128-bit content hash — one shuffle of (hash, id),
+  never shuffles document bodies.
+- MinHash/LSH: signatures are computed map-side with JVM expressions
+  (no Python UDF); candidate generation is an equi-join on band keys —
+  shuffle is O(docs × bands), never the O(n²) pair space.
+- SimHash: 63-bit signature map-side; candidates via 16-bit chunk
+  banding (a hamming-≤3 pair must agree on ≥1 of 4 chunks).
+- n-gram Jaccard: exact verification, bounded to an equi-join
+  partition key (caller picks: source, lang, length bucket) to cap the
+  pair space.
+- Embedding: exact cosine within a bucketing key; for unbucketed ANN
+  see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_PRIME = 1000000007
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: representative id (min), copy
+    count, and the content hash (quality/approximate_duplicates.sql
+    uses the same hash-the-whole-row trick)."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles; whole text as a single shingle when
+    shorter than k words (guards sequence() from descending)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """MinHash signature as an array<long>; one xxhash64 per (shingle,
+    seed), all inside whole-stage codegen."""
+    shingles = _word_shingles(text, shingle_k)
+
+    def _hasher(seed: int):
+        # factory, not a default-arg lambda: PySpark dispatches HOF
+        # lambdas on arity (2 params would mean (element, index))
+        def h(s: Column) -> Column:
+            return F.xxhash64(s, F.lit(seed))
+
+        return h
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, scored by signature
+    agreement (estimated Jaccard). Returns (id_a, id_b, est_jaccard).
+
+    rows/bands = 4 → the S-curve midpoint sits near
+    (1/16)^(1/4) ≈ 0.5, matching the default threshold.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias(
+            "__sig"
+        ),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.slice("__sig", b * r + 1, r), F.lit(b)
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "__id", "__sig", F.explode(band_structs).alias("band")
+    ).select("__id", "__sig", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signature(text: Column, bits: int = 63) -> Column:
+    """63-bit SimHash over whitespace tokens (63 keeps the sign bit
+    clear of Java long overflow)."""
+    tokens = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    def _vote_merge(j: int):
+        # factory (not default-arg lambda): PySpark dispatches HOF
+        # lambdas on arity, so the merge fn must take exactly 2 params
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(j))
+        sim = sim + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Banding: 4 × 16-bit chunks; any pair within hamming 3 shares at
+    least one chunk (pigeonhole), so the equi-join on chunk value finds
+    all of them without an O(n²) cross join.
+    """
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_signature(F.col(text_col)).alias("__sim"),
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("chunk_id"),
+                F.shiftright("__sim", k * 16)
+                .bitwiseAND(F.lit(65535))
+                .alias("chunk_val"),
+            )
+            for k in range(4)
+        ]
+    )
+    chunked = sig.select("__id", "__sim", F.explode(chunks).alias("c")).select(
+        "__id", "__sim", "c.chunk_id", "c.chunk_val"
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of lowercased text (1-based substr,
+    guarded for short strings)."""
+    t = F.lower(text)
+    length = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1))),
+        lambda i: F.substring(t, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    partition_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ``partition_col``.
+
+    The partition key bounds the pair space (at 100 TB you'd bucket by
+    (lang, length-band) or pre-filter with MinHash); the Jaccard itself
+    is exact set arithmetic on JVM arrays.
+    """
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(partition_col).alias("__part"),
+        char_ngrams(F.col(text_col), n).alias("__ng"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__ng"), F.col("b.__ng")))
+    union = F.size(F.array_union(F.col("a.__ng"), F.col("b.__ng")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.__part") == F.col("b.__part"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns — double
+    math, sequential sums (bit-reproducible across engines)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return F.try_divide(dot, na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold within a bucket key (exact within
+    bucket; see similarity.ivf_topk for the unbucketed scale path)."""
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(bucket_col).alias("__part"),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cos = cosine(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__part") == F.col("b.__part"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cos, 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,121 @@
+"""Text analysis for training-data curation.
+
+Not in the reference's own surface (its cleaning is schema-level), but
+first-class for a 100 TB documents pipeline: language ID, quality
+scoring, token counting, fingerprinting. Everything is a Catalyst
+expression (regex counts, array folds) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators.dedup import HASH_PRIME
+
+# Tiny per-language stopword sets for the n-gram-free heuristic; order
+# is the tie-break priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ("to", "in", "it", "that", "for")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punct.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.!?,;:]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    words = _words(text)
+    stop = LANG_STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(*stop)))
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-vote language ID; 'und' (undetermined) when no
+    language scores a hit. Ties break in LANG_STOPWORDS order."""
+    hits = {lang: lang_hits(text, lang) for lang in LANG_STOPWORDS}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in reversed(list(LANG_STOPWORDS)):  # earlier langs win ties
+        n = hits[lang]
+        best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, n)
+    return best
+
+
+def token_counts(text: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish token count)."""
+    ws = F.size(_words(text))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return ws, bpe
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a
+    composite quality score in [0, 1]."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), F.lit(0)))
+    mean_word_len = F.round(
+        F.try_divide(
+            F.aggregate(
+                F.transform(words, lambda w: F.length(w)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            n_words,
+        ),
+        4,
+    )
+    stop_ratio = F.round(F.try_divide(stop_hits, n_words), 4)
+    punct_ratio = F.round(F.try_divide(punct, n_chars), 4)
+    # Composite: reward moderate word length and stopword presence,
+    # penalize punctuation soup. Clamped to [0,1]. Rounded via explicit
+    # floor(x*1e4+0.5) so the half-boundary behavior is IEEE-identical
+    # across engines (ROUND implementations differ there).
+    raw = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.5)
+            + F.lit(0.5) * stop_ratio
+            - F.lit(2.0) * punct_ratio
+            + F.when((mean_word_len >= 3) & (mean_word_len <= 8), 0.2).otherwise(
+                -0.2
+            ),
+        ),
+    )
+    score = F.floor(raw * 10000 + 0.5) / 10000.0
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        mean_word_len.alias("q_mean_word_len"),
+        stop_ratio.alias("q_stopword_ratio"),
+        punct_ratio.alias("q_punct_ratio"),
+        score.alias("q_score"),
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7 — a
+    content fingerprint that is engine-reproducible (unlike xxhash,
+    any SQL engine can fold the same arithmetic)."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_PRIME,
+    )

@@ -1,0 +1,310 @@
+"""LLM training-data pipeline queries: dedup family, similarity
+search, text analysis, multimodal plumbing (SURVEY.md §2 group G).
+
+Oracle notes: MinHash/SimHash signatures hinge on xxhash64, which
+DuckDB can't reproduce — those two get rows-only checks (their
+correctness is pinned by planted-duplicate unit tests instead). The
+n-gram Jaccard / embedding-cosine / text ops use engine-neutral
+arithmetic and carry full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import dedup, multimodal, similarity, text
+from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        partition_col="source",
+        n=3,
+        threshold=0.7,
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH g AS (
+    SELECT doc_id, source,
+        list_distinct([substr(lower(text), i, 3)
+            for i in generate_series(1, greatest(len(lower(text)) - 2, 1))])
+        AS ng
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+             / len(list_distinct(list_concat(a.ng, b.ng))), 4) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+            / len(list_distinct(list_concat(a.ng, b.ng))), 4) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        bucket_col="label",
+        threshold=0.4,
+    )
+
+
+# Sequential left-fold sums (list_reduce) mirror Spark's F.aggregate
+# bit-for-bit; list_sum would use a different summation order.
+_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+    "for i in generate_series(1, len(a.embedding))]), (x, y) -> x + y)"
+)
+_NA = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE "
+    "for i in generate_series(1, len(a.embedding))]), (x, y) -> x + y))"
+)
+_NB = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+    "for i in generate_series(1, len(b.embedding))]), (x, y) -> x + y))"
+)
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT} / ({_NA} * {_NB}), 4) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DOT} / ({_NA} * {_NB}), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    return list(row[0])
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+_QDOT = _DOT.replace("a.embedding", "e.embedding").replace(
+    "b.embedding", "q.embedding"
+)
+_QNA = _NA.replace("a.embedding", "e.embedding")
+_QNB = _NB.replace("b.embedding", "q.embedding")
+ANN_TOPK_SQL = f"""
+SELECT e.vec_id AS vec_id,
+       ROUND({_QDOT} / ({_QNA} * {_QNB}), 4) AS cosine_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY {_QDOT} / ({_QNA} * {_QNB}) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", text.detect_language(F.col("text")).alias("predicted_lang")
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_HITS = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "w -> w IN ({words})))"
+)
+_H = {
+    lang: _HITS.format(words=", ".join(f"'{w}'" for w in ws))
+    for lang, ws in text.LANG_STOPWORDS.items()
+}
+TEXT_LANG_ID_SQL = f"""
+WITH scored AS (
+    SELECT lang,
+        {_H['en']} AS h_en, {_H['de']} AS h_de,
+        {_H['fr']} AS h_fr, {_H['es']} AS h_es
+    FROM documents
+)
+SELECT lang,
+    CASE
+        WHEN h_en >= greatest(h_de, h_fr, h_es, 1) THEN 'en'
+        WHEN h_de >= greatest(h_fr, h_es, 1) THEN 'de'
+        WHEN h_fr >= greatest(h_es, 1) THEN 'fr'
+        WHEN h_es >= 1 THEN 'es'
+        ELSE 'und'
+    END AS predicted_lang,
+    COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY lang, predicted_lang
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_features(docs, "text").drop("text")
+
+
+_STOPS = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+TEXT_QUALITY_SQL = f"""
+WITH feat AS (
+    SELECT doc_id,
+        len(text) AS n_chars,
+        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+        list_reduce(list_prepend(0,
+            [len(w) for w in string_split_regex(lower(trim(text)), '\\s+')]),
+            (a, b) -> a + b) AS word_chars,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w IN ({_STOPS}))) AS stop_hits,
+        len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, n_chars, n_words,
+        ROUND(word_chars / NULLIF(n_words, 0)::DOUBLE, 4) AS mean_word_len,
+        ROUND(stop_hits / NULLIF(n_words, 0)::DOUBLE, 4) AS stop_ratio,
+        ROUND(punct / NULLIF(n_chars, 0)::DOUBLE, 4) AS punct_ratio
+    FROM feat
+)
+SELECT doc_id,
+    n_chars AS q_n_chars,
+    n_words AS q_n_words,
+    mean_word_len AS q_mean_word_len,
+    stop_ratio AS q_stopword_ratio,
+    punct_ratio AS q_punct_ratio,
+    floor(least(1.0, greatest(0.0,
+        0.5 + 0.5 * stop_ratio - 2.0 * punct_ratio
+        + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 8
+               THEN 0.2 ELSE -0.2 END)) * 10000 + 0.5) / 10000.0 AS q_score
+FROM ratios
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws, bpe = text.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+TEXT_TOKENS_SQL = r"""
+SELECT doc_id,
+    len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        AS bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+    list_reduce(
+        list_prepend(0::BIGINT,
+            [ord(c)::BIGINT for c in string_split(text, '')]),
+        (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_bytes",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 4), 2).alias("checksum_feature"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "ann_topk": ann_topk,
+    "ann_ivf": ann_ivf,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -16,11 +16,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from biglake_iceberg_pipeline_spark.plans import (
         gold,
+        llm_ops,
         profiling_quality,
         tpch,
     )
 
-    return [tpch, gold, profiling_quality]
+    return [tpch, gold, profiling_quality, llm_ops]
 
 
 def spark_queries() -> dict[str, QueryFn]:

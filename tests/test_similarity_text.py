@@ -1,0 +1,87 @@
+"""Similarity-search and text-operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import similarity, text
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(
+        df, "vec_id", "embedding", [1.0, 0.0], k=3
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine_sim"] == 1.0
+
+
+def test_ivf_topk_is_subset_of_brute_force_recall(spark, sf_dir):
+    from biglake_iceberg_pipeline_spark.plans.llm_ops import ann_ivf, ann_topk
+
+    exact = [r["vec_id"] for r in ann_topk(spark, sf_dir).collect()]
+    approx = [r["vec_id"] for r in ann_ivf(spark, sf_dir).collect()]
+    # query vector itself always survives probing (same code, ham 0)
+    assert exact[0] == approx[0] == 0
+    # sanity recall: approximate hits overlap exact top-k
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat is a friend of the dog"),
+        (2, "der hund und die katze ist das tier"),
+        (3, "le chat et la souris est les amis"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", text.detect_language(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is on the hill")], "id long, text string"
+    )
+    r = text.quality_features(df, "text").collect()[0]
+    assert r["q_n_words"] == 8
+    assert 0.0 <= r["q_score"] <= 1.0
+    assert r["q_stopword_ratio"] == 0.375  # the, is, the
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
+    vals = [
+        r[0]
+        for r in df.select(text.rolling_fingerprint(F.col("t"))).collect()
+    ]
+    assert vals[0] == vals[1] != vals[2]
+    # hand-check: ((0*31+97)%p*31+98)%p*31+99 % p
+    p = 1000000007
+    expect = ((97 * 31 + 98) * 31 + 99) % p
+    assert vals[0] == expect
+
+
+def test_multimodal_plumbing(spark):
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(df)
+    out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert out[1]["payload_bytes"] == 5
+    assert len(out[1]["features"]) == multimodal.FEATURE_DIM
+    assert out[1]["features"][0] == 5.0
+    assert out[2]["features"] == [0.0] * multimodal.FEATURE_DIM
