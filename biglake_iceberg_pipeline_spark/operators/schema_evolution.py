@@ -1,0 +1,116 @@
+"""Schema comparison and safe widening.
+
+Parity: reference sql/schema/compare_schemas.sql (full-outer-join
+diff), sql/schema/type_widening.sql (ALTER COLUMN SET DATA TYPE), and
+the loader's create-or-append behavior (services/loader/
+bigquery_manager.py adds missing columns / widens on append).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Spark dtype → engine-neutral SQL name (DuckDB vocabulary, so the
+# comparison output is oracle-checkable).
+_TYPE_NAMES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+# Lossless widenings the loader may apply automatically.
+SAFE_WIDENINGS = {
+    ("TINYINT", "SMALLINT"),
+    ("TINYINT", "INTEGER"),
+    ("TINYINT", "BIGINT"),
+    ("SMALLINT", "INTEGER"),
+    ("SMALLINT", "BIGINT"),
+    ("INTEGER", "BIGINT"),
+    ("INTEGER", "DOUBLE"),
+    ("BIGINT", "DOUBLE"),
+    ("FLOAT", "DOUBLE"),
+    ("DATE", "TIMESTAMP"),
+    ("VARCHAR", "VARCHAR"),
+}
+
+
+def normalize_type(spark_dtype: str) -> str:
+    return _TYPE_NAMES.get(spark_dtype, spark_dtype.upper())
+
+
+def compare_schemas(
+    spark: SparkSession, df_a: DataFrame, df_b: DataFrame
+) -> DataFrame:
+    """Column-level diff of two frames' schemas — same output contract
+    as compare_schemas.sql (added/removed/type_changed rows only)."""
+    a = spark.createDataFrame(
+        [(c, normalize_type(t)) for c, t in df_a.dtypes],
+        "column_name string, type_in_a string",
+    )
+    b = spark.createDataFrame(
+        [(c, normalize_type(t)) for c, t in df_b.dtypes],
+        "column_name string, type_in_b string",
+    )
+    j = a.join(b, "column_name", "full_outer")
+    change = (
+        F.when(F.col("type_in_a").isNull(), "added")
+        .when(F.col("type_in_b").isNull(), "removed")
+        .when(F.col("type_in_a") != F.col("type_in_b"), "type_changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select("column_name", "type_in_a", "type_in_b", change.alias("change_type"))
+        .where(F.col("change_type") != "unchanged")
+        .orderBy("change_type", "column_name")
+    )
+
+
+def widening_plan(df_incoming: DataFrame, df_target: DataFrame) -> list[dict]:
+    """Per-column action list for appending ``df_incoming`` into a
+    table shaped like ``df_target``: 'ok' | 'widen' | 'add_column' |
+    'incompatible'. The loader applies 'widen'/'add_column'
+    automatically and rejects 'incompatible' (type_widening.sql)."""
+    target = {c: normalize_type(t) for c, t in df_target.dtypes}
+    plan = []
+    for c, t in df_incoming.dtypes:
+        t_in = normalize_type(t)
+        if c not in target:
+            plan.append({"column": c, "action": "add_column", "to": t_in})
+        elif t_in == target[c]:
+            plan.append({"column": c, "action": "ok", "to": target[c]})
+        elif (t_in, target[c]) in SAFE_WIDENINGS:
+            plan.append({"column": c, "action": "ok", "to": target[c]})
+        elif (target[c], t_in) in SAFE_WIDENINGS:
+            plan.append({"column": c, "action": "widen", "to": t_in})
+        else:
+            plan.append(
+                {"column": c, "action": "incompatible", "to": target[c]}
+            )
+    return plan
+
+
+def align_for_append(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Cast/reorder/null-fill ``df`` to the target schema (union-by-name
+    semantics with safe casts) — the loader's append path."""
+    out_cols = []
+    incoming = dict(df.dtypes)
+    for field in target.schema.fields:
+        if field.name in incoming:
+            out_cols.append(
+                F.col(field.name).cast(field.dataType).alias(field.name)
+            )
+        else:
+            out_cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+    return df.select(*out_cols)

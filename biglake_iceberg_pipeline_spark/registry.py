@@ -18,10 +18,11 @@ def _modules():
         gold,
         llm_ops,
         profiling_quality,
+        streaming_schema,
         tpch,
     )
 
-    return [tpch, gold, profiling_quality, llm_ops]
+    return [tpch, gold, profiling_quality, llm_ops, streaming_schema]
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,195 @@
+"""Snapshot-versioned lakehouse tables (Iceberg semantics on plain
+parquet + a JSON manifest).
+
+Parity: the reference stores bronze/silver as BigQuery Iceberg tables
+on GCS (terraform/bigquery_tables.tf, loader
+services/loader/bigquery_manager.py creates/appends). This container
+has no Iceberg runtime jar, so the same contract — atomic snapshot
+commits, append/overwrite, time travel, small-file compaction,
+snapshot expiry, schema-evolution on append — is implemented directly:
+
+    table_dir/
+      _manifest.json        # snapshot log (append-only commits)
+      data/snap-000001/*.parquet
+      data/snap-000002/*.parquet
+
+A snapshot lists the parquet files that constitute the table at that
+version; readers take the file list from the manifest (never directory
+listing, so concurrent writers can't corrupt reads) — the same
+metadata-driven-scan idea as Iceberg's manifest lists.
+
+Scale notes: reads pass the explicit file list to spark.read.parquet →
+partition pruning and pushdown work unchanged; compaction rewrites
+files with coalesce to the target count without shuffling rows.
+On a real deployment swap this module for Spark's Iceberg catalog
+(spark.sql.catalog.* config) — the operator surface is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
+    align_for_append,
+    widening_plan,
+)
+
+
+class LakehouseTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.manifest_path = os.path.join(path, "_manifest.json")
+
+    # ------------------------------------------------------------ manifest
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"snapshots": [], "schema": None}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        """Atomic manifest swap (write temp + rename)."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    @property
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self.snapshots
+        return snaps[-1]["id"] if snaps else None
+
+    # ----------------------------------------------------------- writes
+
+    def _write_data(self, df: DataFrame, snap_id: int) -> list[str]:
+        out = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def _next_id(self, manifest: dict) -> int:
+        snaps = manifest["snapshots"]
+        return (snaps[-1]["id"] + 1) if snaps else 1
+
+    def append(self, df: DataFrame) -> int:
+        """Append with loader-style schema evolution: incompatible
+        columns raise; new/widenable columns are aligned."""
+        manifest = self._read_manifest()
+        if manifest["schema"] is not None:
+            spark = df.sparkSession
+            target = spark.read.parquet(*manifest["snapshots"][-1]["files"]) \
+                if manifest["snapshots"] else None
+            if target is not None:
+                bad = [
+                    p
+                    for p in widening_plan(df, target)
+                    if p["action"] == "incompatible"
+                ]
+                if bad:
+                    raise ValueError(f"incompatible append: {bad}")
+                df = align_for_append(df, target)
+        snap_id_new = self._next_id(manifest)
+        files = self._write_data(df, snap_id_new)
+        prev = manifest["snapshots"][-1]["files"] if manifest["snapshots"] else []
+        manifest["snapshots"].append(
+            {
+                "id": snap_id_new,
+                "operation": "append",
+                "ts": time.time(),
+                "files": prev + files,
+            }
+        )
+        manifest["schema"] = df.schema.json()
+        self._commit(manifest)
+        return snap_id_new
+
+    def overwrite(self, df: DataFrame) -> int:
+        manifest = self._read_manifest()
+        snap_id = self._next_id(manifest)
+        files = self._write_data(df, snap_id)
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "operation": "overwrite",
+                "ts": time.time(),
+                "files": files,
+            }
+        )
+        manifest["schema"] = df.schema.json()
+        self._commit(manifest)
+        return snap_id
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite the current file set into
+        ``target_files`` files (no shuffle — coalesce only) and commit
+        as a 'replace' snapshot. Iceberg's rewrite_data_files."""
+        manifest = self._read_manifest()
+        if not manifest["snapshots"]:
+            raise ValueError("empty table")
+        df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
+        snap_id = self._next_id(manifest)
+        files = self._write_data(df.coalesce(target_files), snap_id)
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "operation": "replace",
+                "ts": time.time(),
+                "files": files,
+            }
+        )
+        self._commit(manifest)
+        return snap_id
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop old snapshot entries (and their no-longer-referenced
+        data dirs); returns expired ids."""
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        live = {f for s in kept for f in s["files"]}
+        for s in expired:
+            for f in s["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+        manifest["snapshots"] = kept
+        self._commit(manifest)
+        return [s["id"] for s in expired]
+
+    # ------------------------------------------------------------ reads
+
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read latest or time-travel to a snapshot id."""
+        snaps = self.snapshots
+        if not snaps:
+            raise ValueError(f"no snapshots in {self.path}")
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            matches = [s for s in snaps if s["id"] == snapshot_id]
+            if not matches:
+                raise ValueError(f"snapshot {snapshot_id} not found")
+            snap = matches[0]
+        return spark.read.parquet(*snap["files"])
+
+    def history(self) -> list[dict]:
+        return [
+            {k: s[k] for k in ("id", "operation", "ts")}
+            for s in self.snapshots
+        ]

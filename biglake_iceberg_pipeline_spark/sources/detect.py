@@ -1,0 +1,97 @@
+"""File format, delimiter, and header detection.
+
+Parity: reference core/file_detector.py (extension + content sniff),
+core/delimiter_detector.py (candidate-count voting over sample lines),
+and the agent's header heuristic (tests/test_header_detection.py pins
+its behavior: a header row is non-numeric and distinct in shape from
+data rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+DELIMITERS = [",", "\t", ";", "|"]
+
+_EXT_FORMATS = {
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".parquet": "parquet",
+    ".xlsx": "excel",
+    ".xls": "excel",
+}
+
+
+def detect_format(path: str, sample_bytes: int = 4096) -> str:
+    """Extension first, then content sniff (PAR1 magic / JSON braces /
+    delimited text)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_FORMATS:
+        return _EXT_FORMATS[ext]
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    if head[:4] == b"PAR1":
+        return "parquet"
+    text = head.decode("utf-8", errors="replace").lstrip()
+    if text[:1] in "{[":
+        return "json"
+    return "csv"
+
+
+def detect_delimiter(sample_lines: list[str]) -> str:
+    """Vote: the delimiter with the highest consistent per-line count
+    (reference delimiter_detector counts candidates per line and
+    requires agreement)."""
+    best, best_score = ",", -1
+    for d in DELIMITERS:
+        counts = [ln.count(d) for ln in sample_lines if ln.strip()]
+        if not counts or min(counts) == 0:
+            continue
+        # consistency: all lines agree on the count → strong signal
+        consistent = len(set(counts)) == 1
+        score = min(counts) * (10 if consistent else 1)
+        if score > best_score:
+            best, best_score = d, score
+    return best
+
+
+def _is_numeric(s: str) -> bool:
+    try:
+        float(s.strip())
+        return True
+    except ValueError:
+        return False
+
+
+def detect_header(sample_lines: list[str], delimiter: str) -> bool:
+    """Header heuristic: first row has no numeric cells AND at least
+    one later row does (or first row cells look like identifiers)."""
+    rows = [ln.split(delimiter) for ln in sample_lines if ln.strip()]
+    if len(rows) < 2:
+        return False
+    first, rest = rows[0], rows[1:]
+    if any(_is_numeric(c) for c in first):
+        return False
+    rest_numeric = any(any(_is_numeric(c) for c in r) for r in rest)
+    return rest_numeric or all(
+        c.strip() and not c.strip()[0].isdigit() for c in first
+    )
+
+
+def detect_json_lines(path: str, sample_bytes: int = 4096) -> bool:
+    """True for JSONL (one object per line), False for a JSON array."""
+    with open(path, "rb") as f:
+        text = f.read(sample_bytes).decode("utf-8", errors="replace")
+    stripped = text.lstrip()
+    if stripped.startswith("["):
+        return False
+    first_line = stripped.splitlines()[0] if stripped else ""
+    try:
+        json.loads(first_line)
+        return True
+    except json.JSONDecodeError:
+        return False

@@ -1,0 +1,104 @@
+"""Streaming ingest pipeline: the reference's event-driven flow
+(GCS inbox → Eventarc → cleaning agent → loader → Iceberg bronze,
+logger → Firestore) re-expressed as ONE Structured Streaming job.
+
+- File source watches an inbox directory (the Eventarc trigger).
+- The micro-batch transform applies the cleaning operators
+  (snake_case, trim/sentinel-null, processed_at — what the agent does
+  per file, reference services/data-cleaning-agent/main.py).
+- dropDuplicatesWithinWatermark replaces the logger's Firestore
+  duplicate registry: dedup state is bounded by the watermark instead
+  of an external KV store.
+- The sink appends parquet with exactly-once file-sink semantics
+  (checkpointed manifest) — the loader's append-to-Iceberg role.
+
+Scale: maxFilesPerTrigger bounds micro-batch size; state store holds
+only ids within the watermark window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from biglake_iceberg_pipeline_spark.operators.cleaning import (
+    add_processed_at,
+    clean_string,
+    normalize_column_names,
+)
+
+
+def read_inbox_stream(
+    spark: SparkSession,
+    inbox_dir: str,
+    schema: str,
+    fmt: str = "csv",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(inbox_dir)
+
+
+def clean_batch(df: DataFrame, string_cols: list[str] | None = None) -> DataFrame:
+    """The agent's per-file cleaning pass as one projection."""
+    df = normalize_column_names(df)
+    cols = string_cols or [c for c, t in df.dtypes if t == "string"]
+    for c in cols:
+        df = df.withColumn(c, clean_string(c))
+    return add_processed_at(df)
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming duplicate suppression (the pipeline-logger's
+    file_registry role) with watermark-bounded state."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            id_cols
+        )
+    return df.dropDuplicates(id_cols)
+
+
+def start_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    fmt: str = "csv",
+    id_cols: list[str] | None = None,
+    ts_col: str | None = None,
+) -> StreamingQuery:
+    """Wire inbox → clean → (optional dedup) → parquet append."""
+    stream = read_inbox_stream(spark, inbox_dir, schema, fmt)
+    cleaned = clean_batch(stream)
+    if id_cols and ts_col:
+        cleaned = dedup_within_watermark(cleaned, id_cols, ts_col)
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def pipeline_log(df: DataFrame, event: str) -> DataFrame:
+    """Observability record per processed row-batch (the logger
+    service's Firestore write, as a derivable frame)."""
+    return df.groupBy().agg(
+        F.lit(event).alias("event"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.current_timestamp().alias("logged_at"),
+    )

@@ -1,0 +1,80 @@
+"""Lakehouse table tests: snapshot append/overwrite, time travel,
+compaction, snapshot expiry, schema evolution on append."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.range(3).withColumn("v", F.lit("a")))
+    s2 = t.append(spark.range(3, 5).withColumn("v", F.lit("b")))
+    assert t.read(spark).count() == 5
+    assert t.read(spark, snapshot_id=s1).count() == 3
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append"]
+    assert s2 == t.current_snapshot_id()
+
+
+def test_overwrite_resets(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10))
+    t.overwrite(spark.range(2))
+    assert t.read(spark).count() == 2
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(100).repartition(8))
+    t.append(spark.range(100, 200).repartition(8))
+    before_files = len(t.snapshots[-1]["files"])
+    assert before_files > 2
+    t.compact(spark, target_files=2)
+    assert len(t.snapshots[-1]["files"]) <= 2
+    assert t.read(spark).count() == 200
+
+
+def test_expire_snapshots_removes_dead_files(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(5))
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(2))
+    dead = t.snapshots[0]["files"]
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired
+    assert all(not os.path.exists(f) for f in dead)
+    assert t.read(spark).count() == 2
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(2).withColumn("v", F.lit(1).cast("int")))
+    # int incoming into int target: fine; missing column null-filled
+    t.append(spark.range(2, 4))
+    out = t.read(spark)
+    assert out.where(F.col("v").isNull()).count() == 2
+    # incompatible: v as string must be rejected
+    bad = spark.range(4, 5).withColumn("v", F.lit("x"))
+    with pytest.raises(ValueError, match="incompatible"):
+        t.append(bad)
+
+
+def test_widening_plan_and_align(spark):
+    from biglake_iceberg_pipeline_spark.operators import schema_evolution as se
+
+    target = spark.range(1).selectExpr(
+        "CAST(id AS BIGINT) id", "CAST(1 AS DOUBLE) v"
+    )
+    incoming = spark.range(1).selectExpr(
+        "CAST(id AS INT) id", "CAST(1 AS INT) v", "'x' extra"
+    )
+    plan = {p["column"]: p["action"] for p in se.widening_plan(incoming, target)}
+    assert plan == {"id": "ok", "v": "ok", "extra": "add_column"}
+    aligned = se.align_for_append(incoming, target)
+    assert dict(aligned.dtypes) == {"id": "bigint", "v": "double"}

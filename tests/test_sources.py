@@ -1,0 +1,95 @@
+"""Reader + detection tests (the agent's ingestion surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from biglake_iceberg_pipeline_spark.sources import detect, readers
+
+
+def test_detect_format_by_extension(tmp_path):
+    assert detect.detect_format("x.csv") == "csv"
+    assert detect.detect_format("x.jsonl") == "json"
+    assert detect.detect_format("x.parquet") == "parquet"
+    assert detect.detect_format("x.xlsx") == "excel"
+
+
+def test_detect_format_by_content(tmp_path):
+    p = tmp_path / "mystery"
+    p.write_bytes(b"PAR1....")
+    assert detect.detect_format(str(p)) == "parquet"
+    p2 = tmp_path / "mystery2"
+    p2.write_text('{"a": 1}')
+    assert detect.detect_format(str(p2)) == "json"
+    p3 = tmp_path / "mystery3"
+    p3.write_text("a,b,c\n1,2,3\n")
+    assert detect.detect_format(str(p3)) == "csv"
+
+
+def test_detect_delimiter():
+    assert detect.detect_delimiter(["a,b,c", "1,2,3"]) == ","
+    assert detect.detect_delimiter(["a\tb\tc", "1\t2\t3"]) == "\t"
+    assert detect.detect_delimiter(["a|b", "1|2"]) == "|"
+
+
+def test_detect_header():
+    assert detect.detect_header(["name,age", "bob,3"], ",") is True
+    assert detect.detect_header(["1,2", "3,4"], ",") is False
+
+
+def test_read_csv_auto_header(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("name,age\nbob,3\nalice,5\n")
+    df = readers.read_csv(spark, str(p))
+    assert df.columns == ["name", "age"]
+    assert df.count() == 2
+
+
+def test_read_csv_no_header(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("1,2\n3,4\n")
+    df = readers.read_csv(spark, str(p))
+    assert df.count() == 2
+    assert df.columns == ["_c0", "_c1"]
+
+
+def test_read_csv_lenient_malformed(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\nnot_a_number,xyz\n")
+    df = readers.read_csv(spark, str(p))
+    assert df.count() == 2  # malformed row survives in PERMISSIVE mode
+
+
+def test_read_json_lines_and_array(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    assert readers.read_json(spark, str(p)).count() == 2
+    p2 = tmp_path / "t2.json"
+    p2.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
+    assert readers.read_json(spark, str(p2)).count() == 3
+
+
+def test_read_auto_dispatch(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("x,y\n1,2\n")
+    assert readers.read_auto(spark, str(p)).count() == 1
+
+
+def test_read_excel_gated(spark, tmp_path):
+    with pytest.raises((NotImplementedError, Exception)):
+        readers.read_excel(spark, str(tmp_path / "t.xlsx"))
+
+
+def test_export_roundtrip(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.sinks import export
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    export.to_parquet(df, str(tmp_path / "p"))
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 5
+    export.to_csv(df, str(tmp_path / "c"))
+    assert (
+        spark.read.option("header", "true").csv(str(tmp_path / "c")).count()
+        == 5
+    )
+    export.to_jsonl(df, str(tmp_path / "j"))
+    assert spark.read.json(str(tmp_path / "j")).count() == 5
