@@ -56,26 +56,35 @@ def _word_shingles(text: Column, k: int) -> Column:
     )
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 64, shingle_k: int = 3
-) -> Column:
-    """MinHash signature as an array<long>; one xxhash64 per (shingle,
-    seed), all inside whole-stage codegen."""
-    shingles = _word_shingles(text, shingle_k)
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(__id, __sig array<long>) MinHash signatures.
 
-    def _hasher(seed: int):
-        # factory, not a default-arg lambda: PySpark dispatches HOF
-        # lambdas on arity (2 params would mean (element, index))
-        def h(s: Column) -> Column:
-            return F.xxhash64(s, F.lit(seed))
-
-        return h
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _hasher(i)))
-            for i in range(num_hashes)
-        ]
+    Shape matters for performance: explode shingles once, hash with
+    plain xxhash64 columns (whole-stage codegen), aggregate 64 mins
+    map-side. The obvious alternative — 64 array_min(transform(...))
+    expressions per row — forces interpreted higher-order-function
+    eval and recomputes the shingle array per hash (~100× slower
+    measured at sf0.1). One shuffle keyed on the doc id; shuffle rows
+    carry only 64 longs per doc (partial mins), never text.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__s{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = shingled.groupBy("__id").agg(*aggs)
+    return per_doc.select(
+        "__id",
+        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("__sig"),
     )
 
 
@@ -95,12 +104,7 @@ def minhash_lsh_pairs(
     (1/16)^(1/4) ≈ 0.5, matching the default threshold.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias(
-            "__sig"
-        ),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     band_structs = F.array(
         *[
             F.struct(
@@ -151,28 +155,40 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signature(text: Column, bits: int = 63) -> Column:
-    """63-bit SimHash over whitespace tokens (63 keeps the sign bit
-    clear of Java long overflow)."""
-    tokens = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    def _vote_merge(j: int):
-        # factory (not default-arg lambda): PySpark dispatches HOF
-        # lambdas on arity, so the merge fn must take exactly 2 params
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 63
+) -> DataFrame:
+    """(__id, __sim long) 63-bit SimHash per doc (63 bits keeps the
+    sign bit clear of long overflow).
 
-        return merge
-
+    Same explode→codegen-hash→aggregate shape as minhash_signatures:
+    one xxhash64 per distinct token, 63 conditional-sum aggregates
+    (all whole-stage codegen), one shuffle keyed on doc id carrying 63
+    ints of partial votes per doc. The alternative (63 F.aggregate
+    higher-order folds per row) runs interpreted — ~100x slower.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = tokens.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(j))
-        sim = sim + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sim
+        sim = sim + F.when(
+            F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("__id", sim.alias("__sim"))
 
 
 def simhash_pairs(
@@ -187,10 +203,7 @@ def simhash_pairs(
     least one chunk (pigeonhole), so the equi-join on chunk value finds
     all of them without an O(n²) cross join.
     """
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        simhash_signature(F.col(text_col)).alias("__sim"),
-    )
+    sig = simhash_signatures(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
