@@ -1,0 +1,235 @@
+"""Window / semi-anti-join / rollup / correlated-aggregate analytics.
+
+Rounds out the warehouse query surface (the reference's gold layer is
+built interactively via the Gemini data-engineering agent, DEMO.md §3
+— any shape a user asks for must run). Each query is a distinct
+Catalyst plan family:
+
+- window ranking (top-n per group): one shuffle on the partition key
+- EXISTS / NOT EXISTS: left-semi and left-anti joins (never a distinct
+  + inner join — semi joins short-circuit on first match)
+- ROLLUP: Spark expands grouping sets in one aggregation pass
+- correlated scalar aggregate: de-correlated into a self-join against
+  the per-key aggregate (the classic TPC-H Q17 plan)
+- running totals: ordered window sum, deterministic sequential adds
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts within each brand (window ranking)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .join(part, F.col("l_partkey") == part.p_partkey)
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue"), F.col("p_partkey")
+    )
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .where(F.col("brand_rank") <= 3)
+        .select("p_brand", "brand_rank", "p_partkey", "p_name", "revenue")
+        .orderBy("p_brand", "brand_rank")
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+WITH rev AS (
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT p_brand, p_partkey, p_name, revenue,
+        ROW_NUMBER() OVER (
+            PARTITION BY p_brand ORDER BY revenue DESC, p_partkey
+        ) AS brand_rank
+    FROM rev JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, brand_rank, p_partkey, p_name, revenue
+FROM ranked WHERE brand_rank <= 3
+ORDER BY p_brand, brand_rank
+"""
+
+
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority counts for orders containing a returned item
+    (EXISTS → left-semi join; TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_WITH_RETURNS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment counts of customers with no orders (NOT EXISTS →
+    left-anti join; TPC-H Q22 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 4) AS avg_balance
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation revenue with ROLLUP subtotals and a grand
+    total (grouping-sets aggregation in one pass)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue from orders below 20% of a part's mean
+    quantity (correlated scalar aggregate → de-correlated self-join;
+    TPC-H Q17 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (
+    SELECT l_partkey AS ak, AVG(l_quantity) AS aq
+    FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.ak
+WHERE l.l_quantity < 0.2 * a.aq
+"""
+
+
+def revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + running cumulative total (ordered window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cumulative_revenue"),
+    ).orderBy("month")
+
+
+REVENUE_RUNNING_TOTAL_SQL = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+    ROUND(SUM(revenue) OVER (
+        ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 2) AS cumulative_revenue
+FROM monthly
+ORDER BY month
+"""
+
+
+QUERIES = {
+    "top_parts_per_brand": top_parts_per_brand,
+    "orders_with_returns": orders_with_returns,
+    "customers_without_orders": customers_without_orders,
+    "revenue_rollup": revenue_rollup,
+    "small_quantity_revenue": small_quantity_revenue,
+    "revenue_running_total": revenue_running_total,
+}
+
+ORACLE = {
+    "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
+    "orders_with_returns": ORDERS_WITH_RETURNS_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "revenue_running_total": REVENUE_RUNNING_TOTAL_SQL,
+}

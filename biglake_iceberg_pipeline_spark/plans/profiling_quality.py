@@ -352,6 +352,43 @@ FROM raw
 """
 
 
+def clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite agent cleaning pass on documents: trim + sentinel-null
+    + empty-string-null + unknown-char removal (B1-B3, B6)."""
+    from biglake_iceberg_pipeline_spark.operators.cleaning import (
+        clean_string,
+        replace_unknown_chars,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        replace_unknown_chars(clean_string("text")).alias("text_clean"),
+        clean_string("lang", case="lower").alias("lang_clean"),
+        clean_string("source", case="lower").alias("source_clean"),
+        "n_chars",
+    )
+
+
+CLEAN_DOCUMENTS_SQL = """
+SELECT
+    doc_id,
+    replace(
+        CASE WHEN lower(trim(text)) IN
+            ('null','none','n/a','na','-','--','','#n/a','nan','missing')
+        THEN NULL ELSE trim(text) END,
+        chr(65533), '') AS text_clean,
+    CASE WHEN lower(trim(lang)) IN
+        ('null','none','n/a','na','-','--','','#n/a','nan','missing')
+    THEN NULL ELSE lower(trim(lang)) END AS lang_clean,
+    CASE WHEN lower(trim(source)) IN
+        ('null','none','n/a','na','-','--','','#n/a','nan','missing')
+    THEN NULL ELSE lower(trim(source)) END AS source_clean,
+    n_chars
+FROM documents
+"""
+
+
 def drop_empty_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empty-row elimination on documents (count retained)."""
     from biglake_iceberg_pipeline_spark.operators.cleaning import (
@@ -386,6 +423,7 @@ QUERIES = {
     "safe_type_coercion": safe_type_coercion,
     "flag_duplicates": flag_duplicates_q,
     "extract_currency": extract_currency_q,
+    "clean_documents": clean_documents,
     "drop_empty_rows": drop_empty_rows_q,
 }
 
@@ -402,5 +440,6 @@ ORACLE = {
     "safe_type_coercion": SAFE_TYPE_COERCION_SQL,
     "flag_duplicates": FLAG_DUPLICATES_SQL,
     "extract_currency": EXTRACT_CURRENCY_SQL,
+    "clean_documents": CLEAN_DOCUMENTS_SQL,
     "drop_empty_rows": DROP_EMPTY_ROWS_SQL,
 }

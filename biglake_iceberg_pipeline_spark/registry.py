@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from biglake_iceberg_pipeline_spark.plans import (
+        analytics,
         gold,
         llm_ops,
         profiling_quality,
@@ -22,7 +23,7 @@ def _modules():
         tpch,
     )
 
-    return [tpch, gold, profiling_quality, llm_ops, streaming_schema]
+    return [tpch, gold, profiling_quality, llm_ops, streaming_schema, analytics]
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,116 @@
+"""Unit tests for cleaning/coercion operators without oracle queries
+(mirrors reference tests/test_cleaning.py + test_core.py coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import cleaning, coercion
+from biglake_iceberg_pipeline_spark.operators.medallion import dedup_latest
+
+
+def test_snake_case():
+    sc = cleaning.snake_case
+    assert sc("Order ID") == "order_id"
+    assert sc("firstName") == "first_name"
+    assert sc("UPPER") == "upper"
+    assert sc("weird  spaces!!") == "weird_spaces"
+    assert sc("") == "col"
+
+
+def test_normalize_column_names_dedups(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["Order ID", "order id", "x"])
+    out = cleaning.normalize_column_names(df)
+    assert out.columns == ["order_id", "order_id_1", "x"]
+
+
+def test_clean_string_pipeline(spark):
+    df = spark.createDataFrame(
+        [("  Hello World  ",), ("N/A",), ("  ",), ("-",)], "v string"
+    )
+    out = df.select(
+        cleaning.clean_string("v", case="title").alias("t"),
+        cleaning.clean_string("v", case="lower").alias("l"),
+    ).collect()
+    assert out[0]["t"] == "Hello World"
+    assert out[0]["l"] == "hello world"
+    assert out[1]["t"] is None  # sentinel
+    assert out[2]["t"] is None  # blank
+    assert out[3]["t"] is None  # dash
+
+
+def test_replace_unknown_chars(spark):
+    df = spark.createDataFrame([("bad�char",), ("clean",)], "v string")
+    out = [r[0] for r in df.select(cleaning.replace_unknown_chars("v")).collect()]
+    assert out == ["badchar", "clean"]
+
+
+def test_standardize_date(spark):
+    df = spark.createDataFrame(
+        [("2020-01-02 03:04:05",), ("not a date",)], "v string"
+    )
+    out = [r[0] for r in df.select(cleaning.standardize_date("v")).collect()]
+    assert out == ["2020-01-02", "not a date"]
+
+
+def test_cast_rename_drop(spark):
+    df = spark.createDataFrame([("12", "x")], "a string, b string")
+    out = cleaning.cast_column(df, "a", "int")
+    assert dict(out.dtypes)["a"] == "int"
+    bad = cleaning.cast_column(
+        spark.createDataFrame([("xyz",)], "a string"), "a", "int"
+    )
+    assert bad.collect()[0]["a"] is None  # try_cast, no ANSI error
+    assert cleaning.rename_column(df, "b", "c").columns == ["a", "c"]
+    assert cleaning.drop_column(df, "b").columns == ["a"]
+
+
+def test_extract_currency_variants(spark):
+    df = spark.createDataFrame(
+        [("$1,234.56",), ("EUR 99.00",), ("£5",), ("¥1000",), ("12.5",), ("n/a",)],
+        "price string",
+    )
+    rows = cleaning.extract_currency(df, "price").collect()
+    got = [(r["price_value_type"], r["price_clean"]) for r in rows]
+    assert got[0] == ("dollars", 1234.56)
+    assert got[1] == ("euros", 99.0)
+    assert got[2] == ("pounds", 5.0)
+    assert got[3] == ("yen", 1000.0)
+    assert got[4] == (None, 12.5)  # plain number: no symbol, still parsed
+    assert got[5][1] is None
+
+
+def test_add_processed_at_single_stamp(spark):
+    out = cleaning.add_processed_at(spark.range(3))
+    vals = {r["processed_at"] for r in out.collect()}
+    assert len(vals) == 1  # plan-constant timestamp
+
+
+def test_flag_overflow_rows(spark):
+    df = spark.createDataFrame(
+        [("1.5", "2"), ("oops", "3"), (None, "4")], "a string, b string"
+    )
+    out = coercion.flag_overflow_rows(df, ["a"]).collect()
+    assert [r["is_shifted"] for r in out] == [False, True, False]
+
+
+def test_dedup_latest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "2020-01-01", "x"), (1, "2020-01-01", "y"), (2, "2020-01-01", "z")],
+        "k long, ts string, v string",
+    )
+    out = dedup_latest(df, ["k"], "ts", tiebreak=["v"]).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {1: "y", 2: "z"}  # ties broken deterministically (desc)
+
+
+def test_recommend_types_leading_zeros_blocked(spark):
+    df = spark.createDataFrame(
+        [("01234", "true"), ("05678", "false")], "zip string, flag string"
+    )
+    out = {
+        r["column_name"]: r["recommended_type"]
+        for r in coercion.recommend_types(df).collect()
+    }
+    assert "zip" not in out  # leading zeros → stay string
+    assert out["flag"] == "BOOLEAN"
