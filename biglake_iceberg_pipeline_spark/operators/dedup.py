@@ -56,6 +56,19 @@ def _word_shingles(text: Column, k: int) -> Column:
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition narrow inputs up to cluster parallelism before the
+    hash-heavy explode stages. A single parquet file scans as one
+    partition; hashing tens of millions of shingles on one core would
+    serialize the job. Keyed on the id so the downstream groupBy(id)
+    reuses the exchange. No-op when the source already has enough
+    splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -73,6 +86,7 @@ def minhash_signatures(
     measured at sf0.1). One shuffle keyed on the doc id; shuffle rows
     carry only 64 longs per doc (partial mins), never text.
     """
+    df = _spread(df, id_col)
     shingled = df.select(
         F.col(id_col).alias("__id"),
         F.explode(_word_shingles(F.col(text_col), shingle_k)).alias("__sh"),
@@ -167,6 +181,7 @@ def simhash_signatures(
     ints of partial votes per doc. The alternative (63 F.aggregate
     higher-order folds per row) runs interpreted — ~100x slower.
     """
+    df = _spread(df, id_col)
     tokens = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
