@@ -21,6 +21,7 @@ _EXT_FORMATS = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".parquet": "parquet",
+    ".orc": "orc",
     ".xlsx": "excel",
     ".xls": "excel",
 }
@@ -36,8 +37,16 @@ def detect_format(path: str, sample_bytes: int = 4096) -> str:
         head = f.read(sample_bytes)
     if head[:4] == b"PAR1":
         return "parquet"
+    # ORC magic is "ORC" followed by binary protobuf — require a
+    # non-printable 4th byte so text starting with "ORC..." stays text.
+    if head[:3] == b"ORC" and (
+        len(head) == 3 or head[3] < 0x20 or head[3] > 0x7E
+    ):
+        return "orc"
     text = head.decode("utf-8", errors="replace").lstrip()
-    if text[:1] in "{[":
+    if not text:
+        raise ValueError(f"cannot detect format of empty file {path}")
+    if text[0] in "{[":
         return "json"
     return "csv"
 

@@ -66,6 +66,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel ingestion (reference load_excel.sql via DuckDB's st_read).
 
@@ -93,6 +97,8 @@ def read_auto(spark: SparkSession, path: str) -> DataFrame:
         return read_json(spark, path)
     if fmt == "parquet":
         return read_parquet(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path)
     if fmt == "excel":
         return read_excel(spark, path)
     raise ValueError(f"undetectable format for {path}")

@@ -24,6 +24,17 @@ def test_detect_format_by_content(tmp_path):
     p3 = tmp_path / "mystery3"
     p3.write_text("a,b,c\n1,2,3\n")
     assert detect.detect_format(str(p3)) == "csv"
+    p4 = tmp_path / "mystery4"
+    p4.write_bytes(b"ORC\x11binarystuff")
+    assert detect.detect_format(str(p4)) == "orc"
+    # text that merely starts with the letters ORC is not ORC
+    p5 = tmp_path / "mystery5"
+    p5.write_text("ORCHARD,city\n1,x\n")
+    assert detect.detect_format(str(p5)) == "csv"
+    p6 = tmp_path / "mystery6"
+    p6.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty"):
+        detect.detect_format(str(p6))
 
 
 def test_detect_delimiter():
