@@ -20,10 +20,19 @@ def _modules():
         llm_ops,
         profiling_quality,
         streaming_schema,
+        temporal,
         tpch,
     )
 
-    return [tpch, gold, profiling_quality, llm_ops, streaming_schema, analytics]
+    return [
+        tpch,
+        gold,
+        profiling_quality,
+        llm_ops,
+        streaming_schema,
+        analytics,
+        temporal,
+    ]
 
 
 def spark_queries() -> dict[str, QueryFn]:
