@@ -216,7 +216,49 @@ ORDER BY month
 """
 
 
+def skew_safe_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment event activity via an explicitly salted join.
+
+    events.user_id is a hot-key column (each active user contributes
+    thousands of events while the customer dim has one row per user) —
+    the shape where one reducer drowns at 100 TB. salted_join spreads
+    each user over 8 sub-keys; skew_safe_count_distinct avoids
+    funneling a segment's user set through one task. Results are
+    identical to the plain join+COUNT(DISTINCT) (the oracle)."""
+    from biglake_iceberg_pipeline_spark.operators.skew import (
+        salted_join,
+        skew_safe_count_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ["user_id"], n_salts=8)
+    totals = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    users = skew_safe_count_distinct(
+        joined, ["c_mktsegment"], "user_id", "n_users"
+    )
+    return totals.join(F.broadcast(users), "c_mktsegment")
+
+
+SKEW_SAFE_SEGMENT_ACTIVITY_SQL = """
+SELECT
+    c_mktsegment,
+    COUNT(*) AS n_events,
+    ROUND(SUM(value), 2) AS total_value,
+    COUNT(DISTINCT user_id) AS n_users
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "skew_safe_segment_activity": skew_safe_segment_activity,
     "top_parts_per_brand": top_parts_per_brand,
     "orders_with_returns": orders_with_returns,
     "customers_without_orders": customers_without_orders,
@@ -226,6 +268,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "skew_safe_segment_activity": SKEW_SAFE_SEGMENT_ACTIVITY_SQL,
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "orders_with_returns": ORDERS_WITH_RETURNS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
