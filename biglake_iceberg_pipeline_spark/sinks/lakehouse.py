@@ -33,6 +33,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
     align_for_append,
@@ -146,6 +147,65 @@ class LakehouseTable:
             {
                 "id": snap_id,
                 "operation": "replace",
+                "ts": time.time(),
+                "files": files,
+            }
+        )
+        self._commit(manifest)
+        return snap_id
+
+    def merge(
+        self, spark: SparkSession, source: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE (upsert) by key: source rows replace matching target
+        rows; unmatched source rows are inserted (Iceberg
+        MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT,
+        copy-on-write path).
+
+        Plan: target left-anti source-keys (drops rows being updated)
+        ∪ source. One shuffle on the key for the anti join; at 100 TB
+        the real Iceberg runtime would prune the rewrite to affected
+        partitions — here the snapshot rewrite is whole-table, same
+        semantics. Duplicate keys in source are rejected (Iceberg
+        errors on multi-row matches too: nondeterministic update).
+        """
+        dup = (
+            source.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(f"source has duplicate merge keys on {keys}")
+        target = self.read(spark)
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(align_for_append(source, target))
+        manifest = self._read_manifest()
+        snap_id = self._next_id(manifest)
+        files = self._write_data(merged, snap_id)
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "operation": "merge",
+                "ts": time.time(),
+                "files": files,
+            }
+        )
+        manifest["schema"] = merged.schema.json()
+        self._commit(manifest)
+        return snap_id
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """DELETE FROM ... WHERE condition (copy-on-write rewrite of
+        the surviving rows; condition is a Column or SQL string)."""
+        target = self.read(spark)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        remaining = target.where(~condition)
+        manifest = self._read_manifest()
+        snap_id = self._next_id(manifest)
+        files = self._write_data(remaining, snap_id)
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "operation": "delete",
                 "ts": time.time(),
                 "files": files,
             }

@@ -78,3 +78,49 @@ def test_widening_plan_and_align(spark):
     assert plan == {"id": "ok", "v": "ok", "extra": "add_column"}
     aligned = se.align_for_append(incoming, target)
     assert dict(aligned.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double",
+        )
+    )
+    pre = t.current_snapshot_id()
+    # id=2 updated, id=9 inserted
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "z", 1.0)], "id long, name string, v double"
+    )
+    t.merge(spark, src, ["id"])
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[2]["name"] == "B" and rows[2]["v"] == 99.0
+    assert rows[1]["name"] == "a"
+    # time travel still sees the pre-merge state
+    old = {r["id"]: r for r in t.read(spark, snapshot_id=pre).collect()}
+    assert old[2]["name"] == "b" and 9 not in old
+    assert t.history()[-1]["operation"] == "merge"
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "id long, name string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(spark, dup, ["id"])
+
+
+def test_delete_where(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).withColumn("v", F.col("id") * 2))
+    t.delete_where(spark, "id >= 7")
+    assert t.read(spark).count() == 7
+    t.delete_where(spark, F.col("id") < 2)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(
+        range(2, 7)
+    )
+    assert t.history()[-1]["operation"] == "delete"
