@@ -81,6 +81,41 @@ class LakehouseTable:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _file_stats(files: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file column min/max from the parquet footers (numeric
+        and string columns) — the manifest-level stats Iceberg keeps in
+        its manifest files. Footer-only reads: no data pages touched,
+        so stats collection is O(files), not O(rows)."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict[str, list]] = {}
+        for path in files:
+            meta = pq.ParquetFile(path).metadata
+            per_col: dict[str, list] = {}
+            for rg_i in range(meta.num_row_groups):
+                rg = meta.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str)) or isinstance(
+                        lo, bool
+                    ):
+                        continue
+                    name = col.path_in_schema
+                    if name in per_col:
+                        per_col[name] = [
+                            min(per_col[name][0], lo),
+                            max(per_col[name][1], hi),
+                        ]
+                    else:
+                        per_col[name] = [lo, hi]
+            stats[path] = per_col
+        return stats
+
     def _next_id(self, manifest: dict) -> int:
         snaps = manifest["snapshots"]
         return (snaps[-1]["id"] + 1) if snaps else 1
@@ -104,6 +139,7 @@ class LakehouseTable:
                 df = align_for_append(df, target)
         snap_id_new = self._next_id(manifest)
         files = self._write_data(df, snap_id_new)
+        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
         prev = manifest["snapshots"][-1]["files"] if manifest["snapshots"] else []
         manifest["snapshots"].append(
             {
@@ -121,6 +157,7 @@ class LakehouseTable:
         manifest = self._read_manifest()
         snap_id = self._next_id(manifest)
         files = self._write_data(df, snap_id)
+        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
         manifest["snapshots"].append(
             {
                 "id": snap_id,
@@ -143,6 +180,7 @@ class LakehouseTable:
         df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
         snap_id = self._next_id(manifest)
         files = self._write_data(df.coalesce(target_files), snap_id)
+        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
         manifest["snapshots"].append(
             {
                 "id": snap_id,
@@ -180,6 +218,7 @@ class LakehouseTable:
         manifest = self._read_manifest()
         snap_id = self._next_id(manifest)
         files = self._write_data(merged, snap_id)
+        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
         manifest["snapshots"].append(
             {
                 "id": snap_id,
@@ -202,6 +241,7 @@ class LakehouseTable:
         manifest = self._read_manifest()
         snap_id = self._next_id(manifest)
         files = self._write_data(remaining, snap_id)
+        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
         manifest["snapshots"].append(
             {
                 "id": snap_id,
@@ -227,6 +267,12 @@ class LakehouseTable:
                 if f not in live and os.path.exists(f):
                     os.remove(f)
         manifest["snapshots"] = kept
+        if "file_stats" in manifest:
+            manifest["file_stats"] = {
+                f: st
+                for f, st in manifest["file_stats"].items()
+                if f in live
+            }
         self._commit(manifest)
         return [s["id"] for s in expired]
 
@@ -247,6 +293,72 @@ class LakehouseTable:
                 raise ValueError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
         return spark.read.parquet(*snap["files"])
+
+    def pruned_files(
+        self,
+        ranges: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """File-level skip list for range predicates: keep a file only
+        if its footer [min, max] intersects every requested range.
+        ``ranges`` maps column → (lo, hi), either bound None for open.
+        Files without stats for a column are conservatively kept."""
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError(f"no snapshots in {self.path}")
+        snap = (
+            snaps[-1]
+            if snapshot_id is None
+            else next(s for s in snaps if s["id"] == snapshot_id)
+        )
+        stats = manifest.get("file_stats", {})
+        out = []
+        for f in snap["files"]:
+            fstats = stats.get(f, {})
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                if col not in fstats:
+                    continue
+                fmin, fmax = fstats[col]
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read with manifest-level data skipping (Iceberg file
+        pruning): files whose footer min/max can't satisfy ``ranges``
+        are never opened — at 100 TB on time- or key-sorted data this
+        is the difference between scanning a partition and scanning
+        the table. The exact range filter is re-applied on the
+        surviving rows, so results equal read()+filter regardless of
+        how coarse the file stats are."""
+        if not ranges:
+            return self.read(spark, snapshot_id)
+        files = self.pruned_files(ranges, snapshot_id)
+        if not files:
+            df = self.read(spark, snapshot_id)
+        else:
+            df = spark.read.parquet(*files)
+        cond = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        if not files:
+            return df.where(cond).limit(0)
+        return df.where(cond)
 
     def history(self) -> list[dict]:
         return [

@@ -94,6 +94,52 @@ def start_ingest(
     )
 
 
+def start_ingest_to_lakehouse(
+    spark: SparkSession,
+    inbox_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    fmt: str = "csv",
+    merge_keys: list[str] | None = None,
+) -> StreamingQuery:
+    """Inbox → clean → snapshot-committed lakehouse table — the full
+    reference flow (agent cleans, loader appends/upserts to Iceberg)
+    as one streaming job.
+
+    foreachBatch gives the loader's table semantics (snapshot commits,
+    schema evolution, MERGE upsert when ``merge_keys`` is set) instead
+    of the raw file-sink. Exactly-once: the checkpoint records the
+    last completed batch; a replayed batch re-runs its merge, which is
+    idempotent on the keys. With append (no keys), replay protection
+    comes from the streaming checkpoint's batch tracking — Spark only
+    re-invokes foreachBatch for batches whose commit is missing.
+    """
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    table = LakehouseTable(table_path)
+    stream = clean_batch(read_inbox_stream(spark, inbox_dir, schema, fmt))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if merge_keys:
+            # a batch may carry several versions of a key (e.g. two
+            # files landed); last-writer-wins within the batch
+            batch_df = batch_df.dropDuplicates(merge_keys)
+            if table.current_snapshot_id() is not None:
+                table.merge(batch_df.sparkSession, batch_df, merge_keys)
+                return
+        table.append(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def pipeline_log(df: DataFrame, event: str) -> DataFrame:
     """Observability record per processed row-batch (the logger
     service's Firestore write, as a derivable frame)."""

@@ -124,3 +124,78 @@ def test_delete_where(spark, tmp_path):
         range(2, 7)
     )
     assert t.history()[-1]["operation"] == "delete"
+
+
+def test_file_stats_recorded_and_pruned_scan(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    # range-partitioned write => disjoint per-file id ranges
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    t.append(df.repartitionByRange(4, "id"))
+    all_files = t.snapshots[-1]["files"]
+    assert len(all_files) == 4
+    pruned = t.pruned_files({"id": (100, 120)})
+    assert 0 < len(pruned) < len(all_files)
+    got = t.scan(spark, {"id": (100, 120)})
+    assert got.count() == 21
+    assert sorted(r["id"] for r in got.collect()) == list(range(100, 121))
+    # open bounds
+    assert t.scan(spark, {"id": (990, None)}).count() == 10
+    # no-intersection range: empty result, schema preserved
+    empty = t.scan(spark, {"id": (5000, 6000)})
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+
+
+def test_pruned_scan_equals_full_filter_across_ops(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(100).withColumn("v", F.col("id") * 2))
+    t.append(
+        spark.range(100, 200)
+        .withColumn("v", F.col("id") * 2)
+        .repartitionByRange(2, "id")
+    )
+    t.delete_where(spark, "id BETWEEN 50 AND 59")
+    expect = sorted(
+        r["id"]
+        for r in t.read(spark).where("id >= 40 AND id <= 110").collect()
+    )
+    got = sorted(r["id"] for r in t.scan(spark, {"id": (40, 110)}).collect())
+    assert got == expect
+
+
+def test_streaming_ingest_to_lakehouse_merge(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.streaming.ingest import (
+        start_ingest_to_lakehouse,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "f1.csv").write_text("ID,Name,Score\n1,alice,10\n2,bob,20\n")
+    q = start_ingest_to_lakehouse(
+        spark,
+        str(inbox),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        schema="ID long, Name string, Score long",
+        merge_keys=["id"],
+    )
+    q.awaitTermination(180)
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    assert {r["id"]: r["score"] for r in t.read(spark).collect()} == {
+        1: 10,
+        2: 20,
+    }
+    # second file updates id=2, inserts id=3 -> merge path
+    (inbox / "f2.csv").write_text("ID,Name,Score\n2,bob,99\n3,carol,30\n")
+    q2 = start_ingest_to_lakehouse(
+        spark,
+        str(inbox),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        schema="ID long, Name string, Score long",
+        merge_keys=["id"],
+    )
+    q2.awaitTermination(180)
+    rows = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert rows == {1: 10, 2: 99, 3: 30}
+    assert t.history()[-1]["operation"] == "merge"
