@@ -128,6 +128,21 @@ def add_processed_at(df: DataFrame) -> DataFrame:
     return df.withColumn("processed_at", F.current_timestamp())
 
 
+def sample_rows(df: DataFrame, n: int = 10) -> DataFrame:
+    """First-n preview (reference common/sample_rows.sql). limit()
+    short-circuits the scan — Spark stops after one partition when it
+    has n rows, so previewing a 100 TB table reads one file."""
+    return df.limit(n)
+
+
+def get_processed_at(df: DataFrame):
+    """The batch's ingestion stamp (reference
+    ingestion/get_processed_at.sql): one value, since add_processed_at
+    stamps a batch uniformly. Returns None on an empty frame."""
+    row = df.select("processed_at").limit(1).collect()
+    return row[0][0] if row else None
+
+
 def drop_empty_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Drop rows where every (string) column is NULL or blank
     (reference ingestion/delete_empty_rows.sql)."""

@@ -48,6 +48,18 @@ def normalize_type(spark_dtype: str) -> str:
     return _TYPE_NAMES.get(spark_dtype, spark_dtype.upper())
 
 
+def describe_table(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """(column_name, column_type, is_nullable) rows — reference
+    sql/schema/describe_table.sql. Pure metadata: no scan."""
+    rows = [
+        (f.name, normalize_type(f.dataType.simpleString()), f.nullable)
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, column_type string, is_nullable boolean"
+    )
+
+
 def compare_schemas(
     spark: SparkSession, df_a: DataFrame, df_b: DataFrame
 ) -> DataFrame:

@@ -109,14 +109,35 @@ ORDER BY change_type, column_name
 """
 
 
+def describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema description of the customer table (reference
+    sql/schema/describe_table.sql) — pure metadata, no scan."""
+    from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
+        describe_table,
+    )
+
+    return describe_table(spark, load_table(spark, sf_dir, "customer"))
+
+
+DESCRIBE_CUSTOMER_SQL = """
+SELECT
+    column_name,
+    column_type,
+    CASE WHEN "null" = 'YES' THEN true ELSE false END AS is_nullable
+FROM (DESCRIBE SELECT * FROM customer)
+"""
+
+
 QUERIES = {
     "events_windowed": events_windowed,
     "events_sessions": events_sessions,
     "compare_schemas": compare_schemas_q,
+    "describe_customer": describe_customer,
 }
 
 ORACLE = {
     "events_windowed": EVENTS_WINDOWED_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "compare_schemas": COMPARE_SCHEMAS_SQL,
+    "describe_customer": DESCRIBE_CUSTOMER_SQL,
 }

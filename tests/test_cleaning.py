@@ -114,3 +114,32 @@ def test_recommend_types_leading_zeros_blocked(spark):
     }
     assert "zip" not in out  # leading zeros → stay string
     assert out["flag"] == "BOOLEAN"
+
+
+def test_sample_rows_and_get_processed_at(spark):
+    from biglake_iceberg_pipeline_spark.operators.cleaning import (
+        add_processed_at,
+        get_processed_at,
+        sample_rows,
+    )
+
+    df = spark.range(100)
+    assert sample_rows(df, 7).count() == 7
+    stamped = add_processed_at(df)
+    ts = get_processed_at(stamped)
+    assert ts is not None
+    empty = add_processed_at(spark.range(0))
+    assert get_processed_at(empty) is None
+
+
+def test_describe_table(spark):
+    from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
+        describe_table,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.5)], "a long, b string, c double")
+    rows = {
+        r["column_name"]: r["column_type"]
+        for r in describe_table(spark, df).collect()
+    }
+    assert rows == {"a": "BIGINT", "b": "VARCHAR", "c": "DOUBLE"}
