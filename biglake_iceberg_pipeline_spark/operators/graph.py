@@ -1,0 +1,106 @@
+"""Distributed connected components (min-label propagation).
+
+The missing last step of near-dup dedup at scale: MinHash/LSH or
+Jaccard candidate PAIRS must become CLUSTERS (transitive closure) so
+each group keeps one canonical document. Pair lists alone under-delete:
+A~B and B~C must put A,B,C in one cluster even though A~C was never a
+candidate pair.
+
+Spark has no graph operator (GraphFrames isn't in the env and would be
+overkill); this is the classic iterative-join formulation:
+
+    label(v) := min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Each iteration is one join + one groupBy —
+two shuffles on the node id — and the iteration count is the graph
+diameter, which for dedup clusters is tiny (near-dup groups are
+cliques or short chains; diameter 2-4). ``localCheckpoint`` truncates
+the lineage each round so the plan doesn't grow exponentially — the
+standard guard for iterative DataFrame algorithms.
+
+At 100 TB: |edges| ≪ |docs| after LSH banding, labels frame is one
+long per node; a billion-node run is ~diameter × (join+agg) on a
+bigint key — shuffle-bound and balanced (no hot key: labels are ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (id, component) for every node appearing in ``edges``,
+    where component is the smallest node id in its connected group.
+    Edges are treated as undirected; self-loops and duplicates are
+    harmless. Raises if not converged within ``max_iter`` (diameter
+    bound exceeded — for dedup graphs this means something is wrong
+    with the candidate generation, not the clustering)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(sym.b.alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component")
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint()  # truncate lineage, eager
+        n_changed = updated.where(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster every document: near-dup groups get their minimum
+    doc id as cluster_id (the canonical survivor); documents with no
+    near-dup pair are their own singleton cluster. Output
+    (id_col, cluster_id, is_canonical) — the keep/drop decision a
+    training-data pipeline applies after LSH."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.id, "left")
+        .select(
+            docs[id_col],
+            F.coalesce("component", docs[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

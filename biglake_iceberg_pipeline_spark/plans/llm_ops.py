@@ -76,6 +76,56 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters → canonical survivor per
+    cluster (the keep/drop decision after LSH). Iterative min-label
+    propagation (operators/graph.py); the oracle recomputes the same
+    transitive closure with a recursive CTE — an entirely different
+    algorithm, so agreement is a strong check."""
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", partition_col="source", n=3, threshold=0.6
+    )
+    return dedup_cluster_assignment(docs, pairs, "doc_id")
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE g AS (
+    SELECT doc_id, source,
+        list_distinct([substr(lower(text), i, 3)
+            for i in generate_series(1, greatest(len(lower(text)) - 2, 1))])
+        AS ng
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                / len(list_distinct(list_concat(a.ng, b.ng))), 4) >= 0.6
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+SELECT
+    d.doc_id,
+    COALESCE(c.component, d.doc_id) AS cluster_id,
+    d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d
+LEFT JOIN comps c ON d.doc_id = c.id
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
@@ -288,6 +338,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
@@ -301,6 +352,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
