@@ -88,3 +88,54 @@ def test_pipeline_log(spark):
     log = ingest.pipeline_log(df, "LOAD_REQUEST").collect()[0]
     assert log["event"] == "LOAD_REQUEST"
     assert log["n_rows"] == 5
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window in append-mode streaming (watermark-flushed)
+    produces the same sessions as the batch plan."""
+    from biglake_iceberg_pipeline_spark.streaming.aggregations import (
+        sessionize,
+    )
+
+    rows = [
+        # user 1: two sessions separated by a 2-hour gap
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:05:00", 1.0),
+        (1, "2024-01-01 12:30:00", 1.0),
+        # sentinel far in the future advances the watermark so the
+        # real sessions flush in append mode
+        (99, "2025-01-01 00:00:00", 0.0),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src / "*"))
+    out = sessionize(
+        stream.withWatermark("ts", "1 minute"), "ts", "user_id", "30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["last_event"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sess_stream WHERE user_id = 1"
+        ).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["last_event"], r["n_events"])
+        for r in sessionize(df.where("user_id = 1"), "ts", "user_id", "30 minutes").collect()
+    }
+    assert got == batch
+    assert len(got) == 2
