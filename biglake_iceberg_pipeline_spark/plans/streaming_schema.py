@@ -109,6 +109,34 @@ ORDER BY change_type, column_name
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured props JSON column
+    (the agent's JSON-ingestion role on nested payloads). from_json
+    with an explicit schema is JVM-side and codegen'd — no Python in
+    the path; at 100 TB the parse cost is the scan cost."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT
+    event_type,
+    COUNT(json_extract(props, '$.k')) AS n_with_k,
+    ROUND(AVG(json_extract(props, '$.k')::INT), 4) AS avg_k,
+    MAX(json_extract(props, '$.k')::INT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema description of the customer table (reference
     sql/schema/describe_table.sql) — pure metadata, no scan."""
@@ -133,6 +161,7 @@ QUERIES = {
     "events_sessions": events_sessions,
     "compare_schemas": compare_schemas_q,
     "describe_customer": describe_customer,
+    "events_json_extract": events_json_extract,
 }
 
 ORACLE = {
@@ -140,4 +169,5 @@ ORACLE = {
     "events_sessions": EVENTS_SESSIONS_SQL,
     "compare_schemas": COMPARE_SCHEMAS_SQL,
     "describe_customer": DESCRIBE_CUSTOMER_SQL,
+    "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
 }
