@@ -41,6 +41,15 @@ from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
 )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed between this operation's read of the
+    table and its commit — the Iceberg optimistic-concurrency failure.
+    Appends never raise this (they commute: the fresh tail is taken
+    inside the commit lock); rewrites (merge/delete/compact/overwrite-
+    of-read-state) would silently drop the other writer's rows, so
+    they fail and the caller retries on the new state."""
+
+
 class LakehouseTable:
     def __init__(self, path: str):
         self.path = path
@@ -62,6 +71,83 @@ class LakehouseTable:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path)
 
+    def _acquire_lock(
+        self, timeout: float = 30.0, stale_after: float = 120.0
+    ) -> str:
+        """Commit mutex via O_EXCL lock file (works on any shared
+        filesystem without extra services — on a real deployment this
+        is the catalog's atomic swap). Locks older than
+        ``stale_after`` are broken: a crashed writer must not wedge
+        the table forever."""
+        lock = os.path.join(self.path, "_commit.lock")
+        os.makedirs(self.path, exist_ok=True)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between check and stat
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.05)
+
+    def _locked_commit(
+        self,
+        operation: str,
+        files: list[str],
+        stats: dict,
+        schema_json: str | None,
+        expected_tail: int | None = ...,
+        inherit_prev_files: bool = False,
+    ) -> int:
+        """Allocate the snapshot id and swap the manifest under the
+        commit lock. ``expected_tail`` (when not Ellipsis) asserts the
+        table tail is unchanged since the caller read it — rewrites
+        pass it; appends instead set ``inherit_prev_files`` and pick
+        up whatever tail exists at commit time (appends commute)."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            snaps = manifest["snapshots"]
+            tail = snaps[-1]["id"] if snaps else None
+            if expected_tail is not ... and tail != expected_tail:
+                raise CommitConflict(
+                    f"table advanced to snapshot {tail} (expected "
+                    f"{expected_tail}); re-read and retry the {operation}"
+                )
+            snap_id = self._next_id(manifest)
+            all_files = (
+                (snaps[-1]["files"] if snaps else []) + files
+                if inherit_prev_files
+                else files
+            )
+            manifest.setdefault("file_stats", {}).update(stats)
+            manifest["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "operation": operation,
+                    "ts": time.time(),
+                    "files": all_files,
+                }
+            )
+            if schema_json is not None:
+                manifest["schema"] = schema_json
+            self._commit(manifest)
+            return snap_id
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     @property
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
@@ -72,8 +158,11 @@ class LakehouseTable:
 
     # ----------------------------------------------------------- writes
 
-    def _write_data(self, df: DataFrame, snap_id: int) -> list[str]:
-        out = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+    def _write_data(self, df: DataFrame) -> list[str]:
+        # uuid dir, not snapshot-id dir: two concurrent writers must
+        # never target the same directory (ids are only assigned at
+        # commit time, under the lock)
+        out = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(out)
         return sorted(
             os.path.join(out, f)
@@ -137,38 +226,22 @@ class LakehouseTable:
                 if bad:
                     raise ValueError(f"incompatible append: {bad}")
                 df = align_for_append(df, target)
-        snap_id_new = self._next_id(manifest)
-        files = self._write_data(df, snap_id_new)
-        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
-        prev = manifest["snapshots"][-1]["files"] if manifest["snapshots"] else []
-        manifest["snapshots"].append(
-            {
-                "id": snap_id_new,
-                "operation": "append",
-                "ts": time.time(),
-                "files": prev + files,
-            }
+        files = self._write_data(df)
+        return self._locked_commit(
+            "append",
+            files,
+            self._file_stats(files),
+            df.schema.json(),
+            inherit_prev_files=True,
         )
-        manifest["schema"] = df.schema.json()
-        self._commit(manifest)
-        return snap_id_new
 
     def overwrite(self, df: DataFrame) -> int:
-        manifest = self._read_manifest()
-        snap_id = self._next_id(manifest)
-        files = self._write_data(df, snap_id)
-        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "operation": "overwrite",
-                "ts": time.time(),
-                "files": files,
-            }
+        # overwrite replaces whatever the tail is — no read-state
+        # dependency, so no conflict check (last overwrite wins)
+        files = self._write_data(df)
+        return self._locked_commit(
+            "overwrite", files, self._file_stats(files), df.schema.json()
         )
-        manifest["schema"] = df.schema.json()
-        self._commit(manifest)
-        return snap_id
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Small-file compaction: rewrite the current file set into
@@ -177,20 +250,16 @@ class LakehouseTable:
         manifest = self._read_manifest()
         if not manifest["snapshots"]:
             raise ValueError("empty table")
+        base = manifest["snapshots"][-1]["id"]
         df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
-        snap_id = self._next_id(manifest)
-        files = self._write_data(df.coalesce(target_files), snap_id)
-        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "operation": "replace",
-                "ts": time.time(),
-                "files": files,
-            }
+        files = self._write_data(df.coalesce(target_files))
+        return self._locked_commit(
+            "replace",
+            files,
+            self._file_stats(files),
+            None,
+            expected_tail=base,
         )
-        self._commit(manifest)
-        return snap_id
 
     def merge(
         self, spark: SparkSession, source: DataFrame, keys: list[str]
@@ -212,69 +281,67 @@ class LakehouseTable:
         )
         if dup.count() > 0:
             raise ValueError(f"source has duplicate merge keys on {keys}")
+        base = self.current_snapshot_id()
         target = self.read(spark)
         kept = target.join(source.select(*keys), keys, "left_anti")
         merged = kept.unionByName(align_for_append(source, target))
-        manifest = self._read_manifest()
-        snap_id = self._next_id(manifest)
-        files = self._write_data(merged, snap_id)
-        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "operation": "merge",
-                "ts": time.time(),
-                "files": files,
-            }
+        files = self._write_data(merged)
+        return self._locked_commit(
+            "merge",
+            files,
+            self._file_stats(files),
+            merged.schema.json(),
+            expected_tail=base,
         )
-        manifest["schema"] = merged.schema.json()
-        self._commit(manifest)
-        return snap_id
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """DELETE FROM ... WHERE condition (copy-on-write rewrite of
         the surviving rows; condition is a Column or SQL string)."""
+        base = self.current_snapshot_id()
         target = self.read(spark)
         if isinstance(condition, str):
             condition = F.expr(condition)
         remaining = target.where(~condition)
-        manifest = self._read_manifest()
-        snap_id = self._next_id(manifest)
-        files = self._write_data(remaining, snap_id)
-        manifest.setdefault("file_stats", {}).update(self._file_stats(files))
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "operation": "delete",
-                "ts": time.time(),
-                "files": files,
-            }
+        files = self._write_data(remaining)
+        return self._locked_commit(
+            "delete",
+            files,
+            self._file_stats(files),
+            None,
+            expected_tail=base,
         )
-        self._commit(manifest)
-        return snap_id
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
-        data dirs); returns expired ids."""
-        manifest = self._read_manifest()
-        snaps = manifest["snapshots"]
-        if len(snaps) <= keep_last:
-            return []
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
-        live = {f for s in kept for f in s["files"]}
-        for s in expired:
-            for f in s["files"]:
-                if f not in live and os.path.exists(f):
-                    os.remove(f)
-        manifest["snapshots"] = kept
-        if "file_stats" in manifest:
-            manifest["file_stats"] = {
-                f: st
-                for f, st in manifest["file_stats"].items()
-                if f in live
-            }
-        self._commit(manifest)
-        return [s["id"] for s in expired]
+        data dirs); returns expired ids. Runs under the commit lock —
+        expiry rewrites the snapshot list, so a concurrent append must
+        not interleave."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            snaps = manifest["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+            live = {f for s in kept for f in s["files"]}
+            for s in expired:
+                for f in s["files"]:
+                    if f not in live and os.path.exists(f):
+                        os.remove(f)
+            manifest["snapshots"] = kept
+            if "file_stats" in manifest:
+                manifest["file_stats"] = {
+                    f: st
+                    for f, st in manifest["file_stats"].items()
+                    if f in live
+                }
+            self._commit(manifest)
+            return [s["id"] for s in expired]
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     # ------------------------------------------------------------ reads
 

@@ -199,3 +199,47 @@ def test_streaming_ingest_to_lakehouse_merge(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in t.read(spark).collect()}
     assert rows == {1: 10, 2: 99, 3: 30}
     assert t.history()[-1]["operation"] == "merge"
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Parallel appends (Iceberg commute semantics): every writer's
+    rows survive; snapshot ids are unique and dense."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+
+    def one_append(i):
+        df = spark.range(i * 10, i * 10 + 10).withColumn("w", F.lit(i))
+        return t.append(df)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        ids = list(ex.map(one_append, range(6)))
+    assert sorted(ids) == [1, 2, 3, 4, 5, 6]
+    assert t.read(spark).count() == 60
+    assert (
+        t.read(spark).select("id").distinct().count() == 60
+    )  # no writer's rows lost
+
+
+def test_rewrite_conflict_detected(spark, tmp_path):
+    """A merge based on a stale snapshot must fail, not silently drop
+    the interleaved append."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    # simulate the interleaving: capture base, let an append land,
+    # then attempt the merge commit against the stale base
+    base = t.current_snapshot_id()
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    src = spark.createDataFrame([(1, "A")], "id long, v string")
+    files = t._write_data(src)
+    with pytest.raises(CommitConflict, match="advanced"):
+        t._locked_commit(
+            "merge", files, {}, src.schema.json(), expected_tail=base
+        )
+    # the table is untouched by the failed commit
+    assert t.read(spark).count() == 2
