@@ -257,8 +257,86 @@ GROUP BY c_mktsegment
 """
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90/p99 of order value per priority. Spark's
+    exact percentile sorts within each group partition — fine for
+    bounded groups; at unbounded group sizes switch to
+    approx_percentile (t-digest sketch, mergeable map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.median("o_totalprice"), 2).alias("median_value"),
+            F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_value"),
+            F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_VALUE_PERCENTILES_SQL = """
+SELECT
+    o_orderpriority,
+    COUNT(*) AS n_orders,
+    ROUND(MEDIAN(o_totalprice), 2) AS median_value,
+    ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_value,
+    ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99_value
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def revenue_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue pivoted to one column per order priority.
+    pivot() with EXPLICIT values stays a single-shuffle aggregation
+    (no extra pass to discover the pivot domain — essential at scale;
+    an unbounded-domain pivot would need a distinct scan first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    for old, new in renames.items():
+        pivoted = pivoted.withColumnRenamed(old, new)
+    return pivoted.orderBy("o_year")
+
+
+REVENUE_PIVOT_BY_PRIORITY_SQL = """
+SELECT
+    EXTRACT(YEAR FROM o_orderdate) AS o_year,
+    ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice END), 2) AS urgent,
+    ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                   THEN o_totalprice END), 2) AS high,
+    ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                   THEN o_totalprice END), 2) AS medium,
+    ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                   THEN o_totalprice END), 2) AS not_specified,
+    ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                   THEN o_totalprice END), 2) AS low
+FROM orders
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
+    "order_value_percentiles": order_value_percentiles,
+    "revenue_pivot_by_priority": revenue_pivot_by_priority,
     "top_parts_per_brand": top_parts_per_brand,
     "orders_with_returns": orders_with_returns,
     "customers_without_orders": customers_without_orders,
@@ -269,6 +347,8 @@ QUERIES = {
 
 ORACLE = {
     "skew_safe_segment_activity": SKEW_SAFE_SEGMENT_ACTIVITY_SQL,
+    "order_value_percentiles": ORDER_VALUE_PERCENTILES_SQL,
+    "revenue_pivot_by_priority": REVENUE_PIVOT_BY_PRIORITY_SQL,
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "orders_with_returns": ORDERS_WITH_RETURNS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
