@@ -243,16 +243,35 @@ class LakehouseTable:
             "overwrite", files, self._file_stats(files), df.schema.json()
         )
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction: rewrite the current file set into
-        ``target_files`` files (no shuffle — coalesce only) and commit
-        as a 'replace' snapshot. Iceberg's rewrite_data_files."""
+        ``target_files`` files and commit as a 'replace' snapshot
+        (Iceberg's rewrite_data_files).
+
+        Without ``sort_by``: coalesce only — no shuffle, cheapest
+        rewrite. With ``sort_by``: range-repartition on the sort key
+        (Iceberg's sort-order rewrite) — one shuffle, but the rewritten
+        files then cover DISJOINT key ranges, so the manifest min/max
+        stats make scan(ranges=...) prune to ~1 file per point lookup
+        instead of reading every file. Worth the shuffle whenever the
+        table is re-read selectively more than once."""
         manifest = self._read_manifest()
         if not manifest["snapshots"]:
             raise ValueError("empty table")
         base = manifest["snapshots"][-1]["id"]
         df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
-        files = self._write_data(df.coalesce(target_files))
+        if sort_by:
+            compacted = df.repartitionByRange(
+                target_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            compacted = df.coalesce(target_files)
+        files = self._write_data(compacted)
         return self._locked_commit(
             "replace",
             files,

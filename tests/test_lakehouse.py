@@ -243,3 +243,27 @@ def test_rewrite_conflict_detected(spark, tmp_path):
         )
     # the table is untouched by the failed commit
     assert t.read(spark).count() == 2
+
+
+def test_sorted_compaction_sharpens_pruning(spark, tmp_path):
+    """Sort-order rewrite (compact with sort_by) yields disjoint
+    per-file key ranges, so a point-range scan prunes to one file;
+    the unsorted table could not prune at all."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    # round-robin repartition => every file spans nearly the full id
+    # range (spark.range alone would already be range-partitioned)
+    t.append(
+        spark.range(0, 1000, 2).repartition(4).withColumn("v", F.col("id") % 7)
+    )
+    t.append(
+        spark.range(1, 1000, 2).repartition(4).withColumn("v", F.col("id") % 7)
+    )
+    before = t.pruned_files({"id": (300, 310)})
+    assert len(before) == len(t.snapshots[-1]["files"])  # no skip possible
+    t.compact(spark, target_files=4, sort_by=["id"])
+    after = t.pruned_files({"id": (300, 310)})
+    assert len(t.snapshots[-1]["files"]) == 4
+    assert len(after) == 1
+    got = t.scan(spark, {"id": (300, 310)})
+    assert got.count() == 11
+    assert t.read(spark).count() == 1000
