@@ -248,6 +248,7 @@ class LakehouseTable:
         spark: SparkSession,
         target_files: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite the current file set into
         ``target_files`` files and commit as a 'replace' snapshot
@@ -259,13 +260,32 @@ class LakehouseTable:
         files then cover DISJOINT key ranges, so the manifest min/max
         stats make scan(ranges=...) prune to ~1 file per point lookup
         instead of reading every file. Worth the shuffle whenever the
-        table is re-read selectively more than once."""
+        table is re-read selectively more than once.
+
+        ``zorder_by`` (mutually exclusive with sort_by) clusters on
+        the Morton interleave of SEVERAL columns (Delta OPTIMIZE
+        ZORDER BY): each rewritten file covers a small bounding box in
+        the combined key space, so range scans on ANY z-order column
+        prune files — a linear sort only serves its leading column."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         manifest = self._read_manifest()
         if not manifest["snapshots"]:
             raise ValueError("empty table")
         base = manifest["snapshots"][-1]["id"]
         df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
-        if sort_by:
+        if zorder_by:
+            from biglake_iceberg_pipeline_spark.operators.zorder import (
+                with_zorder,
+            )
+
+            compacted = (
+                with_zorder(df, zorder_by)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             compacted = df.repartitionByRange(
                 target_files, *sort_by
             ).sortWithinPartitions(*sort_by)

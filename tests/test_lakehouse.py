@@ -267,3 +267,44 @@ def test_sorted_compaction_sharpens_pruning(spark, tmp_path):
     got = t.scan(spark, {"id": (300, 310)})
     assert got.count() == 11
     assert t.read(spark).count() == 1000
+
+
+def test_zorder_compaction_prunes_both_dims(spark, tmp_path):
+    """Morton clustering: after compact(zorder_by=[x, y]), a narrow
+    range on EITHER column skips most files; a linear x-sort would
+    only prune on x."""
+    from pyspark.sql import functions as SF
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    # 64x64 grid, shuffled round-robin so raw files span everything
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        .repartition(8)
+    )
+    t.append(grid)
+    assert len(t.pruned_files({"x": (0, 3)})) == 8  # nothing skippable
+    t.compact(spark, target_files=16, zorder_by=["x", "y"])
+    files_x = t.pruned_files({"x": (0, 3)})
+    files_y = t.pruned_files({"y": (0, 3)})
+    assert len(files_x) <= 8  # x-range skips most of 16 files
+    assert len(files_y) <= 8  # and so does a y-range
+    # correctness unchanged
+    assert t.scan(spark, {"x": (0, 3)}).count() == 4 * 64
+    assert t.scan(spark, {"y": (0, 3)}).count() == 4 * 64
+    assert t.read(spark).count() == 64 * 64
+    # linear sort for contrast: x prunes to 1, y cannot prune
+    t.compact(spark, target_files=16, sort_by=["x"])
+    assert len(t.pruned_files({"x": (0, 3)})) == 1
+    assert len(t.pruned_files({"y": (0, 3)})) == 16
+    _ = SF
+
+
+def test_zorder_rejects_both_orders(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).withColumn("v", F.col("id")))
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(spark, sort_by=["id"], zorder_by=["v"])
