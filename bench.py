@@ -39,11 +39,14 @@ def main() -> None:
     keys = [k for k in HEADLINE if k in qs]
 
     # warmup: JVM/codegen spin-up on the smallest SF so per-query timings
-    # measure the plan, not first-call overhead.
-    try:
-        qs[keys[0]](spark, "/root/testdata/sf0.001").collect()
-    except Exception:
-        pass
+    # measure the plan, not first-call overhead. Warm every headline
+    # query — each compiles distinct codegen stages (hash fns, window,
+    # session logic) whose JIT otherwise lands in its sf0.1 timing.
+    for key in keys:
+        try:
+            qs[key](spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for key in keys:
