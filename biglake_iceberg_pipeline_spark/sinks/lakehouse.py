@@ -13,6 +13,14 @@ snapshot expiry, schema-evolution on append — is implemented directly:
       data/snap-000001/*.parquet
       data/snap-000002/*.parquet
 
+With a partition spec (``LakehouseTable(path, partition_by=[...])``,
+Iceberg identity-partitioning), each snapshot directory is laid out
+hive-style (``data/snap-x/col=value/*.parquet``); the manifest records
+each file's partition values, and ``scan(ranges=...)`` prunes on them
+EXACTLY (partition pruning) before consulting footer min/max stats
+(file skipping) — the same two-level pruning Iceberg does with
+partition summaries + column stats.
+
 A snapshot lists the parquet files that constitute the table at that
 version; readers take the file list from the manifest (never directory
 listing, so concurrent writers can't corrupt reads) — the same
@@ -51,9 +59,15 @@ class CommitConflict(RuntimeError):
 
 
 class LakehouseTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, partition_by: list[str] | None = None):
         self.path = path
         self.manifest_path = os.path.join(path, "_manifest.json")
+        existing = self._read_manifest().get("partition_by")
+        if partition_by and existing and partition_by != existing:
+            raise ValueError(
+                f"table is partitioned by {existing}, got {partition_by}"
+            )
+        self.partition_by = partition_by or existing or None
 
     # ------------------------------------------------------------ manifest
 
@@ -130,6 +144,11 @@ class LakehouseTable:
                 else files
             )
             manifest.setdefault("file_stats", {}).update(stats)
+            if self.partition_by:
+                manifest["partition_by"] = self.partition_by
+                fp = manifest.setdefault("file_partitions", {})
+                for f in files:
+                    fp[f] = self._partition_values(f)
             manifest["snapshots"].append(
                 {
                     "id": snap_id,
@@ -163,12 +182,75 @@ class LakehouseTable:
         # never target the same directory (ids are only assigned at
         # commit time, under the lock)
         out = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(out)
-        return sorted(
-            os.path.join(out, f)
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
-        )
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            missing = set(self.partition_by) - set(df.columns)
+            if missing:
+                raise ValueError(f"partition columns missing: {missing}")
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(out)
+        found = []
+        for root, _dirs, names in os.walk(out):
+            found += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        return sorted(found)
+
+    def _partition_values(self, path: str) -> dict[str, str | None]:
+        """Hive path segments (col=value) → raw partition values.
+        Spark percent-escapes special chars in values and writes NULL
+        as __HIVE_DEFAULT_PARTITION__ (kept as None: never pruned)."""
+        from urllib.parse import unquote
+
+        vals: dict[str, str | None] = {}
+        for seg in path.split(os.sep):
+            if "=" not in seg:
+                continue
+            col, _, raw = seg.partition("=")
+            if col in (self.partition_by or ()):
+                raw = unquote(raw)
+                vals[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
+        return vals
+
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Open an explicit manifest file list. Unpartitioned: plain
+        multi-file read. Partitioned: group by snapshot dir and read
+        each group with basePath so Spark's partition discovery
+        restores the hive-path columns, then cast them back to the
+        committed schema (discovery would re-infer types per group)."""
+        if not self.partition_by:
+            return spark.read.parquet(*files)
+        from collections import defaultdict
+
+        from pyspark.sql.types import StructType
+
+        groups: dict[str, list[str]] = defaultdict(list)
+        for f in files:
+            d = f
+            while not os.path.basename(d).startswith("snap-"):
+                d = os.path.dirname(d)
+            groups[d].append(f)
+        part_types = {
+            fld.name: fld.dataType
+            for fld in StructType.fromJson(
+                json.loads(self._read_manifest()["schema"])
+            ).fields
+            if fld.name in self.partition_by
+        }
+        parts = []
+        for base, fs in sorted(groups.items()):
+            df = spark.read.option("basePath", base).parquet(*fs)
+            for col, typ in part_types.items():
+                df = df.withColumn(col, F.col(col).cast(typ))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     @staticmethod
     def _file_stats(files: list[str]) -> dict[str, dict[str, list]]:
@@ -215,8 +297,13 @@ class LakehouseTable:
         manifest = self._read_manifest()
         if manifest["schema"] is not None:
             spark = df.sparkSession
-            target = spark.read.parquet(*manifest["snapshots"][-1]["files"]) \
-                if manifest["snapshots"] else None
+            target = (
+                self._read_files(
+                    spark, manifest["snapshots"][-1]["files"]
+                )
+                if manifest["snapshots"]
+                else None
+            )
             if target is not None:
                 bad = [
                     p
@@ -273,7 +360,7 @@ class LakehouseTable:
         if not manifest["snapshots"]:
             raise ValueError("empty table")
         base = manifest["snapshots"][-1]["id"]
-        df = spark.read.parquet(*manifest["snapshots"][-1]["files"])
+        df = self._read_files(spark, manifest["snapshots"][-1]["files"])
         if zorder_by:
             from biglake_iceberg_pipeline_spark.operators.zorder import (
                 with_zorder,
@@ -368,12 +455,13 @@ class LakehouseTable:
                     if f not in live and os.path.exists(f):
                         os.remove(f)
             manifest["snapshots"] = kept
-            if "file_stats" in manifest:
-                manifest["file_stats"] = {
-                    f: st
-                    for f, st in manifest["file_stats"].items()
-                    if f in live
-                }
+            for per_file_key in ("file_stats", "file_partitions"):
+                if per_file_key in manifest:
+                    manifest[per_file_key] = {
+                        f: st
+                        for f, st in manifest[per_file_key].items()
+                        if f in live
+                    }
             self._commit(manifest)
             return [s["id"] for s in expired]
         finally:
@@ -398,7 +486,7 @@ class LakehouseTable:
             if not matches:
                 raise ValueError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
-        return spark.read.parquet(*snap["files"])
+        return self._read_files(spark, snap["files"])
 
     def pruned_files(
         self,
@@ -408,7 +496,12 @@ class LakehouseTable:
         """File-level skip list for range predicates: keep a file only
         if its footer [min, max] intersects every requested range.
         ``ranges`` maps column → (lo, hi), either bound None for open.
-        Files without stats for a column are conservatively kept."""
+        Files without stats for a column are conservatively kept.
+
+        On a partitioned table, partition columns prune EXACTLY from
+        the hive-path values in the manifest (no footer needed) —
+        partition pruning runs first, then footer stats skip within
+        the surviving partitions."""
         manifest = self._read_manifest()
         snaps = manifest["snapshots"]
         if not snaps:
@@ -419,9 +512,14 @@ class LakehouseTable:
             else next(s for s in snaps if s["id"] == snapshot_id)
         )
         stats = manifest.get("file_stats", {})
+        fparts = manifest.get("file_partitions", {})
         out = []
         for f in snap["files"]:
-            fstats = stats.get(f, {})
+            fstats = dict(stats.get(f, {}))
+            for col, raw in fparts.get(f, {}).items():
+                v = self._coerce_partition_value(raw, ranges.get(col))
+                if v is not None:
+                    fstats[col] = [v, v]  # exact: min == max
             keep = True
             for col, (lo, hi) in ranges.items():
                 if col not in fstats:
@@ -435,6 +533,25 @@ class LakehouseTable:
             if keep:
                 out.append(f)
         return out
+
+    @staticmethod
+    def _coerce_partition_value(raw, bounds):
+        """Raw hive-path string → the bound's type for comparison.
+        None (unparseable / NULL partition / no predicate) means the
+        file is conservatively kept."""
+        if raw is None or bounds is None:
+            return None
+        probe = bounds[0] if bounds[0] is not None else bounds[1]
+        if isinstance(probe, bool) or probe is None:
+            return None
+        if isinstance(probe, (int, float)):
+            try:
+                return float(raw)
+            except ValueError:
+                return None
+        if isinstance(probe, str):
+            return raw
+        return None
 
     def scan(
         self,
@@ -455,7 +572,7 @@ class LakehouseTable:
         if not files:
             df = self.read(spark, snapshot_id)
         else:
-            df = spark.read.parquet(*files)
+            df = self._read_files(spark, files)
         cond = F.lit(True)
         for col, (lo, hi) in ranges.items():
             if lo is not None:

@@ -308,3 +308,110 @@ def test_zorder_rejects_both_orders(spark, tmp_path):
     t.append(spark.range(10).withColumn("v", F.col("id")))
     with pytest.raises(ValueError, match="not both"):
         t.compact(spark, sort_by=["id"], zorder_by=["v"])
+
+
+def test_partitioned_table_write_read_prune(spark, tmp_path):
+    """Identity partition spec: hive-style layout, partition columns
+    restored on read with their committed types, and equality/range
+    scans never open files from other partitions."""
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["region"])
+    df = spark.createDataFrame(
+        [(1, "eu", 10.0), (2, "us", 20.0), (3, "eu", 30.0), (4, "ap", 5.0)],
+        "id long, region string, v double",
+    )
+    t.append(df)
+    t.append(
+        spark.createDataFrame(
+            [(5, "us", 7.0), (6, "eu", 8.0)], "id long, region string, v double"
+        )
+    )
+    # layout is hive-style
+    assert all(
+        "region=" in f for f in t.snapshots[-1]["files"]
+    )
+    # read restores the partition column with its committed type
+    out = t.read(spark)
+    assert dict(out.dtypes)["region"] == "string"
+    assert out.count() == 6
+    # partition pruning: only region=eu files open
+    pruned = t.pruned_files({"region": ("eu", "eu")})
+    assert pruned and all("region=eu" in f for f in pruned)
+    got = t.scan(spark, {"region": ("eu", "eu")})
+    assert sorted(r["id"] for r in got.collect()) == [1, 3, 6]
+    # reopening without the spec rediscovers it from the manifest
+    t2 = LakehouseTable(str(tmp_path / "tbl"))
+    assert t2.partition_by == ["region"]
+    assert t2.scan(spark, {"region": ("us", "us")}).count() == 2
+    # mismatched spec is rejected
+    with pytest.raises(ValueError, match="partitioned by"):
+        LakehouseTable(str(tmp_path / "tbl"), partition_by=["v"])
+
+
+def test_partitioned_numeric_prune_and_stats_compose(spark, tmp_path):
+    """Numeric partition values prune on ranges (9 < 10 as numbers,
+    not strings), and footer min/max still skip WITHIN partitions."""
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["bucket"])
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    t.append(df.repartitionByRange(8, "bucket", "id"))
+    files = t.snapshots[-1]["files"]
+    only_b3 = t.pruned_files({"bucket": (3, 3)})
+    assert only_b3 and all("bucket=3" in f for f in only_b3)
+    assert len(only_b3) < len(files)
+    # range over partitions 2..3 keeps exactly those
+    ge2 = t.pruned_files({"bucket": (2, None)})
+    assert all("bucket=2" in f or "bucket=3" in f for f in ge2)
+    # compose with footer stats on the unpartitioned id column
+    both = t.pruned_files({"bucket": (3, 3), "id": (0, 50)})
+    assert len(both) <= len(only_b3)
+    got = t.scan(spark, {"bucket": (3, 3), "id": (0, 50)})
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(51) if i % 4 == 3
+    ]
+    assert dict(t.read(spark).dtypes)["bucket"] == "bigint"
+
+
+def test_partitioned_merge_delete_compact(spark, tmp_path):
+    """Rewrites preserve the partition layout and the manifest's
+    partition values stay consistent across merge/delete/compact."""
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["lang"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "fr", "b"), (3, "en", "c")],
+            "id long, lang string, txt string",
+        )
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "fr", "B"), (4, "de", "d")], "id long, lang string, txt string"
+        ),
+        ["id"],
+    )
+    assert {r["id"]: r["txt"] for r in t.read(spark).collect()} == {
+        1: "a", 2: "B", 3: "c", 4: "d"
+    }
+    t.delete_where(spark, "lang = 'en'")
+    assert sorted(r["lang"] for r in t.read(spark).collect()) == ["de", "fr"]
+    t.compact(spark, target_files=1)
+    assert all("lang=" in f for f in t.snapshots[-1]["files"])
+    assert t.scan(spark, {"lang": ("fr", "fr")}).count() == 1
+    assert t.read(spark).count() == 2
+
+
+def test_partitioned_null_partition_kept(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ and
+    are never pruned away (conservative keep)."""
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, k string"
+        )
+    )
+    assert t.read(spark).count() == 3
+    pruned = t.pruned_files({"k": ("a", "a")})
+    assert any("HIVE_DEFAULT_PARTITION" in f for f in pruned)
+    assert sorted(
+        r["id"] for r in t.scan(spark, {"k": ("a", "a")}).collect()
+    ) == [1]
