@@ -22,10 +22,12 @@ def _modules():
         streaming_schema,
         temporal,
         tpch,
+        tpch2,
     )
 
     return [
         tpch,
+        tpch2,
         gold,
         profiling_quality,
         llm_ops,
