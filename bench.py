@@ -18,6 +18,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q9_profit_by_nation",
+    "q12_priority_shipping",
+    "q21_waiting_suppliers",
     "gold_customer_metrics",
     "gold_daily_sales",
     "gold_product_performance",
@@ -48,13 +51,20 @@ def main() -> None:
         except Exception:
             pass
 
+    # Variance control: container timings are load-sensitive, so take the
+    # best of N reps per query — min is the right estimator for "plan
+    # cost" because noise (GC, CPU contention) only ever adds time.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for key in keys:
-        t0 = time.perf_counter()
-        df = qs[key](spark, sf_dir)
-        n = df.count() if hasattr(df, "count") else len(df)
-        timings[key] = round(time.perf_counter() - t0, 3)
-        _ = n
+        best = float("inf")
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            df = qs[key](spark, sf_dir)
+            n = df.count() if hasattr(df, "count") else len(df)
+            best = min(best, time.perf_counter() - t0)
+            _ = n
+        timings[key] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
