@@ -1,0 +1,78 @@
+"""Deterministic sampling and source-mixture weighting.
+
+A 100 TB training-data pipeline needs sampling that is (a)
+reproducible run-to-run and machine-to-machine, (b) independent of
+partitioning and row order, and (c) expressible as a pushable filter.
+``df.sample()`` fails (a)/(b): it seeds per-partition RNGs, so adding
+one input file reshuffles every decision. Hash-gating on a stable key
+fails none: a row's fate depends only on its key.
+
+The gate compares a fixed-width prefix of ``md5(key)`` against the
+fraction's hex threshold. md5 is bit-identical in every engine (the
+DuckDB oracles run the same expression), and the first 8 hex chars
+(32 bits) give fraction resolution of 2^-32 — far below any sampling
+noise that matters.
+
+Mixture weighting (`mixture_sample`) applies a per-source fraction —
+the "20% web, 50% code, 100% books" recipe every LLM data pipeline
+runs — as ONE filter expression: no per-source scans, no union, a
+single pass that Catalyst pushes to the parquet scan.
+
+Parity anchor: the reference samples via DuckDB ``USING SAMPLE`` in
+its profiling templates (sql/common/sample_rows.sql); hash-gating is
+the distributed, order-stable equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_CHARS = 8  # 32 bits of md5 → threshold resolution 2^-32
+_SPACE = 16**_PREFIX_CHARS
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[md5_prefix < t] = fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = int(round(fraction * _SPACE))
+    if n >= _SPACE:
+        # 'g' sorts after every hex digit, so every prefix passes —
+        # 16^8 itself would format to 9 chars and break the
+        # fixed-width lexicographic compare.
+        return "g"
+    return format(n, f"0{_PREFIX_CHARS}x")
+
+
+def hash_gate(key: Column, fraction: float) -> Column:
+    """Boolean sampling gate: stable per key, pushable, engine-portable."""
+    prefix = F.substring(F.md5(key.cast("string").cast("binary")), 1, _PREFIX_CHARS)
+    return prefix < F.lit(hash_threshold(fraction))
+
+
+def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided by key hash."""
+    return df.where(hash_gate(F.col(key_col), fraction))
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-source sampling rates as one filter: the mixture recipe.
+
+    Rows whose source is missing from ``fractions`` get
+    ``default_fraction``. The decision hash mixes source into the key
+    so two sources sharing a key space don't correlate."""
+    key = F.concat_ws("|", F.col(source_col), F.col(key_col).cast("string"))
+    gate: Column = F.lit(False)
+    for src, frac in fractions.items():
+        gate = gate | ((F.col(source_col) == src) & hash_gate(key, frac))
+    if default_fraction > 0.0:
+        known = F.col(source_col).isin(*fractions.keys())
+        gate = gate | (~known & hash_gate(key, default_fraction))
+    return df.where(gate)

@@ -119,3 +119,78 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % HASH_PRIME,
     )
+
+
+# --- PII redaction -------------------------------------------------
+# Patterns restricted to syntax that Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: no lookaround, no backrefs.
+# Order matters: emails first (they contain dot-runs an IP pattern
+# could nibble), then IPs, then phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d().-]{6,}\d"),
+)
+
+
+def redact_pii(text: Column, replacement: str = "[PII]") -> Column:
+    """Scrub emails / IPv4s / phone-shaped digit runs. Pure
+    regexp_replace chain — JVM-side, codegen-friendly, and the exact
+    same patterns run on the DuckDB oracle."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (for filtering/reporting)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS
+    }
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_word_frac``: 1 − distinct/total words (word-level
+      boilerplate; the line-level variant degenerates on single-line
+      docs).
+    - ``top_word_ratio``: occurrences of the most frequent word ÷
+      total words (detects "word word word ..." spam).
+
+    dup_word_frac is a pure array expression (no shuffle). The top
+    word needs occurrence counts, which arrays can't express without
+    a quadratic fold — so explode → two-level agg: partial counts
+    map-side, then one shuffle on the doc id. At 100 TB the shuffle
+    carries (doc_id, word, count), already combiner-reduced."""
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("__n_words"),
+        F.size(F.array_distinct(words)).alias("__n_distinct"),
+        words.alias("__words"),
+    )
+    top = (
+        base.select(id_col, "__n_words", F.explode("__words").alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"), F.first("__n_words").alias("__n"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top_c"), F.first("__n").alias("__n2"))
+    )
+    return (
+        base.drop("__words")
+        .join(top, id_col)
+        .select(
+            id_col,
+            F.col("__n_words").alias("n_words"),
+            F.col("__n_distinct").alias("n_distinct_words"),
+            F.round(
+                F.lit(1.0) - F.try_divide("__n_distinct", "__n_words"), 4
+            ).alias("dup_word_frac"),
+            F.round(F.try_divide("__top_c", "__n_words"), 4).alias(
+                "top_word_ratio"
+            ),
+        )
+    )

@@ -1,0 +1,215 @@
+"""Training-data curation queries: PII redaction, repetition
+filtering, deterministic mixture sampling, TF-IDF keywords.
+
+These extend the reference's cleaning surface (its agent scrubs
+schema-level mess; a 100 TB text pipeline also scrubs content) with
+the curation passes every LLM data pipeline runs before training.
+All JVM-side expressions; every query has a full DuckDB oracle.
+
+The PII query PLANTS deterministic PII derived from doc_id (the
+synthetic corpus contains none), so the redaction regexes are
+exercised identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import text
+from biglake_iceberg_pipeline_spark.operators.sampling import (
+    hash_threshold,
+    mixture_sample,
+)
+from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant an email / IPv4 / phone per doc, count and scrub them.
+    n_phone also counts the IP (dotted digit runs are phone-shaped) —
+    counts are per-pattern match totals, not disjoint classes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call +1555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ),
+    )
+    counts = text.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        text.redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+_EMAIL, _IPV4, _PHONE = (p for _, p in text.PII_PATTERNS)
+PII_REDACTION_SQL = rf"""
+WITH planted AS (
+    SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.1 call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+          AS text
+    FROM documents
+)
+SELECT doc_id,
+    len(regexp_extract_all(text, '{_EMAIL}')) AS n_email,
+    len(regexp_extract_all(text, '{_IPV4}')) AS n_ipv4,
+    len(regexp_extract_all(text, '{_PHONE}')) AS n_phone,
+    regexp_replace(
+        regexp_replace(
+            regexp_replace(text, '{_EMAIL}', '[PII]', 'g'),
+            '{_IPV4}', '[PII]', 'g'),
+        '{_PHONE}', '[PII]', 'g') AS redacted
+FROM planted
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_features(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+base AS (
+    SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+    FROM w
+),
+top AS (
+    SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, word, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(ws) AS word FROM w
+        ) GROUP BY doc_id, word
+    ) GROUP BY doc_id
+)
+SELECT base.doc_id AS doc_id, n_words, n_distinct AS n_distinct_words,
+    ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
+    ROUND(top_c / CAST(n_words AS DOUBLE), 4) AS top_word_ratio
+FROM base JOIN top ON base.doc_id = top.doc_id
+ORDER BY doc_id
+"""
+
+
+# The mixture recipe under test: full src0, half src1, quarter src2,
+# 10% of everything else — the "books/code/web" weighting shape.
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_DEFAULT_FRAC = 0.1
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = mixture_sample(docs, "source", "doc_id", _MIX, _DEFAULT_FRAC)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def _gate_sql(frac: float) -> str:
+    return (
+        "substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"< '{hash_threshold(frac)}'"
+    )
+
+
+SAMPLE_MIXTURE_SQL = f"""
+SELECT source, COUNT(*) AS n_kept
+FROM documents
+WHERE (source = 'src0' AND {_gate_sql(_MIX["src0"])})
+   OR (source = 'src1' AND {_gate_sql(_MIX["src1"])})
+   OR (source = 'src2' AND {_gate_sql(_MIX["src2"])})
+   OR (source NOT IN ('src0', 'src1', 'src2') AND {_gate_sql(_DEFAULT_FRAC)})
+GROUP BY source
+ORDER BY source
+"""
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Two shuffles total:
+    (doc, word) term counts (map-side combined), then word → doc-freq
+    joined back broadcast (the vocabulary is tiny next to the corpus —
+    at 100 TB still millions of words vs billions of docs). Ranking
+    windows over (doc) only. Scores rounded to 6 decimals BEFORE
+    ranking so cross-engine ulp noise in ln() can't flip the order;
+    remaining ties break on the word itself."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n")).scalar()
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log((n_docs + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_KEYWORDS_SQL = r"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words
+    WHERE word <> '' GROUP BY doc_id, word
+),
+dfreq AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+),
+scored AS (
+    SELECT doc_id, word, tf,
+        ROUND(tf * ln(((SELECT COUNT(DISTINCT doc_id) FROM documents) + 1.0)
+                      / (df + 1.0)), 6) AS score
+    FROM tf JOIN dfreq USING (word)
+),
+ranked AS (
+    SELECT doc_id, word, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, word ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, word, score FROM ranked
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+QUERIES = {
+    "pii_redaction": pii_redaction,
+    "text_repetition": text_repetition,
+    "sample_mixture": sample_mixture,
+    "tfidf_keywords": tfidf_keywords,
+}
+
+ORACLE = {
+    "pii_redaction": PII_REDACTION_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "sample_mixture": SAMPLE_MIXTURE_SQL,
+    "tfidf_keywords": TFIDF_KEYWORDS_SQL,
+}

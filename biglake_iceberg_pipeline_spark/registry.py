@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from biglake_iceberg_pipeline_spark.plans import (
         analytics,
+        curation,
         gold,
         llm_ops,
         profiling_quality,
@@ -33,6 +34,7 @@ def _modules():
         llm_ops,
         streaming_schema,
         analytics,
+        curation,
         temporal,
     ]
 

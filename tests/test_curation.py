@@ -1,0 +1,93 @@
+"""PII redaction, repetition features, deterministic hash sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators.sampling import (
+    hash_threshold,
+    mixture_sample,
+    sample_by_hash,
+)
+from biglake_iceberg_pipeline_spark.operators.text import (
+    redact_pii,
+    repetition_features,
+)
+from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+
+def test_redact_pii_planted_strings(spark):
+    rows = [
+        ("reach me at bob.smith+spam@corp.example.org today", "email"),
+        ("server 192.168.0.17 is down", "ip"),
+        ("call +1 (555) 123-4567", "phone_spaces"),
+        ("call +15551234567 now", "phone"),
+        ("no pii here at all", "clean"),
+    ]
+    df = spark.createDataFrame(rows, "text string, kind string")
+    got = {
+        r.kind: r.red
+        for r in df.select("kind", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert got["email"] == "reach me at [PII] today"
+    assert got["ip"] == "server [PII] is down"
+    assert got["phone"] == "call [PII] now"
+    assert "[PII]" in got["phone_spaces"]
+    assert got["clean"] == "no pii here at all"
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x x y y")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df, "doc_id", "text").collect()}
+    assert got[1].dup_word_frac == 0.75 and got[1].top_word_ratio == 1.0
+    assert got[2].dup_word_frac == 0.0 and got[2].top_word_ratio == 0.25
+    assert got[3].dup_word_frac == 0.5 and got[3].top_word_ratio == 0.5
+
+
+def test_hash_threshold_edges():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(1.0) == "g"  # sorts after every hex digit
+    assert hash_threshold(0.5) == "80000000"
+
+
+def test_sample_by_hash_fraction_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = sample_by_hash(docs, "doc_id", 0.5)
+    k1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    # determinism: same keys regardless of partitioning
+    k2 = {
+        r.doc_id
+        for r in sample_by_hash(docs.repartition(7), "doc_id", 0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert k1 == k2
+    assert abs(len(k1) / n - 0.5) < 0.15  # binomial noise at n=500
+
+
+def test_hash_samples_are_nested(spark, sf_dir):
+    # prefix < t is monotone in t ⇒ sample(0.2) ⊆ sample(0.6): growing
+    # the mixture rate only ADDS documents, never reshuffles them.
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in sample_by_hash(docs, "doc_id", 0.2).collect()}
+    big = {r.doc_id for r in sample_by_hash(docs, "doc_id", 0.6).collect()}
+    assert small <= big
+
+
+def test_mixture_sample_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.0}, 0.0
+    )
+    by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    total_src0 = docs.where(F.col("source") == "src0").count()
+    assert by_src.get("src0") == total_src0  # fraction 1.0 keeps all
+    assert "src1" not in by_src  # fraction 0.0 drops all
+    assert set(by_src) == {"src0"}  # default 0.0 drops the rest
