@@ -152,8 +152,11 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
     ).where(F.col("word") != "")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.agg(F.countDistinct("doc_id").alias("n")).scalar()
+    # (doc_id, word) is distinct after the tf agg and doc_id is the
+    # table key, so both "distinct" counts are plain counts — each
+    # saves a distinct-expand shuffle.
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar()
     scored = tf.join(F.broadcast(df_), "word").withColumn(
         "score",
         F.round(
