@@ -437,6 +437,85 @@ class LakehouseTable:
             expected_tail=base,
         )
 
+    def update_where(
+        self, spark: SparkSession, condition, assignments: dict
+    ) -> int:
+        """UPDATE ... SET col = expr WHERE condition (copy-on-write
+        rewrite, Iceberg UPDATE semantics). ``assignments`` maps
+        column name → Column or SQL string; non-matching rows pass
+        through untouched. Conflict-checked like every rewrite."""
+        base = self.current_snapshot_id()
+        target = self.read(spark)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        updated = target
+        for col, expr in assignments.items():
+            if col not in target.columns:
+                raise ValueError(f"unknown column {col!r}")
+            if isinstance(expr, str):
+                expr = F.expr(expr)
+            updated = updated.withColumn(
+                col, F.when(condition, expr).otherwise(F.col(col))
+            )
+        files = self._write_data(updated)
+        return self._locked_commit(
+            "update",
+            files,
+            self._file_stats(files),
+            None,
+            expected_tail=base,
+        )
+
+    def incremental_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED after ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default: current) — Iceberg's incremental
+        append scan, the cheap CDC feed for downstream consumers:
+        each poll reads only the new files, never the table.
+
+        Only valid across append snapshots; a rewrite in the range
+        (merge/delete/update/replace/overwrite) redistributes existing
+        rows across new files, so a file-level diff would replay old
+        rows as if new — that case raises, same as Iceberg."""
+        snaps = self.snapshots
+        ids = [s["id"] for s in snaps]
+        if from_snapshot_id not in ids:
+            raise ValueError(f"snapshot {from_snapshot_id} not found")
+        to_snapshot_id = (
+            to_snapshot_id if to_snapshot_id is not None else ids[-1]
+        )
+        if to_snapshot_id not in ids:
+            raise ValueError(f"snapshot {to_snapshot_id} not found")
+        lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+        if hi < lo:
+            raise ValueError("to_snapshot precedes from_snapshot")
+        between = snaps[lo + 1 : hi + 1]
+        non_append = [
+            s["id"] for s in between if s["operation"] != "append"
+        ]
+        if non_append:
+            raise ValueError(
+                f"incremental scan crosses rewrite snapshots {non_append}; "
+                "re-baseline from a full read"
+            )
+        base_files = set(snaps[lo]["files"])
+        added = [
+            f
+            for s in between
+            for f in s["files"]
+            if f not in base_files
+        ]
+        # files accumulate across appends: later snapshots re-list
+        # earlier files, so de-dup while preserving order
+        added = list(dict.fromkeys(added))
+        if not added:
+            return self.read(spark, to_snapshot_id).limit(0)
+        return self._read_files(spark, added)
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
         data dirs); returns expired ids. Runs under the commit lock —

@@ -415,3 +415,49 @@ def test_partitioned_null_partition_kept(spark, tmp_path):
     assert sorted(
         r["id"] for r in t.scan(spark, {"k": ("a", "a")}).collect()
     ) == [1]
+
+
+def test_update_where(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double",
+    )
+    t.append(df)
+    t.update_where(
+        spark, "grp = 'a'", {"v": F.col("v") * 2, "grp": F.lit("A")}
+    )
+    rows = {r.id: (r.grp, r.v) for r in t.read(spark).collect()}
+    assert rows == {1: ("A", 20.0), 2: ("b", 20.0), 3: ("A", 60.0)}
+    # history records the rewrite; time travel sees the old values
+    assert t.history()[-1]["operation"] == "update"
+    old = {r.id: r.v for r in t.read(spark, snapshot_id=1).collect()}
+    assert old == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_update_where_unknown_column_raises(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, "id = 1", {"nope": F.lit(0)})
+
+
+def test_incremental_scan_reads_only_new_rows(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    s2 = t.append(spark.createDataFrame([(3,)], "id long"))
+    s3 = t.append(spark.createDataFrame([(4,), (5,)], "id long"))
+    inc = {r.id for r in t.incremental_scan(spark, s1).collect()}
+    assert inc == {3, 4, 5}
+    inc12 = {r.id for r in t.incremental_scan(spark, s1, s2).collect()}
+    assert inc12 == {3}
+    assert t.incremental_scan(spark, s3).count() == 0  # nothing after s3
+
+
+def test_incremental_scan_refuses_rewrites(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.delete_where(spark, "id = 1")
+    with pytest.raises(ValueError, match="rewrite"):
+        t.incremental_scan(spark, s1)
