@@ -203,11 +203,69 @@ ORDER BY doc_id, rank
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM negative-logprob per document — the
+    CCNet/DataComp-style "perplexity" quality gate, self-trained so no
+    external model is needed. p(w) = (c_w + 1) / (total + V) with
+    add-one smoothing; a doc's score is its mean −ln p(word) (lower =
+    more typical of the corpus).
+
+    One tokenize feeds both passes: word counts (one map-combined
+    shuffle — vocab-sized, tiny next to the corpus), broadcast back to
+    the token stream, then the per-doc mean (second shuffle on
+    doc_id). Scores rounded to 6 decimals so ln() ulp noise can't
+    leak into the oracle hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    total, vocab = totals.head()
+    logp = F.log(
+        (F.col("c") + F.lit(1.0)) / F.lit(float(total) + float(vocab))
+    )
+    scored = words.join(F.broadcast(counts), "word").select(
+        "doc_id", (-logp).alias("nll")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LM_SCORE_SQL = r"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+),
+tokens AS (SELECT doc_id, word FROM words WHERE word <> ''),
+counts AS (SELECT word, COUNT(*) AS c FROM tokens GROUP BY word),
+consts AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM counts)
+SELECT doc_id, COUNT(*) AS n_tokens,
+    ROUND(AVG(-ln((c + 1.0) / (total + vocab))), 6) AS avg_neg_logprob
+FROM tokens
+JOIN counts USING (word)
+CROSS JOIN consts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
     "tfidf_keywords": tfidf_keywords,
+    "text_lm_score": text_lm_score,
 }
 
 ORACLE = {
@@ -215,4 +273,5 @@ ORACLE = {
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "tfidf_keywords": TFIDF_KEYWORDS_SQL,
+    "text_lm_score": TEXT_LM_SCORE_SQL,
 }
