@@ -129,14 +129,72 @@ FROM events GROUP BY 2, 3
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase on first-occurrence
+    times: a user reaches step k only if their first step-k event is
+    at-or-after their first step-(k−1) event. ONE shuffle (user_id),
+    conditional-min partial aggs map-side, then a 3-row unpivot —
+    the per-user event timeline never materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t3"
+        ),
+    )
+    r1 = F.col("t1").isNotNull()
+    r2 = r1 & F.col("t2").isNotNull() & (F.col("t2") >= F.col("t1"))
+    r3 = r2 & F.col("t3").isNotNull() & (F.col("t3") >= F.col("t2"))
+    flags = per_user.select(
+        r1.cast("long").alias("s1"),
+        r2.cast("long").alias("s2"),
+        r3.cast("long").alias("s3"),
+    ).agg(
+        F.sum("s1").alias("view"),
+        F.sum("s2").alias("click"),
+        F.sum("s3").alias("purchase"),
+    )
+    return flags.selectExpr(
+        "stack(3, 'view', view, 'click', click, 'purchase', purchase) "
+        "as (step, n_users)"
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+    FROM events GROUP BY user_id
+),
+flags AS (
+    SELECT
+        (t1 IS NOT NULL) AS r1,
+        (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1) AS r2,
+        (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+         AND t3 IS NOT NULL AND t3 >= t2) AS r3
+    FROM per_user
+)
+SELECT 'view' AS step, SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_users FROM flags
+UNION ALL
+SELECT 'click', SUM(CASE WHEN r2 THEN 1 ELSE 0 END) FROM flags
+UNION ALL
+SELECT 'purchase', SUM(CASE WHEN r3 THEN 1 ELSE 0 END) FROM flags
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_incidents": range_join_incidents,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "events_funnel": events_funnel,
 }
 
 ORACLE = {
     "asof_last_purchase": ASOF_LAST_PURCHASE_SQL,
     "range_join_incidents": RANGE_JOIN_INCIDENTS_SQL,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }
