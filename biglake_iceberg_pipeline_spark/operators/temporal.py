@@ -169,3 +169,61 @@ def hypertable_rollup(
         F.col("__gb.bucket").alias("bucket"),
     ] + [F.col(k) for k in (keys or [])]
     return exploded.groupBy(*group).agg(*aggs)
+
+
+def hypertable_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Gap-filled per-key time buckets with LOCF — TimescaleDB's
+    ``time_bucket_gapfill(...) + locf(...)`` as a composition of
+    DataFrame ops (no generator UDF):
+
+    1. bucket + aggregate (ONE fact shuffle on (key, bucket),
+       map-side combined);
+    2. per-key [min, max] bucket range (tiny agg on the already-small
+       rollup) → ``sequence()`` + ``explode`` builds the dense spine
+       JVM-side — spine size is range/bucket per key, independent of
+       fact cardinality;
+    3. left join rollup onto spine on (key, bucket) — both sides are
+       bucket-grained, so this join is rollup-sized, never fact-sized;
+    4. LOCF via ``last(value, ignorenulls=True)`` over the per-key
+       ordered window; ``is_gap`` marks synthesized rows.
+
+    The only window runs per key over bucket counts (bounded), not
+    over raw events."""
+    unit = bucket.split()[-1].rstrip("s")  # "1 hour" → "hour"
+    b = F.date_trunc(unit, F.col(ts_col))
+    rollup = (
+        df.groupBy(F.col(key_col).alias("key"), b.alias("bucket"))
+        .agg(
+            F.round(F.sum(value_col), 2).alias("value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    spine = (
+        rollup.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(rollup, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        "bucket",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("value").isNull().alias("is_gap"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.operators.temporal import (
     asof_join,
+    hypertable_gapfill,
     hypertable_rollup,
     range_join,
 )
@@ -185,11 +186,45 @@ SELECT 'purchase', SUM(CASE WHEN r3 THEN 1 ELSE 0 END) FROM flags
 """
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event value series with gaps filled and LOCF —
+    the continuous-aggregate read path a dashboard would hit."""
+    ev = load_table(spark, sf_dir, "events")
+    return hypertable_gapfill(
+        ev, "ts", "event_type", "value", "1 hour"
+    ).orderBy("key", "bucket")
+
+
+EVENTS_GAPFILL_SQL = """
+WITH rollup AS (
+    SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+           ROUND(SUM(value), 2) AS value, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT key, unnest(generate_series(MIN(bucket), MAX(bucket),
+                                       INTERVAL 1 HOUR)) AS bucket
+    FROM rollup GROUP BY key
+)
+SELECT spine.key AS key, spine.bucket AS bucket,
+    last_value(rollup.value IGNORE NULLS) OVER (
+        PARTITION BY spine.key ORDER BY spine.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS value_filled,
+    COALESCE(rollup.n_events, 0) AS n_events,
+    rollup.value IS NULL AS is_gap
+FROM spine
+LEFT JOIN rollup ON spine.key = rollup.key AND spine.bucket = rollup.bucket
+ORDER BY key, bucket
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_incidents": range_join_incidents,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_funnel": events_funnel,
+    "events_gapfill": events_gapfill,
 }
 
 ORACLE = {
@@ -197,4 +232,5 @@ ORACLE = {
     "range_join_incidents": RANGE_JOIN_INCIDENTS_SQL,
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_gapfill": EVENTS_GAPFILL_SQL,
 }

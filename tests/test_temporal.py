@@ -116,3 +116,29 @@ def test_hypertable_rollup_counts(spark):
     assert rows[("day", _ts("2024-01-01 00:00:00"))] == 7.0
     assert rows[("day", _ts("2024-01-02 00:00:00"))] == 8.0
     assert len([k for k in rows if k[0] == "hour"]) == 3
+
+
+def test_gapfill_fills_missing_buckets_with_locf(spark):
+    from datetime import datetime
+
+    from biglake_iceberg_pipeline_spark.operators.temporal import (
+        hypertable_gapfill,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 10), 40.0),  # hours 1,2 missing
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = hypertable_gapfill(df, "ts", "k", "value", "1 hour")
+    got = {
+        (r.key, r.bucket.hour): (r.value_filled, r.n_events, r.is_gap)
+        for r in out.collect()
+    }
+    assert len(got) == 5  # a: hours 0-3 dense, b: hour 5 only
+    assert got[("a", 0)] == (10.0, 1, False)
+    assert got[("a", 1)] == (10.0, 0, True)  # LOCF carries hour 0
+    assert got[("a", 2)] == (10.0, 0, True)
+    assert got[("a", 3)] == (40.0, 1, False)
+    assert got[("b", 5)] == (7.0, 1, False)
