@@ -219,12 +219,50 @@ ORDER BY key, bucket
 """
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the stream-stream attribution join
+    (streaming/joins.py): per user, how many view→purchase pairs
+    land within an hour, over how many distinct purchases."""
+    from biglake_iceberg_pipeline_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    pairs = attribute_purchases(views, purchases, "1 hour")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_ts").alias("n_purchases"),
+            F.round(F.sum("purchase_value"), 2).alias("paired_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.ts) AS n_purchases,
+       ROUND(SUM(p.value), 2) AS paired_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY v.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "range_join_incidents": range_join_incidents,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_funnel": events_funnel,
     "events_gapfill": events_gapfill,
+    "events_attribution": events_attribution,
 }
 
 ORACLE = {
@@ -233,4 +271,5 @@ ORACLE = {
     "events_hypertable_rollup": EVENTS_HYPERTABLE_ROLLUP_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
+    "events_attribution": EVENTS_ATTRIBUTION_SQL,
 }

@@ -139,3 +139,53 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 2
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
+    """The SAME attribute_purchases() plan as a watermarked
+    stream-stream join over file streams must produce exactly the
+    batch pairs (availableNow drain; 2 files per side so the join
+    crosses micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+    from biglake_iceberg_pipeline_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    views_dir, buys_dir = str(tmp_path / "views"), str(tmp_path / "buys")
+    views_b = ev.where(F.col("event_type") == "view")
+    buys_b = ev.where(F.col("event_type") == "purchase")
+    views_b.repartition(2).write.parquet(views_dir)
+    buys_b.repartition(2).write.parquet(buys_dir)
+
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def stream(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "2 hours")
+        )
+
+    pairs = attribute_purchases(stream(views_dir), stream(buys_dir), "1 hour")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql(
+        "select user_id, view_ts, purchase_ts from attr_pairs"
+    ).collect()
+    want = attribute_purchases(views_b, buys_b, "1 hour").select(
+        "user_id", "view_ts", "purchase_ts"
+    ).collect()
+    key = lambda r: (r.user_id, r.view_ts, r.purchase_ts)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0
