@@ -194,3 +194,44 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-width overlapping character
+    windows — the chunking pass in front of every embedding/RAG
+    indexer. Pure JVM: ``sequence()`` generates the window starts,
+    ``explode`` fans out, ``substring`` slices; one narrow stage, no
+    shuffle, no Python. Chunk width is bytes-bounded per row, so
+    executor memory is safe regardless of document length; documents
+    shorter than one window yield exactly one chunk."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(F.col(text_col))),
+        F.lit(step),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("doc_chars"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "doc_chars",
+            "chunk_id",
+            "start",
+            F.substring(F.col("__t"), F.col("start"), chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -260,12 +260,41 @@ ORDER BY doc_id
 """
 
 
+_CHUNK, _OVERLAP = 200, 40
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunks per document (the
+    embedding-indexer front end)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_documents(
+        docs, "doc_id", "text", _CHUNK, _OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+DOC_CHUNKS_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, len(text) AS doc_chars, text,
+        unnest(generate_series(1, greatest(1, len(text)),
+                               {_CHUNK - _OVERLAP})) AS start
+    FROM documents
+)
+SELECT doc_id, doc_chars,
+    (start - 1) // {_CHUNK - _OVERLAP} AS chunk_id,
+    start,
+    substr(text, start, {_CHUNK}) AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
     "tfidf_keywords": tfidf_keywords,
     "text_lm_score": text_lm_score,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLE = {
@@ -274,4 +303,5 @@ ORACLE = {
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "tfidf_keywords": TFIDF_KEYWORDS_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

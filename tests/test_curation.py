@@ -91,3 +91,27 @@ def test_mixture_sample_rates(spark, sf_dir):
     assert by_src.get("src0") == total_src0  # fraction 1.0 keeps all
     assert "src1" not in by_src  # fraction 0.0 drops all
     assert set(by_src) == {"src0"}  # default 0.0 drops the rest
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=6, overlap=2)
+    got = {
+        (r.doc_id, r.chunk_id): (r.start, r.chunk_text)
+        for r in out.collect()
+    }
+    # doc 1: starts 1,5,9 → windows abcdef / efghij / ij
+    assert got[(1, 0)] == (1, "abcdef")
+    assert got[(1, 1)] == (5, "efghij")
+    assert got[(1, 2)] == (9, "ij")
+    assert got[(2, 0)] == (1, "xy")  # shorter than one window
+    assert got[(3, 0)] == (1, "")  # empty doc still yields one chunk
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_chars=4, overlap=4)
