@@ -516,6 +516,55 @@ class LakehouseTable:
             return self.read(spark, to_snapshot_id).limit(0)
         return self._read_files(spark, added)
 
+    def analyze(
+        self, spark: SparkSession, columns: list[str] | None = None
+    ) -> dict:
+        """ANALYZE TABLE: row count + per-column approx NDV and null
+        counts, stored in the manifest (Iceberg keeps the same stats
+        in puffin files). One scan, all columns aggregated in a single
+        pass (HLL sketches merge map-side — no shuffle of data rows,
+        just sketch merge). A planner (or a human) reads them via
+        ``stats()`` to pick broadcast/bucket/salt strategies without
+        scanning; stale stats carry their snapshot_id so readers can
+        tell."""
+        df = self.read(spark)
+        skip = ("array", "map", "struct", "binary")
+        cols = columns or [
+            c for c, t in df.dtypes if not t.startswith(skip)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            )
+        row = df.agg(*aggs).head().asDict()
+        stats = {
+            "snapshot_id": self.current_snapshot_id(),
+            "row_count": row["__rows"],
+            "columns": {
+                c: {"ndv": row[f"__ndv_{c}"], "nulls": row[f"__nulls_{c}"]}
+                for c in cols
+            },
+        }
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            manifest["table_stats"] = stats
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        return stats
+
+    def stats(self) -> dict | None:
+        """Last ANALYZE result (None if never analyzed). Check
+        ``stats()['snapshot_id'] == current_snapshot_id()`` for
+        freshness."""
+        return self._read_manifest().get("table_stats")
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
         data dirs); returns expired ids. Runs under the commit lock —

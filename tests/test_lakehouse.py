@@ -461,3 +461,23 @@ def test_incremental_scan_refuses_rewrites(spark, tmp_path):
     t.delete_where(spark, "id = 1")
     with pytest.raises(ValueError, match="rewrite"):
         t.incremental_scan(spark, s1)
+
+
+def test_analyze_records_table_stats(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, grp string"
+    )
+    sid = t.append(df)
+    assert t.stats() is None
+    stats = t.analyze(spark)
+    assert stats == t.stats()
+    assert stats["snapshot_id"] == sid and stats["row_count"] == 4
+    assert stats["columns"]["id"]["nulls"] == 0
+    assert stats["columns"]["grp"]["nulls"] == 1
+    # approx NDV exact at this cardinality
+    assert stats["columns"]["id"]["ndv"] == 4
+    assert stats["columns"]["grp"]["ndv"] == 2
+    # staleness is detectable after another append
+    t.append(spark.createDataFrame([(5, "c")], "id long, grp string"))
+    assert t.stats()["snapshot_id"] != t.current_snapshot_id()
