@@ -333,6 +333,31 @@ ORDER BY o_year
 """
 
 
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path for per-type event stats: HLL±±
+    distinct users (approx_count_distinct) and t-digest percentiles
+    (approx_percentile). Both sketches merge map-side, so the shuffle
+    carries one sketch per (partition, type) instead of every
+    (type, user) pair — at 100 TB this is the difference between a
+    metadata-sized shuffle and rehashing the fact table. No SQL
+    oracle (estimates are engine-specific); tests pin relative error
+    against the exact variants."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.round(
+                F.expr("approx_percentile(value, 0.5, 10000)"), 2
+            ).alias("approx_p50_value"),
+            F.round(
+                F.expr("approx_percentile(value, 0.99, 10000)"), 2
+            ).alias("approx_p99_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
     "order_value_percentiles": order_value_percentiles,
@@ -343,6 +368,7 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "small_quantity_revenue": small_quantity_revenue,
     "revenue_running_total": revenue_running_total,
+    "approx_event_stats": approx_event_stats,
 }
 
 ORACLE = {

@@ -85,3 +85,29 @@ def test_multimodal_plumbing(spark):
     assert len(out[1]["features"]) == multimodal.FEATURE_DIM
     assert out[1]["features"][0] == 5.0
     assert out[2]["features"] == [0.0] * multimodal.FEATURE_DIM
+
+
+def test_approx_event_stats_within_tolerance(spark, sf_dir, duck):
+    """Sketch estimates must track the exact answers: HLL ndv within
+    5% relative error, t-digest p50/p99 within the value spread."""
+    from biglake_iceberg_pipeline_spark.plans.analytics import (
+        approx_event_stats,
+    )
+
+    got = {r.event_type: r for r in approx_event_stats(spark, sf_dir).collect()}
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            """
+            SELECT event_type, COUNT(DISTINCT user_id),
+                   quantile_disc(value, 0.5), quantile_disc(value, 0.99)
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for et, (ndv, p50, p99) in exact.items():
+        assert abs(got[et].approx_users - ndv) / ndv < 0.05
+        spread = max(1e-9, p99 - p50)
+        assert abs(got[et].approx_p50_value - p50) < 0.25 * spread
+        assert abs(got[et].approx_p99_value - p99) < 0.25 * spread
