@@ -102,3 +102,28 @@ def ivf_topk(
         .limit(k)
         .select(F.col(id_col), F.round("__cos", 4).alias("cosine_sim"))
     )
+
+
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm of an array column (double math, sequential
+    fold — bit-reproducible across engines)."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(
+            F.transform(d, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through as
+    zeros rather than dividing by zero) — run once at ingest so every
+    downstream cosine is a plain dot product."""
+    n = l2_norm(vec)
+    return F.when(
+        n == 0.0, F.transform(vec, lambda x: x.cast("double"))
+    ).otherwise(
+        F.transform(vec, lambda x: x.cast("double") / n)
+    )

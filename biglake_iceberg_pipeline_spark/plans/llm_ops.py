@@ -333,6 +333,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health check (run before any ANN build):
+    count, mean L2 norm, mean per-dimension magnitude, and how many
+    vectors are already unit-norm. Single map-side-combined shuffle
+    on label."""
+    from biglake_iceberg_pipeline_spark.operators.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            norm.alias("__n"),
+            F.size("embedding").alias("__dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.first("__dim").alias("dim"),
+            F.round(F.avg("__n"), 4).alias("mean_norm"),
+            F.sum(
+                (F.abs(F.col("__n") - 1.0) < 1e-6).cast("long")
+            ).alias("n_unit"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_STATS_SQL = """
+WITH norms AS (
+    SELECT label, len(embedding) AS dim,
+        sqrt(list_reduce(list_prepend(0.0,
+            [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+            (a, b) -> a + b)) AS n
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs, FIRST(dim) AS dim,
+       ROUND(AVG(n), 4) AS mean_norm,
+       SUM(CASE WHEN abs(n - 1.0) < 1e-6 THEN 1 ELSE 0 END) AS n_unit
+FROM norms
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -347,6 +392,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "multimodal_features": multimodal_features,
+    "embedding_stats": embedding_stats,
 }
 
 ORACLE = {
@@ -359,4 +405,5 @@ ORACLE = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "embedding_stats": EMBEDDING_STATS_SQL,
 }

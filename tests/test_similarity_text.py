@@ -111,3 +111,26 @@ def test_approx_event_stats_within_tolerance(spark, sf_dir, duck):
         spread = max(1e-9, p99 - p50)
         assert abs(got[et].approx_p50_value - p50) < 0.25 * spread
         assert abs(got[et].approx_p99_value - p99) < 0.25 * spread
+
+
+def test_l2_normalize_produces_unit_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        l2_norm,
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id",
+        l2_norm(l2_normalize(F.col("v"))).alias("n"),
+        l2_normalize(F.col("v")).alias("u"),
+    )
+    got = {r.id: (r.n, r.u) for r in out.collect()}
+    assert abs(got[1][0] - 1.0) < 1e-12 and got[1][1] == [0.6, 0.8]
+    assert got[2][0] == 0.0 and got[2][1] == [0.0, 0.0]  # zero passthrough
+    assert abs(got[3][0] - 1.0) < 1e-12
