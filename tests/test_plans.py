@@ -1,0 +1,44 @@
+"""Plan-shape regression guards: the §6 scale invariants asserted on
+executed plans for flagship queries, so a refactor that silently
+introduces a cartesian product, drops a broadcast, or loses pushdown
+fails CI — not just the (manually run) explain audit."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _executed_plan(spark, key, sf_dir):
+    df = entry.queries()[key](spark, sf_dir)
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+FLAGSHIPS = {
+    # key: (min broadcast joins, pushed-filter scans required)
+    "q5_region_revenue": (2, True),
+    "q9_profit_by_nation": (3, True),
+    "gold_orders_enriched": (2, False),
+    "tfidf_keywords": (1, False),
+    "asof_last_purchase": (0, True),
+    "dedup_minhash": (0, False),
+}
+
+
+@pytest.mark.parametrize("key", sorted(FLAGSHIPS))
+def test_flagship_plan_invariants(spark, sf_dir, key):
+    min_bhj, needs_pushdown = FLAGSHIPS[key]
+    plan = _executed_plan(spark, key, sf_dir)
+    assert "CartesianProduct" not in plan, key
+    assert "BroadcastNestedLoopJoin" not in plan, key
+    assert plan.count("BroadcastHashJoin") >= min_bhj, key
+    # facts must not sort-merge against dims at this scale
+    assert "SortMergeJoin" not in plan, key
+    if needs_pushdown:
+        assert re.search(r"PushedFilters: \[[^\]]+\]", plan), key
+    # hot path is compiled
+    assert "*(" in plan or "WholeStageCodegen" in plan, key
