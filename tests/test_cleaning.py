@@ -143,3 +143,38 @@ def test_describe_table(spark):
         for r in describe_table(spark, df).collect()
     }
     assert rows == {"a": "BIGINT", "b": "VARCHAR", "c": "DOUBLE"}
+
+
+def test_quality_report_structure_and_status(spark):
+    import json
+
+    from biglake_iceberg_pipeline_spark.operators.report import quality_report
+
+    clean = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, v double",
+    )
+    rep = quality_report(clean, "clean_tbl")
+    assert rep["overall_status"] == "pass" and rep["row_count"] == 3
+    assert {c["column_name"] for c in rep["schema"]} == {"id", "name", "v"}
+    idcol = next(c for c in rep["schema"] if c["column_name"] == "id")
+    assert idcol["min"] == 1 and idcol["max"] == 3 and idcol["avg"] == 2.0
+    json.dumps(rep)  # must be JSON-serializable as persisted
+
+    warn = spark.createDataFrame(
+        [(1, "N/A"), (1, "N/A"), (3, None)], "id long, name string"
+    )
+    rep2 = quality_report(warn)
+    assert rep2["overall_status"] == "warn"
+    kinds = {f["kind"] for f in rep2["findings"]}
+    assert "null_like_values" in kinds and "duplicate_rows" in kinds
+
+    crit = spark.createDataFrame(
+        [(None,), (None,), (None,), (1.0,)], "v double"
+    )
+    # 75% nulls → warning; make it critical with one more null row
+    crit2 = spark.createDataFrame([(None,)] * 99 + [(1.0,)], "v double")
+    assert quality_report(crit)["overall_status"] == "warn"
+    rep3 = quality_report(crit2)
+    assert rep3["overall_status"] == "fail"
+    assert rep3["status_reason"].startswith("1 critical")
