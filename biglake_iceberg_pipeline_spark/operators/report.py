@@ -150,3 +150,46 @@ def quality_report(df: DataFrame, table_name: str = "") -> dict[str, Any]:
         "overall_status": status,
         "status_reason": reason,
     }
+
+
+def cleaning_report(
+    before: DataFrame,
+    after: DataFrame,
+    operations: list[str],
+    table_name: str = "",
+) -> dict[str, Any]:
+    """Before/after cleaning summary (reference
+    tools/cleaning_report.py): row delta, per-column null deltas, and
+    the operation list that produced the change. Two single-pass
+    aggregations (one per side) — metadata-sized output."""
+
+    def _null_counts(df: DataFrame) -> tuple[int, dict[str, int]]:
+        aggs = [F.count(F.lit(1)).alias("__rows")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}")
+            for c in df.columns
+        ]
+        row = df.agg(*aggs).head().asDict()
+        return row["__rows"], {c: row[f"__n_{c}"] for c in df.columns}
+
+    b_rows, b_nulls = _null_counts(before)
+    a_rows, a_nulls = _null_counts(after)
+    shared = [c for c in after.columns if c in b_nulls]
+    return {
+        "report_id": f"dcr_{uuid.uuid4().hex[:12]}",
+        "schema_version": REPORT_SCHEMA_VERSION,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "table_name": table_name,
+        "operations": list(operations),
+        "summary": {
+            "before_rows": b_rows,
+            "after_rows": a_rows,
+            "rows_removed": b_rows - a_rows,
+            "columns_added": [c for c in after.columns if c not in b_nulls],
+            "columns_removed": [c for c in before.columns if c not in a_nulls],
+        },
+        "null_deltas": {
+            c: {"before": b_nulls[c], "after": a_nulls[c]}
+            for c in shared
+            if b_nulls[c] != a_nulls[c]
+        },
+    }

@@ -178,3 +178,29 @@ def test_quality_report_structure_and_status(spark):
     rep3 = quality_report(crit2)
     assert rep3["overall_status"] == "fail"
     assert rep3["status_reason"].startswith("1 critical")
+
+
+def test_cleaning_report_deltas(spark):
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.operators.cleaning import (
+        null_sentinels_to_null,
+    )
+    from biglake_iceberg_pipeline_spark.operators.report import (
+        cleaning_report,
+    )
+
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "N/A"), (2, "N/A"), (3, "b")], "id long, name string"
+    )
+    after = before.withColumn(
+        "name", null_sentinels_to_null("name")
+    ).dropDuplicates()
+    rep = cleaning_report(
+        before, after, ["null_sentinels_to_null", "dropDuplicates"], "t"
+    )
+    assert rep["summary"]["before_rows"] == 4
+    assert rep["summary"]["after_rows"] == 3
+    assert rep["summary"]["rows_removed"] == 1
+    assert rep["null_deltas"]["name"] == {"before": 0, "after": 1}
+    assert rep["operations"] == ["null_sentinels_to_null", "dropDuplicates"]
