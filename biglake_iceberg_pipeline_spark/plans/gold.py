@@ -586,6 +586,65 @@ JOIN (
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (gold-layer marketing rollup): quartile-score
+    customers on Recency / Frequency / Monetary, report segment sizes.
+
+    Quartiles are ntile(4) over a TOTAL deterministic order (metric,
+    then custkey) — integer bucketing, no float boundary comparisons,
+    so the DuckDB oracle lands on identical buckets. The ranking
+    window runs on the customer-grained aggregate (3 global ntiles),
+    fine up to ~100 M customers; past that swap ntile for
+    approx_percentile boundary bucketing (documented scale path) —
+    the fact-table pass (one shuffle on custkey) is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           ROUND(SUM(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT
+        ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_score,
+        ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+        ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score,
+        monetary
+    FROM per_cust
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       ROUND(SUM(monetary), 2) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
     "silver_dedup_events": silver_dedup_events,
     "silver_orders": silver_orders,
@@ -597,6 +656,7 @@ QUERIES = {
     "currency_convert": currency_convert,
     "cohort_retention": cohort_retention,
     "customer_profiles": customer_profiles,
+    "rfm_segments": rfm_segments,
 }
 
 ORACLE = {
@@ -610,4 +670,5 @@ ORACLE = {
     "currency_convert": CURRENCY_CONVERT_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "customer_profiles": CUSTOMER_PROFILES_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
 }
