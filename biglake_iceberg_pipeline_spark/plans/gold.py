@@ -645,6 +645,62 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def address_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO.md §5 (AI.GENERATE_TEXT address standardization) through
+    the Arrow-batched model-function seam (functions/model_fn.py).
+    Addresses are planted deterministically from c_custkey (the test
+    tables carry none), standardized by the batched UDF, and the
+    DuckDB oracle replays the identical rule chain — pinning the
+    Pandas-UDF plumbing, not just the rules."""
+    from biglake_iceberg_pipeline_spark.functions.model_fn import (
+        standardize_address_col,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    suffix = F.element_at(
+        F.array(F.lit("st."), F.lit("ave"), F.lit("rd"), F.lit("blvd")),
+        (F.col("c_custkey") % 4 + 1).cast("int"),
+    )
+    addr = F.concat(
+        (F.col("c_custkey") % 999).cast("string"),
+        F.lit(" Main "),
+        suffix,
+        F.lit(" apt "),
+        (F.col("c_custkey") % 10).cast("string"),
+        F.lit(" springfield ma"),
+    )
+    return cust.select(
+        "c_custkey",
+        addr.alias("raw_address"),
+        standardize_address_col(addr).alias("standardized_address"),
+    ).orderBy("c_custkey")
+
+
+ADDRESS_STANDARDIZE_SQL = r"""
+WITH planted AS (
+    SELECT c_custkey,
+        CAST(c_custkey % 999 AS VARCHAR) || ' Main ' ||
+        CASE c_custkey % 4 WHEN 0 THEN 'st.' WHEN 1 THEN 'ave'
+                           WHEN 2 THEN 'rd' ELSE 'blvd' END ||
+        ' apt ' || CAST(c_custkey % 10 AS VARCHAR) || ' springfield ma'
+          AS raw_address
+    FROM customer
+)
+SELECT c_custkey, raw_address,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(raw_address), ' st\. ', ' street ', 'g'),
+            ' ave ', ' avenue ', 'g'),
+          ' rd ', ' road ', 'g'),
+        ' blvd ', ' boulevard ', 'g'),
+      ' ma$', ' MA', 'g') AS standardized_address
+FROM planted
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "silver_dedup_events": silver_dedup_events,
     "silver_orders": silver_orders,
@@ -657,6 +713,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "customer_profiles": customer_profiles,
     "rfm_segments": rfm_segments,
+    "address_standardize": address_standardize,
 }
 
 ORACLE = {
@@ -671,4 +728,5 @@ ORACLE = {
     "cohort_retention": COHORT_RETENTION_SQL,
     "customer_profiles": CUSTOMER_PROFILES_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
+    "address_standardize": ADDRESS_STANDARDIZE_SQL,
 }
