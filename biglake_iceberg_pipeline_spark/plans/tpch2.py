@@ -16,9 +16,10 @@ hash match also validates the rewrite:
 - Q12 conditional counts           → pivot-style count(when)
 - Q16 NOT IN + COUNT DISTINCT      → left-anti + distinct agg
 - Q20 nested IN chains             → chained left-semi joins
-- Q21 EXISTS + NOT EXISTS on fact  → ONE per-order aggregate (distinct
-      supplier counts) replaces both correlated probes — the fact table
-      is scanned twice, not three times, and shuffles once on orderkey
+- Q21 EXISTS + NOT EXISTS on fact  → one two-level per-order aggregate
+      ((order, supplier) grain then order grain — no countDistinct
+      Expand) replaces both correlated probes — the fact table is
+      scanned twice, not three times, and shuffles once on its keys
 - Q22 scalar AVG + anti join       → scalar() avg, left-anti on orders
 
 Parity anchor: the reference's gold layer builds the same shapes over
@@ -352,11 +353,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_f = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__n_ret_supp"),
+    # two-level agg instead of two countDistincts: a pair of distinct
+    # aggregates makes Catalyst Expand every input row ×2 before the
+    # shuffle; grouping by (order, supplier) first gets the same
+    # distinct counts from plain aggs on an already-shuffled key
+    per_order = (
+        li.groupBy(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey"))
+        .agg(
+            F.max(
+                (F.col("l_returnflag") == "R").cast("int")
+            ).alias("__ret")
+        )
+        .groupBy("__ok")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum("__ret").alias("__n_ret_supp"),
+        )
     )
     sup = load_table(spark, sf_dir, "supplier")
     returned = li.where(F.col("l_returnflag") == "R")
