@@ -134,3 +134,61 @@ def test_connected_components_equals_union_find(spark, edges):
         for r in connected_components(df, "src", "dst").collect()
     }
     assert got == exp_min
+
+
+_series_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key: few keys => per-key series
+        st.integers(0, 72),  # hour offset within 3 days
+        st.integers(-50, 50),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_series_rows)
+@settings(**_SETTINGS)
+def test_gapfill_equals_pandas_reference(spark, rows):
+    """hypertable_gapfill ≡ pandas resample('h').sum() + ffill on
+    random sparse per-key hourly series (dense spine, LOCF values,
+    gap flags)."""
+    from datetime import datetime, timedelta
+
+    from biglake_iceberg_pipeline_spark.operators.temporal import (
+        hypertable_gapfill,
+    )
+
+    base = datetime(2024, 3, 1)
+    data = [
+        (str(k), base + timedelta(hours=h, minutes=(v % 3) * 7), float(v))
+        for k, h, v in rows
+    ]
+    df = spark.createDataFrame(data, "k string, ts timestamp, value double")
+    got = {
+        (r.key, r.bucket): (r.value_filled, r.n_events, r.is_gap)
+        for r in hypertable_gapfill(df, "ts", "k", "value", "1 hour").collect()
+    }
+
+    pdf = pd.DataFrame(data, columns=["k", "ts", "value"])
+    expected = {}
+    for k, grp in pdf.groupby("k"):
+        hourly = (
+            grp.set_index("ts")["value"]
+            .resample("h")
+            .agg(["sum", "count"])
+        )
+        # pandas resample spans min..max bucket; ffill the sums over
+        # empty buckets, which only exist inside that span
+        filled = hourly["sum"].where(hourly["count"] > 0).ffill()
+        for ts, cnt in hourly["count"].items():
+            expected[(k, ts.to_pydatetime())] = (
+                round(filled[ts], 2),
+                int(cnt),
+                cnt == 0,
+            )
+    assert set(got) == set(expected)
+    for key, (v, n, gap) in expected.items():
+        gv, gn, ggap = got[key]
+        assert (gn, ggap) == (n, gap), key
+        assert abs(gv - v) < 1e-9, key
