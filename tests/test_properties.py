@@ -192,3 +192,42 @@ def test_gapfill_equals_pandas_reference(spark, rows):
         gv, gn, ggap = got[key]
         assert (gn, ggap) == (n, gap), key
         assert abs(gv - v) < 1e-9, key
+
+
+_points = st.lists(st.integers(0, 600), min_size=1, max_size=20)
+_intervals = st.lists(
+    st.tuples(st.integers(0, 600), st.integers(0, 120)),  # (start, len) sec
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(points=_points, intervals=_intervals)
+@settings(**_SETTINGS)
+def test_range_join_equals_brute_force(spark, points, intervals):
+    """Bucketized range_join ≡ brute-force containment filter on
+    random second-grained points/intervals — exercising intervals that
+    span 0..N buckets and points on bucket edges."""
+    from datetime import datetime, timedelta
+
+    from biglake_iceberg_pipeline_spark.operators.temporal import range_join
+
+    base = datetime(2024, 3, 1)
+    pts = [(i, base + timedelta(seconds=s)) for i, s in enumerate(points)]
+    ivs = [
+        (j, base + timedelta(seconds=a), base + timedelta(seconds=a + n))
+        for j, (a, n) in enumerate(intervals)
+    ]
+    pdf = spark.createDataFrame(pts, "pid int, ts timestamp")
+    idf = spark.createDataFrame(ivs, "iid int, lo timestamp, hi timestamp")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "ts", "lo", "hi", 60).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, ts in pts
+        for iid, lo, hi in ivs
+        if lo <= ts <= hi
+    )
+    assert got == want
