@@ -27,6 +27,8 @@ HEADLINE = [
     "dedup_minhash",
     "ann_topk",
     "text_quality",
+    "tfidf_keywords",
+    "text_lm_score",
     "events_sessions",
 ]
 
