@@ -565,6 +565,25 @@ class LakehouseTable:
         freshness."""
         return self._read_manifest().get("table_stats")
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        rollback_to_snapshot): commits a NEW snapshot whose file list
+        is the old one, so the bad snapshots stay in history (time
+        travel still reaches them; expire_snapshots reclaims them) and
+        concurrent readers never see a gap. No data is rewritten —
+        this is a metadata-only commit."""
+        snaps = self.snapshots
+        match = [s for s in snaps if s["id"] == snapshot_id]
+        if not match:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        return self._locked_commit(
+            "rollback",
+            list(match[0]["files"]),
+            {},
+            None,
+            expected_tail=snaps[-1]["id"],
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
         data dirs); returns expired ids. Runs under the commit lock —

@@ -481,3 +481,20 @@ def test_analyze_records_table_stats(spark, tmp_path):
     # staleness is detectable after another append
     t.append(spark.createDataFrame([(5, "c")], "id long, grp string"))
     assert t.stats()["snapshot_id"] != t.current_snapshot_id()
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.delete_where(spark, "id = 1")  # the "bad" operation
+    assert {r.id for r in t.read(spark).collect()} == {2, 3}
+    rb = t.rollback_to(s1)
+    assert {r.id for r in t.read(spark).collect()} == {1, 2}
+    # metadata-only commit: history keeps the bad snapshots reachable
+    assert t.history()[-1]["operation"] == "rollback"
+    assert rb == t.current_snapshot_id()
+    assert {r.id for r in t.read(spark, snapshot_id=2).collect()} == {1, 2, 3}
+    # incremental scans refuse to cross the rollback (it's a rewrite)
+    with pytest.raises(ValueError, match="rewrite"):
+        t.incremental_scan(spark, s1)
