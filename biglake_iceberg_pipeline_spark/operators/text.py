@@ -196,6 +196,154 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# --- markup stripping ----------------------------------------------
+# Tag + entity handling restricted to constructs Java regex and RE2
+# read identically (no lookaround). Entities are literal replaces;
+# &amp; goes LAST so "&amp;lt;" unescapes once, not twice — the same
+# order runs on the oracle, so behavior is pinned either way.
+MARKUP_TAG_RE = r"<[^>]*>"
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/XML → plain text: drop tags, unescape common entities,
+    collapse the whitespace the removed tags leave behind. Pure
+    regexp/replace chain — JVM-side, codegen-friendly."""
+    out = F.regexp_replace(text, MARKUP_TAG_RE, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def markup_tag_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(MARKUP_TAG_RE), F.lit(0)))
+
+
+# --- URL extraction ------------------------------------------------
+URL_RE = r"https?://[^\s]+"
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a document, in order."""
+    return F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Hostname of a URL ('' when the URL doesn't parse)."""
+    return F.regexp_extract(url, URL_DOMAIN_RE, 1)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined); empty array when the
+    document has fewer than n words. The when() guard keeps
+    sequence() from generating a descending range on short docs."""
+    words = _words(text)
+    cnt = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    eval corpus — the decontamination gate every LLM data pipeline
+    runs before training.
+
+    Scale shape: the eval n-gram universe is tiny next to the corpus
+    (benchmarks are thousands of docs, training sets billions), so it
+    broadcasts; the training side never shuffles except the final
+    groupBy on the doc id. Docs with fewer than n words surface with
+    n_ngrams=0 via the outer join, not silently dropped."""
+    t_grams = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"),
+    )
+    e_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        t_grams.join(F.broadcast(e_grams), "__gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(F.try_divide("n_contaminated", "n_ngrams"), 4).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+def shared_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Cross-document span duplication: per doc, the fraction of its
+    distinct k-word spans that also occur in at least one OTHER
+    document — the boilerplate signal behind paragraph/span-level
+    dedup (headers, licenses, navboxes repeat across a web corpus).
+
+    Spans are distinct per doc before the explode, so a span's row
+    count IS its document frequency — no countDistinct Expand. Three
+    shuffles: span-frequency groupBy, the frequency join back (span-
+    keyed hash join; the span universe is corpus-sized, so no
+    broadcast), and the per-doc rollup."""
+    spans = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), k)).alias("__span"),
+    )
+    freq = spans.groupBy("__span").agg(F.count(F.lit(1)).alias("__doc_freq"))
+    per_doc = (
+        spans.join(freq, "__span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__doc_freq") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(F.try_divide("n_shared", "n_spans"), 4).alias(
+                "shared_span_frac"
+            ),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

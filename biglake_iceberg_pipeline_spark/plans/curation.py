@@ -288,6 +288,192 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant HTML around each doc (the corpus is plain text), then
+    strip tags / unescape entities / collapse whitespace. Mirrors the
+    reference agent's replace_unknown_chars cleaning family, applied
+    to web-scrape markup — the first pass over any HTML crawl."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit('<div class="doc"><p id="p'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.col("text"),
+            F.lit('</p><br/><a href="https://ex.com/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">link &amp; more</a> &lt;raw&gt; &quot;q&quot;</div>'),
+        ),
+    )
+    return planted.select(
+        "doc_id",
+        text.markup_tag_count(F.col("text")).alias("n_tags"),
+        text.strip_markup(F.col("text")).alias("clean_text"),
+    )
+
+
+_TAG = text.MARKUP_TAG_RE
+_ENT_CHAIN = "text"
+for _ent, _rep in text.MARKUP_ENTITIES:
+    _ENT_CHAIN = f"replace({_ENT_CHAIN}, '{_ent}', '{_rep}')"
+
+STRIP_MARKUP_SQL = rf"""
+WITH planted AS (
+    SELECT doc_id,
+        '<div class="doc"><p id="p' || CAST(doc_id AS VARCHAR) || '">'
+        || text || '</p><br/><a href="https://ex.com/'
+        || CAST(doc_id AS VARCHAR)
+        || '">link &amp; more</a> &lt;raw&gt; &quot;q&quot;</div>' AS text
+    FROM documents
+),
+stripped AS (
+    SELECT doc_id,
+        len(regexp_extract_all(text, '{_TAG}')) AS n_tags,
+        regexp_replace(text, '{_TAG}', ' ', 'g') AS text
+    FROM planted
+)
+SELECT doc_id, n_tags,
+    trim(regexp_replace({_ENT_CHAIN}, '\s+', ' ', 'g')) AS clean_text
+FROM stripped
+"""
+
+
+def url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant two URLs per doc, extract them, and aggregate per domain
+    (count + distinct docs) — the per-domain accounting behind crawl
+    curation (domain allowlists, per-site caps)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or http://ref"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/home"),
+        ),
+    )
+    urls = planted.select(
+        "doc_id", F.explode(text.extract_urls(F.col("text"))).alias("url")
+    )
+    return (
+        urls.select("doc_id", text.url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+URL_EXTRACTION_SQL = rf"""
+WITH planted AS (
+    SELECT doc_id,
+        text || ' visit https://site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             || ' or http://ref' || CAST(doc_id % 3 AS VARCHAR)
+             || '.org/home' AS text
+    FROM documents
+),
+urls AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{text.URL_RE}')) AS url
+    FROM planted
+)
+SELECT regexp_extract(url, '{text.URL_DOMAIN_RE}', 1) AS domain,
+    COUNT(*) AS n_urls,
+    COUNT(DISTINCT doc_id) AS n_docs
+FROM urls
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+# Contamination / span-dedup share one gram shape: word n-grams,
+# distinct within a doc. The eval split (doc_id % 97 = 0) stands in
+# for a held-out benchmark set.
+_EVAL_MOD = 97
+
+
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every training doc
+    against the eval split's n-gram universe."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return text.ngram_contamination(
+        train, eval_df, "doc_id", "text", n=3
+    ).orderBy("doc_id")
+
+
+def _grams_cte(n: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return rf"""
+w AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform(
+            generate_series(1, len(ws) - {n - 1}),
+            i -> {parts}))) AS gram
+    FROM w WHERE len(ws) >= {n}
+)"""
+
+
+NGRAM_CONTAMINATION_SQL = rf"""
+WITH {_grams_cte(3)},
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+per AS (
+    SELECT t.doc_id, COUNT(*) AS n_ngrams,
+        SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+    FROM (SELECT * FROM g WHERE doc_id % {_EVAL_MOD} <> 0) t
+    LEFT JOIN eval_g e ON t.gram = e.gram
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id AS doc_id,
+    COALESCE(n_ngrams, 0) AS n_ngrams,
+    COALESCE(n_contaminated, 0) AS n_contaminated,
+    ROUND(COALESCE(n_contaminated, 0) / CAST(n_ngrams AS DOUBLE), 4)
+        AS contamination_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} <> 0) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY doc_id
+"""
+
+
+def span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc 5-gram span duplication per document (boilerplate
+    signal for span-level dedup)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.shared_span_stats(docs, "doc_id", "text", k=5).orderBy("doc_id")
+
+
+SPAN_BOILERPLATE_SQL = rf"""
+WITH {_grams_cte(5)},
+freq AS (SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram),
+per AS (
+    SELECT g.doc_id, COUNT(*) AS n_spans,
+        SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS n_shared
+    FROM g JOIN freq ON g.gram = freq.gram
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id AS doc_id,
+    COALESCE(n_spans, 0) AS n_spans,
+    COALESCE(n_shared, 0) AS n_shared,
+    ROUND(COALESCE(n_shared, 0) / CAST(n_spans AS DOUBLE), 4)
+        AS shared_span_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
@@ -295,6 +481,10 @@ QUERIES = {
     "tfidf_keywords": tfidf_keywords,
     "text_lm_score": text_lm_score,
     "doc_chunks": doc_chunks,
+    "strip_markup": strip_markup,
+    "url_extraction": url_extraction,
+    "ngram_contamination": ngram_contamination,
+    "span_boilerplate": span_boilerplate,
 }
 
 ORACLE = {
@@ -304,4 +494,8 @@ ORACLE = {
     "tfidf_keywords": TFIDF_KEYWORDS_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "strip_markup": STRIP_MARKUP_SQL,
+    "url_extraction": URL_EXTRACTION_SQL,
+    "ngram_contamination": NGRAM_CONTAMINATION_SQL,
+    "span_boilerplate": SPAN_BOILERPLATE_SQL,
 }
