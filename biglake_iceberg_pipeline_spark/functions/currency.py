@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.functions.numeric import money_round
+
 # Static demo rates (the reference's function would consult a live API;
 # determinism matters more here).
 USD_RATES: list[tuple[str, float]] = [
@@ -36,7 +38,7 @@ def convert_to_usd(
         df.join(rates, df[currency_col] == rates.currency, "left")
         .withColumn(
             f"{price_col}_usd",
-            F.round(F.col(price_col) * F.col("usd_rate"), 2),
+            money_round(F.col(price_col) * F.col("usd_rate"), 2),
         )
         .drop("currency", "usd_rate")
     )

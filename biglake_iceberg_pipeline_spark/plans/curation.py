@@ -316,7 +316,11 @@ def strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAG = text.MARKUP_TAG_RE
 _ENT_CHAIN = "text"
 for _ent, _rep in text.MARKUP_ENTITIES:
-    _ENT_CHAIN = f"replace({_ENT_CHAIN}, '{_ent}', '{_rep}')"
+    # SQL string literals: escape embedded single quotes as '' (the
+    # &#39; -> ' replacement otherwise breaks the DuckDB parser).
+    _ent_q = _ent.replace("'", "''")
+    _rep_q = _rep.replace("'", "''")
+    _ENT_CHAIN = f"replace({_ENT_CHAIN}, '{_ent_q}', '{_rep_q}')"
 
 STRIP_MARKUP_SQL = rf"""
 WITH planted AS (

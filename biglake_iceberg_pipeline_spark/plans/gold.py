@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.functions.currency import convert_to_usd
+from biglake_iceberg_pipeline_spark.functions.numeric import money_round
 from biglake_iceberg_pipeline_spark.functions.timestamps import (
     duckdb_parse_multi_format_sql,
     parse_multi_format_ts,
@@ -180,8 +181,8 @@ def gold_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("pc_custkey")
     ).agg(
         F.count(F.lit(1)).alias("lifetime_order_count"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        money_round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        money_round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
         F.min("o_orderdate").alias("first_order_at"),
         F.max("o_orderdate").alias("last_order_at"),
     )
@@ -192,7 +193,7 @@ def gold_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("o_custkey").alias("rt_custkey"))
         .agg(
-            F.round(
+            money_round(
                 F.try_divide(
                     F.count(F.when(F.col("l_returnflag") == "R", 1)),
                     F.count(F.lit(1)),
@@ -231,8 +232,9 @@ WITH per_cust AS (
     SELECT
         o_custkey,
         COUNT(*) AS lifetime_order_count,
-        ROUND(SUM(o_totalprice), 2) AS total_spend,
-        ROUND(AVG(o_totalprice), 4) AS avg_order_value,
+        floor(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_spend,
+        floor(AVG(o_totalprice) * 10000.0 + 0.5) / 10000.0
+            AS avg_order_value,
         MIN(o_orderdate) AS first_order_at,
         MAX(o_orderdate) AS last_order_at
     FROM orders GROUP BY o_custkey
@@ -240,10 +242,10 @@ WITH per_cust AS (
 returns AS (
     SELECT
         o_custkey,
-        ROUND(
+        floor(
             COUNT(*) FILTER (WHERE l_returnflag = 'R')
-            / NULLIF(COUNT(*), 0)::DOUBLE, 4
-        ) AS return_rate
+            / NULLIF(COUNT(*), 0)::DOUBLE * 10000.0 + 0.5
+        ) / 10000.0 AS return_rate
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_custkey
 )
@@ -271,15 +273,15 @@ def gold_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.round(F.sum("l_quantity"), 2).alias("units_sold"),
-        F.round(
+        money_round(F.sum("l_quantity"), 2).alias("units_sold"),
+        money_round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_sale_price"),
+        money_round(F.avg("l_extendedprice"), 4).alias("avg_sale_price"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
             "return_count"
         ),
-        F.round(
+        money_round(
             F.try_divide(
                 F.count(F.when(F.col("l_returnflag") == "R", 1)),
                 F.count(F.lit(1)),
@@ -305,14 +307,16 @@ GOLD_PRODUCT_PERFORMANCE_SQL = """
 WITH per_part AS (
     SELECT
         l_partkey,
-        ROUND(SUM(l_quantity), 2) AS units_sold,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-        ROUND(AVG(l_extendedprice), 4) AS avg_sale_price,
+        floor(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS units_sold,
+        floor(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+            / 100.0 AS total_revenue,
+        floor(AVG(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+            AS avg_sale_price,
         COUNT(*) FILTER (WHERE l_returnflag = 'R') AS return_count,
-        ROUND(
+        floor(
             COUNT(*) FILTER (WHERE l_returnflag = 'R')
-            / NULLIF(COUNT(*), 0)::DOUBLE, 4
-        ) AS return_rate
+            / NULLIF(COUNT(*), 0)::DOUBLE * 10000.0 + 0.5
+        ) / 10000.0 AS return_rate
     FROM lineitem GROUP BY l_partkey
 )
 SELECT
@@ -478,9 +482,9 @@ SELECT
     CASE o_orderkey % 4
         WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' WHEN 2 THEN 'GBP' ELSE 'JPY'
     END AS price_currency,
-    ROUND(o_totalprice * CASE o_orderkey % 4
+    floor(o_totalprice * CASE o_orderkey % 4
         WHEN 0 THEN 1.0 WHEN 1 THEN 1.08 WHEN 2 THEN 1.26 ELSE 0.0067
-    END, 2) AS total_price_usd
+    END * 100.0 + 0.5) / 100.0 AS total_price_usd
 FROM orders
 """
 
@@ -701,6 +705,105 @@ ORDER BY c_custkey
 """
 
 
+def users_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO.md medallion table `gold.users_enriched`: users + the
+    AI-standardized address (Arrow-batched model seam, same planted
+    address as `address_standardize`) + churn risk from order recency.
+    One shuffle (orders agg on custkey); customer side joins broadcast
+    -free on the same key, address UDF runs post-join on the slim
+    projection."""
+    from biglake_iceberg_pipeline_spark.functions.model_fn import (
+        standardize_address_col,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("pc_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.max("o_orderdate").alias("last_order_at"),
+    )
+    suffix = F.element_at(
+        F.array(F.lit("st."), F.lit("ave"), F.lit("rd"), F.lit("blvd")),
+        (F.col("c_custkey") % 4 + 1).cast("int"),
+    )
+    addr = F.concat(
+        (F.col("c_custkey") % 999).cast("string"),
+        F.lit(" Main "),
+        suffix,
+        F.lit(" apt "),
+        (F.col("c_custkey") % 10).cast("string"),
+        F.lit(" springfield ma"),
+    )
+    days_idle = F.datediff(
+        F.to_date(F.lit(REF_DATE)), F.to_date("last_order_at")
+    )
+    churn_risk = (
+        F.when(F.col("last_order_at").isNull(), "never_ordered")
+        .when(days_idle > 180, "high")
+        .when(days_idle > 90, "medium")
+        .otherwise("low")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.pc_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_mktsegment").alias("segment"),
+            standardize_address_col(addr).alias("standardized_address"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "last_order_at",
+            churn_risk.alias("churn_risk"),
+        )
+    )
+
+
+USERS_ENRICHED_SQL = rf"""
+WITH per_cust AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           floor(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_spend,
+           MAX(o_orderdate) AS last_order_at
+    FROM orders GROUP BY o_custkey
+),
+planted AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+        CAST(c_custkey % 999 AS VARCHAR) || ' Main ' ||
+        CASE c_custkey % 4 WHEN 0 THEN 'st.' WHEN 1 THEN 'ave'
+                           WHEN 2 THEN 'rd' ELSE 'blvd' END ||
+        ' apt ' || CAST(c_custkey % 10 AS VARCHAR) || ' springfield ma'
+          AS raw_address
+    FROM customer
+)
+SELECT
+    c_custkey,
+    c_name,
+    c_mktsegment AS segment,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(raw_address), ' st\. ', ' street ', 'g'),
+            ' ave ', ' avenue ', 'g'),
+          ' rd ', ' road ', 'g'),
+        ' blvd ', ' boulevard ', 'g'),
+      ' ma$', ' MA', 'g') AS standardized_address,
+    COALESCE(n_orders, 0) AS n_orders,
+    COALESCE(total_spend, 0.0) AS total_spend,
+    last_order_at,
+    CASE
+        WHEN last_order_at IS NULL THEN 'never_ordered'
+        WHEN datediff('day', CAST(last_order_at AS DATE),
+                      DATE '{REF_DATE}') > 180 THEN 'high'
+        WHEN datediff('day', CAST(last_order_at AS DATE),
+                      DATE '{REF_DATE}') > 90 THEN 'medium'
+        ELSE 'low'
+    END AS churn_risk
+FROM planted
+LEFT JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "silver_dedup_events": silver_dedup_events,
     "silver_orders": silver_orders,
@@ -714,6 +817,7 @@ QUERIES = {
     "customer_profiles": customer_profiles,
     "rfm_segments": rfm_segments,
     "address_standardize": address_standardize,
+    "users_enriched": users_enriched,
 }
 
 ORACLE = {
@@ -729,4 +833,5 @@ ORACLE = {
     "customer_profiles": CUSTOMER_PROFILES_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "address_standardize": ADDRESS_STANDARDIZE_SQL,
+    "users_enriched": USERS_ENRICHED_SQL,
 }

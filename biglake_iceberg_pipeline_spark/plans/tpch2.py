@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.functions.numeric import money_round
 from biglake_iceberg_pipeline_spark.sources.catalog import load_table
 
 
@@ -123,9 +124,16 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.6
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    # Per-row amount is identical-bits across engines, but SUM(double)
+    # is summation-order-dependent — Spark's partial aggregation and
+    # DuckDB's sequential scan disagree at the ulp level, flipping the
+    # driver hash. Cast each row to DECIMAL(18,4) first: decimal SUM is
+    # exact integer arithmetic, order-independent, so both engines land
+    # on the same value regardless of plan shape.
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -135,13 +143,18 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            money_round(F.sum(amount).cast("double"), 2).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM (
+SELECT nation, o_year,
+       floor(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+             + 0.5) / 100.0 AS sum_profit
+FROM (
     SELECT n_name AS nation,
            EXTRACT(YEAR FROM o_orderdate) AS o_year,
            l_extendedprice * (1 - l_discount)
@@ -183,14 +196,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.where(F.col("__value") > threshold.scalar())
         .select(
-            "partkey", F.round("__value", 2).alias("total_value")
+            "partkey", money_round(F.col("__value"), 2).alias("total_value")
         )
         .orderBy(F.desc("total_value"), "partkey")
     )
 
 
 Q11_SQL = """
-SELECT l_partkey AS partkey, ROUND(SUM(l_extendedprice), 2) AS total_value
+SELECT l_partkey AS partkey,
+       floor(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_value
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -427,14 +441,15 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
 
 
 Q22_SQL = """
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust,
+       floor(SUM(c_acctbal) * 100.0 + 0.5) / 100.0 AS totacctbal
 FROM (
     SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
     FROM customer

@@ -39,14 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # vectorized reader rejects. Read nanos as long, then truncate
-        # to microseconds (integer DIV — no double round-trip, so no
-        # precision loss on ~1.7e18 nano epochs).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.parquet has shipped with two vintages of the ts column:
+        # TIMESTAMP(MICROS) (current) and TIMESTAMP(NANOS) (legacy — the
+        # Spark vectorized reader rejects nanos unless nanosAsLong is on).
+        # Branch on the schema actually read so either layout works.
         from pyspark.sql import functions as F
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type.startswith("timestamp"):
+            # Already a timestamp (micros vintage); normalize NTZ→TIMESTAMP
+            # for oracle parity.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Legacy nanos-as-long vintage: truncate to micros via integer DIV
+        # (no double round-trip, so no precision loss on ~1.7e18 epochs).
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -49,8 +49,11 @@ def assert_matches_oracle(spark_df, duck_con, sql):
     def norm(v):
         if v is None:
             return "NULL"
+        # Full-precision repr: the driver's hash does NOT normalize floats,
+        # so neither may we — a %.6g here hides exactly the cross-engine
+        # rounding drift the driver fails on (VERDICT r2 item 3).
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else f"{v:.6g}"
+            return "NaN" if math.isnan(v) else repr(v)
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.isoformat()
         if isinstance(v, list):

@@ -29,10 +29,10 @@ def norm_cell(v):
 
     if v is None:
         return "NULL"
+    # Full-precision repr — no %.6g normalization, so a local FAIL/OK here
+    # predicts the driver's hash verdict (VERDICT r2 item 3).
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}" if v == v else "NaN"
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, list):
