@@ -321,6 +321,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Pairwise cosine with a KNOWN dim: unrolled codegen expressions
+    instead of the interpreted HOF fold below — same left-associated
+    IEEE op order, so results are bit-identical to ``cosine`` and to
+    the DuckDB oracle's list_reduce."""
+    dot = a[0].cast("double") * b[0].cast("double")
+    na = a[0].cast("double") * a[0].cast("double")
+    nb = b[0].cast("double") * b[0].cast("double")
+    for i in range(1, dim):
+        ai, bi = a[i].cast("double"), b[i].cast("double")
+        dot = dot + ai * bi
+        na = na + ai * ai
+        nb = nb + bi * bi
+    return F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns — double
     math, sequential sums (bit-reproducible across engines)."""
@@ -350,16 +366,22 @@ def embedding_near_dup_pairs(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold within a bucket key (exact within
-    bucket; see similarity.ivf_topk for the unbucketed scale path)."""
+    bucket; see similarity.ivf_topk for the unbucketed scale path).
+    Pass ``dim`` when the embedding width is known so the pairwise
+    cosine runs as unrolled codegen instead of an interpreted fold."""
     g = df.select(
         F.col(id_col).alias("__id"),
         F.col(bucket_col).alias("__part"),
         F.col(vec_col).alias("__v"),
     )
     a, b = g.alias("a"), g.alias("b")
-    cos = cosine(F.col("a.__v"), F.col("b.__v"))
+    if dim is not None:
+        cos = cosine_unrolled(F.col("a.__v"), F.col("b.__v"), dim)
+    else:
+        cos = cosine(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(
             b,

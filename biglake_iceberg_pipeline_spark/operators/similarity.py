@@ -18,6 +18,8 @@ Spark-first:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,52 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def dot_unrolled(vec_col: Column, query_vec: list[float]) -> Column:
+    """Dot product against a LITERAL query vector as an unrolled,
+    whole-stage-codegen expression chain — no interpreted
+    higher-order-function eval in the scan's hot path (SURVEY §6
+    documents the HOF fold as a ~35x loss on MinHash; same physics
+    here). Left-associated additions reproduce the sequential fold
+    order bit-for-bit, so results hash-match the DuckDB oracle's
+    list_reduce."""
+    # Every term kept (even zero weights): dropping one would change
+    # the IEEE addition sequence vs the oracle's fold over all dims.
+    terms = [
+        vec_col[i].cast("double") * float(q)
+        for i, q in enumerate(query_vec)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def norm_unrolled(vec_col: Column, dim: int) -> Column:
+    """L2 norm via unrolled codegen expressions (fixed, known dim).
+    Same sequential-order guarantee as dot_unrolled."""
+    x0 = vec_col[0].cast("double")
+    acc = x0 * x0
+    for i in range(1, dim):
+        xi = vec_col[i].cast("double")
+        acc = acc + xi * xi
+    return F.sqrt(acc)
+
+
+def cosine_vs_literal(vec_col: Column, query_vec: list[float]) -> Column:
+    """Codegen cosine(vec, literal query): one unrolled dot + one
+    unrolled norm per row; the query's norm folds to a plan constant
+    computed driver-side with the same sequential IEEE op order."""
+    qnorm = 0.0
+    for q in query_vec:
+        qnorm = qnorm + float(q) * float(q)
+    qnorm = math.sqrt(qnorm)
+    dim = len(query_vec)
+    return F.try_divide(
+        dot_unrolled(vec_col, query_vec),
+        norm_unrolled(vec_col, dim) * F.lit(qnorm),
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -36,7 +84,7 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    cos = cosine(F.col(vec_col), _vec_lit(query_vec))
+    cos = cosine_vs_literal(F.col(vec_col), query_vec)
     return (
         df.select(
             F.col(id_col).alias("vec_id2") if id_col != "vec_id" else F.col(id_col),
@@ -51,15 +99,28 @@ def brute_force_topk(
     )
 
 
-def signbit_code(vec_col: Column, planes: int = 8) -> Column:
-    """Coarse quantizer: ``planes`` sign bits from fixed pseudo-random
-    hyperplanes (hyperplane j weight for dim i = a deterministic ±1
-    pattern derived from (i*planes + j) hashing — seed-free and
-    engine-independent)."""
-    dims = F.size(vec_col)
-    # weight(i, j) = +1 if ((i*31 + j*17) % 7) < 3 else -1 — a fixed,
-    # cheap pseudo-random ±1 pattern (documented so tests can replay it)
+def plane_weight(i: int, j: int) -> float:
+    """Deterministic ±1 hyperplane pattern: +1 if ((i*31 + j*17) % 7)
+    < 3 else -1 — seed-free, engine-independent, replayable in tests
+    and driver-side Python alike."""
+    return 1.0 if ((i * 31 + j * 17) % 7) < 3 else -1.0
+
+
+def signbit_code(
+    vec_col: Column, planes: int = 8, dim: int | None = None
+) -> Column:
+    """Coarse quantizer: ``planes`` sign bits from the fixed ±1
+    hyperplane pattern. With ``dim`` known the plane dot products are
+    unrolled codegen expressions; without it, an interpreted HOF
+    fallback handles ragged arrays (index path always passes dim)."""
+
     def plane_dot(j: int) -> Column:
+        if dim is not None:
+            acc = vec_col[0].cast("double") * plane_weight(0, j)
+            for i in range(1, dim):
+                acc = acc + vec_col[i].cast("double") * plane_weight(i, j)
+            return acc
+        dims = F.size(vec_col)
         prods = F.zip_with(
             vec_col,
             F.sequence(F.lit(0), dims - 1),
@@ -76,6 +137,20 @@ def signbit_code(vec_col: Column, planes: int = 8) -> Column:
     return code
 
 
+def signbit_code_py(vec: list[float], planes: int = 8) -> int:
+    """Driver-side replica of signbit_code for a concrete vector —
+    used to compute the query's code and enumerate probe buckets
+    without touching the cluster."""
+    code = 0
+    for j in range(planes):
+        acc = 0.0
+        for i, x in enumerate(vec):
+            acc = acc + float(x) * plane_weight(i, j)
+        if acc > 0:
+            code |= 1 << j
+    return code
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -85,16 +160,23 @@ def ivf_topk(
     planes: int = 8,
     nprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose sign-bit code is
-    within ``nprobe_hamming`` of the query's code."""
+    """Approximate top-k WITHOUT a prebuilt index: codes are computed
+    in the same scan that scores survivors (one pass, codegen
+    throughout — but still a full scan). For repeated queries use
+    operators/vector_index.py, which materializes the codes as a
+    partition column so probes prune the scan itself."""
+    dim = len(query_vec)
+    qcode = signbit_code_py(query_vec, planes)
     coded = df.select(
         F.col(id_col),
         F.col(vec_col),
-        signbit_code(F.col(vec_col), planes).alias("__code"),
+        signbit_code(F.col(vec_col), planes, dim=dim).alias("__code"),
     )
-    qcode = signbit_code(_vec_lit(query_vec), planes)
-    probe = F.bit_count(F.col("__code").bitwiseXOR(qcode)) <= nprobe_hamming
-    cos = cosine(F.col(vec_col), _vec_lit(query_vec))
+    probe = (
+        F.bit_count(F.col("__code").bitwiseXOR(F.lit(qcode)))
+        <= nprobe_hamming
+    )
+    cos = cosine_vs_literal(F.col(vec_col), query_vec)
     return (
         coded.where(probe)
         .select(F.col(id_col), cos.alias("__cos"))

