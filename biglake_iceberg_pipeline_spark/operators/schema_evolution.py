@@ -111,12 +111,41 @@ def widening_plan(df_incoming: DataFrame, df_target: DataFrame) -> list[dict]:
     return plan
 
 
-def align_for_append(df: DataFrame, target: DataFrame) -> DataFrame:
-    """Cast/reorder/null-fill ``df`` to the target schema (union-by-name
-    semantics with safe casts) — the loader's append path."""
+def evolve_schema(df_incoming: DataFrame, df_target: DataFrame):
+    """The loader's create-or-append schema result: the target schema
+    with (a) columns widened in place where the incoming type is the
+    safely-wider one, and (b) incoming-only columns APPENDED — never
+    dropped (reference loader adds missing columns on append). Raises
+    on any 'incompatible' column. Returns a StructType."""
+    from pyspark.sql.types import StructField, StructType
+
+    plan = {p["column"]: p for p in widening_plan(df_incoming, df_target)}
+    bad = [p for p in plan.values() if p["action"] == "incompatible"]
+    if bad:
+        raise ValueError(f"incompatible append: {bad}")
+    incoming = {f.name: f for f in df_incoming.schema.fields}
+    fields = []
+    for f in df_target.schema.fields:
+        p = plan.get(f.name)
+        if p is not None and p["action"] == "widen":
+            fields.append(
+                StructField(f.name, incoming[f.name].dataType, True)
+            )
+        else:
+            fields.append(StructField(f.name, f.dataType, True))
+    target_names = {f.name for f in df_target.schema.fields}
+    for f in df_incoming.schema.fields:
+        if f.name not in target_names:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Cast/reorder/null-fill ``df`` to a StructType (union-by-name
+    semantics with safe casts)."""
+    incoming = {f.name for f in df.schema.fields}
     out_cols = []
-    incoming = dict(df.dtypes)
-    for field in target.schema.fields:
+    for field in schema.fields:
         if field.name in incoming:
             out_cols.append(
                 F.col(field.name).cast(field.dataType).alias(field.name)
@@ -126,3 +155,11 @@ def align_for_append(df: DataFrame, target: DataFrame) -> DataFrame:
                 F.lit(None).cast(field.dataType).alias(field.name)
             )
     return df.select(*out_cols)
+
+
+def align_for_append(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Align ``df`` for appending into a table shaped like ``target``
+    under loader semantics: safe widenings apply to the TABLE (not a
+    down-cast of the data), and incoming-only columns are kept — the
+    result's schema is ``evolve_schema(df, target)``."""
+    return align_to_schema(df, evolve_schema(df, target))

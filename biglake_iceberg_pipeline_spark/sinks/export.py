@@ -31,10 +31,10 @@ def to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def to_excel(df: DataFrame, path: str) -> None:
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel export requires openpyxl (absent in this environment)"
-        ) from exc
-    df.toPandas().to_excel(path, index=False)
+    """Driver-side export via the stdlib SpreadsheetML codec (an .xlsx
+    deliverable is definitionally small — the format caps at ~1M rows;
+    reference to_excel.sql is the same single-file shape)."""
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import write_xlsx
+
+    rows = [tuple(r) for r in df.collect()]
+    write_xlsx(path, list(df.columns), rows)

@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
     align_for_append,
-    widening_plan,
+    align_to_schema,
+    evolve_schema,
 )
 
 
@@ -223,6 +224,16 @@ class LakehouseTable:
         restores the hive-path columns, then cast them back to the
         committed schema (discovery would re-infer types per group)."""
         if not self.partition_by:
+            # Overlay the committed (possibly evolved) schema: files
+            # written before an add-column/widen commit then surface
+            # NULL / upcast values — Spark's parquet reader fills
+            # missing columns and widens in the scan, no rewrite.
+            schema_json = self._read_manifest().get("schema")
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                committed = StructType.fromJson(json.loads(schema_json))
+                return spark.read.schema(committed).parquet(*files)
             return spark.read.parquet(*files)
         from collections import defaultdict
 
@@ -292,27 +303,21 @@ class LakehouseTable:
         return (snaps[-1]["id"] + 1) if snaps else 1
 
     def append(self, df: DataFrame) -> int:
-        """Append with loader-style schema evolution: incompatible
-        columns raise; new/widenable columns are aligned."""
+        """Append with loader-style schema evolution (reference
+        loader's create-or-append): incompatible columns raise;
+        incoming-only columns are ADDED to the table schema; wider
+        incoming types WIDEN the table schema. Old data files stay as
+        written — the read path overlays the committed (evolved)
+        schema, so historical rows surface NULL for added columns and
+        upcast values for widened ones (Iceberg's metadata-only
+        evolution; no rewrite)."""
         manifest = self._read_manifest()
-        if manifest["schema"] is not None:
+        if manifest["schema"] is not None and manifest["snapshots"]:
             spark = df.sparkSession
-            target = (
-                self._read_files(
-                    spark, manifest["snapshots"][-1]["files"]
-                )
-                if manifest["snapshots"]
-                else None
+            target = self._read_files(
+                spark, manifest["snapshots"][-1]["files"]
             )
-            if target is not None:
-                bad = [
-                    p
-                    for p in widening_plan(df, target)
-                    if p["action"] == "incompatible"
-                ]
-                if bad:
-                    raise ValueError(f"incompatible append: {bad}")
-                df = align_for_append(df, target)
+            df = align_for_append(df, target)
         files = self._write_data(df)
         return self._locked_commit(
             "append",
@@ -410,7 +415,13 @@ class LakehouseTable:
         base = self.current_snapshot_id()
         target = self.read(spark)
         kept = target.join(source.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(align_for_append(source, target))
+        # Same evolution semantics as append: the merged table carries
+        # the evolved schema, so kept rows null-fill source-only
+        # columns instead of the union dropping them.
+        evolved = evolve_schema(source, target)
+        merged = align_to_schema(kept, evolved).unionByName(
+            align_to_schema(source, evolved)
+        )
         files = self._write_data(merged)
         return self._locked_commit(
             "merge",

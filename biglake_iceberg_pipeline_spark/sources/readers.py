@@ -70,22 +70,80 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel ingestion (reference load_excel.sql via DuckDB's st_read).
+def _excel_rows_to_df(
+    spark: SparkSession, header: list[str], rows: list[list]
+) -> DataFrame:
+    """Schema inference matching the CSV path's spirit: a column whose
+    every non-null value is numeric becomes double, else string."""
+    from biglake_iceberg_pipeline_spark.operators.cleaning import (
+        normalize_column_names,
+    )
 
-    No xlsx library ships in this container; gate behind import so the
-    operator surface exists and activates when openpyxl is present.
-    """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel ingestion requires openpyxl (not in this environment); "
-            "CSV/JSON/Parquet paths are fully supported"
-        ) from exc
+    n = len(header)
+    is_num = [True] * n
+    for r in rows:
+        for i in range(n):
+            v = r[i] if i < len(r) else None
+            if v is None:
+                continue
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                is_num[i] = False
+    typed = []
+    for r in rows:
+        padded = list(r) + [None] * (n - len(r))
+        typed.append(
+            tuple(
+                (float(v) if is_num[i] else (None if v is None else str(v)))
+                if padded[i] is not None
+                else None
+                for i, v in enumerate(padded)
+            )
+        )
+    schema = ", ".join(
+        f"`{c}` {'double' if is_num[i] else 'string'}"
+        for i, c in enumerate(header)
+    )
+    return normalize_column_names(spark.createDataFrame(typed, schema))
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Excel ingestion (reference load_excel.sql — the loader handles
+    .xlsx inboxes end-to-end). Backed by the dependency-free
+    SpreadsheetML codec in sources/xlsx_lite.py; single files parse
+    driver-side (an .xlsx is definitionally small — the format caps at
+    ~1M rows), directories of them distribute via read_excel_dir."""
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import read_xlsx
+
+    header, rows = read_xlsx(path)
+    return _excel_rows_to_df(spark, header, rows)
+
+
+def read_excel_dir(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed many-file Excel ingestion: binaryFile scan ships
+    each workbook's bytes to an executor, mapInPandas parses with the
+    stdlib codec — the driver never sees file contents, so a 10k-file
+    inbox ingests at executor parallelism. All files must share one
+    header (first file wins the schema, like Spark's CSV dir read)."""
     import pandas as pd
 
-    return spark.createDataFrame(pd.read_excel(path))
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import read_xlsx
+
+    bin_df = spark.read.format("binaryFile").load(path_glob)
+    first = bin_df.select("content").first()
+    if first is None:
+        raise ValueError(f"no files matched {path_glob}")
+    header, rows0 = read_xlsx(bytes(first["content"]))
+    schema = _excel_rows_to_df(spark, header, rows0).schema
+
+    def parse(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                h, rows = read_xlsx(bytes(blob))
+                out = pd.DataFrame(rows, columns=h)
+                out.columns = [f.name for f in schema.fields][: len(h)]
+                yield out
+
+    return bin_df.select("content").mapInPandas(parse, schema)
 
 
 def read_auto(spark: SparkSession, path: str) -> DataFrame:

@@ -76,8 +76,57 @@ def test_widening_plan_and_align(spark):
     )
     plan = {p["column"]: p["action"] for p in se.widening_plan(incoming, target)}
     assert plan == {"id": "ok", "v": "ok", "extra": "add_column"}
+    # Loader semantics: incoming-only columns are KEPT (added to the
+    # table), never dropped; safe-narrower incoming casts up.
     aligned = se.align_for_append(incoming, target)
-    assert dict(aligned.dtypes) == {"id": "bigint", "v": "double"}
+    assert dict(aligned.dtypes) == {
+        "id": "bigint",
+        "v": "double",
+        "extra": "string",
+    }
+
+
+def test_append_adds_columns_and_widens(spark, tmp_path):
+    """Reference-loader parity: an append carrying a new column adds
+    it to the table (old rows read as NULL), and a wider incoming
+    type widens the table column — nothing is dropped or narrowed."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.range(2).selectExpr(
+            "id", "CAST(id AS INT) small", "CAST(id AS STRING) s"
+        )
+    )
+    t.append(
+        spark.range(2, 4).selectExpr(
+            "id",
+            "CAST(id AS BIGINT) small",  # widen int -> bigint
+            "CAST(id AS STRING) s",
+            "CAST(id * 1.5 AS DOUBLE) score",  # brand-new column
+        )
+    )
+    out = t.read(spark)
+    dtypes = dict(out.dtypes)
+    assert dtypes["small"] == "bigint" and dtypes["score"] == "double"
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # pre-evolution rows surface NULL for the added column
+    assert rows[0]["score"] is None and rows[1]["score"] is None
+    assert rows[3]["score"] == 4.5 and rows[3]["small"] == 3
+
+
+def test_merge_keeps_source_only_columns(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 9.0), (3, "c", 1.0)], "id long, name string, w double"
+    )
+    t.merge(spark, src, ["id"])
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["w"] is None  # kept row null-fills the new column
+    assert rows[2]["name"] == "B" and rows[2]["w"] == 9.0
 
 
 def test_merge_upsert(spark, tmp_path):

@@ -86,9 +86,59 @@ def test_read_auto_dispatch(spark, tmp_path):
     assert readers.read_auto(spark, str(p)).count() == 1
 
 
-def test_read_excel_gated(spark, tmp_path):
-    with pytest.raises((NotImplementedError, Exception)):
-        readers.read_excel(spark, str(tmp_path / "t.xlsx"))
+def test_read_excel_roundtrip(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        p,
+        ["Order ID", "Amount", "Status"],
+        [(1.0, 10.5, "open"), (2.0, None, "closed"), (3.0, 7.25, "it's ok")],
+    )
+    # codec-level roundtrip
+    header, rows = read_xlsx(p)
+    assert header == ["Order ID", "Amount", "Status"]
+    assert rows[1] == [2.0, None, "closed"]
+    assert rows[2][2] == "it's ok"  # escaping survives
+    # spark-level: snake_cased columns, numeric inference
+    df = readers.read_excel(spark, p)
+    assert df.columns == ["order_id", "amount", "status"]
+    got = {r["order_id"]: r for r in df.collect()}
+    assert got[2.0]["amount"] is None and got[1.0]["amount"] == 10.5
+    assert dict(df.dtypes)["amount"] == "double"
+
+
+def test_read_excel_dir_distributed(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import write_xlsx
+
+    for i in range(3):
+        write_xlsx(
+            str(tmp_path / f"part{i}.xlsx"),
+            ["id", "v"],
+            [(float(i * 2), f"a{i}"), (float(i * 2 + 1), f"b{i}")],
+        )
+    df = readers.read_excel_dir(spark, str(tmp_path / "*.xlsx"))
+    assert df.count() == 6
+    assert {r["v"] for r in df.collect()} == {
+        "a0", "b0", "a1", "b1", "a2", "b2"
+    }
+
+
+def test_to_excel_export_roundtrip(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.sinks.export import to_excel
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import read_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", None)], "id long, s string, v double"
+    )
+    p = str(tmp_path / "out.xlsx")
+    to_excel(df, p)
+    header, rows = read_xlsx(p)
+    assert header == ["id", "s", "v"]
+    assert sorted(rows)[0] == [1.0, "x", 1.5]
 
 
 def test_export_roundtrip(spark, tmp_path):
