@@ -321,20 +321,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Pairwise cosine with a KNOWN dim: unrolled codegen expressions
-    instead of the interpreted HOF fold below — same left-associated
-    IEEE op order, so results are bit-identical to ``cosine`` and to
-    the DuckDB oracle's list_reduce."""
-    dot = a[0].cast("double") * b[0].cast("double")
-    na = a[0].cast("double") * a[0].cast("double")
-    nb = b[0].cast("double") * b[0].cast("double")
-    for i in range(1, dim):
-        ai, bi = a[i].cast("double"), b[i].cast("double")
-        dot = dot + ai * bi
-        na = na + ai * ai
-        nb = nb + bi * bi
-    return F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Pairwise cosine as an Arrow-batched pandas UDF: numpy kernel
+    vectorized across rows, SEQUENTIAL across dimensions (left-assoc
+    `acc = acc + a_i*b_i`), so results are bit-identical to the
+    interpreted ``cosine`` fold and the DuckDB oracle's list_reduce —
+    while keeping the plan one UDF node (a 64-dim unrolled expression
+    tree costs ~1 s of Catalyst optimization per query) and the
+    executor math SIMD."""
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        aa = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+        bb = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
+        dot = aa[:, 0] * bb[:, 0]
+        na = aa[:, 0] * aa[:, 0]
+        nb = bb[:, 0] * bb[:, 0]
+        for i in range(1, aa.shape[1]):
+            dot = dot + aa[:, i] * bb[:, i]
+            na = na + aa[:, i] * aa[:, i]
+            nb = nb + bb[:, i] * bb[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
+
+    return pandas_udf(kernel, "double")(a, b)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -366,22 +382,18 @@ def embedding_near_dup_pairs(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.4,
-    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold within a bucket key (exact within
     bucket; see similarity.ivf_topk for the unbucketed scale path).
-    Pass ``dim`` when the embedding width is known so the pairwise
-    cosine runs as unrolled codegen instead of an interpreted fold."""
+    Scoring is the Arrow-batched numpy kernel — SIMD per executor,
+    one-node plan."""
     g = df.select(
         F.col(id_col).alias("__id"),
         F.col(bucket_col).alias("__part"),
         F.col(vec_col).alias("__v"),
     )
     a, b = g.alias("a"), g.alias("b")
-    if dim is not None:
-        cos = cosine_unrolled(F.col("a.__v"), F.col("b.__v"), dim)
-    else:
-        cos = cosine(F.col("a.__v"), F.col("b.__v"))
+    cos = cosine_pandas(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(
             b,

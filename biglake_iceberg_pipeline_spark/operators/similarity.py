@@ -61,10 +61,17 @@ def norm_unrolled(vec_col: Column, dim: int) -> Column:
     return F.sqrt(acc)
 
 
-def cosine_vs_literal(vec_col: Column, query_vec: list[float]) -> Column:
+def cosine_vs_literal_unrolled(
+    vec_col: Column, query_vec: list[float]
+) -> Column:
     """Codegen cosine(vec, literal query): one unrolled dot + one
     unrolled norm per row; the query's norm folds to a plan constant
-    computed driver-side with the same sequential IEEE op order."""
+    computed driver-side with the same sequential IEEE op order.
+
+    Trade-off measured at sf0.1: executes fast (whole-stage codegen)
+    but the ~400-node expression tree costs ~1 s of Catalyst
+    optimization PER QUERY — use for one-shot plans; repeated queries
+    go through ``cosine_vs_literal`` (Arrow/numpy, small plan)."""
     qnorm = 0.0
     for q in query_vec:
         qnorm = qnorm + float(q) * float(q)
@@ -74,6 +81,41 @@ def cosine_vs_literal(vec_col: Column, query_vec: list[float]) -> Column:
         dot_unrolled(vec_col, query_vec),
         norm_unrolled(vec_col, dim) * F.lit(qnorm),
     )
+
+
+def cosine_vs_literal(vec_col: Column, query_vec: list[float]) -> Column:
+    """Arrow-batched cosine(vec, literal query): a pandas UDF whose
+    numpy kernel is VECTORIZED ACROSS ROWS but SEQUENTIAL ACROSS
+    DIMENSIONS — `acc = acc + col_i * q_i` left-associated exactly like
+    the DuckDB oracle's list_reduce fold, so results stay bit-identical
+    while each executor does SIMD column math. Plan stays tiny (one UDF
+    node), so driver-side optimization time doesn't scale with dim —
+    the failure mode the unrolled variant hits."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = [float(x) for x in query_vec]
+    qnorm = 0.0
+    for x in q:
+        qnorm = qnorm + x * x
+    qnorm = math.sqrt(qnorm)
+
+    def kernel(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        arr = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        dot = arr[:, 0] * q[0]
+        nrm = arr[:, 0] * arr[:, 0]
+        for i in range(1, len(q)):
+            dot = dot + arr[:, i] * q[i]
+            nrm = nrm + arr[:, i] * arr[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(nrm) * qnorm)
+        return pd.Series(out)
+
+    return pandas_udf(kernel, "double")(vec_col)
 
 
 def brute_force_topk(

@@ -127,15 +127,12 @@ LEFT JOIN comps c ON d.doc_id = c.id
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     return dedup.embedding_near_dup_pairs(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         bucket_col="label",
         threshold=0.4,
-        dim=dim,
     )
 
 
@@ -166,10 +163,17 @@ ORDER BY id_a, id_b
 """
 
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    return list(row[0])
+    # Deterministic per sf_dir (vec_id=0's embedding) — cache so
+    # repeated ANN calls don't re-run the lookup job.
+    if sf_dir not in _QUERY_VEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+        _QUERY_VEC_CACHE[sf_dir] = list(row[0])
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_configs(
+    jar_path: str | None = None,
+    catalog: str = "lake",
+    warehouse: str | None = None,
+) -> dict[str, str]:
+    """Config set activating a REAL Iceberg catalog when a runtime jar
+    is available (BASELINE's north star: Spark + Iceberg connector).
+    Returns {} when no jar is configured, in which case
+    sinks/lakehouse.py's manifest implementation stands in with the
+    same operator surface. Standard public Iceberg-on-Spark wiring:
+    a SparkCatalog of type=hadoop over a warehouse path, plus the SQL
+    extensions for MERGE INTO / time travel / procedures."""
+    jar = jar_path or os.environ.get("SPARK_GRAFT_ICEBERG_JAR", "")
+    if not jar or not os.path.exists(jar):
+        return {}
+    wh = warehouse or os.environ.get(
+        "SPARK_GRAFT_ICEBERG_WAREHOUSE", "/tmp/spark_graft_iceberg"
+    )
+    return {
+        "spark.jars": jar,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": (
+            "org.apache.iceberg.spark.SparkCatalog"
+        ),
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": wh,
+    }
+
+
 def get_spark(app_name: str = "biglake-iceberg-pipeline-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -47,4 +79,9 @@ def get_spark(app_name: str = "biglake-iceberg-pipeline-spark") -> SparkSession:
             "-Dderby.system.home=/tmp/spark_graft_derby",
         )
     )
+    # Real Iceberg catalog when SPARK_GRAFT_ICEBERG_JAR points at the
+    # iceberg-spark-runtime jar (no-op otherwise; must be set before
+    # the session exists because spark.sql.extensions is create-time).
+    for key, val in iceberg_configs().items():
+        builder = builder.config(key, val)
     return builder.getOrCreate()

@@ -154,3 +154,20 @@ def test_export_roundtrip(spark, tmp_path):
     )
     export.to_jsonl(df, str(tmp_path / "j"))
     assert spark.read.json(str(tmp_path / "j")).count() == 5
+
+
+def test_iceberg_configs_gate(tmp_path, monkeypatch):
+    from biglake_iceberg_pipeline_spark.session import iceberg_configs
+
+    # no jar configured -> no-op (manifest lakehouse stands in)
+    monkeypatch.delenv("SPARK_GRAFT_ICEBERG_JAR", raising=False)
+    assert iceberg_configs() == {}
+    # nonexistent jar path -> still a no-op, never a broken session
+    assert iceberg_configs(jar_path=str(tmp_path / "nope.jar")) == {}
+    # a present jar activates the catalog wiring
+    jar = tmp_path / "iceberg-spark-runtime.jar"
+    jar.write_bytes(b"PK")
+    cfg = iceberg_configs(jar_path=str(jar), catalog="lake")
+    assert cfg["spark.sql.catalog.lake"].endswith("SparkCatalog")
+    assert "IcebergSparkSessionExtensions" in cfg["spark.sql.extensions"]
+    assert cfg["spark.jars"] == str(jar)
