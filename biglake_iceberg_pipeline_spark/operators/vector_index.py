@@ -67,6 +67,90 @@ def probe_codes(
     return sorted(set(out))
 
 
+def register_lakehouse_index(
+    spark: SparkSession,
+    table,
+    vec_col: str,
+    id_col: str,
+    planes: int = 8,
+    dim: int | None = None,
+) -> None:
+    """CREATE VECTOR INDEX for a lakehouse table (DEMO.md §7): builds
+    the partitioned-code layout from the CURRENT snapshot under
+    ``<table>/_index/<vec_col>/`` and records it in the manifest.
+    Subsequent ``table.append(...)`` calls maintain it INCREMENTALLY —
+    only the appended rows are coded and written (parquet append into
+    the code partitions), so index upkeep is O(batch), not O(table)."""
+    path = f"{table.path}/_index/{vec_col}"
+    df = table.read(spark).select(id_col, vec_col)
+    if dim is None:
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row else None
+    coded = df.select(
+        df[id_col],
+        df[vec_col],
+        signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
+    )
+    coded.write.mode("overwrite").partitionBy("__code").parquet(path)
+    table.set_vector_index_meta(
+        vec_col,
+        {
+            "path": path,
+            "id_col": id_col,
+            "planes": planes,
+            "dim": dim,
+            "indexed_snapshot": table.current_snapshot_id(),
+        },
+    )
+
+
+def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
+    """Called by LakehouseTable.append after a data commit: codes JUST
+    the appended rows into every registered index (incremental
+    maintenance — the auto_embedding_columns seam)."""
+    for vec_col, meta in table.vector_index_meta().items():
+        if vec_col not in appended_df.columns:
+            continue
+        coded = appended_df.select(
+            appended_df[meta["id_col"]],
+            appended_df[vec_col],
+            signbit_code(
+                appended_df[vec_col], meta["planes"], dim=meta["dim"]
+            ).alias("__code"),
+        ).where(appended_df[vec_col].isNotNull())
+        coded.write.mode("append").partitionBy("__code").parquet(
+            meta["path"]
+        )
+        meta = dict(meta)
+        meta["indexed_snapshot"] = table.current_snapshot_id()
+        table.set_vector_index_meta(vec_col, meta)
+
+
+def probe_lakehouse_index(
+    spark: SparkSession,
+    table,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe_hamming: int = 1,
+) -> DataFrame:
+    """VECTOR_SEARCH over a registered index: partition-pruned scan of
+    the probed code directories only."""
+    meta = table.vector_index_meta().get(vec_col)
+    if meta is None:
+        raise ValueError(f"no vector index registered on {vec_col!r}")
+    return ivf_probe(
+        spark,
+        meta["path"],
+        meta["id_col"],
+        vec_col,
+        query_vec,
+        k=k,
+        planes=meta["planes"],
+        nprobe_hamming=nprobe_hamming,
+    )
+
+
 def ivf_probe(
     spark: SparkSession,
     path: str,

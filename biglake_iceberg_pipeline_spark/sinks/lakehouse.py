@@ -122,17 +122,33 @@ class LakehouseTable:
         schema_json: str | None,
         expected_tail: int | None = ...,
         inherit_prev_files: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Allocate the snapshot id and swap the manifest under the
         commit lock. ``expected_tail`` (when not Ellipsis) asserts the
         table tail is unchanged since the caller read it — rewrites
         pass it; appends instead set ``inherit_prev_files`` and pick
-        up whatever tail exists at commit time (appends commute)."""
+        up whatever tail exists at commit time (appends commute).
+
+        ``txn=(app_id, version)`` makes the commit IDEMPOTENT (the
+        Iceberg/Delta transactional-sink pattern: streaming writers
+        stamp each epoch): if this app_id has already committed this
+        or a later version, the commit is skipped under the lock and
+        the current tail id returns — a replayed streaming batch
+        becomes a no-op instead of duplicate rows. Skipped commits may
+        leave unreferenced data files behind; they are invisible to
+        readers (manifest-driven scans) and reclaimable by an orphan
+        sweep."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             snaps = manifest["snapshots"]
             tail = snaps[-1]["id"] if snaps else None
+            if txn is not None:
+                app_id, version = txn
+                seen = manifest.get("txns", {}).get(app_id)
+                if seen is not None and seen >= version:
+                    return tail
             if expected_tail is not ... and tail != expected_tail:
                 raise CommitConflict(
                     f"table advanced to snapshot {tail} (expected "
@@ -160,6 +176,8 @@ class LakehouseTable:
             )
             if schema_json is not None:
                 manifest["schema"] = schema_json
+            if txn is not None:
+                manifest.setdefault("txns", {})[txn[0]] = txn[1]
             self._commit(manifest)
             return snap_id
         finally:
@@ -175,6 +193,31 @@ class LakehouseTable:
     def current_snapshot_id(self) -> int | None:
         snaps = self.snapshots
         return snaps[-1]["id"] if snaps else None
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed transaction version for a writer app id
+        (cheap pre-check; the authoritative skip happens under the
+        commit lock in _locked_commit)."""
+        return self._read_manifest().get("txns", {}).get(app_id)
+
+    # ----------------------------------------------- vector indexes
+
+    def vector_index_meta(self) -> dict[str, dict]:
+        """Registered vector indexes (operators/vector_index.py):
+        column → {path, id_col, planes, dim, indexed_snapshot}."""
+        return self._read_manifest().get("vector_indexes", {})
+
+    def set_vector_index_meta(self, vec_col: str, meta: dict) -> None:
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            manifest.setdefault("vector_indexes", {})[vec_col] = meta
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     # ----------------------------------------------------------- writes
 
@@ -302,7 +345,9 @@ class LakehouseTable:
         snaps = manifest["snapshots"]
         return (snaps[-1]["id"] + 1) if snaps else 1
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """Append with loader-style schema evolution (reference
         loader's create-or-append): incompatible columns raise;
         incoming-only columns are ADDED to the table schema; wider
@@ -319,13 +364,27 @@ class LakehouseTable:
             )
             df = align_for_append(df, target)
         files = self._write_data(df)
-        return self._locked_commit(
+        prev = self.current_snapshot_id()
+        snap = self._locked_commit(
             "append",
             files,
             self._file_stats(files),
             df.schema.json(),
             inherit_prev_files=True,
+            txn=txn,
         )
+        # Incremental vector-index upkeep (auto_embedding_columns
+        # seam): code ONLY the files this commit added. Skipped when
+        # the txn guard made the commit a no-op.
+        if snap != prev and self._read_manifest().get("vector_indexes"):
+            from biglake_iceberg_pipeline_spark.operators.vector_index import (
+                maintain_lakehouse_indexes,
+            )
+
+            maintain_lakehouse_indexes(
+                self, df.sparkSession.read.parquet(*files)
+            )
+        return snap
 
     def overwrite(self, df: DataFrame) -> int:
         # overwrite replaces whatever the tail is — no read-state
@@ -393,7 +452,11 @@ class LakehouseTable:
         )
 
     def merge(
-        self, spark: SparkSession, source: DataFrame, keys: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE (upsert) by key: source rows replace matching target
         rows; unmatched source rows are inserted (Iceberg
@@ -429,6 +492,7 @@ class LakehouseTable:
             self._file_stats(files),
             merged.schema.json(),
             expected_tail=base,
+            txn=txn,
         )
 
     def delete_where(self, spark: SparkSession, condition) -> int:

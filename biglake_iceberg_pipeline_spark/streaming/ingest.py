@@ -109,28 +109,42 @@ def start_ingest_to_lakehouse(
 
     foreachBatch gives the loader's table semantics (snapshot commits,
     schema evolution, MERGE upsert when ``merge_keys`` is set) instead
-    of the raw file-sink. Exactly-once: the checkpoint records the
-    last completed batch; a replayed batch re-runs its merge, which is
-    idempotent on the keys. With append (no keys), replay protection
-    comes from the streaming checkpoint's batch tracking — Spark only
-    re-invokes foreachBatch for batches whose commit is missing.
+    of the raw file-sink. EXACTLY-ONCE, not just at-least-once: every
+    batch commit is stamped with (checkpoint-scoped app id, batch_id)
+    inside the table's transactional manifest commit, so a batch
+    replayed after a crash between table-commit and checkpoint-commit
+    is skipped under the table's commit lock — the window where
+    checkpoint-only tracking would double-append. (MERGE batches are
+    additionally idempotent on the keys.)
     """
+    import hashlib
+
     from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
         LakehouseTable,
     )
 
     table = LakehouseTable(table_path)
     stream = clean_batch(read_inbox_stream(spark, inbox_dir, schema, fmt))
+    # Checkpoint-scoped writer identity: a NEW checkpoint means a new
+    # pipeline whose batch ids restart at 0 and must not be confused
+    # with the old run's epochs.
+    app_id = "ingest-" + hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = table.last_txn_version(app_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed epoch, already in the table
+        txn = (app_id, batch_id)
         if merge_keys:
             # a batch may carry several versions of a key (e.g. two
             # files landed); last-writer-wins within the batch
             batch_df = batch_df.dropDuplicates(merge_keys)
             if table.current_snapshot_id() is not None:
-                table.merge(batch_df.sparkSession, batch_df, merge_keys)
+                table.merge(
+                    batch_df.sparkSession, batch_df, merge_keys, txn=txn
+                )
                 return
-        table.append(batch_df)
+        table.append(batch_df, txn=txn)
 
     return (
         stream.writeStream.foreachBatch(_sink)

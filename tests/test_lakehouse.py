@@ -547,3 +547,62 @@ def test_rollback_to_snapshot(spark, tmp_path):
     # incremental scans refuse to cross the rollback (it's a rewrite)
     with pytest.raises(ValueError, match="rewrite"):
         t.incremental_scan(spark, s1)
+
+
+def test_txn_idempotent_commits(spark, tmp_path):
+    """Transactional-sink pattern: a commit stamped with an already-
+    seen (app, version) is a no-op — a streaming batch replayed after
+    a crash cannot double-append."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    t.append(df, txn=("app-a", 0))
+    snap = t.current_snapshot_id()
+    # replay of the same epoch: skipped, same tail, same rows
+    assert t.append(df, txn=("app-a", 0)) == snap
+    assert t.current_snapshot_id() == snap
+    assert t.read(spark).count() == 5
+    # next epoch commits
+    t.append(df, txn=("app-a", 1))
+    assert t.read(spark).count() == 10
+    # stale epoch after a newer one: still skipped
+    assert t.append(df, txn=("app-a", 0)) == t.current_snapshot_id()
+    assert t.read(spark).count() == 10
+    # a different writer app is independent
+    t.append(df, txn=("app-b", 0))
+    assert t.read(spark).count() == 15
+    assert t.last_txn_version("app-a") == 1
+    # merge replays are also transactional
+    src = spark.createDataFrame([(99, 1)], "id long, v long")
+    t.merge(spark, src, ["id"], txn=("app-a", 2))
+    n = t.read(spark).count()
+    t.merge(spark, src, ["id"], txn=("app-a", 2))
+    assert t.read(spark).count() == n
+
+
+def test_lakehouse_vector_index_incremental(spark, tmp_path):
+    """CREATE VECTOR INDEX + incremental maintenance: a probe after an
+    append finds vectors from BOTH the build-time snapshot and the
+    appended batch, via a partition-pruned scan."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first, second = emb.where("vec_id < 80"), emb.where("vec_id >= 80")
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(first)
+    vector_index.register_lakehouse_index(
+        spark, t, "embedding", "vec_id"
+    )
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    # appends after registration maintain the index incrementally
+    t.append(second)
+    probe = vector_index.probe_lakehouse_index(
+        spark, t, "embedding", q, k=200, nprobe_hamming=8
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    ids = {r["vec_id"] for r in probe.collect()}
+    # nprobe=planes covers every bucket -> exact: all rows reachable
+    assert len(ids) == 200
+    assert any(i >= 80 for i in ids)  # appended rows are indexed
+    meta = t.vector_index_meta()["embedding"]
+    assert meta["indexed_snapshot"] == t.current_snapshot_id()
