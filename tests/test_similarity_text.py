@@ -181,3 +181,102 @@ def test_probe_codes_hamming_ball():
     codes = probe_codes(vec, planes=8, nprobe_hamming=1)
     assert qcode in codes and len(codes) == 9  # center + 8 one-bit flips
     assert all(bin(c ^ qcode).count("1") <= 1 for c in codes)
+
+
+def _make_bmp(width, height, rgb_rows):
+    """Minimal 24-bit BMP encoder (test-side, stdlib struct)."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - width * 3)
+    # bottom-up, BGR
+    body = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row) + pad
+        for row in reversed(rgb_rows)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    return header + body
+
+
+def _make_wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s * 32767)) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def test_bmp_decode_real(spark):
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    # 2x2: red, green / blue, white
+    bmp = _make_bmp(
+        2, 2,
+        [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]],
+    )
+    img = multimodal.decode_bmp(bmp)
+    assert img.shape == (2, 2, 3)
+    assert list(img[0, 0]) == [255, 0, 0] and list(img[1, 1]) == [255, 255, 255]
+    feats = multimodal.decode_image(bmp)
+    assert feats[0] == 2.0 and feats[1] == 2.0  # width, height
+    assert feats[-1] == 1.0  # real decode, not fallback
+    up = multimodal.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3) and list(up[0, 0]) == [255, 0, 0]
+
+
+def test_wav_decode_real():
+    import math
+
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    wav = _make_wav(
+        [math.sin(2 * math.pi * 440 * i / 8000) * 0.5 for i in range(800)]
+    )
+    samples, rate, n_ch = multimodal.decode_wav(wav)
+    assert rate == 8000 and n_ch == 1 and len(samples) == 800
+    feats = multimodal.decode_image(wav)  # dispatches on RIFF magic
+    assert feats[1] == 8000.0 and 0.2 < feats[3] < 0.5  # rate, rms of 0.5 sine
+    assert feats[-1] == 1.0
+
+
+def test_mixed_media_batch_through_spark(spark):
+    """Real BMP + real WAV + unknown bytes in ONE mapInPandas pass."""
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    bmp = _make_bmp(2, 1, [[(10, 20, 30), (40, 50, 60)]])
+    wav = _make_wav([0.1] * 100)
+    rows = [
+        (1, bytearray(bmp), "image/bmp", 2, 1),
+        (2, bytearray(wav), "audio/wav", 0, 0),
+        (3, bytearray(b"\xff\xd8not-really-jpeg"), "image/jpeg", 0, 0),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert out[1]["features"][-1] == 1.0   # BMP really decoded
+    assert out[2]["features"][-1] == 1.0   # WAV really decoded
+    assert out[3]["features"][-1] == 0.0   # fallback flagged
+    assert out[2]["features"][1] == 8000.0
+
+
+def test_sample_frames_keeps_every_kth(spark):
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    frames = [bytearray([i]) for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, frames)], "vid long, frames array<binary>"
+    )
+    out = multimodal.sample_frames(df, "frames", 3).collect()[0]
+    kept = [bytes(b)[0] for b in out["frames_sampled"]]
+    assert kept == [0, 3, 6, 9]
