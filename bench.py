@@ -53,10 +53,12 @@ def main() -> None:
         except Exception:
             pass
 
-    # Variance control: container timings are load-sensitive, so take the
-    # best of N reps per query — min is the right estimator for "plan
-    # cost" because noise (GC, CPU contention) only ever adds time.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # Variance control: container timings are load-sensitive (the same
+    # q1 plan measured 0.23s-1.08s across one day on this host), so
+    # take the best of N reps per query — min is the right estimator
+    # for "plan cost" because noise (GC, CPU contention) only ever
+    # adds time.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")

@@ -68,17 +68,11 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     n_words = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
     punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), F.lit(0)))
-    mean_word_len = F.round(
-        F.try_divide(
-            F.aggregate(
-                F.transform(words, lambda w: F.length(w)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-            n_words,
-        ),
-        4,
-    )
+    # sum(word lengths) == count of non-whitespace chars in the
+    # trimmed text — a codegen regexp instead of an interpreted HOF
+    # fold (identical integers, same hash, JVM-side at scale).
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    mean_word_len = F.round(F.try_divide(word_chars, n_words), 4)
     stop_ratio = F.round(F.try_divide(stop_hits, n_words), 4)
     punct_ratio = F.round(F.try_divide(punct, n_chars), 4)
     # Composite: reward moderate word length and stopword presence,

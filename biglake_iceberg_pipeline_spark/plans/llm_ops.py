@@ -293,9 +293,7 @@ WITH feat AS (
     SELECT doc_id,
         len(text) AS n_chars,
         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
-        list_reduce(list_prepend(0,
-            [len(w) for w in string_split_regex(lower(trim(text)), '\\s+')]),
-            (a, b) -> a + b) AS word_chars,
+        len(regexp_replace(trim(text), '\\s+', '', 'g')) AS word_chars,
         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
             w -> w IN ({_STOPS}))) AS stop_hits,
         len(regexp_extract_all(text, '[.!?,;:]')) AS punct
