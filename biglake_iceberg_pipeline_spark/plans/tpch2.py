@@ -367,32 +367,37 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_f = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     )
-    # two-level agg instead of two countDistincts: a pair of distinct
-    # aggregates makes Catalyst Expand every input row ×2 before the
-    # shuffle; grouping by (order, supplier) first gets the same
-    # distinct counts from plain aggs on an already-shuffled key
-    per_order = (
-        li.groupBy(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey"))
-        .agg(
-            F.max(
-                (F.col("l_returnflag") == "R").cast("int")
-            ).alias("__ret")
-        )
-        .groupBy("__ok")
-        .agg(
-            F.count(F.lit(1)).alias("__n_supp"),
-            F.sum("__ret").alias("__n_ret_supp"),
+    # The (order, supplier) grain carries the per-pair returned-row
+    # count, so ONE logical lineitem aggregation feeds BOTH the
+    # per-order rollup (distinct-supplier / returning-supplier counts
+    # — plain aggs on the already-shuffled key, no countDistinct
+    # Expand) AND the candidate rows. numwait = sum of returned-row
+    # counts, identical to counting qualifying l1 line items. (The
+    # physical plan still materializes the scan per consumer — runtime
+    # filters on the join branch defeat exchange-reuse canonical
+    # equality — but the join input drops from raw returned line items
+    # to aggregated pairs, and the rollup shuffles pair-counts, not
+    # rows.)
+    os_level = li.groupBy(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey")
+    ).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("int")).alias(
+            "__ret_rows"
         )
     )
+    per_order = os_level.groupBy(F.col("__ok").alias("__ok2")).agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum((F.col("__ret_rows") > 0).cast("int")).alias("__n_ret_supp"),
+    )
     sup = load_table(spark, sf_dir, "supplier")
-    returned = li.where(F.col("l_returnflag") == "R")
     return (
-        returned.join(orders_f, returned.l_orderkey == orders_f.o_orderkey)
-        .join(per_order, returned.l_orderkey == F.col("__ok"))
+        os_level.where(F.col("__ret_rows") > 0)
+        .join(per_order, F.col("__ok") == F.col("__ok2"))
         .where((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
-        .join(F.broadcast(sup), returned.l_suppkey == sup.s_suppkey)
+        .join(orders_f, F.col("__ok") == orders_f.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__ret_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
