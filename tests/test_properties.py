@@ -231,3 +231,91 @@ def test_range_join_equals_brute_force(spark, points, intervals):
         if lo <= ts <= hi
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- xlsx
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    min_value=-1e12,
+                    max_value=1e12,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs", "Cc")
+                    ),
+                    max_size=40,
+                ),
+            ),
+            st.booleans(),
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_xlsx_codec_roundtrips_any_payload(rows, tmp_path_factory):
+    """write_xlsx -> read_xlsx is lossless for floats, arbitrary
+    unicode strings (XML escaping), None gaps, and booleans."""
+    import io
+
+    from biglake_iceberg_pipeline_spark.sources.xlsx_lite import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    buf = io.BytesIO()
+    write_xlsx(buf, ["num", "txt", "flag"], rows)
+    buf.seek(0)
+    header, got = read_xlsx(buf.read())
+    assert header == ["num", "txt", "flag"]
+    assert len(got) == len(rows)
+    for (num, txt, flag), out in zip(rows, got):
+        assert out[0] == num
+        assert out[1] == txt
+        assert out[2] is flag
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e9,
+            max_value=1e9,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    digits=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_money_round_matches_duckdb_bitwise(vals, digits):
+    """floor(x*10^d+0.5)/10^d computed by DuckDB equals the same
+    IEEE op sequence in Python — the cross-engine determinism the
+    oracle parity relies on (Spark executes the identical ops)."""
+    import math
+
+    import duckdb
+
+    from biglake_iceberg_pipeline_spark.functions.numeric import (
+        money_round_sql,
+    )
+
+    con = duckdb.connect()
+    scale = float(10**digits)
+    for v in vals:
+        got = con.execute(
+            f"SELECT {money_round_sql('?::DOUBLE', digits)}", [v]
+        ).fetchone()[0]
+        want = math.floor(v * scale + 0.5) / scale
+        assert got == want or (math.isnan(got) and math.isnan(want))
