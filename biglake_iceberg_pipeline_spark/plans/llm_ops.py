@@ -201,6 +201,56 @@ LIMIT 10
 """
 
 
+def _plane_dot_sql(rel: str, j: int) -> str:
+    """DuckDB fold replicating signbit_code's plane-j dot product
+    (operators/similarity.py plane_weight: +1 iff ((i*31+j*17)%7)<3,
+    0-based dim index; DuckDB lists are 1-based, hence (i-1)). Same
+    sequential IEEE op order as the Spark unrolled chain."""
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"[{rel}.embedding[i]::DOUBLE * "
+        f"(CASE WHEN ((i-1)*31 + {j}*17) % 7 < 3 THEN 1.0 ELSE -1.0 END) "
+        f"for i in generate_series(1, len({rel}.embedding))]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _code_sql(rel: str, planes: int = 8) -> str:
+    """Sign-bit coarse code as pure arithmetic (no engine-specific
+    bit ops): sum of 2^j over planes whose dot is positive."""
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(rel, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# hamming distance over the 8-bit codes, arithmetic-only
+_HAMMING = " + ".join(
+    f"(CASE WHEN (ec // {1 << j}) % 2 <> (qc // {1 << j}) % 2 "
+    "THEN 1 ELSE 0 END)"
+    for j in range(8)
+)
+
+ANN_IVF_SQL = f"""
+WITH coded AS (
+    SELECT e.vec_id, e.embedding, {_code_sql('e')} AS ec, q.embedding AS qemb,
+           {_code_sql('q')} AS qc
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+)
+SELECT vec_id,
+       ROUND({_QDOT.replace('q.embedding', 'qemb')}
+             / ({_QNA} * {_QNB.replace('q.embedding', 'qemb')}), 4)
+           AS cosine_sim
+FROM coded e
+WHERE ({_HAMMING}) <= 1
+ORDER BY {_QDOT.replace('q.embedding', 'qemb')}
+         / ({_QNA} * {_QNB.replace('q.embedding', 'qemb')}) DESC, vec_id
+LIMIT 10
+"""
+
+
 # One materialized index per (process, sf_dir): the build is the
 # ingest-time cost, probes after it prune partitions (DEMO.md §7
 # CREATE VECTOR INDEX semantics — index once, search many).
@@ -435,6 +485,7 @@ ORACLE = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
