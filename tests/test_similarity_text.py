@@ -280,3 +280,28 @@ def test_sample_frames_keeps_every_kth(spark):
     out = multimodal.sample_frames(df, "frames", 3).collect()[0]
     kept = [bytes(b)[0] for b in out["frames_sampled"]]
     assert kept == [0, 3, 6, 9]
+
+
+def test_cosine_kernel_variants_bit_identical(spark):
+    """The three cosine implementations (interpreted HOF fold, unrolled
+    codegen, Arrow/numpy kernel) must agree BIT-FOR-BIT — they all
+    promise the oracle's sequential fold order."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import cosine
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+        cosine_vs_literal_unrolled,
+        _vec_lit,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    out = emb.select(
+        "vec_id",
+        cosine(F.col("embedding"), _vec_lit(q)).alias("hof"),
+        cosine_vs_literal_unrolled(F.col("embedding"), q).alias("unrolled"),
+        cosine_vs_literal(F.col("embedding"), q).alias("arrow"),
+    ).collect()
+    for r in out:
+        assert r["hof"] == r["unrolled"] == r["arrow"], r
