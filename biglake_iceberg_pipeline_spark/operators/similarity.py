@@ -23,9 +23,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from biglake_iceberg_pipeline_spark.operators.dedup import cosine
-
-
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
