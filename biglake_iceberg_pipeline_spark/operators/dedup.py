@@ -137,6 +137,14 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "__id", "__sig", F.explode(band_structs).alias("band")
     ).select("__id", "__sig", "band.band_id", "band.band_key")
+    # Materialize the banded signatures before the self-join: the two
+    # join sides otherwise recompute the whole scan→shingle→hash×64
+    # pipeline (runtime filters defeat exchange-reuse canonical
+    # equality — verified: 3 source scans without this). The
+    # materialized set is docs × bands × ~24 bytes — at 1B docs ~400 GB
+    # across executors, standard LSH practice (signatures are the
+    # index), vs re-hashing the full corpus.
+    banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -237,6 +245,10 @@ def simhash_pairs(
     chunked = sig.select("__id", "__sim", F.explode(chunks).alias("c")).select(
         "__id", "__sim", "c.chunk_id", "c.chunk_val"
     )
+    # Same reasoning as minhash_lsh_pairs: materialize the (doc × 4
+    # chunks × 16 bytes) signature set so the self-join doesn't run
+    # the scan→shingle→hash pipeline once per side.
+    chunked = chunked.localCheckpoint(eager=False)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(
         F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
