@@ -34,10 +34,14 @@ def refresh_additive_rollup(
     """One incremental refresh step of an ADDITIVE rollup.
 
     ``agg_partial(df) -> DataFrame`` aggregates a batch of source rows
-    to (key_cols, measures); ``agg_combine(old_col, new_col) ->
-    Column`` folds an existing gold measure with a delta (e.g. sum).
-    Additive measures only (SUM/COUNT family — the decomposable
-    aggregates); MIN/MAX also fold, AVG must be carried as sum+count.
+    to (key_cols, measures); ``agg_combine`` folds an existing gold
+    measure with a delta — either ONE ``(old, new) -> Column`` applied
+    to every measure, or a dict ``measure_col -> combine_fn`` for
+    mixed-measure rollups (e.g. sums + mergeable HLL sketches).
+    Decomposable measures only: SUM/COUNT fold with ``+``, MIN/MAX
+    with least/greatest, COUNT DISTINCT must be carried as an HLL
+    sketch column combined with ``hll_union`` (see
+    ``refresh_daily_uniques``), AVG as sum+count.
 
     Returns the new gold snapshot id, or None when there is nothing
     new. Raises (from incremental_scan) if the source saw a rewrite
@@ -55,6 +59,13 @@ def refresh_additive_rollup(
         delta = source.incremental_scan(spark, watermark, current)
     partial = agg_partial(delta)
     measure_cols = [c for c in partial.columns if c not in key_cols]
+    if not callable(agg_combine):
+        combines = dict(agg_combine)
+        missing = set(measure_cols) - set(combines)
+        if missing:
+            raise ValueError(f"no combine fn for measures {missing}")
+    else:
+        combines = {c: agg_combine for c in measure_cols}
 
     if gold.current_snapshot_id() is None:
         return gold.append(partial, txn=(_APP, current))
@@ -79,7 +90,7 @@ def refresh_additive_rollup(
                 F.when(
                     F.col(f"__old_{c}").isNull(), F.col(c)
                 ).otherwise(
-                    agg_combine(F.col(f"__old_{c}"), F.col(c))
+                    combines[c](F.col(f"__old_{c}"), F.col(c))
                 ).alias(c)
                 for c in measure_cols
             ],
@@ -146,4 +157,44 @@ def refresh_daily_sales(
         ["sale_date"],
         daily_sales_partial,
         lambda old, new: old + new,
+    )
+
+
+def daily_uniques_partial(df: DataFrame) -> DataFrame:
+    """Per-day event count + DISTINCT-USER state as an HLL sketch
+    (Apache DataSketches via Spark's hll_sketch_agg). COUNT DISTINCT
+    is not additive, but sketches MERGE — the gold table stores the
+    sketch binary, so each refresh unions O(new days) sketches instead
+    of rescanning all history. Read the estimate with
+    ``daily_uniques_estimate``."""
+    return df.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+    )
+
+
+def refresh_daily_uniques(
+    spark: SparkSession, bronze: LakehouseTable, gold: LakehouseTable
+) -> int | None:
+    """Incrementally maintain per-day unique-user counts over an
+    events bronze table via mergeable HLL sketch state."""
+    return refresh_additive_rollup(
+        spark,
+        bronze,
+        gold,
+        ["event_date"],
+        daily_uniques_partial,
+        {
+            "n_events": lambda old, new: old + new,
+            "users_sketch": lambda old, new: F.hll_union(old, new),
+        },
+    )
+
+
+def daily_uniques_estimate(df: DataFrame) -> DataFrame:
+    """Reader view over the sketch-state gold table."""
+    return df.select(
+        "event_date",
+        "n_events",
+        F.hll_sketch_estimate("users_sketch").alias("approx_users"),
     )

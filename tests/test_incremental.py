@@ -84,3 +84,42 @@ def test_refresh_raises_on_rewrite_then_rebaselines(spark, tmp_path):
     }
     assert got == _expected(bronze.read(spark))
     assert incremental.refresh_daily_sales(spark, bronze, gold) is None
+
+
+def test_incremental_uniques_via_hll_sketch(spark, tmp_path):
+    """COUNT DISTINCT maintained incrementally as mergeable sketch
+    state: estimates after N incremental refreshes match a full
+    recompute's estimates exactly (same sketch algorithm, same
+    merges-vs-aggregate result within HLL determinism)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    b1 = events.where("event_id % 2 = 0")
+    b2 = events.where("event_id % 2 = 1")
+
+    bronze = LakehouseTable(str(tmp_path / "bronze"))
+    gold = LakehouseTable(str(tmp_path / "gold"))
+    bronze.append(b1)
+    incremental.refresh_daily_uniques(spark, bronze, gold)
+    bronze.append(b2)
+    incremental.refresh_daily_uniques(spark, bronze, gold)
+
+    got = {
+        r["event_date"]: (r["n_events"], r["approx_users"])
+        for r in incremental.daily_uniques_estimate(
+            gold.read(spark)
+        ).collect()
+    }
+    exact = {
+        r["event_date"]: (r["n"], r["d"])
+        for r in events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for d, (n, est) in got.items():
+        assert n == exact[d][0]  # counts are exact
+        # HLL estimate within 5% of true distinct count
+        true = exact[d][1]
+        assert abs(est - true) <= max(1, 0.05 * true)
