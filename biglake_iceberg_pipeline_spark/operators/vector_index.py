@@ -107,7 +107,15 @@ def register_lakehouse_index(
 def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
     """Called by LakehouseTable.append after a data commit: codes JUST
     the appended rows into every registered index (incremental
-    maintenance — the auto_embedding_columns seam)."""
+    maintenance — the auto_embedding_columns seam).
+
+    Concurrency note: index upkeep runs AFTER the table commit,
+    outside the commit lock (parquet append writes use per-task UUID
+    file names, so concurrent appends don't collide on data files).
+    The index therefore trails the table by at most the in-flight
+    appends — probes are approximate search over an approximate
+    index; rebuild via register_lakehouse_index for a hard
+    synchronization point."""
     for vec_col, meta in table.vector_index_meta().items():
         if vec_col not in appended_df.columns:
             continue

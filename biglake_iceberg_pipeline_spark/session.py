@@ -64,6 +64,14 @@ def get_spark(app_name: str = "biglake-iceberg-pipeline-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spill-awareness: input-split size is the other half of the
+        # partitions-fit-in-memory equation (shuffle.partitions covers
+        # the reduce side). 128 MB default holds at 100 TB; drop it via
+        # env when rows are wide (large text/binary columns).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
