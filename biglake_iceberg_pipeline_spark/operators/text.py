@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.functions.numeric import money_round
 from biglake_iceberg_pipeline_spark.operators.dedup import HASH_PRIME
 
 # Tiny per-language stopword sets for the n-gram-free heuristic; order
@@ -291,7 +292,7 @@ def ngram_contamination(
             id_col,
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(F.try_divide("n_contaminated", "n_ngrams"), 4).alias(
+            money_round(F.try_divide("n_contaminated", "n_ngrams"), 4).alias(
                 "contamination_frac"
             ),
         )
@@ -331,7 +332,7 @@ def shared_span_stats(
             id_col,
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(F.try_divide("n_shared", "n_spans"), 4).alias(
+            money_round(F.try_divide("n_shared", "n_spans"), 4).alias(
                 "shared_span_frac"
             ),
         )

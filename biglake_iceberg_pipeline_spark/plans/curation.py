@@ -447,9 +447,9 @@ per AS (
 )
 SELECT d.doc_id AS doc_id,
     COALESCE(n_ngrams, 0) AS n_ngrams,
-    COALESCE(n_contaminated, 0) AS n_contaminated,
-    ROUND(COALESCE(n_contaminated, 0) / CAST(n_ngrams AS DOUBLE), 4)
-        AS contamination_frac
+    CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+    floor(COALESCE(n_contaminated, 0) / CAST(n_ngrams AS DOUBLE)
+        * 10000.0 + 0.5) / 10000.0 AS contamination_frac
 FROM (SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} <> 0) d
 LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY doc_id
@@ -474,9 +474,9 @@ per AS (
 )
 SELECT d.doc_id AS doc_id,
     COALESCE(n_spans, 0) AS n_spans,
-    COALESCE(n_shared, 0) AS n_shared,
-    ROUND(COALESCE(n_shared, 0) / CAST(n_spans AS DOUBLE), 4)
-        AS shared_span_frac
+    CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+    floor(COALESCE(n_shared, 0) / CAST(n_spans AS DOUBLE)
+        * 10000.0 + 0.5) / 10000.0 AS shared_span_frac
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY doc_id

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.functions.numeric import money_round
 from biglake_iceberg_pipeline_spark.operators import dedup, multimodal, similarity, text
 from biglake_iceberg_pipeline_spark.sources.catalog import load_table
 
@@ -436,7 +437,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.first("__dim").alias("dim"),
-            F.round(F.avg("__n"), 4).alias("mean_norm"),
+            money_round(F.avg("__n"), 4).alias("mean_norm"),
             F.sum(
                 (F.abs(F.col("__n") - 1.0) < 1e-6).cast("long")
             ).alias("n_unit"),
@@ -454,8 +455,8 @@ WITH norms AS (
     FROM embeddings
 )
 SELECT label, COUNT(*) AS n_vecs, FIRST(dim) AS dim,
-       ROUND(AVG(n), 4) AS mean_norm,
-       SUM(CASE WHEN abs(n - 1.0) < 1e-6 THEN 1 ELSE 0 END) AS n_unit
+       floor(AVG(n) * 10000.0 + 0.5) / 10000.0 AS mean_norm,
+       CAST(SUM(CASE WHEN abs(n - 1.0) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
 FROM norms
 GROUP BY label
 ORDER BY label

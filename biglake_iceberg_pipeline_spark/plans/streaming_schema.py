@@ -52,9 +52,9 @@ WITH ordered AS (
 ),
 sessions AS (
     SELECT user_id,
-        SUM(brk) OVER (
+        CAST(SUM(brk) OVER (
             PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
-        ) AS sid
+        ) AS BIGINT) AS sid
     FROM ordered
 ),
 per_session AS (
@@ -63,7 +63,7 @@ per_session AS (
 SELECT user_id,
     COUNT(*) AS n_sessions,
     MAX(n) AS max_session_events,
-    SUM(n) AS total_events
+    CAST(SUM(n) AS BIGINT) AS total_events
 FROM per_session
 GROUP BY user_id
 """

@@ -178,11 +178,11 @@ flags AS (
          AND t3 IS NOT NULL AND t3 >= t2) AS r3
     FROM per_user
 )
-SELECT 'view' AS step, SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_users FROM flags
+SELECT 'view' AS step, COUNT(CASE WHEN r1 THEN 1 END) AS n_users FROM flags
 UNION ALL
-SELECT 'click', SUM(CASE WHEN r2 THEN 1 ELSE 0 END) FROM flags
+SELECT 'click', COUNT(CASE WHEN r2 THEN 1 END) FROM flags
 UNION ALL
-SELECT 'purchase', SUM(CASE WHEN r3 THEN 1 ELSE 0 END) FROM flags
+SELECT 'purchase', COUNT(CASE WHEN r3 THEN 1 END) FROM flags
 """
 
 
