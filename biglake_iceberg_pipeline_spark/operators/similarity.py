@@ -100,17 +100,30 @@ def cosine_vs_literal(vec_col: Column, query_vec: list[float]) -> Column:
     def kernel(v):
         import pandas as pd
 
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        arr = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
-        dot = arr[:, 0] * q[0]
-        nrm = arr[:, 0] * arr[:, 0]
-        for i in range(1, len(q)):
-            dot = dot + arr[:, i] * q[i]
-            nrm = nrm + arr[:, i] * arr[:, i]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dot / (np.sqrt(nrm) * qnorm)
-        return pd.Series(out)
+        # NULL or wrong-dim vectors → NULL cosine (the interpreted-HOF
+        # fold's null propagation); vstack over a ragged batch would
+        # instead crash the whole task.
+        vals = v.to_numpy()
+        good = [
+            i for i in range(n)
+            if vals[i] is not None and len(vals[i]) == len(q)
+        ]
+        result: list[float | None] = [None] * n
+        if good:
+            arr = np.vstack(vals[good]).astype(np.float64, copy=False)
+            dot = arr[:, 0] * q[0]
+            nrm = arr[:, 0] * arr[:, 0]
+            for i in range(1, len(q)):
+                dot = dot + arr[:, i] * q[i]
+                nrm = nrm + arr[:, i] * arr[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = dot / (np.sqrt(nrm) * qnorm)
+            for j, i in enumerate(good):
+                result[i] = float(out[j])
+        return pd.Series(result, dtype=object)
 
     return pandas_udf(kernel, "double")(vec_col)
 

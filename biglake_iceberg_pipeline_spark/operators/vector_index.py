@@ -33,6 +33,29 @@ from biglake_iceberg_pipeline_spark.operators.similarity import (
 )
 
 
+class StaleVectorIndexError(RuntimeError):
+    """The table's rows were rewritten (merge/delete/update/overwrite/
+    rollback) after the index was built — probing would return deleted
+    rows, pre-update vectors, or duplicate ids. Rebuild with
+    register_lakehouse_index, or probe with ``on_stale='rebuild'``."""
+
+
+def index_staleness(table, meta: dict) -> str | None:
+    """Why this index can no longer be trusted, or None if it can.
+    Appends keep the index fresh (incremental maintenance); only
+    row-rewriting commits invalidate it."""
+    rewrite = table.last_row_rewrite_snapshot()
+    if rewrite is None:
+        return None
+    indexed = meta.get("indexed_snapshot")
+    if indexed is None or indexed < rewrite:
+        return (
+            f"table rows rewritten at snapshot {rewrite}, after the "
+            f"index build (indexed_snapshot={indexed})"
+        )
+    return None
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -141,12 +164,33 @@ def probe_lakehouse_index(
     query_vec: list[float],
     k: int = 10,
     nprobe_hamming: int = 1,
+    on_stale: str = "raise",
 ) -> DataFrame:
     """VECTOR_SEARCH over a registered index: partition-pruned scan of
-    the probed code directories only."""
+    the probed code directories only.
+
+    ``on_stale`` controls behavior when rows were rewritten after the
+    index build (index_staleness): 'raise' (default) fails with
+    StaleVectorIndexError; 'rebuild' re-registers the index from the
+    current snapshot first (one corpus pass); 'ignore' probes the
+    stale layout anyway (approximate search over known-stale data)."""
     meta = table.vector_index_meta().get(vec_col)
     if meta is None:
         raise ValueError(f"no vector index registered on {vec_col!r}")
+    reason = index_staleness(table, meta)
+    if reason is not None and on_stale != "ignore":
+        if on_stale == "rebuild":
+            register_lakehouse_index(
+                spark,
+                table,
+                vec_col,
+                meta["id_col"],
+                planes=meta["planes"],
+                dim=meta.get("dim"),
+            )
+            meta = table.vector_index_meta()[vec_col]
+        else:
+            raise StaleVectorIndexError(f"{vec_col!r}: {reason}")
     return ivf_probe(
         spark,
         meta["path"],

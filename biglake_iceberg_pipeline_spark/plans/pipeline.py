@@ -51,8 +51,10 @@ def curate_documents(
     funnel report every curation run needs)."""
     metrics: dict[str, int] = {"input": docs.count()}
 
-    # 1. fail fast on malformed feeds
-    _, gate_metrics = expectations.check(
+    # 1. fail fast on malformed feeds (per-rule counts go to the warn
+    # log; the funnel metric below counts ROWS dropped, not violations
+    # — a row failing both rules must not be counted twice)
+    expectations.check(
         docs,
         {
             "doc_id_set": F.col("doc_id").isNotNull(),
@@ -61,7 +63,6 @@ def curate_documents(
         },
         on_violation="warn",
     )
-    bad = sum(gate_metrics.values())
     cleaned = docs.where(
         F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()
@@ -72,7 +73,8 @@ def curate_documents(
         "lang",
         text.strip_markup(clean_string(F.col("text"))).alias("text"),
     )
-    metrics["gate_dropped"] = bad
+    n_cleaned = cleaned.count()
+    metrics["gate_dropped"] = metrics["input"] - n_cleaned
 
     # 2. exact dedup: keep the representative id per content hash
     keepers = dedup.exact_dedup(cleaned, "doc_id", "text").select(

@@ -123,9 +123,17 @@ class LakehouseTable:
         expected_tail: int | None = ...,
         inherit_prev_files: bool = False,
         txn: tuple[str, int] | None = None,
-    ) -> int:
+    ) -> tuple[int, bool]:
         """Allocate the snapshot id and swap the manifest under the
-        commit lock. ``expected_tail`` (when not Ellipsis) asserts the
+        commit lock; returns ``(snapshot_id, committed)`` where
+        ``committed`` is False iff the txn guard skipped the commit —
+        the EXPLICIT signal callers must gate side effects (e.g.
+        vector-index maintenance) on. Comparing snapshot ids read
+        outside the lock is racy: a concurrent writer advancing the
+        tail between the caller's read and a skipped replay makes the
+        ids differ even though THIS commit wrote nothing, and the
+        side effect would then index the replay's orphaned files as
+        phantom rows. ``expected_tail`` (when not Ellipsis) asserts the
         table tail is unchanged since the caller read it — rewrites
         pass it; appends instead set ``inherit_prev_files`` and pick
         up whatever tail exists at commit time (appends commute).
@@ -148,7 +156,7 @@ class LakehouseTable:
                 app_id, version = txn
                 seen = manifest.get("txns", {}).get(app_id)
                 if seen is not None and seen >= version:
-                    return tail
+                    return tail, False
             if expected_tail is not ... and tail != expected_tail:
                 raise CommitConflict(
                     f"table advanced to snapshot {tail} (expected "
@@ -178,8 +186,16 @@ class LakehouseTable:
                 manifest["schema"] = schema_json
             if txn is not None:
                 manifest.setdefault("txns", {})[txn[0]] = txn[1]
+            # Ops that change LOGICAL row content (not append: adds
+            # rows; not replace/compact: same rows, new files) make any
+            # vector index built earlier stale — record the high-water
+            # mark so probes can detect it even after snapshot expiry.
+            if operation in (
+                "overwrite", "merge", "delete", "update", "rollback"
+            ):
+                manifest["last_row_rewrite_snapshot"] = snap_id
             self._commit(manifest)
-            return snap_id
+            return snap_id, True
         finally:
             try:
                 os.remove(lock)
@@ -206,6 +222,16 @@ class LakehouseTable:
         """Registered vector indexes (operators/vector_index.py):
         column → {path, id_col, planes, dim, indexed_snapshot}."""
         return self._read_manifest().get("vector_indexes", {})
+
+    def last_row_rewrite_snapshot(self) -> int | None:
+        """Snapshot id of the most recent commit that changed logical
+        row content in place (overwrite/merge/delete/update/rollback —
+        NOT append, which only adds, or replace/compact, which keeps
+        rows identical). A vector index whose ``indexed_snapshot``
+        predates this is stale: probes could return deleted rows,
+        pre-update vectors, or duplicate ids. Survives snapshot expiry
+        (it's a manifest high-water mark, not a history walk)."""
+        return self._read_manifest().get("last_row_rewrite_snapshot")
 
     def set_vector_index_meta(self, vec_col: str, meta: dict) -> None:
         lock = self._acquire_lock()
@@ -364,8 +390,7 @@ class LakehouseTable:
             )
             df = align_for_append(df, target)
         files = self._write_data(df)
-        prev = self.current_snapshot_id()
-        snap = self._locked_commit(
+        snap, committed = self._locked_commit(
             "append",
             files,
             self._file_stats(files),
@@ -374,9 +399,10 @@ class LakehouseTable:
             txn=txn,
         )
         # Incremental vector-index upkeep (auto_embedding_columns
-        # seam): code ONLY the files this commit added. Skipped when
-        # the txn guard made the commit a no-op.
-        if snap != prev and self._read_manifest().get("vector_indexes"):
+        # seam): code ONLY the files this commit added. Gated on the
+        # lock-authoritative committed signal — a txn-skipped replay
+        # must not index its orphaned files as phantom rows.
+        if committed and self._read_manifest().get("vector_indexes"):
             from biglake_iceberg_pipeline_spark.operators.vector_index import (
                 maintain_lakehouse_indexes,
             )
@@ -392,7 +418,7 @@ class LakehouseTable:
         files = self._write_data(df)
         return self._locked_commit(
             "overwrite", files, self._file_stats(files), df.schema.json()
-        )
+        )[0]
 
     def compact(
         self,
@@ -449,7 +475,7 @@ class LakehouseTable:
             self._file_stats(files),
             None,
             expected_tail=base,
-        )
+        )[0]
 
     def merge(
         self,
@@ -493,7 +519,7 @@ class LakehouseTable:
             merged.schema.json(),
             expected_tail=base,
             txn=txn,
-        )
+        )[0]
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """DELETE FROM ... WHERE condition (copy-on-write rewrite of
@@ -510,7 +536,7 @@ class LakehouseTable:
             self._file_stats(files),
             None,
             expected_tail=base,
-        )
+        )[0]
 
     def update_where(
         self, spark: SparkSession, condition, assignments: dict
@@ -539,7 +565,7 @@ class LakehouseTable:
             self._file_stats(files),
             None,
             expected_tail=base,
-        )
+        )[0]
 
     def incremental_scan(
         self,
@@ -657,7 +683,7 @@ class LakehouseTable:
             {},
             None,
             expected_tail=snaps[-1]["id"],
-        )
+        )[0]
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced

@@ -53,9 +53,18 @@ def enrich_stream_with_dim(
             if is_scd2
             else dim
         )
+        # Drop the DIM side's key by Column reference: a name-based
+        # drop(join_key) removes BOTH sides when event_key == join_key
+        # (the common case), losing the event's own key column.
         return events.join(
             current, events[event_key] == current[join_key], "left"
-        ).drop(join_key)
+        ).drop(current[join_key])
+    if not is_scd2 or scd.VALID_FROM not in dim.columns:
+        raise ValueError(
+            "as-of enrichment (event_ts_col) requires an SCD2 dimension "
+            f"with {scd.VALID_FROM}/{scd.VALID_TO}/{scd.IS_CURRENT} "
+            "columns — write it with scd.merge_scd2"
+        )
     cond = (
         (events[event_key] == dim[join_key])
         & (dim[scd.VALID_FROM] <= events[event_ts_col])
@@ -64,8 +73,8 @@ def enrich_stream_with_dim(
             | (dim[scd.VALID_TO] > events[event_ts_col])
         )
     )
-    return events.join(dim, cond, "left").drop(
-        join_key, scd.VALID_FROM, scd.VALID_TO, scd.IS_CURRENT
+    return events.join(dim, cond, "left").drop(dim[join_key]).drop(
+        scd.VALID_FROM, scd.VALID_TO, scd.IS_CURRENT
     )
 
 

@@ -606,3 +606,64 @@ def test_lakehouse_vector_index_incremental(spark, tmp_path):
     assert any(i >= 80 for i in ids)  # appended rows are indexed
     meta = t.vector_index_meta()["embedding"]
     assert meta["indexed_snapshot"] == t.current_snapshot_id()
+
+
+def test_vector_index_stale_after_row_rewrite(spark, tmp_path):
+    """A merge/delete/update/overwrite/rollback rewrites logical rows
+    without touching the index — probes must refuse (or rebuild), not
+    silently return deleted rows / stale vectors."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(emb)
+    vector_index.register_lakehouse_index(spark, t, "embedding", "vec_id")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+
+    # compaction keeps rows identical -> index stays valid
+    t.compact(spark, target_files=1)
+    assert (
+        vector_index.probe_lakehouse_index(
+            spark, t, "embedding", q, k=5
+        ).count()
+        == 5
+    )
+
+    # a delete rewrites row content -> stale
+    t.delete_where(spark, "vec_id < 100")
+    with pytest.raises(vector_index.StaleVectorIndexError, match="rewritten"):
+        vector_index.probe_lakehouse_index(spark, t, "embedding", q, k=5)
+
+    # rebuild-on-probe reflects the delete: no dropped ids resurface
+    probe = vector_index.probe_lakehouse_index(
+        spark, t, "embedding", q, k=500, nprobe_hamming=8, on_stale="rebuild"
+    )
+    ids = {r["vec_id"] for r in probe.collect()}
+    assert ids and all(i >= 100 for i in ids)
+    # and the rebuilt index is fresh again
+    assert (
+        vector_index.index_staleness(
+            t, t.vector_index_meta()["embedding"]
+        )
+        is None
+    )
+
+
+def test_vector_index_txn_skip_no_phantom_rows(spark, tmp_path):
+    """A txn-replayed append is skipped under the commit lock; its
+    orphaned data files must NOT be coded into the index — gate is the
+    lock's committed signal, not a racy snapshot-id comparison."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first, second = emb.where("vec_id < 80"), emb.where("vec_id >= 80")
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(first)
+    vector_index.register_lakehouse_index(spark, t, "embedding", "vec_id")
+    t.append(second, txn=("app", 0))
+    path = t.vector_index_meta()["embedding"]["path"]
+    n_indexed = spark.read.parquet(path).count()
+    assert n_indexed == emb.count()
+    # replay the same epoch: commit skipped -> index unchanged
+    t.append(second, txn=("app", 0))
+    assert spark.read.parquet(path).count() == n_indexed

@@ -18,6 +18,9 @@ def test_curate_documents_end_to_end(spark, tmp_path, sf_dir):
             (99001, first["text"], first["lang"], first["source"],
              first["n_chars"]),
             (99002, None, "en", "src0", 0),
+            # violates BOTH gate rules (doc_id AND text null) — must be
+            # counted as ONE dropped row, not two violations
+            (None, None, "en", "src0", 0),
         ],
         docs.schema.names,
     ).select(*docs.columns)
@@ -33,8 +36,9 @@ def test_curate_documents_end_to_end(spark, tmp_path, sf_dir):
         chunk_size=200,
         chunk_overlap=40,
     )
-    assert metrics["input"] == docs.count() + 2
-    assert metrics["gate_dropped"] >= 1          # the null-text row
+    assert metrics["input"] == docs.count() + 3
+    # exactly the two malformed rows — row-level funnel accounting
+    assert metrics["gate_dropped"] == 2
     # the planted exact dup must be gone
     assert metrics["after_exact_dedup"] <= docs.count()
     assert metrics["after_near_dedup"] <= metrics["after_exact_dedup"]

@@ -29,6 +29,32 @@ FLAGSHIPS = {
 }
 
 
+def test_no_rdd_access_in_operators():
+    """No operator may touch ``.rdd`` — a DataFrame→RDD conversion
+    materializes the whole plan as an RDD on the driver (and loses
+    Catalyst/Tungsten downstream). Partition-count probes use
+    inputFiles() / defaultParallelism instead."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "biglake_iceberg_pipeline_spark",
+    )
+    offenders = []
+    for root, _dirs, names in os.walk(pkg):
+        for name in names:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Attribute) and node.attr == "rdd":
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, "\n".join(offenders)
+
+
 @pytest.mark.parametrize("key", sorted(FLAGSHIPS))
 def test_flagship_plan_invariants(spark, sf_dir, key):
     min_bhj, needs_pushdown = FLAGSHIPS[key]

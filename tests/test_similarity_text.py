@@ -305,3 +305,44 @@ def test_cosine_kernel_variants_bit_identical(spark):
     ).collect()
     for r in out:
         assert r["hof"] == r["unrolled"] == r["arrow"], r
+
+
+def test_cosine_kernels_null_and_ragged_vectors(spark):
+    """NULL or wrong-length embeddings must yield NULL cosine (the
+    interpreted fold's null propagation), not crash the Arrow kernel's
+    vstack — one bad row must not fail the whole task."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import cosine_pandas
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+            (2, None, [1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0], [1.0, 0.0, 0.0]),     # ragged pair
+            (4, [0.0, 1.0, 0.0], None),
+            (5, [], []),                            # empty
+            (6, [0.0, 2.0, 0.0], [0.0, 1.0, 0.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    pair = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine_pandas(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert pair[1] == 1.0 and pair[6] == 1.0
+    assert pair[2] is None and pair[3] is None
+    assert pair[4] is None and pair[5] is None
+
+    lit = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            cosine_vs_literal(F.col("a"), [1.0, 0.0, 0.0]).alias("c"),
+        ).collect()
+    }
+    assert lit[1] == 1.0 and lit[6] == 0.0
+    assert lit[2] is None and lit[3] is None and lit[5] is None
