@@ -1,0 +1,283 @@
+"""Gold ``product_catalog`` vector-search table (reference DEMO.md §7:
+"Product Similarity Search" — description text assembled from catalog
+attributes, an embedding column populated by the model seam, a vector
+index over it, and VECTOR_SEARCH for "products similar to product N";
+plus "Auto-Embeddings on Incremental Data" — inserts get embedded and
+indexed without a rebuild).
+
+Spark-first decomposition:
+- the CATALOG is a projection over ``part`` (description = name,
+  brand, type) plus a map-side embedding expression — no shuffle;
+- the INDEX is the materialized sign-bit layout from
+  operators/vector_index.py (one corpus pass at build, probes prune
+  partitions);
+- SEARCH computes the query product's vector DRIVER-SIDE (the
+  deterministic model seam replays in plain Python) so the probe plan
+  is a literal-vector scan of the probed partitions only — at 100 TB
+  a probe reads nprobe/2^planes of the corpus and broadcasts nothing
+  but the plan literal;
+- INCREMENTAL inserts go through ``append_products`` on a lakehouse
+  table: the same embedding expression runs over just the new rows,
+  and LakehouseTable.append maintains every registered index with
+  O(batch) work (operators/vector_index.maintain_lakehouse_indexes).
+
+The oracle recomputes the full chain — description, fingerprint,
+embedding, coarse codes, hamming probe, cosine fold — from scratch in
+DuckDB, so a hash match certifies the entire pipeline, not just the
+final ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.functions import embed
+from biglake_iceberg_pipeline_spark.operators.dedup import HASH_PRIME
+from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+PLANES = 8
+SIMILAR_TO = 42  # the demo's "products similar to product 42"
+
+
+def _description(df: DataFrame) -> Column:
+    """Description text from catalog attributes (DEMO.md §7 builds it
+    from category/brand/name). concat_ws skips NULLs identically in
+    Spark and DuckDB."""
+    return F.lower(
+        F.concat_ws(" ", df["p_name"], df["p_brand"], df["p_type"])
+    )
+
+
+def build_product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold table: one row per product with description text and
+    its embedding — pure projection, no shuffle, auto-embeds by
+    construction."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("product_id"),
+        _description(part).alias("description"),
+        F.col("p_retailprice").alias("retail_price"),
+        embed.deterministic_embedding(_description(part)).alias(
+            "embedding"
+        ),
+    )
+
+
+def product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_product_catalog(spark, sf_dir).orderBy("product_id")
+
+
+_DESC_SQL = "lower(concat_ws(' ', p_name, p_brand, p_type))"
+
+PRODUCT_CATALOG_SQL = f"""
+WITH cat AS (
+    SELECT p_partkey AS product_id,
+           {_DESC_SQL} AS description,
+           p_retailprice AS retail_price,
+           {embed.fingerprint_sql(_DESC_SQL)} AS fp
+    FROM part
+)
+SELECT product_id, description, retail_price,
+       {embed.embedding_sql('fp')} AS embedding
+FROM cat
+ORDER BY product_id
+"""
+
+
+# One materialized index per (process, sf_dir) — build once, probe
+# many (DEMO.md §7 CREATE VECTOR INDEX semantics), same pattern as
+# plans/llm_ops._ivf_index_path.
+_CATALOG_INDEX_PATHS: dict[str, str] = {}
+
+
+def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _CATALOG_INDEX_PATHS:
+        import hashlib
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            build_ivf_index,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/product_catalog_index_{tag}"
+        build_ivf_index(
+            build_product_catalog(spark, sf_dir),
+            path,
+            "product_id",
+            "embedding",
+            planes=PLANES,
+            dim=embed.EMBED_DIM,
+        )
+        _CATALOG_INDEX_PATHS[sf_dir] = path
+    return _CATALOG_INDEX_PATHS[sf_dir]
+
+
+_QUERY_DESC_CACHE: dict[str, str] = {}
+
+
+def _query_embedding(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Query vector for "products similar to product 42": the model
+    seam replays driver-side, so only the DESCRIPTION string needs a
+    (cached, limit-1) lookup."""
+    if sf_dir not in _QUERY_DESC_CACHE:
+        part = load_table(spark, sf_dir, "part")
+        row = (
+            part.where(F.col("p_partkey") == SIMILAR_TO)
+            .select(_description(part).alias("d"))
+            .first()
+        )
+        _QUERY_DESC_CACHE[sf_dir] = row["d"]
+    return embed.deterministic_embedding_py(_QUERY_DESC_CACHE[sf_dir])
+
+
+def product_catalog_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR_SEARCH: top-5 products most similar to product 42
+    (itself excluded) via the materialized index — the ``__code IN``
+    probe lands on the partition column, so the scan reads only the
+    probed directories."""
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        probe_codes,
+    )
+
+    qvec = _query_embedding(spark, sf_dir)
+    codes = probe_codes(qvec, planes=PLANES, nprobe_hamming=1)
+    cos = cosine_vs_literal(F.col("embedding"), qvec)
+    return (
+        spark.read.parquet(_catalog_index_path(spark, sf_dir))
+        .where(F.col("__code").isin(codes))
+        .where(F.col("product_id") != SIMILAR_TO)
+        .select("product_id", cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), "product_id")
+        .limit(5)
+        .select(
+            "product_id", F.round("__cos", 4).alias("cosine_sim")
+        )
+    )
+
+
+def _plane_dot_sql(list_expr: str, j: int) -> str:
+    """DuckDB fold replicating signbit_code's plane-j dot (same ±1
+    pattern and sequential IEEE order; 1-based list index → (i-1))."""
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"[{list_expr}[i]::DOUBLE * "
+        f"(CASE WHEN ((i-1)*31 + {j}*17) % 7 < 3 THEN 1.0 ELSE -1.0 END) "
+        f"for i in generate_series(1, len({list_expr}))]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _code_sql(list_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(list_expr, j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _fold(expr_a: str, expr_b: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"[{expr_a}[i]::DOUBLE * {expr_b}[i]::DOUBLE "
+        f"for i in generate_series(1, len({expr_a}))]), (x, y) -> x + y)"
+    )
+
+
+_HAMMING = " + ".join(
+    f"(CASE WHEN (ec // {1 << j}) % 2 <> (qc // {1 << j}) % 2 "
+    "THEN 1 ELSE 0 END)"
+    for j in range(PLANES)
+)
+
+_COS = (
+    f"{_fold('e.emb', 'e.qemb')} / "
+    f"(sqrt({_fold('e.emb', 'e.emb')}) * sqrt({_fold('e.qemb', 'e.qemb')}))"
+)
+
+PRODUCT_CATALOG_ANN_SQL = f"""
+WITH cat AS (
+    SELECT p_partkey AS product_id,
+           {embed.fingerprint_sql(_DESC_SQL)} AS fp
+    FROM part
+),
+emb AS (
+    SELECT product_id, {embed.embedding_sql('fp')} AS emb FROM cat
+),
+q AS (
+    SELECT emb AS qemb, {_code_sql('emb')} AS qc
+    FROM emb WHERE product_id = {SIMILAR_TO}
+),
+coded AS (
+    SELECT e.product_id, e.emb, {_code_sql('e.emb')} AS ec,
+           q.qemb, q.qc
+    FROM emb e CROSS JOIN q
+)
+SELECT product_id,
+       ROUND({_COS}, 4) AS cosine_sim
+FROM coded e
+WHERE ({_HAMMING}) <= 1 AND product_id <> {SIMILAR_TO}
+ORDER BY {_COS} DESC, product_id
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------- lakehouse
+
+def create_product_catalog_table(
+    spark: SparkSession, sf_dir: str, path: str
+):
+    """Materialize the catalog as a lakehouse table and CREATE VECTOR
+    INDEX over the embedding column (DEMO.md §7 steps 1–3). Returns
+    the table; subsequent ``append_products`` calls auto-embed and
+    keep the index fresh incrementally."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        register_lakehouse_index,
+    )
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    table = LakehouseTable(path)
+    table.append(build_product_catalog(spark, sf_dir))
+    register_lakehouse_index(
+        spark,
+        table,
+        "embedding",
+        "product_id",
+        planes=PLANES,
+        dim=embed.EMBED_DIM,
+    )
+    return table
+
+
+def append_products(table, parts_df: DataFrame) -> int:
+    """Auto-embeddings on incremental data (DEMO.md §7 step 4): new
+    ``part``-shaped rows get description + embedding computed in the
+    same map-side expression, and the append's index maintenance codes
+    ONLY these rows — O(batch), no rebuild."""
+    batch = parts_df.select(
+        F.col("p_partkey").alias("product_id"),
+        _description(parts_df).alias("description"),
+        F.col("p_retailprice").alias("retail_price"),
+        embed.deterministic_embedding(_description(parts_df)).alias(
+            "embedding"
+        ),
+    )
+    return table.append(batch)
+
+
+QUERIES = {
+    "product_catalog": product_catalog,
+    "product_catalog_ann": product_catalog_ann,
+}
+
+ORACLE = {
+    "product_catalog": PRODUCT_CATALOG_SQL,
+    "product_catalog_ann": PRODUCT_CATALOG_ANN_SQL,
+}

@@ -23,9 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Re-verify fixes (rounding sweep + events-loader regression) and
-# round-3 additions. Keep len(PRIORITY_KEYS) + never-checked <= 50.
+# Round-4 window: re-verify the five HUGEINT-oracle fixes (red in r3,
+# fixed in commit e6e15ef) plus the two new product_catalog queries.
 PRIORITY_KEYS = (
+    "embedding_stats",
+    "ngram_contamination",
+    "span_boilerplate",
+    "events_sessions",
+    "events_funnel",
+    "product_catalog",
+    "product_catalog_ann",
+)
+
+# Every key the r3 driver window already checked (all green except the
+# five PRIORITY re-verifies above) — pushed behind the 43 keys whose
+# last driver row is r1/r2, so the 50-key window lands exactly on
+# 7 priority + 43 stalest (no key ends the round >2 rounds stale).
+DEMOTED_KEYS = frozenset({
     "q9_profit_by_nation",
     "gold_customer_metrics",
     "gold_product_performance",
@@ -34,14 +48,44 @@ PRIORITY_KEYS = (
     "profile_column_stats",
     "profile_type_distribution",
     "users_enriched",
-)
-
-# Already driver-checked in r1/r2 (the old window ended inside llm_ops)
-# — push behind every never-checked key so the 50-row window lands on
-# queries with no driver row yet.
-DEMOTED_KEYS = frozenset(
-    {"dedup_exact", "dedup_minhash", "dedup_simhash"}
-)
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding",
+    "ann_topk",
+    "ann_ivf",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "multimodal_features",
+    "events_windowed",
+    "compare_schemas",
+    "describe_customer",
+    "events_json_extract",
+    "skew_safe_segment_activity",
+    "order_value_percentiles",
+    "revenue_pivot_by_priority",
+    "top_parts_per_brand",
+    "orders_with_returns",
+    "customers_without_orders",
+    "revenue_rollup",
+    "small_quantity_revenue",
+    "revenue_running_total",
+    "approx_event_stats",
+    "pii_redaction",
+    "text_repetition",
+    "sample_mixture",
+    "tfidf_keywords",
+    "text_lm_score",
+    "doc_chunks",
+    "strip_markup",
+    "url_extraction",
+    "asof_last_purchase",
+    "range_join_incidents",
+    "events_hypertable_rollup",
+    "events_gapfill",
+    "events_attribution",
+})
 
 
 def _modules():
@@ -50,6 +94,7 @@ def _modules():
         curation,
         gold,
         llm_ops,
+        product_catalog,
         profiling_quality,
         streaming_schema,
         temporal,
@@ -57,14 +102,13 @@ def _modules():
         tpch2,
     )
 
-    # Never-driver-checked modules first (llm_ops's first three keys
-    # WERE checked, but its tail wasn't — the dedup/ann/text family).
     return [
         llm_ops,
         streaming_schema,
         analytics,
         curation,
         temporal,
+        product_catalog,
         tpch,
         tpch2,
         gold,
