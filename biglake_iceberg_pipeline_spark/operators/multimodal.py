@@ -6,13 +6,15 @@ Arrow-batched ``mapInPandas`` so bytes stream through Python in
 columnar batches (never row-at-a-time pickling), and the schema
 contract is explicit so downstream Spark operators stay declarative.
 
-Codecs: BMP (24-bit uncompressed) and WAV (PCM16) decode is REAL —
-pure stdlib struct/wave + numpy, no external libs. Nearest-neighbor
-resize and audio feature extraction run on the decoded arrays.
-Compressed formats (JPEG/PNG/MP4...) have no decoder in this
-container; their payloads fall back to a clearly-marked deterministic
-byte-statistics vector (`features[-1] == 0.0` flags the fallback), and
-a real codec drops in by extending ``_FORMAT_DECODERS``.
+Codecs: baseline JPEG (operators/jpeg.py — pure-python T.81 sequential
+DCT: Huffman, dequant, batched IDCT, chroma upsampling, restart
+intervals), BMP (24-bit uncompressed), and WAV (PCM16) decode is REAL
+— stdlib + numpy, no external libs. Nearest-neighbor resize and audio
+feature extraction run on the decoded arrays. Formats with no decoder
+here (PNG/MP4/progressive JPEG...) fall back to a clearly-marked
+deterministic byte-statistics vector (`features[-1] == 0.0` flags the
+fallback), and a native codec drops in by extending
+``_FORMAT_DECODERS``.
 """
 
 from __future__ import annotations
@@ -106,10 +108,11 @@ def decode_wav(payload: bytes):
     return samples[::n_ch], rate, n_ch
 
 
-def _bmp_features(payload: bytes) -> list[float]:
+def _image_features(img) -> list[float]:
+    """Shared featurization for any decoded (H, W, 3) uint8 image:
+    thumbnail + channel means + gray contrast + aspect."""
     import numpy as np
 
-    img = decode_bmp(payload)
     thumb = resize_nearest(img, 8, 8).astype("float64")
     gray = thumb.mean(axis=2)
     h, w = img.shape[:2]
@@ -123,6 +126,24 @@ def _bmp_features(payload: bytes) -> list[float]:
         float(w) / float(h),
         1.0,  # real-decode flag
     ]
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    return _image_features(decode_bmp(payload))
+
+
+def _jpeg_features(payload: bytes) -> list[float]:
+    """Baseline JPEG via the pure-python codec; non-baseline frames
+    (progressive SOF2 ...) keep the honest byte-stats fallback."""
+    from biglake_iceberg_pipeline_spark.operators.jpeg import (
+        JpegFormatError,
+        decode_jpeg,
+    )
+
+    try:
+        return _image_features(decode_jpeg(payload))
+    except JpegFormatError:
+        return _byte_stats(payload)
 
 
 def _wav_features(payload: bytes) -> list[float]:
@@ -169,6 +190,7 @@ def _byte_stats(payload: bytes) -> list[float]:
 _FORMAT_DECODERS = (
     (b"BM", _bmp_features),
     (b"RIFF", _wav_features),
+    (b"\xFF\xD8", _jpeg_features),
 )
 
 

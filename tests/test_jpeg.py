@@ -1,0 +1,107 @@
+"""Pure-python baseline JPEG codec (operators/jpeg.py) and its
+integration with the multimodal feature extractor — upgrades G12 from
+byte-stats fallback to real decode for the most common image format."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from biglake_iceberg_pipeline_spark.operators.jpeg import (
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _test_image(h=40, w=56):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            x * 255 / w,
+            y * 255 / h,
+            (np.sin(x / 9.0) + np.cos(y / 7.0) + 2) * 63,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,bound", [(95, 6), (85, 10), (60, 16)])
+def test_roundtrip_444(quality, bound):
+    img = _test_image()
+    out = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= bound, (quality, err.max())
+
+
+def test_roundtrip_420_subsampling():
+    """Decoder handles 2×2 luma sampling + chroma upsample."""
+    img = _test_image()
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 30 and err.mean() <= 5  # chroma is halved
+
+
+@pytest.mark.parametrize("ss", ["444", "420"])
+def test_roundtrip_with_restart_intervals(ss):
+    img = _test_image()
+    payload = encode_jpeg(img, quality=90, subsampling=ss, restart_interval=3)
+    assert b"\xff\xdd" in payload.lower() or b"\xFF\xDD" in payload  # DRI
+    out = decode_jpeg(payload)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() <= 5
+
+
+def test_non_multiple_of_8_and_solid():
+    solid = np.full((13, 10, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(solid, 90))
+    assert out.shape == (13, 10, 3)
+    assert np.abs(out.astype(int) - 200).max() == 0
+
+
+def test_noise_survives_high_quality():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=95))
+    err = np.abs(out.astype(int) - noise.astype(int))
+    assert err.mean() <= 8  # worst-case content, still close
+
+
+def test_progressive_frame_raises_format_error():
+    """SOF2 (progressive) is not baseline — decode must refuse loudly
+    so the feature extractor can take the flagged fallback."""
+    img = _test_image(16, 16)
+    payload = bytearray(encode_jpeg(img, 90))
+    i = payload.find(b"\xFF\xC0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(JpegFormatError, match="SOI"):
+        decode_jpeg(b"\x89PNG....")
+
+
+def test_jpeg_features_through_spark(spark):
+    """Distributed path: JPEG payloads through mapInPandas get REAL
+    decode (flag 1.0, true dimensions); a progressive JPEG falls back
+    (flag 0.0) without failing the task."""
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    good = encode_jpeg(_test_image(32, 48), quality=90)
+    prog = bytearray(good)
+    prog[prog.find(b"\xFF\xC0") + 1] = 0xC2
+    df = spark.createDataFrame(
+        [
+            (1, bytes(good), "image/jpeg", 48, 32),
+            (2, bytes(prog), "image/jpeg", 48, 32),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    ).repartition(2)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(df).collect()
+    }
+    assert feats[1][-1] == 1.0  # real decode
+    assert feats[1][0] == 48.0 and feats[1][1] == 32.0  # true dims
+    assert feats[2][-1] == 0.0  # flagged fallback, no crash
