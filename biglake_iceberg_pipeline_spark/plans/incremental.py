@@ -30,6 +30,7 @@ def refresh_additive_rollup(
     key_cols: list[str],
     agg_partial,
     agg_combine,
+    app: str = _APP,
 ) -> int | None:
     """One incremental refresh step of an ADDITIVE rollup.
 
@@ -50,7 +51,7 @@ def refresh_additive_rollup(
     current = source.current_snapshot_id()
     if current is None:
         return None
-    watermark = gold.last_txn_version(_APP)
+    watermark = gold.last_txn_version(app)
     if watermark is not None and watermark >= current:
         return None  # nothing new
     if watermark is None:
@@ -68,7 +69,7 @@ def refresh_additive_rollup(
         combines = {c: agg_combine for c in measure_cols}
 
     if gold.current_snapshot_id() is None:
-        return gold.append(partial, txn=(_APP, current))
+        return gold.append(partial, txn=(app, current))
 
     existing = gold.read(spark)
     # Fold deltas into the touched gold rows only: join on the rollup
@@ -96,7 +97,7 @@ def refresh_additive_rollup(
             ],
         )
     )
-    return gold.merge(spark, combined, key_cols, txn=(_APP, current))
+    return gold.merge(spark, combined, key_cols, txn=(app, current))
 
 
 def full_refresh(
@@ -117,7 +118,9 @@ def full_refresh(
     return gold.current_snapshot_id()
 
 
-def lock_free_stamp(gold: LakehouseTable, version: int) -> None:
+def lock_free_stamp(
+    gold: LakehouseTable, version: int, app: str = _APP
+) -> None:
     """Record the source watermark on a table without writing data
     (manifest-only update under the commit lock)."""
     import os
@@ -125,7 +128,7 @@ def lock_free_stamp(gold: LakehouseTable, version: int) -> None:
     lock = gold._acquire_lock()
     try:
         manifest = gold._read_manifest()
-        manifest.setdefault("txns", {})[_APP] = version
+        manifest.setdefault("txns", {})[app] = version
         gold._commit(manifest)
     finally:
         try:

@@ -69,6 +69,18 @@ class LakehouseTable:
                 f"table is partitioned by {existing}, got {partition_by}"
             )
         self.partition_by = partition_by or existing or None
+        #: post-commit observers, fired as fn(table, operation, snap_id)
+        #: AFTER a successful data commit (never for txn-skipped
+        #: replays). In-process only — the seam materialized views and
+        #: other derived state hang auto-refresh on (sinks/matview.py);
+        #: cross-process writers refresh via the read-path staleness
+        #: check instead. Hook exceptions propagate to the writer but
+        #: the data commit has already landed.
+        self.on_commit: list = []
+
+    def _fire_commit_hooks(self, operation: str, snap_id: int) -> None:
+        for hook in list(self.on_commit):
+            hook(self, operation, snap_id)
 
     # ------------------------------------------------------------ manifest
 
@@ -410,15 +422,19 @@ class LakehouseTable:
             maintain_lakehouse_indexes(
                 self, df.sparkSession.read.parquet(*files)
             )
+        if committed:
+            self._fire_commit_hooks("append", snap)
         return snap
 
     def overwrite(self, df: DataFrame) -> int:
         # overwrite replaces whatever the tail is — no read-state
         # dependency, so no conflict check (last overwrite wins)
         files = self._write_data(df)
-        return self._locked_commit(
+        snap = self._locked_commit(
             "overwrite", files, self._file_stats(files), df.schema.json()
         )[0]
+        self._fire_commit_hooks("overwrite", snap)
+        return snap
 
     def compact(
         self,
@@ -469,13 +485,15 @@ class LakehouseTable:
         else:
             compacted = df.coalesce(target_files)
         files = self._write_data(compacted)
-        return self._locked_commit(
+        snap = self._locked_commit(
             "replace",
             files,
             self._file_stats(files),
             None,
             expected_tail=base,
         )[0]
+        self._fire_commit_hooks("replace", snap)
+        return snap
 
     def merge(
         self,
@@ -512,14 +530,17 @@ class LakehouseTable:
             align_to_schema(source, evolved)
         )
         files = self._write_data(merged)
-        return self._locked_commit(
+        snap, committed = self._locked_commit(
             "merge",
             files,
             self._file_stats(files),
             merged.schema.json(),
             expected_tail=base,
             txn=txn,
-        )[0]
+        )
+        if committed:
+            self._fire_commit_hooks("merge", snap)
+        return snap
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """DELETE FROM ... WHERE condition (copy-on-write rewrite of
@@ -530,13 +551,15 @@ class LakehouseTable:
             condition = F.expr(condition)
         remaining = target.where(~condition)
         files = self._write_data(remaining)
-        return self._locked_commit(
+        snap = self._locked_commit(
             "delete",
             files,
             self._file_stats(files),
             None,
             expected_tail=base,
         )[0]
+        self._fire_commit_hooks("delete", snap)
+        return snap
 
     def update_where(
         self, spark: SparkSession, condition, assignments: dict
@@ -559,13 +582,15 @@ class LakehouseTable:
                 col, F.when(condition, expr).otherwise(F.col(col))
             )
         files = self._write_data(updated)
-        return self._locked_commit(
+        snap = self._locked_commit(
             "update",
             files,
             self._file_stats(files),
             None,
             expected_tail=base,
         )[0]
+        self._fire_commit_hooks("update", snap)
+        return snap
 
     def incremental_scan(
         self,
@@ -677,13 +702,15 @@ class LakehouseTable:
         match = [s for s in snaps if s["id"] == snapshot_id]
         if not match:
             raise ValueError(f"snapshot {snapshot_id} not found")
-        return self._locked_commit(
+        snap = self._locked_commit(
             "rollback",
             list(match[0]["files"]),
             {},
             None,
             expected_tail=snaps[-1]["id"],
         )[0]
+        self._fire_commit_hooks("rollback", snap)
+        return snap
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced

@@ -1,0 +1,111 @@
+"""Materialized views: freshness watermarks, incremental vs full
+refresh, auto-refresh-on-commit, BI-cache smart routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.sinks.matview import MaterializedView
+
+
+def _orders(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS o_orderkey",
+        "CAST(date_add('2024-01-01', CAST(id % 5 AS INT)) AS STRING) "
+        "AS o_orderdate",
+        "CAST(id AS DOUBLE) * 1.5 AS o_totalprice",
+    )
+
+
+def _daily(df):
+    return df.groupBy(
+        F.to_date("o_orderdate").alias("sale_date")
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+
+
+def _as_map(df):
+    return {
+        str(r["sale_date"]): (r["order_count"], r["revenue"])
+        for r in df.collect()
+    }
+
+
+def test_full_mode_freshness_and_routing(spark, tmp_path):
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 100))
+    mv = MaterializedView(
+        spark, "daily", base, _daily, d + "/mv"
+    )
+    assert not mv.is_fresh()  # never built
+    mv.refresh()
+    assert mv.is_fresh()
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+    # fresh → refresh is a no-op (no new view snapshot)
+    snap = mv.table.current_snapshot_id()
+    assert mv.refresh() is None
+    assert mv.table.current_snapshot_id() == snap
+    # base advances → stale; read_fresh routes through a refresh
+    base.append(_orders(spark, 100, 150))
+    assert not mv.is_fresh()
+    assert _as_map(mv.read_fresh()) == _as_map(_daily(base.read(spark)))
+    assert mv.is_fresh()
+
+
+def test_additive_mode_incremental_merge(spark, tmp_path):
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 100))
+    mv = MaterializedView(
+        spark, "daily_add", base, _daily, d + "/mv",
+        keys=["sale_date"],
+        combine=lambda old, new: old + new,
+    )
+    mv.refresh()
+    before = _as_map(mv.read())
+    base.append(_orders(spark, 100, 160))
+    mv.refresh()
+    # incremental result == full recompute
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+    assert _as_map(mv.read()) != before
+    # the refresh MERGEd (incremental), not overwrote
+    assert mv.table.history()[-1]["operation"] == "merge"
+
+
+def test_additive_falls_back_to_full_on_base_rewrite(spark, tmp_path):
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 100))
+    mv = MaterializedView(
+        spark, "daily_rw", base, _daily, d + "/mv",
+        keys=["sale_date"],
+        combine=lambda old, new: old + new,
+    )
+    mv.refresh()
+    # a DELETE breaks append-only lineage: incremental deltas are
+    # undefined, so the refresh must re-materialize, not raise
+    base.delete_where(spark, "o_orderkey >= 50")
+    mv.refresh()
+    assert mv.is_fresh()
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+    assert mv.table.history()[-1]["operation"] == "overwrite"
+
+
+def test_auto_refresh_on_commit_hook(spark, tmp_path):
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 50))
+    mv = MaterializedView(
+        spark, "daily_auto", base, _daily, d + "/mv",
+        keys=["sale_date"],
+        combine=lambda old, new: old + new,
+    ).auto_refresh_on_commit()
+    mv.refresh()
+    # a plain base append now refreshes the view with no explicit call
+    base.append(_orders(spark, 50, 90))
+    assert mv.is_fresh()
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
