@@ -227,6 +227,71 @@ LIMIT 5
 """
 
 
+# ------------------------------------------------- customer lookalikes
+
+_LOOKALIKE_OF = 42
+
+
+def customer_lookalike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO.md §7 "Customer Embeddings (User Behavior)": embed each
+    customer's behavior summary and find the 5 most similar customers
+    to customer 42 (lookalike audiences). One-off search → brute-force
+    cosine: the query vector is a plan literal, scoring is a projection
+    over a single scan, top-k is a TakeOrdered — no shuffle at any
+    scale (the repeated-query path is an IVF index over the profiles
+    table, same machinery as product_catalog)."""
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+    from biglake_iceberg_pipeline_spark.plans.gold import customer_profiles
+
+    profiles = customer_profiles(spark, sf_dir)
+    row = (
+        profiles.where(F.col("c_custkey") == _LOOKALIKE_OF)
+        .select("behavior_summary")
+        .first()
+    )
+    qvec = embed.deterministic_embedding_py(row["behavior_summary"])
+    cos = cosine_vs_literal(
+        embed.deterministic_embedding(F.col("behavior_summary")), qvec
+    )
+    return (
+        profiles.where(F.col("c_custkey") != _LOOKALIKE_OF)
+        .select("c_custkey", cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), "c_custkey")
+        .limit(5)
+        .select("c_custkey", F.round("__cos", 4).alias("cosine_sim"))
+    )
+
+
+def _customer_lookalike_sql() -> str:
+    from biglake_iceberg_pipeline_spark.plans.gold import (
+        CUSTOMER_PROFILES_SQL,
+    )
+
+    cosine = (
+        f"{_fold('e.emb', 'q.qemb')} / "
+        f"(sqrt({_fold('e.emb', 'e.emb')}) * "
+        f"sqrt({_fold('q.qemb', 'q.qemb')}))"
+    )
+    return f"""
+WITH profiles AS ({CUSTOMER_PROFILES_SQL}),
+fp AS (
+    SELECT c_custkey,
+           {embed.fingerprint_sql('behavior_summary')} AS fp
+    FROM profiles
+),
+emb AS (SELECT c_custkey, {embed.embedding_sql('fp')} AS emb FROM fp),
+q AS (SELECT emb AS qemb FROM emb WHERE c_custkey = {_LOOKALIKE_OF})
+SELECT e.c_custkey AS c_custkey,
+       ROUND({cosine}, 4) AS cosine_sim
+FROM emb e CROSS JOIN q
+WHERE e.c_custkey <> {_LOOKALIKE_OF}
+ORDER BY {cosine} DESC, e.c_custkey
+LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------- lakehouse
 
 def create_product_catalog_table(
@@ -275,9 +340,11 @@ def append_products(table, parts_df: DataFrame) -> int:
 QUERIES = {
     "product_catalog": product_catalog,
     "product_catalog_ann": product_catalog_ann,
+    "customer_lookalike": customer_lookalike,
 }
 
 ORACLE = {
     "product_catalog": PRODUCT_CATALOG_SQL,
     "product_catalog_ann": PRODUCT_CATALOG_ANN_SQL,
+    "customer_lookalike": _customer_lookalike_sql(),
 }

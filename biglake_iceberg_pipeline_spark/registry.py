@@ -33,13 +33,17 @@ PRIORITY_KEYS = (
     "events_funnel",
     "product_catalog",
     "product_catalog_ann",
+    "customer_lookalike",
 )
 
 # Every key the r3 driver window already checked (all green except the
-# five PRIORITY re-verifies above) — pushed behind the 43 keys whose
-# last driver row is r1/r2, so the 50-key window lands exactly on
-# 7 priority + 43 stalest (no key ends the round >2 rounds stale).
+# five PRIORITY re-verifies above) — pushed behind the keys whose last
+# driver row is r1/r2, so the 50-key window lands exactly on 8
+# priority + 42 stalest. q1_pricing_summary is demoted despite being
+# r2-stale to keep the window at 50: it is the entry() flagship, so
+# the driver smoke-checks it every round regardless.
 DEMOTED_KEYS = frozenset({
+    "q1_pricing_summary",
     "q9_profit_by_nation",
     "gold_customer_metrics",
     "gold_product_performance",
