@@ -226,3 +226,139 @@ def ivf_probe(
         .limit(k)
         .select(F.col(id_col), F.round("__cos", 4).alias("cosine_sim"))
     )
+
+
+# ------------------------------------------------ k-means IVF (trained)
+
+def train_kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Coarse quantizer training (the IVF 'coarse codebook'): Spark
+    MLlib k-means over (a sample of) the corpus, centroids returned
+    driver-side — k×dim doubles, tiny at any corpus size. At 100 TB
+    train on a sample (``sample_fraction``): centroid quality needs
+    thousands of points per centroid, not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(
+            F.col(vec_col).cast("array<double>")
+        ).alias("__feat")
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__feat",
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def assign_centroid(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id as an Arrow-batched kernel: one UDF node
+    (a k×dim argmin unrolled to codegen would cost ~k×dim expression
+    nodes of Catalyst time per query — the §6 lesson), numpy does the
+    (rows × k) distance matrix per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c_norms = (cents * cents).sum(axis=1)  # ||c||^2, precomputed
+
+    def kernel(v):
+        import pandas as pd
+
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        vals = v.to_numpy()
+        out = np.full(n, -1, dtype=np.int32)
+        good = [
+            i for i in range(n)
+            if vals[i] is not None and len(vals[i]) == cents.shape[1]
+        ]
+        if good:
+            arr = np.vstack(vals[good]).astype(np.float64, copy=False)
+            # argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 const)
+            d = c_norms[None, :] - 2.0 * (arr @ cents.T)
+            out[good] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out, dtype="int32")
+
+    return pandas_udf(kernel, "int")(vec_col)
+
+
+def build_kmeans_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Materialize a TRAINED-centroid IVF layout (the BigQuery
+    `CREATE VECTOR INDEX (type IVF)` analog with a real codebook, vs
+    the training-free sign-bit variant above): train k-means, assign
+    every row its nearest centroid in one Arrow-batched pass, write
+    parquet-partitioned by centroid id, persist the codebook next to
+    the data. Returns the centroids."""
+    import json
+    import os
+
+    centroids = train_kmeans_centroids(
+        df, vec_col, n_centroids, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_centroid(F.col(vec_col), centroids).alias("__cid"),
+    ).where(F.col("__cid") >= 0)
+    coded.write.mode("overwrite").partitionBy("__cid").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def kmeans_ivf_probe(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN probe over a trained IVF layout: rank centroids by distance
+    to the query DRIVER-SIDE (k_centroids×dim floats — no cluster
+    work), scan only the ``nprobe`` nearest partitions via the
+    ``__cid IN`` partition filter, score survivors with the Arrow
+    cosine kernel. At 100 TB a probe reads ~nprobe/n_centroids of the
+    corpus."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:nprobe]]
+    cos = cosine_vs_literal(F.col(vec_col), list(query_vec))
+    return (
+        spark.read.parquet(path)
+        .where(F.col("__cid").isin(probe))
+        .select(F.col(id_col), cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), id_col)
+        .limit(k)
+        .select(F.col(id_col), F.round("__cos", 4).alias("cosine_sim"))
+    )

@@ -291,6 +291,51 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_INDEX_PATHS: dict[str, str] = {}
+
+
+def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _KMEANS_INDEX_PATHS:
+        import hashlib
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            build_kmeans_ivf_index,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/kmeans_ivf_index_{tag}"
+        build_kmeans_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            "vec_id",
+            "embedding",
+            n_centroids=16,
+        )
+        _KMEANS_INDEX_PATHS[sf_dir] = path
+    return _KMEANS_INDEX_PATHS[sf_dir]
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF ANN (k-means centroids, the FAISS-style
+    IVF-Flat shape): probes the 4 nearest of 16 centroid partitions.
+    Rows-only driver check (k-means is not DuckDB-replayable);
+    recall vs brute force is pinned in tests/test_similarity_text.py."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        kmeans_ivf_probe,
+    )
+
+    return kmeans_ivf_probe(
+        spark,
+        _kmeans_index_path(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -472,6 +517,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_tokens": text_tokens,

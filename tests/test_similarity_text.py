@@ -282,6 +282,51 @@ def test_sample_frames_keeps_every_kth(spark):
     assert kept == [0, 3, 6, 9]
 
 
+def test_kmeans_ivf_recall_and_pruning(spark, sf_dir, tmp_path):
+    """Trained-codebook IVF: nprobe=n_centroids probes everything
+    (exact = brute force); a partial probe reads only the probed
+    partitions (plan-asserted) and keeps useful recall."""
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        build_kmeans_ivf_index,
+        kmeans_ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "kmidx")
+    cents = build_kmeans_ivf_index(
+        emb, path, "vec_id", "embedding", n_centroids=8
+    )
+    assert len(cents) == 8 and len(cents[0]) > 0
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+        .collect()
+    ]
+    # full probe == brute force (every partition read)
+    full = [
+        r["vec_id"]
+        for r in kmeans_ivf_probe(
+            spark, path, "vec_id", "embedding", q, k=10, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
+    # partial probe: partition-pruned scan, decent recall
+    probe = kmeans_ivf_probe(
+        spark, path, "vec_id", "embedding", q, k=10, nprobe=3
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = [r["vec_id"] for r in probe.collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, (recall, got, exact)
+    # the query's own vector lives in a probed partition -> rank 1
+    assert got[0] == 0
+
+
 def test_cosine_kernel_variants_bit_identical(spark):
     """The three cosine implementations (interpreted HOF fold, unrolled
     codegen, Arrow/numpy kernel) must agree BIT-FOR-BIT — they all
