@@ -134,7 +134,12 @@ def _bmp_features(payload: bytes) -> list[float]:
 
 def _jpeg_features(payload: bytes) -> list[float]:
     """Baseline JPEG via the pure-python codec; non-baseline frames
-    (progressive SOF2 ...) keep the honest byte-stats fallback."""
+    (progressive SOF2 ...) AND corrupt/truncated streams (bad Huffman
+    codes, mid-MCU truncation, malformed segments) take the flagged
+    byte-stats fallback — at 100 TB one rotten payload must not kill
+    the task, it must be identifiable downstream."""
+    import struct
+
     from biglake_iceberg_pipeline_spark.operators.jpeg import (
         JpegFormatError,
         decode_jpeg,
@@ -142,7 +147,8 @@ def _jpeg_features(payload: bytes) -> list[float]:
 
     try:
         return _image_features(decode_jpeg(payload))
-    except JpegFormatError:
+    except (JpegFormatError, ValueError, EOFError, IndexError, KeyError,
+            struct.error):
         return _byte_stats(payload)
 
 

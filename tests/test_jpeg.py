@@ -143,3 +143,30 @@ def test_jpeg_features_through_spark(spark):
     assert feats[1][-1] == 1.0  # real decode
     assert feats[1][0] == 48.0 and feats[1][1] == 32.0  # true dims
     assert feats[2][-1] == 0.0  # flagged fallback, no crash
+
+
+def test_corrupt_and_truncated_jpegs_fall_back(spark):
+    """Mid-stream truncation and bit-flipped entropy data must take
+    the flagged fallback in the distributed path, never fail a task."""
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    good = encode_jpeg(_test_image(32, 32), quality=90)
+    truncated = good[: len(good) // 2]
+    corrupt = bytearray(good)
+    for i in range(len(good) - 40, len(good) - 20):
+        corrupt[i] ^= 0xA5  # trash the entropy stream
+    rows = [
+        (1, bytes(good), "image/jpeg", 32, 32),
+        (2, bytes(truncated), "image/jpeg", 32, 32),
+        (3, bytes(corrupt), "image/jpeg", 32, 32),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(df).collect()
+    }
+    assert feats[1][-1] == 1.0
+    # corrupt payloads may still decode by luck, but must never crash;
+    # truncation cuts required segments -> guaranteed fallback
+    assert feats[2][-1] == 0.0
+    assert feats[3][-1] in (0.0, 1.0)

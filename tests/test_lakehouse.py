@@ -579,6 +579,34 @@ def test_txn_idempotent_commits(spark, tmp_path):
     assert t.read(spark).count() == n
 
 
+def test_stale_commit_lock_broken_fresh_lock_respected(spark, tmp_path):
+    """A crashed writer's lock file must not wedge the table forever:
+    locks older than stale_after are broken; a FRESH lock makes
+    contenders wait and then time out."""
+    import os
+    import time as _time
+
+    import pytest
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    os.makedirs(t.path, exist_ok=True)
+    lock = os.path.join(t.path, "_commit.lock")
+    # crashed writer: lock mtime far in the past
+    with open(lock, "w") as f:
+        f.write("99999")
+    old = _time.time() - 1_000
+    os.utime(lock, (old, old))
+    t.append(spark.range(3).selectExpr("id"))  # breaks the stale lock
+    assert t.read(spark).count() == 3
+    assert not os.path.exists(lock)  # released after commit
+    # live writer: fresh lock -> contender times out, table unchanged
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(TimeoutError, match="commit lock busy"):
+        t._acquire_lock(timeout=0.3)
+    os.remove(lock)
+
+
 def test_sweep_orphans_reclaims_txn_replay_files(spark, tmp_path):
     """A txn-skipped replay writes data files that never enter the
     manifest — invisible to readers but leaked on disk until
