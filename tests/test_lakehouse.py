@@ -579,6 +579,50 @@ def test_txn_idempotent_commits(spark, tmp_path):
     assert t.read(spark).count() == n
 
 
+def test_change_feed_classifies_rewrite_changes(spark, tmp_path):
+    """CDF across a MERGE + DELETE: inserts, deletes, and update
+    pre/post images classified per key; append-only ranges stay on
+    the cheap incremental path."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s0 = t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double",
+        )
+    )
+    # append-only range -> all inserts via the file-diff path
+    s1 = t.append(
+        spark.createDataFrame([(4, "d", 40.0)], "id long, name string, v double")
+    )
+    feed = t.change_feed(spark, s0, s1)
+    assert {(r["id"], r["_change_type"]) for r in feed.collect()} == {
+        (4, "insert")
+    }
+    # merge: update id=2, insert id=5; then delete id=1
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", 22.0), (5, "e", 50.0)],
+            "id long, name string, v double",
+        ),
+        ["id"],
+    )
+    s3 = t.delete_where(spark, "id = 1")
+    got = {
+        (r["id"], r["_change_type"]): (r["name"], r["v"])
+        for r in t.change_feed(spark, s1, s3, keys=["id"]).collect()
+    }
+    assert got == {
+        (1, "delete"): ("a", 10.0),
+        (2, "update_preimage"): ("b", 20.0),
+        (2, "update_postimage"): ("b2", 22.0),
+        (5, "insert"): ("e", 50.0),
+    }
+    # rewrite range without keys is a usage error, not silent garbage
+    with pytest.raises(ValueError, match="keys"):
+        t.change_feed(spark, s1, s3)
+
+
 def test_stale_commit_lock_broken_fresh_lock_respected(spark, tmp_path):
     """A crashed writer's lock file must not wedge the table forever:
     locks older than stale_after are broken; a FRESH lock makes
