@@ -1,0 +1,164 @@
+"""End-to-end medallion flow: inbox files → bronze → silver → gold.
+
+The retail-side capstone (the curation capstone for documents is
+plans/pipeline.py): one callable that composes the already-tested
+operators into the reference's event-driven daily flow —
+
+    inbox file lands (Eventarc → cleaning agent → loader, reference
+    services/data-cleaning-agent + services/loader)
+      → format/delimiter/header detection, lenient read
+      → clean: snake_case columns, trim/sentinel→NULL strings,
+        processed_at stamp, within-file duplicate flags
+      → BRONZE append (file-level idempotency: the file name rides the
+        table's transactional commit stamp, so a redelivered Eventarc
+        message — the reference's Firestore duplicate check — is a
+        no-op under the commit lock)
+      → SILVER rebuild: drop flagged in-file dups, latest-row-per-key
+        (the reference silver ROW_NUMBER shape), safe type coercion
+        (reference agent's recommend-and-cast)
+      → GOLD refresh: each table a MaterializedView over silver — the
+        silver overwrite makes their incremental path fall back to
+        full re-materialization automatically, and views stay
+        registered across runs
+      → quality report on silver + a pipeline event log table (the
+        logger service analog)
+
+Scale notes: bronze appends are per-file scans; the silver rebuild is
+one shuffle on the dedup key (the reference recomputes silver with
+CREATE OR REPLACE too — the incremental alternative is
+plans/incremental.py); gold work is whatever each view declares.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import cleaning, coercion
+from biglake_iceberg_pipeline_spark.operators.medallion import (
+    dedup_latest,
+    flag_duplicates,
+)
+from biglake_iceberg_pipeline_spark.operators.report import quality_report
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.sinks.matview import MaterializedView
+from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+
+def _file_app_id(name: str) -> str:
+    return "medallion-file-" + hashlib.sha1(name.encode()).hexdigest()[:12]
+
+
+def _clean_for_bronze(df: DataFrame, dup_keys: list[str]) -> DataFrame:
+    """The cleaning-agent pass: normalized names, ALL columns as raw
+    strings (bronze is the untyped landing zone — per-file type
+    inference would make two vintages of the same feed collide on
+    append; typing happens once, at silver, from the union of all
+    files), trimmed with sentinel NULLs, processed_at, within-file
+    duplicate flags."""
+    df = cleaning.normalize_column_names(df)
+    df = df.select(
+        *[
+            cleaning.clean_string(F.col(c).cast("string")).alias(c)
+            for c in df.columns
+        ]
+    )
+    df = cleaning.add_processed_at(df)
+    return flag_duplicates(df, keys=dup_keys)
+
+
+def _coerce_silver_types(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Apply the agent's safe-cast recommendations (BOOLEAN/BIGINT/
+    DOUBLE only where every non-blank value parses). The
+    recommendation frame is one row per string column — driver-sized
+    metadata, same class as the expectations aggregate."""
+    recs = {
+        r["column_name"]: r["recommended_type"]
+        for r in coercion.recommend_types(df).collect()
+    }
+    for col, dtype in recs.items():
+        df = df.withColumn(col, F.col(col).cast(dtype))
+    return df
+
+
+def run_medallion_flow(
+    spark: SparkSession,
+    inbox_dir: str,
+    lake_root: str,
+    key_cols: list[str],
+    gold_views: list[tuple[str, Callable[[DataFrame], DataFrame]]]
+    | None = None,
+) -> dict:
+    """Process every file in ``inbox_dir`` through bronze → silver →
+    gold under ``lake_root``. Re-running is safe: already-loaded files
+    skip via their commit stamp, silver/gold converge to the same
+    state. Returns the funnel metrics + quality status."""
+    bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
+    silver = LakehouseTable(os.path.join(lake_root, "silver"))
+    log_table = LakehouseTable(os.path.join(lake_root, "_pipeline_log"))
+    metrics: dict = {"files_processed": 0, "files_skipped": 0}
+    events: list[tuple[str, str, int]] = []
+
+    # ---- bronze: one append per new file, skip replays
+    for name in sorted(os.listdir(inbox_dir)):
+        path = os.path.join(inbox_dir, name)
+        if not os.path.isfile(path):
+            continue
+        app = _file_app_id(name)
+        if bronze.last_txn_version(app) is not None:
+            metrics["files_skipped"] += 1
+            events.append(("file_skipped_duplicate", name, 0))
+            continue
+        df = _clean_for_bronze(read_auto(spark, path), key_cols)
+        n = df.count()
+        bronze.append(df, txn=(app, 0))
+        metrics["files_processed"] += 1
+        events.append(("file_loaded_bronze", name, n))
+
+    metrics["bronze_rows"] = (
+        bronze.read(spark).count()
+        if bronze.current_snapshot_id() is not None
+        else 0
+    )
+
+    # ---- silver: in-file dups out, latest per key, safe types
+    if bronze.current_snapshot_id() is not None:
+        base = bronze.read(spark).where(~F.col("is_duplicate_in_file"))
+        latest = dedup_latest(
+            base, key_cols, "processed_at", tiebreak=key_cols
+        ).drop("is_duplicate_in_file")
+        silver.overwrite(_coerce_silver_types(spark, latest))
+        metrics["silver_rows"] = silver.read(spark).count()
+        events.append(("silver_rebuilt", "", metrics["silver_rows"]))
+
+        # ---- gold: materialized views over silver
+        metrics["gold"] = {}
+        for gname, fn in gold_views or []:
+            mv = MaterializedView(
+                spark,
+                gname,
+                silver,
+                fn,
+                os.path.join(lake_root, "gold", gname),
+            )
+            mv.refresh()
+            n = mv.read().count()
+            metrics["gold"][gname] = n
+            events.append(("gold_refreshed", gname, n))
+
+        report = quality_report(silver.read(spark), "silver")
+        metrics["quality_status"] = report["overall_status"]
+
+    # ---- event log (the logger service's Firestore analog)
+    if events:
+        log_table.append(
+            spark.createDataFrame(
+                [(e, f, n) for e, f, n in events],
+                "event string, file string, n_rows long",
+            ).withColumn("logged_at", F.current_timestamp())
+        )
+    return metrics

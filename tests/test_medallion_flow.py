@@ -1,0 +1,88 @@
+"""End-to-end medallion flow: messy inbox CSVs → bronze → silver →
+gold, idempotent re-runs, schema evolution, event log."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.plans.medallion_flow import (
+    run_medallion_flow,
+)
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+F1 = """Order ID,Customer Name,Amount,Order Date
+1,  Alice  ,100,2024-01-01
+2,Bob,N/A,2024-01-02
+2,Bob,N/A,2024-01-02
+3,Carol,300,2024-01-02
+"""
+
+# same feed later: order 3 re-shipped with a new amount, a NEW column
+# appears (schema evolution), plus a brand-new order
+F2 = """Order ID,Customer Name,Amount,Order Date,Channel
+3,Carol,350,2024-01-02,web
+4,Dan,400,2024-01-03,store
+"""
+
+
+def _daily(df):
+    return df.groupBy("order_date").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def test_medallion_flow_end_to_end(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "f1.csv"), "w") as f:
+        f.write(F1)
+
+    m1 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_views=[("daily", _daily)],
+    )
+    assert m1["files_processed"] == 1 and m1["files_skipped"] == 0
+    silver = LakehouseTable(lake + "/silver")
+    rows = {r["order_id"]: r for r in silver.read(spark).collect()}
+    # snake_cased + typed (safe coercion -> BIGINT), trimmed, sentinel
+    # NULL, within-file dup collapsed
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["customer_name"] == "Alice"
+    assert rows[2]["amount"] is None
+    # typed: either the CSV reader inferred it or safe coercion cast it
+    assert dict(silver.read(spark).dtypes)["order_id"] in ("int", "bigint")
+    assert m1["gold"]["daily"] == 2  # two distinct order dates
+    assert m1["quality_status"] in ("pass", "warn", "fail")
+
+    # identical re-run: file skipped, nothing changes
+    m2 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_views=[("daily", _daily)],
+    )
+    assert m2["files_skipped"] == 1 and m2["files_processed"] == 0
+    assert m2["silver_rows"] == 3
+
+    # second file: schema evolution + latest-wins update + new order
+    with open(os.path.join(inbox, "f2.csv"), "w") as f:
+        f.write(F2)
+    m3 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_views=[("daily", _daily)],
+    )
+    assert m3["files_processed"] == 1 and m3["files_skipped"] == 1
+    rows = {r["order_id"]: r for r in silver.read(spark).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["amount"] == 350          # latest version won
+    assert rows[3]["channel"] == "web"       # evolved column populated
+    assert rows[1]["channel"] is None        # old rows read NULL
+    assert m3["gold"]["daily"] == 3
+
+    # event log recorded every stage
+    log = LakehouseTable(lake + "/_pipeline_log").read(spark)
+    events = [r["event"] for r in log.collect()]
+    assert events.count("file_loaded_bronze") == 2
+    assert events.count("file_skipped_duplicate") == 2
+    assert "silver_rebuilt" in events and "gold_refreshed" in events
