@@ -31,6 +31,10 @@ import numpy as np
 
 # --------------------------------------------------------------- constants
 
+#: Decode-side allocation guard: frames claiming more pixels than this
+#: are rejected before any buffer is sized from the untrusted header.
+MAX_PIXELS = 1 << 25  # ~33.5 MP ≈ 100 MB decoded RGB
+
 ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10,
     17, 24, 32, 25, 18, 11,  4,  5,
@@ -304,6 +308,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise JpegFormatError(f"unsupported precision {prec}")
+            # Dimensions come from untrusted bytes and size every
+            # allocation below — a crafted 30-byte payload claiming
+            # 65535×65535 would otherwise demand >100 GB before a
+            # single entropy bit is validated.
+            if h == 0 or w == 0 or h * w > MAX_PIXELS:
+                raise JpegFormatError(
+                    f"implausible frame dimensions {w}x{h}"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
@@ -322,6 +334,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegFormatError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Non-interleaved baseline (one scan per component) is
+                # legal T.81 but rare; decoding only the first scan
+                # would silently return a grayscale of Y — refuse so
+                # callers take the flagged fallback instead.
+                raise JpegFormatError(
+                    f"non-interleaved scan ({ns} of "
+                    f"{len(frame['comps'])} components)"
+                )
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]

@@ -148,7 +148,7 @@ def _jpeg_features(payload: bytes) -> list[float]:
     try:
         return _image_features(decode_jpeg(payload))
     except (JpegFormatError, ValueError, EOFError, IndexError, KeyError,
-            struct.error):
+            MemoryError, struct.error):
         return _byte_stats(payload)
 
 

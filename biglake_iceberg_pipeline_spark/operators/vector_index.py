@@ -142,6 +142,12 @@ def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
     for vec_col, meta in table.vector_index_meta().items():
         if vec_col not in appended_df.columns:
             continue
+        # A stale index (rows rewritten since its build) must STAY
+        # stale until an explicit rebuild: appending the new batch and
+        # advancing indexed_snapshot would clear the staleness guard
+        # while the index still holds every deleted/pre-update vector.
+        if index_staleness(table, meta) is not None:
+            continue
         coded = appended_df.select(
             appended_df[meta["id_col"]],
             appended_df[vec_col],

@@ -114,8 +114,10 @@ def run_medallion_flow(
             events.append(("file_skipped_duplicate", name, 0))
             continue
         df = _clean_for_bronze(read_auto(spark, path), key_cols)
+        df.persist()  # counted for the log, then appended — one read
         n = df.count()
         bronze.append(df, txn=(app, 0))
+        df.unpersist()
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))
 
@@ -125,11 +127,26 @@ def run_medallion_flow(
         else 0
     )
 
-    # ---- silver: in-file dups out, latest per key, safe types
-    if bronze.current_snapshot_id() is not None:
+    # ---- silver: in-file dups out, latest per key, safe types.
+    # Only when bronze actually advanced: a replayed event batch
+    # (every file skipped) must converge in O(1), not re-shuffle the
+    # whole of bronze and re-materialize every gold view.
+    if (
+        bronze.current_snapshot_id() is not None
+        and metrics["files_processed"] > 0
+    ):
         base = bronze.read(spark).where(~F.col("is_duplicate_in_file"))
+        value_cols = [
+            c
+            for c in base.columns
+            if c not in key_cols
+            and c not in ("processed_at", "is_duplicate_in_file")
+        ]
+        # tiebreak on the value columns: key columns are constant
+        # within the dedup window, so they break no ties — equal
+        # processed_at stamps must still pick a deterministic winner
         latest = dedup_latest(
-            base, key_cols, "processed_at", tiebreak=key_cols
+            base, key_cols, "processed_at", tiebreak=value_cols
         ).drop("is_duplicate_in_file")
         silver.overwrite(_coerce_silver_types(spark, latest))
         metrics["silver_rows"] = silver.read(spark).count()
@@ -152,6 +169,9 @@ def run_medallion_flow(
 
         report = quality_report(silver.read(spark), "silver")
         metrics["quality_status"] = report["overall_status"]
+    elif silver.current_snapshot_id() is not None:
+        # no-op replay: report the standing state without rebuilding
+        metrics["silver_rows"] = silver.read(spark).count()
 
     # ---- event log (the logger service's Firestore analog)
     if events:

@@ -51,10 +51,11 @@ def curate_documents(
     funnel report every curation run needs)."""
     metrics: dict[str, int] = {"input": docs.count()}
 
-    # 1. fail fast on malformed feeds (per-rule counts go to the warn
-    # log; the funnel metric below counts ROWS dropped, not violations
-    # — a row failing both rules must not be counted twice)
-    expectations.check(
+    # 1. fail fast on malformed feeds. Per-rule violation counts go
+    # into the report (the scan would otherwise be wasted work); the
+    # funnel metric below counts ROWS dropped, not violations — a row
+    # failing both rules must not be counted twice.
+    _, gate_metrics = expectations.check(
         docs,
         {
             "doc_id_set": F.col("doc_id").isNotNull(),
@@ -63,6 +64,8 @@ def curate_documents(
         },
         on_violation="warn",
     )
+    for rule, n_bad in gate_metrics.items():
+        metrics[f"gate_rule_{rule}"] = n_bad
     cleaned = docs.where(
         F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()

@@ -145,6 +145,35 @@ def test_jpeg_features_through_spark(spark):
     assert feats[2][-1] == 0.0  # flagged fallback, no crash
 
 
+def test_crafted_dimensions_rejected_before_allocation():
+    """A ~30-byte payload claiming 65535x65535 must be rejected by the
+    dimension guard, not allocate >100 GB of planes."""
+    import struct as _s
+
+    sof = (
+        b"\xFF\xC0"
+        + _s.pack(">H", 2 + 1 + 2 + 2 + 1 + 9)
+        + _s.pack(">BHHB", 8, 65535, 65535, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    payload = b"\xFF\xD8" + sof + b"\xFF\xD9"
+    with pytest.raises(JpegFormatError, match="implausible"):
+        decode_jpeg(payload)
+
+
+def test_non_interleaved_scan_refused():
+    """A single-component scan on a 3-component frame (legal but
+    unsupported non-interleaved baseline) must refuse loudly, not
+    silently return a grayscale of the Y scan flagged 'real'."""
+    good = bytearray(encode_jpeg(_test_image(16, 16), 90))
+    i = good.find(b"\xFF\xDA")
+    # rewrite SOS to declare only component 1 (Y): len=8, ns=1
+    new_sos = b"\xFF\xDA" + b"\x00\x08" + bytes([1, 1, 0x00, 0, 63, 0])
+    patched = bytes(good[:i]) + new_sos + bytes(good[i + 14 :])
+    with pytest.raises(JpegFormatError, match="non-interleaved"):
+        decode_jpeg(patched)
+
+
 def test_corrupt_and_truncated_jpegs_fall_back(spark):
     """Mid-stream truncation and bit-flipped entropy data must take
     the flagged fallback in the distributed path, never fail a task."""

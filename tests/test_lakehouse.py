@@ -737,6 +737,17 @@ def test_vector_index_stale_after_row_rewrite(spark, tmp_path):
     with pytest.raises(vector_index.StaleVectorIndexError, match="rewritten"):
         vector_index.probe_lakehouse_index(spark, t, "embedding", q, k=5)
 
+    # an APPEND after the rewrite must NOT clear the guard: index
+    # maintenance skips stale indexes (else indexed_snapshot would
+    # advance past the rewrite mark while deleted vectors remain)
+    t.append(
+        emb.where("vec_id >= 100 AND vec_id < 110").withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    with pytest.raises(vector_index.StaleVectorIndexError, match="rewritten"):
+        vector_index.probe_lakehouse_index(spark, t, "embedding", q, k=5)
+
     # rebuild-on-probe reflects the delete: no dropped ids resurface
     probe = vector_index.probe_lakehouse_index(
         spark, t, "embedding", q, k=500, nprobe_hamming=8, on_stale="rebuild"

@@ -38,6 +38,16 @@ def test_lint_detects_hugeint(duck):
     assert problems and "HUGEINT" in problems[0].upper()
 
 
+def test_lint_detects_column_name_mismatch(spark, duck):
+    """Self-test: a misnamed oracle column (n_user vs n_users) must be
+    flagged — the driver hash-fails on name sets, so the lint must
+    too."""
+    dcols = duck_schema(duck, "SELECT 1::BIGINT AS n_user")
+    sfields = spark.range(1).selectExpr("id AS n_users").schema.fields
+    problems = lint_pair("planted", dcols, sfields)
+    assert problems and "column names differ" in problems[0]
+
+
 def test_lint_detects_class_mismatch(spark, duck):
     """Self-test: oracle DOUBLE vs Spark BIGINT must be flagged."""
     dcols = duck_schema(duck, "SELECT 1.5::DOUBLE AS x")

@@ -102,8 +102,16 @@ def lint_pair(key: str, duck_cols, spark_fields) -> list[str]:
                 )
     dmap = {n: canon_duck(t) for n, t in duck_cols}
     smap = {f.name: canon_spark(f.dataType) for f in spark_fields}
-    if list(dmap) != list(smap) and sorted(dmap) == sorted(smap):
-        pass  # column order differs; driver sorts by name — fine
+    # Column ORDER may differ (the driver sorts by name before
+    # hashing) but the NAME SETS must match exactly — a misnamed,
+    # missing, or extra column hash-fails at driver time.
+    only_oracle = sorted(set(dmap) - set(smap))
+    only_spark = sorted(set(smap) - set(dmap))
+    if only_oracle or only_spark:
+        problems.append(
+            f"{key}: column names differ — only in oracle: "
+            f"{only_oracle}, only in spark: {only_spark}"
+        )
     for name in sorted(set(dmap) & set(smap)):
         if dmap[name] != smap[name]:
             problems.append(
