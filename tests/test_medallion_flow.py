@@ -86,3 +86,45 @@ def test_medallion_flow_end_to_end(spark, tmp_path):
     assert events.count("file_loaded_bronze") == 2
     assert events.count("file_skipped_duplicate") == 2
     assert "silver_rebuilt" in events and "gold_refreshed" in events
+
+
+def test_medallion_incremental_silver_matches_rebuild(spark, tmp_path):
+    """silver_mode='incremental' (O(delta + touched keys)) converges
+    to the same silver as the full rebuild across multiple file
+    vintages — including a latest-wins update and schema evolution —
+    and its refreshes MERGE rather than overwrite."""
+
+    def run_both(files):
+        results = {}
+        for mode in ("rebuild", "incremental"):
+            inbox = str(tmp_path / f"inbox_{mode}")
+            lake = str(tmp_path / f"lake_{mode}")
+            os.makedirs(inbox, exist_ok=True)
+            for fname, body in files:
+                with open(os.path.join(inbox, fname), "w") as f:
+                    f.write(body)
+                run_medallion_flow(
+                    spark, inbox, lake, ["order_id"],
+                    silver_mode=mode,
+                )
+            silver = LakehouseTable(lake + "/silver")
+            results[mode] = (
+                {
+                    r["order_id"]: (
+                        r["customer_name"], r["amount"],
+                        r["channel"] if "channel" in r.__fields__ else None,
+                    )
+                    for r in silver.read(spark).collect()
+                },
+                [h["operation"] for h in silver.history()],
+            )
+        return results
+
+    res = run_both([("f1.csv", F1), ("f2.csv", F2)])
+    rows_rebuild, _ = res["rebuild"]
+    rows_incr, ops_incr = res["incremental"]
+    assert rows_incr == rows_rebuild
+    # first refresh appends, later ones merge — never a full overwrite
+    assert ops_incr[0] == "append"
+    assert "merge" in ops_incr and "overwrite" not in ops_incr
+    assert rows_incr[3] == ("Carol", 350, "web")  # latest vintage won
