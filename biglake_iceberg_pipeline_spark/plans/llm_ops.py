@@ -336,6 +336,74 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE token counts (operators/bpe.py): merges
+    learned from a 500-doc sample, applied distributed. Rows-only
+    driver check (the iterative merge loop is not SQL-expressible);
+    determinism, exact encode semantics, and the compression property
+    are pinned in tests/test_bpe.py."""
+    from biglake_iceberg_pipeline_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.corpus_token_counts(
+        docs, "doc_id", "text", n_merges=200, sample_docs=500
+    )
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit over the embeddings corpus
+    (operators/quantization.py): per-vector scale, worst
+    reconstruction error, reconstruction cosine. Map-side only."""
+    from biglake_iceberg_pipeline_spark.operators.quantization import (
+        quantization_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_audit(emb, "vec_id", "embedding")
+
+
+_Q_SCALE = (
+    "list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0"
+)
+_Q_CODE_I = (
+    "CASE WHEN scale = 0 THEN 0 ELSE "
+    "CAST(greatest(-127.0, least(127.0, "
+    "round(CAST(embedding[i] AS DOUBLE) / scale, 0))) AS INTEGER) END"
+)
+_Q_RECON_I = f"(CAST(({_Q_CODE_I}) AS DOUBLE) * scale)"
+_Q_ERR = (
+    "list_max([abs(CAST(embedding[i] AS DOUBLE) - " + _Q_RECON_I + ") "
+    "for i in generate_series(1, len(embedding))])"
+)
+_Q_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "[CAST(embedding[i] AS DOUBLE) * " + _Q_RECON_I + " "
+    "for i in generate_series(1, len(embedding))]), (a, b) -> a + b)"
+)
+_Q_N1 = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(embedding))]), (a, b) -> a + b))"
+)
+_Q_N2 = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "[" + _Q_RECON_I + " * " + _Q_RECON_I + " "
+    "for i in generate_series(1, len(embedding))]), (a, b) -> a + b))"
+)
+EMBEDDING_QUANTIZATION_SQL = f"""
+WITH scaled AS (
+    SELECT vec_id, embedding, {_Q_SCALE} AS scale FROM embeddings
+)
+SELECT vec_id,
+    floor(scale * 1000000.0 + 0.5) / 1000000.0 AS q_scale,
+    floor({_Q_ERR} * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err,
+    CASE WHEN {_Q_N1} * {_Q_N2} = 0 THEN NULL
+         ELSE floor({_Q_DOT} / ({_Q_N1} * {_Q_N2}) * 10000.0 + 0.5)
+              / 10000.0 END AS recon_cosine
+FROM scaled
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -521,9 +589,11 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_fingerprint": text_fingerprint,
     "multimodal_features": multimodal_features,
     "embedding_stats": embedding_stats,
+    "embedding_quantization": embedding_quantization,
 }
 
 ORACLE = {
@@ -538,4 +608,5 @@ ORACLE = {
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "embedding_stats": EMBEDDING_STATS_SQL,
+    "embedding_quantization": EMBEDDING_QUANTIZATION_SQL,
 }

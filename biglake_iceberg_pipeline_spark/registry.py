@@ -44,9 +44,12 @@ PRIORITY_KEYS = (
 # the driver smoke-checks it every round regardless.
 DEMOTED_KEYS = frozenset({
     "q1_pricing_summary",
-    # r2-green single-scan agg, demoted to fit ann_ivf_kmeans in the
-    # 50-key window; rotates back in next round
+    # r2-green stable-plan queries, demoted to fit this round's new
+    # keys (ann_ivf_kmeans, text_bpe_tokens) in the 50-key window;
+    # rotate back next round
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
     "q9_profit_by_nation",
     "gold_customer_metrics",
     "gold_product_performance",
