@@ -261,6 +261,7 @@ _IVF_INDEX_PATHS: dict[str, str] = {}
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _IVF_INDEX_PATHS:
         import hashlib
+        import os
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
@@ -268,7 +269,10 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/ivf_index_{tag}"
+        # per-process path: a second process (parallel test run,
+        # concurrent bench) must not overwrite an index this
+        # process is probing
+        path = f"{tempfile.gettempdir()}/ivf_index_{tag}_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()[0])
         build_ivf_index(emb, path, "vec_id", "embedding", dim=dim)
@@ -297,6 +301,7 @@ _KMEANS_INDEX_PATHS: dict[str, str] = {}
 def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _KMEANS_INDEX_PATHS:
         import hashlib
+        import os
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
@@ -304,7 +309,7 @@ def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/kmeans_ivf_index_{tag}"
+        path = f"{tempfile.gettempdir()}/kmeans_ivf_index_{tag}_{os.getpid()}"
         build_kmeans_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
             path,

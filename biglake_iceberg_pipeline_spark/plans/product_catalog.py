@@ -95,6 +95,7 @@ _CATALOG_INDEX_PATHS: dict[str, str] = {}
 def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _CATALOG_INDEX_PATHS:
         import hashlib
+        import os
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
@@ -102,7 +103,9 @@ def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/product_catalog_index_{tag}"
+        # per-process path: concurrent processes must not overwrite
+        # an index this one is probing
+        path = f"{tempfile.gettempdir()}/product_catalog_index_{tag}_{os.getpid()}"
         build_ivf_index(
             build_product_catalog(spark, sf_dir),
             path,

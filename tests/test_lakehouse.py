@@ -623,6 +623,36 @@ def test_change_feed_classifies_rewrite_changes(spark, tmp_path):
         t.change_feed(spark, s1, s3)
 
 
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """A merge that evolves the schema (adds a column) must still
+    diff cleanly: both snapshot reads overlay the committed (evolved)
+    schema, so old rows surface NULL for the new column and the
+    update classification compares like against like."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s0 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    s1 = t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "web"), (3, "c", "store")],
+            "id long, name string, channel string",
+        ),
+        ["id"],
+    )
+    got = {
+        (r["id"], r["_change_type"]): (r["name"], r["channel"])
+        for r in t.change_feed(spark, s0, s1, keys=["id"]).collect()
+    }
+    assert got == {
+        (2, "update_preimage"): ("b", None),
+        (2, "update_postimage"): ("b2", "web"),
+        (3, "insert"): ("c", "store"),
+    }
+    # id=1 untouched (channel NULL in both reads) -> not in the feed
+    assert not any(k[0] == 1 for k in got)
+
+
 def test_stale_commit_lock_broken_fresh_lock_respected(spark, tmp_path):
     """A crashed writer's lock file must not wedge the table forever:
     locks older than stale_after are broken; a FRESH lock makes
