@@ -65,6 +65,7 @@ def quantization_audit(
     the original and its dequantized reconstruction. One projection,
     no shuffle — run it before committing a corpus to int8."""
     from biglake_iceberg_pipeline_spark.functions.numeric import money_round
+    from biglake_iceberg_pipeline_spark.operators.dedup import cosine
 
     scale = vector_scale(F.col(vec_col))
     codes = quantize(F.col(vec_col), scale)
@@ -78,23 +79,9 @@ def quantization_audit(
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            recon,
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731 — tiny local fold builder
-        F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = F.try_divide(dot, norm(F.col(vec_col)) * norm(recon))
+    # dedup.cosine is the canonical bit-reproducible fold (same
+    # sequential order as the oracle's list_reduce)
+    cos = cosine(F.col(vec_col), recon)
     return df.select(
         F.col(id_col),
         money_round(scale, 6).alias("q_scale"),

@@ -252,7 +252,16 @@ def train_kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
+    # NULL / ragged vectors crash KMeans.fit; drop them here the same
+    # way assign_centroid drops them at index time (dim = the first
+    # non-null vector's length — the corpus contract)
+    probe = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(f"no non-null vectors in {vec_col!r}")
+    dim = len(probe[0])
+    feats = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         array_to_vector(
             F.col(vec_col).cast("array<double>")
         ).alias("__feat")
@@ -323,6 +332,9 @@ def build_kmeans_ivf_index(
         df, vec_col, n_centroids, seed=seed,
         sample_fraction=sample_fraction,
     )
+    # __cid == -1 marks NULL/ragged vectors: excluded from the index
+    # (they can never match a probe) — callers needing them must fix
+    # the corpus, not the index
     coded = df.select(
         F.col(id_col),
         F.col(vec_col),

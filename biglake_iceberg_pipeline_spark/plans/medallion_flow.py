@@ -44,22 +44,30 @@ from biglake_iceberg_pipeline_spark.operators.medallion import (
     flag_duplicates,
 )
 from biglake_iceberg_pipeline_spark.operators.report import quality_report
+from biglake_iceberg_pipeline_spark.plans.incremental import lock_free_stamp
 from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
 from biglake_iceberg_pipeline_spark.sinks.matview import MaterializedView
 from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+#: silver's bronze-snapshot watermark rides this app id (both modes)
+_SILVER_APP = "medallion-silver"
 
 
 def _file_app_id(name: str) -> str:
     return "medallion-file-" + hashlib.sha1(name.encode()).hexdigest()[:12]
 
 
-def _clean_for_bronze(df: DataFrame, dup_keys: list[str]) -> DataFrame:
+def _clean_for_bronze(df: DataFrame) -> DataFrame:
     """The cleaning-agent pass: normalized names, ALL columns as raw
     strings (bronze is the untyped landing zone — per-file type
     inference would make two vintages of the same feed collide on
     append; typing happens once, at silver, from the union of all
     files), trimmed with sentinel NULLs, processed_at, within-file
-    duplicate flags."""
+    duplicate flags. Duplicates are flagged on the FULL ROW (the
+    reference agent's is_duplicate_in_file = identical row): two rows
+    sharing a key but differing in values are NOT in-file dups — both
+    reach silver, where latest-wins resolves them deterministically;
+    flagging by key alone would drop one of them arbitrarily."""
     df = cleaning.normalize_column_names(df)
     df = df.select(
         *[
@@ -68,7 +76,7 @@ def _clean_for_bronze(df: DataFrame, dup_keys: list[str]) -> DataFrame:
         ]
     )
     df = cleaning.add_processed_at(df)
-    return flag_duplicates(df, keys=dup_keys)
+    return flag_duplicates(df)
 
 
 def _coerce_silver_types(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -83,6 +91,64 @@ def _coerce_silver_types(spark: SparkSession, df: DataFrame) -> DataFrame:
     for col, dtype in recs.items():
         df = df.withColumn(col, F.col(col).cast(dtype))
     return df
+
+
+#: widening lattice for incremental typing: a delta needing a WIDER
+#: class than standing silver widens silver through merge's schema
+#: evolution; needing a NARROWER/equal class keeps silver's type.
+_TYPE_RANK = {
+    "boolean": 1, "int": 2, "bigint": 2, "float": 3, "double": 3,
+    "string": 4,
+}
+
+
+def _rank(dtype: str) -> int:
+    return _TYPE_RANK.get(dtype.lower(), 4)
+
+
+def _type_delta_like_silver(
+    spark: SparkSession, cand: DataFrame, silver_types: dict[str, str]
+) -> DataFrame:
+    """Type an (all-string) delta against the standing silver schema:
+    shared columns keep silver's type unless this vintage genuinely
+    needs a wider numeric class (e.g. BIGINT silver, 12.5 arrives →
+    DOUBLE; the merge then widens silver — the same answer a full
+    rebuild would infer). A typed silver column whose new values no
+    longer parse at all is NOT silently nulled or crashed: it raises
+    with a re-baseline instruction, because only a full re-inference
+    over the union can decide that column's type. New columns get a
+    fresh safe-cast recommendation."""
+    recs = {
+        r["column_name"]: r["recommended_type"].lower()
+        for r in coercion.recommend_types(cand).collect()
+    }
+    cand_types = dict(cand.dtypes)
+    for c in cand.columns:
+        if c == "processed_at":
+            continue
+        cand_t = (
+            recs.get(c, "string")
+            if cand_types[c] == "string"
+            else cand_types[c]
+        )
+        if c in silver_types:
+            silver_t = silver_types[c]
+            if _rank(cand_t) <= _rank(silver_t):
+                target = silver_t
+            elif silver_t.lower() == "string":
+                target = "string"
+            elif _rank(cand_t) >= 4:
+                raise ValueError(
+                    f"column {c!r} no longer parses as silver's "
+                    f"{silver_t}; re-baseline with "
+                    "silver_mode='rebuild'"
+                )
+            else:
+                target = cand_t  # widen; merge evolves silver
+            cand = cand.withColumn(c, F.col(c).cast(target))
+        elif c in recs:
+            cand = cand.withColumn(c, F.col(c).cast(recs[c]))
+    return cand
 
 
 def _value_cols(df: DataFrame, key_cols: list[str]) -> list[str]:
@@ -132,16 +198,7 @@ def refresh_silver_incremental(
             _coerce_silver_types(spark, cand), txn=(app, current)
         )
     existing = silver.read(spark)
-    # type the candidate like the standing silver (shared columns cast
-    # to silver's dtype; genuinely new columns get a fresh safe-cast
-    # recommendation) so latest-wins compares like against like
-    shared = {c: t for c, t in existing.dtypes}
-    for c in cand.columns:
-        if c in shared:
-            cand = cand.withColumn(c, F.col(c).cast(shared[c]))
-    new_cols = [c for c in cand.columns if c not in shared]
-    if new_cols:
-        cand = _coerce_silver_types(spark, cand)
+    cand = _type_delta_like_silver(spark, cand, dict(existing.dtypes))
     # touched keys only: broadcast the (small) delta key set
     touched = existing.join(
         F.broadcast(cand.select(*key_cols).distinct()),
@@ -181,7 +238,15 @@ def run_medallion_flow(
     bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
     silver = LakehouseTable(os.path.join(lake_root, "silver"))
     log_table = LakehouseTable(os.path.join(lake_root, "_pipeline_log"))
-    metrics: dict = {"files_processed": 0, "files_skipped": 0}
+    # branch-independent shape: callers can rely on every key existing
+    metrics: dict = {
+        "files_processed": 0,
+        "files_skipped": 0,
+        "bronze_rows": 0,
+        "silver_rows": None,
+        "gold": {},
+        "quality_status": None,
+    }
     events: list[tuple[str, str, int]] = []
 
     # ---- bronze: one append per new file, skip replays
@@ -194,7 +259,7 @@ def run_medallion_flow(
             metrics["files_skipped"] += 1
             events.append(("file_skipped_duplicate", name, 0))
             continue
-        df = _clean_for_bronze(read_auto(spark, path), key_cols)
+        df = _clean_for_bronze(read_auto(spark, path))
         df.persist()  # counted for the log, then appended — one read
         n = df.count()
         bronze.append(df, txn=(app, 0))
@@ -202,22 +267,24 @@ def run_medallion_flow(
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))
 
-    metrics["bronze_rows"] = (
-        bronze.read(spark).count()
-        if bronze.current_snapshot_id() is not None
-        else 0
-    )
+    # manifest metadata, not a scan — replays stay O(1)
+    metrics["bronze_rows"] = bronze.row_count() or 0
 
     # ---- silver: in-file dups out, latest per key, safe types.
-    # Only when bronze actually advanced: a replayed event batch
-    # (every file skipped) must converge in O(1), not re-shuffle the
-    # whole of bronze and re-materialize every gold view.
-    if (
-        bronze.current_snapshot_id() is not None
-        and metrics["files_processed"] > 0
+    # Gate on the WATERMARK (silver's recorded bronze snapshot), not
+    # this run's file counter: a run that crashed between the bronze
+    # append and the silver refresh leaves silver stale, and its
+    # replay sees files_skipped only — the watermark still says
+    # "behind", so the refresh happens and the flow converges.
+    bronze_snap = bronze.current_snapshot_id()
+    silver_wm = silver.last_txn_version(_SILVER_APP)
+    if bronze_snap is not None and (
+        silver_wm is None or silver_wm < bronze_snap
     ):
         if silver_mode == "incremental":
-            refresh_silver_incremental(spark, bronze, silver, key_cols)
+            refresh_silver_incremental(
+                spark, bronze, silver, key_cols, app=_SILVER_APP
+            )
         else:
             base = bronze.read(spark).where(
                 ~F.col("is_duplicate_in_file")
@@ -232,11 +299,11 @@ def run_medallion_flow(
                 tiebreak=_value_cols(base, key_cols),
             ).drop("is_duplicate_in_file")
             silver.overwrite(_coerce_silver_types(spark, latest))
-        metrics["silver_rows"] = silver.read(spark).count()
+            lock_free_stamp(silver, bronze_snap, app=_SILVER_APP)
+        metrics["silver_rows"] = silver.row_count()
         events.append(("silver_rebuilt", "", metrics["silver_rows"]))
 
         # ---- gold: materialized views over silver
-        metrics["gold"] = {}
         for gname, fn in gold_views or []:
             mv = MaterializedView(
                 spark,
@@ -246,15 +313,15 @@ def run_medallion_flow(
                 os.path.join(lake_root, "gold", gname),
             )
             mv.refresh()
-            n = mv.read().count()
+            n = mv.table.row_count()
             metrics["gold"][gname] = n
             events.append(("gold_refreshed", gname, n))
 
         report = quality_report(silver.read(spark), "silver")
         metrics["quality_status"] = report["overall_status"]
     elif silver.current_snapshot_id() is not None:
-        # no-op replay: report the standing state without rebuilding
-        metrics["silver_rows"] = silver.read(spark).count()
+        # no-op replay: manifest metadata only, no scans
+        metrics["silver_rows"] = silver.row_count()
 
     # ---- event log (the logger service's Firestore analog)
     if events:

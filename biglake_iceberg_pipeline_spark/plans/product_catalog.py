@@ -114,6 +114,12 @@ def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
             planes=PLANES,
             dim=embed.EMBED_DIM,
         )
+        # the per-pid tree would otherwise accumulate one corpus
+        # copy per process on hosts that never reap tempdir
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _CATALOG_INDEX_PATHS[sf_dir] = path
     return _CATALOG_INDEX_PATHS[sf_dir]
 

@@ -181,6 +181,9 @@ class LakehouseTable:
                 else files
             )
             manifest.setdefault("file_stats", {}).update(stats)
+            manifest.setdefault("file_rows", {}).update(
+                self._file_row_counts(files)
+            )
             if self.partition_by:
                 manifest["partition_by"] = self.partition_by
                 fp = manifest.setdefault("file_partitions", {})
@@ -378,6 +381,42 @@ class LakehouseTable:
                         per_col[name] = [lo, hi]
             stats[path] = per_col
         return stats
+
+    @staticmethod
+    def _file_row_counts(files: list[str]) -> dict[str, int]:
+        """Record count per file from the parquet footer (metadata
+        only, no data pages) — the per-file record counts Iceberg
+        keeps in its manifests; lets row_count() answer without a
+        scan."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for path in files:
+            try:
+                out[path] = pq.ParquetFile(path).metadata.num_rows
+            except OSError:
+                continue
+        return out
+
+    def row_count(self, snapshot_id: int | None = None) -> int | None:
+        """Table row count from manifest metadata — O(1) manifest
+        read, no scan. None when any file predates row-count tracking
+        (fall back to read().count() there)."""
+        snaps = self.snapshots
+        if not snaps:
+            return 0
+        snap = (
+            snaps[-1]
+            if snapshot_id is None
+            else next(s for s in snaps if s["id"] == snapshot_id)
+        )
+        rows = self._read_manifest().get("file_rows", {})
+        total = 0
+        for f in snap["files"]:
+            if f not in rows:
+                return None
+            total += rows[f]
+        return total
 
     def _next_id(self, manifest: dict) -> int:
         snaps = manifest["snapshots"]
@@ -851,7 +890,7 @@ class LakehouseTable:
                     if f not in live and os.path.exists(f):
                         os.remove(f)
             manifest["snapshots"] = kept
-            for per_file_key in ("file_stats", "file_partitions"):
+            for per_file_key in ("file_stats", "file_partitions", "file_rows"):
                 if per_file_key in manifest:
                     manifest[per_file_key] = {
                         f: st

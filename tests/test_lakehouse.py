@@ -579,6 +579,20 @@ def test_txn_idempotent_commits(spark, tmp_path):
     assert t.read(spark).count() == n
 
 
+def test_row_count_from_manifest_metadata(spark, tmp_path):
+    """row_count() answers from parquet-footer counts recorded at
+    commit time — no scan; tracks appends, deletes, and time travel."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    assert t.row_count() == 0
+    s1 = t.append(spark.range(10).selectExpr("id"))
+    t.append(spark.range(5).selectExpr("id + 100 AS id"))
+    assert t.row_count() == 15
+    assert t.row_count(snapshot_id=s1) == 10
+    t.delete_where(spark, "id >= 100")
+    assert t.row_count() == 10
+    assert t.row_count() == t.read(spark).count()
+
+
 def test_change_feed_classifies_rewrite_changes(spark, tmp_path):
     """CDF across a MERGE + DELETE: inserts, deletes, and update
     pre/post images classified per key; append-only ranges stay on

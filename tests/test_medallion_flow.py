@@ -88,6 +88,62 @@ def test_medallion_flow_end_to_end(spark, tmp_path):
     assert "silver_rebuilt" in events and "gold_refreshed" in events
 
 
+def test_incremental_widens_types_like_rebuild(spark, tmp_path):
+    """A later vintage delivering 12.5 into a column silver typed as
+    BIGINT must WIDEN to DOUBLE in incremental mode (as a rebuild's
+    re-inference would) — not crash the ANSI cast or null the value."""
+    f_int = "Order ID,Amount\n1,100\n2,200\n"
+    f_dec = "Order ID,Amount\n2,12.5\n3,7\n"
+    for mode in ("rebuild", "incremental"):
+        inbox = str(tmp_path / f"in_{mode}")
+        lake = str(tmp_path / f"lk_{mode}")
+        os.makedirs(inbox)
+        with open(inbox + "/f1.csv", "w") as f:
+            f.write(f_int)
+        run_medallion_flow(spark, inbox, lake, ["order_id"], silver_mode=mode)
+        silver = LakehouseTable(lake + "/silver")
+        assert dict(silver.read(spark).dtypes)["amount"] in ("int", "bigint")
+        with open(inbox + "/f2.csv", "w") as f:
+            f.write(f_dec)
+        run_medallion_flow(spark, inbox, lake, ["order_id"], silver_mode=mode)
+        got = {r["order_id"]: r["amount"]
+               for r in silver.read(spark).collect()}
+        assert got == {1: 100.0, 2: 12.5, 3: 7.0}, (mode, got)
+        assert dict(silver.read(spark).dtypes)["amount"] == "double"
+
+
+def test_crash_between_bronze_and_silver_recovers(spark, tmp_path):
+    """If a run dies after the bronze append but before the silver
+    refresh, the replay sees only skipped files — the WATERMARK gate
+    must still refresh silver (a file counter would skip it forever)."""
+    from biglake_iceberg_pipeline_spark.plans import medallion_flow as M
+
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(inbox + "/f1.csv", "w") as f:
+        f.write(F1)
+    run_medallion_flow(spark, inbox, lake, ["order_id"])
+    # simulate the crash window: bronze gets a new file's rows but the
+    # process dies before any silver work
+    with open(inbox + "/f2.csv", "w") as f:
+        f.write(F2)
+    bronze = LakehouseTable(lake + "/bronze")
+    bronze.append(
+        M._clean_for_bronze(
+            spark.read.option("header", True).csv(inbox + "/f2.csv")
+        ),
+        txn=(M._file_app_id("f2.csv"), 0),
+    )
+    # replay: every file skips, yet silver must catch up to bronze
+    m = run_medallion_flow(spark, inbox, lake, ["order_id"])
+    assert m["files_processed"] == 0 and m["files_skipped"] == 2
+    rows = {r["order_id"]: r for r in
+            LakehouseTable(lake + "/silver").read(spark).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["amount"] == 350 and rows[3]["channel"] == "web"
+
+
 def test_medallion_incremental_silver_matches_rebuild(spark, tmp_path):
     """silver_mode='incremental' (O(delta + touched keys)) converges
     to the same silver as the full rebuild across multiple file
