@@ -102,10 +102,16 @@ def start_ingest_to_lakehouse(
     schema: str,
     fmt: str = "csv",
     merge_keys: list[str] | None = None,
+    table=None,
 ) -> StreamingQuery:
     """Inbox → clean → snapshot-committed lakehouse table — the full
     reference flow (agent cleans, loader appends/upserts to Iceberg)
     as one streaming job.
+
+    Pass ``table`` (a LakehouseTable at ``table_path``) to keep an
+    instance the caller has decorated — e.g. with post-commit hooks
+    (``on_commit``), so materialized views auto-refresh per
+    micro-batch (the fully event-driven gold layer).
 
     foreachBatch gives the loader's table semantics (snapshot commits,
     schema evolution, MERGE upsert when ``merge_keys`` is set) instead
@@ -123,7 +129,12 @@ def start_ingest_to_lakehouse(
         LakehouseTable,
     )
 
-    table = LakehouseTable(table_path)
+    if table is None:
+        table = LakehouseTable(table_path)
+    elif table.path != table_path:
+        raise ValueError(
+            f"table is at {table.path!r}, expected {table_path!r}"
+        )
     stream = clean_batch(read_inbox_stream(spark, inbox_dir, schema, fmt))
     # Checkpoint-scoped writer identity: a NEW checkpoint means a new
     # pipeline whose batch ids restart at 0 and must not be confused

@@ -35,6 +35,51 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert "processed_at" in result.columns
 
 
+def test_streaming_ingest_auto_refreshes_gold_view(spark, tmp_path):
+    """Fully event-driven gold: streaming ingest commits to a
+    lakehouse table whose post-commit hook refreshes a materialized
+    view — after the stream drains, gold reflects every micro-batch
+    with NO explicit refresh call."""
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+    from biglake_iceberg_pipeline_spark.sinks.matview import (
+        MaterializedView,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "Order ID,Amount\n1,10.0\n2,20.0\n"
+    )
+    (inbox / "b2.csv").write_text("Order ID,Amount\n3,30.0\n")
+    table = LakehouseTable(str(tmp_path / "bronze"))
+    mv = MaterializedView(
+        spark,
+        "revenue",
+        table,
+        lambda df: df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("revenue"),
+        ),
+        str(tmp_path / "gold_revenue"),
+    ).auto_refresh_on_commit()
+    q = ingest.start_ingest_to_lakehouse(
+        spark,
+        str(inbox),
+        str(tmp_path / "bronze"),
+        str(tmp_path / "ckpt"),
+        schema="`Order ID` long, Amount double",
+        table=table,
+    )
+    q.awaitTermination(120)
+    assert mv.is_fresh()
+    row = mv.read().collect()[0]
+    assert row["n"] == 3 and row["revenue"] == 60.0
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path, sf_dir):
     """The same windowed plan over a stream of the events table must
     equal the batch result (exactly-once, availableNow drain)."""
