@@ -27,14 +27,42 @@ _EXT_FORMATS = {
 }
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def is_gzipped(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == GZIP_MAGIC
+
+
 def detect_format(path: str, sample_bytes: int = 4096) -> str:
     """Extension first, then content sniff (PAR1 magic / JSON braces /
-    delimited text)."""
+    delimited text). Gzip wrapping (.csv.gz inboxes) is transparent:
+    the INNER format is detected (by the inner extension, else by a
+    decompressed-head sniff) — Spark's text readers decompress .gz
+    natively, so the caller routes on the inner format."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".gz", ".gzip"):
+        inner = os.path.splitext(os.path.splitext(path)[0])[1].lower()
+        if inner in _EXT_FORMATS:
+            return _EXT_FORMATS[inner]
     if ext in _EXT_FORMATS:
         return _EXT_FORMATS[ext]
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
+    if head[:2] == GZIP_MAGIC:
+        import zlib
+
+        # decompressobj tolerates a head cut mid-stream and returns
+        # whatever it could inflate — plenty for the sniff below
+        try:
+            head = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+                head, sample_bytes
+            )
+        except zlib.error:
+            head = b""
+        if not head:
+            raise ValueError(f"cannot sniff gzip inner format of {path}")
     if head[:4] == b"PAR1":
         return "parquet"
     # ORC magic is "ORC" followed by binary protobuf — require a
@@ -91,10 +119,26 @@ def detect_header(sample_lines: list[str], delimiter: str) -> bool:
     )
 
 
+def text_head(path: str, sample_bytes: int = 65536) -> str:
+    """Decoded head of a (possibly gzipped) text file — the shared
+    sampler for delimiter/header/JSON-shape detection."""
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    if head[:2] == GZIP_MAGIC:
+        import zlib
+
+        try:
+            head = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+                head, sample_bytes
+            )
+        except zlib.error:
+            head = b""
+    return head.decode("utf-8", errors="replace")
+
+
 def detect_json_lines(path: str, sample_bytes: int = 4096) -> bool:
     """True for JSONL (one object per line), False for a JSON array."""
-    with open(path, "rb") as f:
-        text = f.read(sample_bytes).decode("utf-8", errors="replace")
+    text = text_head(path, sample_bytes)
     stripped = text.lstrip()
     if stripped.startswith("["):
         return False

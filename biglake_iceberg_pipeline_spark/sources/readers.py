@@ -23,9 +23,11 @@ from biglake_iceberg_pipeline_spark.sources.detect import (
 
 
 def _sample_lines(path: str, n: int = 20) -> list[str]:
-    with open(path, "rb") as f:
-        head = f.read(65536)
-    return head.decode("utf-8", errors="replace").splitlines()[:n]
+    # gzip-transparent (detect.text_head): delimiter/header detection
+    # must see the inner text of a .csv.gz, not deflate bytes
+    from biglake_iceberg_pipeline_spark.sources.detect import text_head
+
+    return text_head(path, 65536).splitlines()[:n]
 
 
 def read_csv(
@@ -147,7 +149,18 @@ def read_excel_dir(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def read_auto(spark: SparkSession, path: str) -> DataFrame:
-    """The agent's entry point: detect format, dispatch."""
+    """The agent's entry point: detect format, dispatch. Gzipped text
+    feeds (.csv.gz / .jsonl.gz) work end-to-end: detection sniffs the
+    inner format and Spark's readers decompress by extension."""
+    from biglake_iceberg_pipeline_spark.sources.detect import is_gzipped
+
+    if not path.lower().endswith((".gz", ".gzip")) and is_gzipped(path):
+        # Spark chooses the decompression codec BY EXTENSION; an
+        # extensionless gzip would be read as deflate garbage.
+        raise ValueError(
+            f"{path} is gzip-compressed but lacks a .gz extension; "
+            "rename it so Spark's reader selects the codec"
+        )
     fmt = detect_format(path)
     if fmt == "csv":
         return read_csv(spark, path)

@@ -171,3 +171,41 @@ def test_iceberg_configs_gate(tmp_path, monkeypatch):
     assert cfg["spark.sql.catalog.lake"].endswith("SparkCatalog")
     assert "IcebergSparkSessionExtensions" in cfg["spark.sql.extensions"]
     assert cfg["spark.jars"] == str(jar)
+
+
+def test_gzipped_csv_and_jsonl_end_to_end(spark, tmp_path):
+    """.csv.gz / .jsonl.gz inbox files: format, delimiter, header, and
+    JSON-shape detection all sniff the INNER content; Spark readers
+    decompress by extension, so read_auto works unchanged."""
+    import gzip
+
+    from biglake_iceberg_pipeline_spark.sources.detect import (
+        detect_format,
+        detect_json_lines,
+    )
+    from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+    csv_gz = str(tmp_path / "orders.csv.gz")
+    with gzip.open(csv_gz, "wt") as f:
+        f.write("Order ID;Name\n1;alice\n2;bob\n")
+    assert detect_format(csv_gz) == "csv"
+    rows = {r["Order ID"]: r["Name"] for r in read_auto(spark, csv_gz).collect()}
+    assert rows == {1: "alice", 2: "bob"}  # header + ';' detected
+
+    jl_gz = str(tmp_path / "events.jsonl.gz")
+    with gzip.open(jl_gz, "wt") as f:
+        f.write('{"a": 1}\n{"a": 2}\n')
+    assert detect_format(jl_gz) == "json"
+    assert detect_json_lines(jl_gz) is True
+    assert {r["a"] for r in read_auto(spark, jl_gz).collect()} == {1, 2}
+
+    # magic-only detection: no extension at all still sniffs the inner
+    # format, but read_auto refuses (Spark picks codecs by extension)
+    import pytest as _pytest
+
+    bare = str(tmp_path / "mystery")
+    with gzip.open(bare, "wt") as f:
+        f.write("a,b\n1,2\n")
+    assert detect_format(bare) == "csv"
+    with _pytest.raises(ValueError, match="lacks a .gz extension"):
+        read_auto(spark, bare)
