@@ -905,6 +905,44 @@ class LakehouseTable:
             except OSError:
                 pass
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_files: int = 8,
+        keep_snapshots: int = 5,
+        orphan_grace_s: float = 3600.0,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> dict:
+        """The nightly maintenance job (Iceberg's rewrite_data_files +
+        expire_snapshots + remove_orphan_files as one call): compact
+        when the live file count exceeds ``max_files`` (optionally
+        sort/z-order clustering while at it), expire old snapshots,
+        sweep orphans. Returns what was done. Streaming appends create
+        one-file-per-batch fragmentation; running this on a schedule
+        keeps scans at O(max_files) opens instead of O(batches)."""
+        report: dict = {
+            "compacted_from": None,
+            "expired_snapshots": [],
+            "orphans_removed": 0,
+        }
+        snaps = self.snapshots
+        if snaps and len(snaps[-1]["files"]) > max_files:
+            report["compacted_from"] = len(snaps[-1]["files"])
+            self.compact(
+                spark,
+                target_files=max_files,
+                sort_by=sort_by,
+                zorder_by=zorder_by,
+            )
+        report["expired_snapshots"] = self.expire_snapshots(
+            keep_last=keep_snapshots
+        )
+        report["orphans_removed"] = len(
+            self.sweep_orphans(older_than_s=orphan_grace_s)
+        )
+        return report
+
     # ------------------------------------------------------------ reads
 
     def read(

@@ -579,6 +579,33 @@ def test_txn_idempotent_commits(spark, tmp_path):
     assert t.read(spark).count() == n
 
 
+def test_maintain_compacts_expires_and_sweeps(spark, tmp_path):
+    """One maintenance call after fragmented streaming-style appends:
+    files coalesce to the target, history shrinks, orphans reclaimed,
+    data intact."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    for i in range(12):
+        t.append(spark.range(i * 10, (i + 1) * 10).selectExpr("id"))
+    # an orphan from a replayed batch
+    t.append(spark.range(5).selectExpr("id + 1000 AS id"), txn=("a", 0))
+    t.append(spark.range(5).selectExpr("id + 1000 AS id"), txn=("a", 0))
+    n_before = t.read(spark).count()
+    report = t.maintain(
+        spark, max_files=4, keep_snapshots=2, orphan_grace_s=0
+    )
+    assert report["compacted_from"] >= 12
+    assert report["expired_snapshots"]
+    assert report["orphans_removed"] >= 1
+    assert len(t.snapshots) <= 2
+    assert len(t.snapshots[-1]["files"]) <= 4
+    assert t.read(spark).count() == n_before
+    # idempotent second run does nothing
+    again = t.maintain(spark, max_files=4, keep_snapshots=2,
+                       orphan_grace_s=0)
+    assert again["compacted_from"] is None
+    assert again["orphans_removed"] == 0
+
+
 def test_row_count_from_manifest_metadata(spark, tmp_path):
     """row_count() answers from parquet-footer counts recorded at
     commit time — no scan; tracks appends, deletes, and time travel."""
