@@ -6,8 +6,8 @@ only the probed partitions.
 
 Spark-first: the "index" is the layout. ``build_ivf_index`` computes a
 sign-bit coarse code per vector ONCE at ingest (codegen expressions, no
-HOF) and writes the table parquet-partitioned by that code, with the L2
-norm precomputed per row. ``ivf_probe`` enumerates the probe codes
+HOF) and writes the table parquet-partitioned by that code.
+``ivf_probe`` enumerates the probe codes
 driver-side (all codes within ``nprobe_hamming`` of the query's code —
 a tiny 2^planes universe) and pushes ``__code IN (...)`` into the scan:
 Spark's partition discovery prunes every non-probed directory, so at
@@ -31,6 +31,17 @@ from biglake_iceberg_pipeline_spark.operators.similarity import (
     signbit_code,
     signbit_code_py,
 )
+
+
+def cleanup_index_at_exit(path: str) -> None:
+    """Register a per-process materialized-index tree for removal at
+    interpreter exit — index paths include the pid (no cross-process
+    races), so without this every run would leave a corpus copy in
+    tempdir."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 class StaleVectorIndexError(RuntimeError):

@@ -265,6 +265,7 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
             build_ivf_index,
         )
 
@@ -276,12 +277,7 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()[0])
         build_ivf_index(emb, path, "vec_id", "embedding", dim=dim)
-        # the per-pid tree would otherwise accumulate one corpus
-        # copy per process on hosts that never reap tempdir
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        cleanup_index_at_exit(path)
         _IVF_INDEX_PATHS[sf_dir] = path
     return _IVF_INDEX_PATHS[sf_dir]
 
@@ -311,6 +307,7 @@ def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
             build_kmeans_ivf_index,
         )
 
@@ -323,12 +320,7 @@ def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
             "embedding",
             n_centroids=16,
         )
-        # the per-pid tree would otherwise accumulate one corpus
-        # copy per process on hosts that never reap tempdir
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        cleanup_index_at_exit(path)
         _KMEANS_INDEX_PATHS[sf_dir] = path
     return _KMEANS_INDEX_PATHS[sf_dir]
 

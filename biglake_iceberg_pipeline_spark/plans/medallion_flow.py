@@ -57,6 +57,16 @@ def _file_app_id(name: str) -> str:
     return "medallion-file-" + hashlib.sha1(name.encode()).hexdigest()[:12]
 
 
+def _table_rows(spark: SparkSession, table: LakehouseTable) -> int:
+    """Manifest row count, falling back to a scan for tables whose
+    manifests predate per-file record counts (row_count's documented
+    None contract)."""
+    n = table.row_count()
+    if n is not None:
+        return n
+    return table.read(spark).count()
+
+
 def _clean_for_bronze(df: DataFrame) -> DataFrame:
     """The cleaning-agent pass: normalized names, ALL columns as raw
     strings (bronze is the untyped landing zone — per-file type
@@ -93,17 +103,19 @@ def _coerce_silver_types(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-#: widening lattice for incremental typing: a delta needing a WIDER
-#: class than standing silver widens silver through merge's schema
-#: evolution; needing a NARROWER/equal class keeps silver's type.
-_TYPE_RANK = {
-    "boolean": 1, "int": 2, "bigint": 2, "float": 3, "double": 3,
-    "string": 4,
+#: widening applies WITHIN a class only: numeric widens bigint→double;
+#: boolean and numeric are NOT interconvertible (casting 'true' to
+#: DOUBLE crashes under ANSI; coercing booleans to 1/0 diverges from
+#: what a rebuild re-infers) — cross-class vintages need a re-baseline.
+_TYPE_CLASS = {
+    "boolean": "bool",
+    "int": "num", "bigint": "num", "float": "num", "double": "num",
 }
+_NUM_RANK = {"int": 2, "bigint": 2, "float": 3, "double": 3}
 
 
-def _rank(dtype: str) -> int:
-    return _TYPE_RANK.get(dtype.lower(), 4)
+def _class(dtype: str) -> str:
+    return _TYPE_CLASS.get(dtype.lower(), "string")
 
 
 def _type_delta_like_silver(
@@ -133,18 +145,26 @@ def _type_delta_like_silver(
         )
         if c in silver_types:
             silver_t = silver_types[c]
-            if _rank(cand_t) <= _rank(silver_t):
-                target = silver_t
-            elif silver_t.lower() == "string":
-                target = "string"
-            elif _rank(cand_t) >= 4:
+            s_cls, c_cls = _class(silver_t), _class(cand_t)
+            if s_cls == "string":
+                target = "string"  # string absorbs anything
+            elif c_cls == s_cls:
+                if s_cls == "num" and (
+                    _NUM_RANK[cand_t.lower()]
+                    > _NUM_RANK[silver_t.lower()]
+                ):
+                    target = cand_t  # widen; merge evolves silver
+                else:
+                    target = silver_t
+            else:
+                # cross-class vintage (bool vs num, or values that no
+                # longer parse): only a full re-inference over the
+                # union can type this column
                 raise ValueError(
-                    f"column {c!r} no longer parses as silver's "
-                    f"{silver_t}; re-baseline with "
+                    f"column {c!r} arrived as {cand_t} but silver "
+                    f"holds {silver_t}; re-baseline with "
                     "silver_mode='rebuild'"
                 )
-            else:
-                target = cand_t  # widen; merge evolves silver
             cand = cand.withColumn(c, F.col(c).cast(target))
         elif c in recs:
             cand = cand.withColumn(c, F.col(c).cast(recs[c]))
@@ -184,11 +204,19 @@ def refresh_silver_incremental(
     wm = silver.last_txn_version(app)
     if wm is not None and wm >= current:
         return None
-    delta = (
-        bronze.read(spark)
-        if wm is None
-        else bronze.incremental_scan(spark, wm, current)
-    )
+    if wm is None:
+        delta = bronze.read(spark)
+    else:
+        try:
+            delta = bronze.incremental_scan(spark, wm, current)
+        except ValueError as e:
+            if "rewrite" not in str(e) and "not found" not in str(e):
+                raise
+            # bronze maintenance (compaction 'replace' / snapshot
+            # expiry) broke the file-diff lineage. Latest-wins is
+            # IDEMPOTENT over replayed rows, so a full re-read is
+            # merely O(bronze) this once, not incorrect.
+            delta = bronze.read(spark)
     delta = delta.where(~F.col("is_duplicate_in_file"))
     cand = dedup_latest(
         delta, key_cols, "processed_at", tiebreak=_value_cols(delta, key_cols)
@@ -267,8 +295,9 @@ def run_medallion_flow(
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))
 
-    # manifest metadata, not a scan — replays stay O(1)
-    metrics["bronze_rows"] = bronze.row_count() or 0
+    # manifest metadata when available (replays stay O(1)); a table
+    # predating row-count tracking falls back to one scan
+    metrics["bronze_rows"] = _table_rows(spark, bronze)
 
     # ---- silver: in-file dups out, latest per key, safe types.
     # Gate on the WATERMARK (silver's recorded bronze snapshot), not
@@ -300,7 +329,7 @@ def run_medallion_flow(
             ).drop("is_duplicate_in_file")
             silver.overwrite(_coerce_silver_types(spark, latest))
             lock_free_stamp(silver, bronze_snap, app=_SILVER_APP)
-        metrics["silver_rows"] = silver.row_count()
+        metrics["silver_rows"] = _table_rows(spark, silver)
         events.append(("silver_rebuilt", "", metrics["silver_rows"]))
 
         # ---- gold: materialized views over silver
@@ -313,7 +342,7 @@ def run_medallion_flow(
                 os.path.join(lake_root, "gold", gname),
             )
             mv.refresh()
-            n = mv.table.row_count()
+            n = _table_rows(spark, mv.table)
             metrics["gold"][gname] = n
             events.append(("gold_refreshed", gname, n))
 
@@ -321,7 +350,7 @@ def run_medallion_flow(
         metrics["quality_status"] = report["overall_status"]
     elif silver.current_snapshot_id() is not None:
         # no-op replay: manifest metadata only, no scans
-        metrics["silver_rows"] = silver.row_count()
+        metrics["silver_rows"] = _table_rows(spark, silver)
 
     # ---- event log (the logger service's Firestore analog)
     if events:

@@ -99,6 +99,7 @@ def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
             build_ivf_index,
         )
 
@@ -114,12 +115,7 @@ def _catalog_index_path(spark: SparkSession, sf_dir: str) -> str:
             planes=PLANES,
             dim=embed.EMBED_DIM,
         )
-        # the per-pid tree would otherwise accumulate one corpus
-        # copy per process on hosts that never reap tempdir
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        cleanup_index_at_exit(path)
         _CATALOG_INDEX_PATHS[sf_dir] = path
     return _CATALOG_INDEX_PATHS[sf_dir]
 

@@ -405,11 +405,13 @@ class LakehouseTable:
         snaps = self.snapshots
         if not snaps:
             return 0
-        snap = (
-            snaps[-1]
-            if snapshot_id is None
-            else next(s for s in snaps if s["id"] == snapshot_id)
-        )
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            matches = [s for s in snaps if s["id"] == snapshot_id]
+            if not matches:
+                raise ValueError(f"snapshot {snapshot_id} not found")
+            snap = matches[0]
         rows = self._read_manifest().get("file_rows", {})
         total = 0
         for f in snap["files"]:
@@ -923,18 +925,26 @@ class LakehouseTable:
         keeps scans at O(max_files) opens instead of O(batches)."""
         report: dict = {
             "compacted_from": None,
+            "compact_conflict": False,
             "expired_snapshots": [],
             "orphans_removed": 0,
         }
         snaps = self.snapshots
         if snaps and len(snaps[-1]["files"]) > max_files:
-            report["compacted_from"] = len(snaps[-1]["files"])
-            self.compact(
-                spark,
-                target_files=max_files,
-                sort_by=sort_by,
-                zorder_by=zorder_by,
-            )
+            try:
+                self.compact(
+                    spark,
+                    target_files=max_files,
+                    sort_by=sort_by,
+                    zorder_by=zorder_by,
+                )
+                report["compacted_from"] = len(snaps[-1]["files"])
+            except CommitConflict:
+                # a writer appended during the rewrite (the normal
+                # state of a streaming table) — skip compaction this
+                # run rather than aborting expiry + sweep; the next
+                # scheduled run retries
+                report["compact_conflict"] = True
         report["expired_snapshots"] = self.expire_snapshots(
             keep_last=keep_snapshots
         )

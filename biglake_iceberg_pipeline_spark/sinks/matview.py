@@ -105,10 +105,12 @@ class MaterializedView:
                     app=self._app,
                 )
             except ValueError as e:
-                if "rewrite" not in str(e):
+                if "rewrite" not in str(e) and "not found" not in str(e):
                     raise  # a real usage error, not a lineage break
-                # base rewrote rows since the watermark — incremental
-                # deltas are undefined; fall through to re-materialize
+                # base rewrote rows since the watermark, or table
+                # maintenance expired the watermark snapshot —
+                # incremental deltas are undefined; fall through to
+                # re-materialize
         return self._full_recompute()
 
     def _full_recompute(self) -> int:

@@ -154,14 +154,23 @@ def read_auto(spark: SparkSession, path: str) -> DataFrame:
     inner format and Spark's readers decompress by extension."""
     from biglake_iceberg_pipeline_spark.sources.detect import is_gzipped
 
-    if not path.lower().endswith((".gz", ".gzip")) and is_gzipped(path):
-        # Spark chooses the decompression codec BY EXTENSION; an
-        # extensionless gzip would be read as deflate garbage.
+    gz = is_gzipped(path)
+    if gz and not path.lower().endswith(".gz"):
+        # Hadoop's GzipCodec maps EXACTLY the '.gz' suffix; an
+        # extensionless (or '.gzip') file would be read as deflate
+        # garbage with no error.
         raise ValueError(
             f"{path} is gzip-compressed but lacks a .gz extension; "
             "rename it so Spark's reader selects the codec"
         )
     fmt = detect_format(path)
+    if gz and fmt in ("parquet", "orc", "excel"):
+        # only the TEXT readers decompress transparently; binary
+        # formats would feed gzip bytes to their own codec
+        raise ValueError(
+            f"{path} is a gzip-wrapped {fmt} file; Spark cannot "
+            "decompress binary formats — decompress it first"
+        )
     if fmt == "csv":
         return read_csv(spark, path)
     if fmt == "json":

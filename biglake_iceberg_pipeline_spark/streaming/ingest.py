@@ -131,10 +131,13 @@ def start_ingest_to_lakehouse(
 
     if table is None:
         table = LakehouseTable(table_path)
-    elif table.path != table_path:
-        raise ValueError(
-            f"table is at {table.path!r}, expected {table_path!r}"
-        )
+    else:
+        import os
+
+        if os.path.realpath(table.path) != os.path.realpath(table_path):
+            raise ValueError(
+                f"table is at {table.path!r}, expected {table_path!r}"
+            )
     stream = clean_batch(read_inbox_stream(spark, inbox_dir, schema, fmt))
     # Checkpoint-scoped writer identity: a NEW checkpoint means a new
     # pipeline whose batch ids restart at 0 and must not be confused

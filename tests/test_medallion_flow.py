@@ -112,6 +112,33 @@ def test_incremental_widens_types_like_rebuild(spark, tmp_path):
         assert dict(silver.read(spark).dtypes)["amount"] == "double"
 
 
+def test_incremental_cross_class_vintage_demands_rebaseline(spark, tmp_path):
+    """A vintage switching a numeric silver column to boolean-class
+    values must raise the guided re-baseline error — not crash the
+    ANSI cast mid-merge or silently coerce; rebuild mode handles it."""
+    import pytest as _pytest
+
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(inbox + "/f1.csv", "w") as f:
+        f.write("Order ID,Amount\n1,100\n2,200\n")
+    run_medallion_flow(
+        spark, inbox, lake, ["order_id"], silver_mode="incremental"
+    )
+    with open(inbox + "/f2.csv", "w") as f:
+        f.write("Order ID,Amount\n3,true\n4,false\n")
+    with _pytest.raises(ValueError, match="re-baseline"):
+        run_medallion_flow(
+            spark, inbox, lake, ["order_id"], silver_mode="incremental"
+        )
+    # the guided path works: rebuild re-infers the column (string)
+    m = run_medallion_flow(spark, inbox, lake, ["order_id"])
+    assert m["silver_rows"] == 4
+    silver = LakehouseTable(lake + "/silver")
+    assert dict(silver.read(spark).dtypes)["amount"] == "string"
+
+
 def test_crash_between_bronze_and_silver_recovers(spark, tmp_path):
     """If a run dies after the bronze append but before the silver
     refresh, the replay sees only skipped files — the WATERMARK gate
@@ -142,6 +169,33 @@ def test_crash_between_bronze_and_silver_recovers(spark, tmp_path):
             LakehouseTable(lake + "/silver").read(spark).collect()}
     assert set(rows) == {1, 2, 3, 4}
     assert rows[3]["amount"] == 350 and rows[3]["channel"] == "web"
+
+
+def test_incremental_survives_bronze_maintenance(spark, tmp_path):
+    """Nightly bronze maintenance (compaction = a 'replace' snapshot,
+    snapshot expiry) breaks the incremental file-diff lineage; the
+    silver refresh must fall back to a full re-read (latest-wins is
+    idempotent) instead of crashing."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(inbox + "/f1.csv", "w") as f:
+        f.write(F1)
+    run_medallion_flow(
+        spark, inbox, lake, ["order_id"], silver_mode="incremental"
+    )
+    bronze = LakehouseTable(lake + "/bronze")
+    bronze.maintain(spark, max_files=1, keep_snapshots=1, orphan_grace_s=0)
+    with open(inbox + "/f2.csv", "w") as f:
+        f.write(F2)
+    m = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], silver_mode="incremental"
+    )
+    rows = {r["order_id"]: r for r in
+            LakehouseTable(lake + "/silver").read(spark).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["amount"] == 350  # latest vintage still wins
+    assert m["silver_rows"] == 4
 
 
 def test_medallion_incremental_silver_matches_rebuild(spark, tmp_path):
