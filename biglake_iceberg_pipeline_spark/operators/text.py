@@ -8,7 +8,7 @@ expression (regex counts, array folds) — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.functions.numeric import money_round
@@ -377,4 +377,55 @@ def chunk_documents(
                 "chunk_text"
             ),
         )
+    )
+
+
+def corpus_vocabulary(
+    df: DataFrame, text_col: str, k: int = 100
+) -> DataFrame:
+    """Top-k corpus tokens with counts, document frequency, and the
+    cumulative coverage fraction — the first look every training-data
+    run takes at a new corpus (stopword curation, tokenizer sanity,
+    boilerplate spotting).
+
+    Shape at 100 TB: explode → map-side partial count → one shuffle on
+    the token (vocabulary-bounded, ≪ corpus), then a single-partition
+    window over the k survivors only. ``doc_freq`` counts distinct
+    docs per token without an Expand: within-doc duplicates collapse
+    via array_distinct BEFORE the explode."""
+    tokens = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    doc_tokens = df.select(
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    dfreq = doc_tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    total = tokens.count()
+    top = (
+        counts.join(dfreq, "token")
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(k)
+    )
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        "token",
+        "n_occurrences",
+        "doc_freq",
+        money_round(
+            F.sum("n_occurrences").over(w) / F.lit(float(total)), 6
+        ).alias("cum_coverage"),
     )

@@ -115,3 +115,28 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(3, 0)] == (1, "")  # empty doc still yields one chunk
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_chars=4, overlap=4)
+
+
+def test_corpus_vocabulary_top_tokens(spark):
+    from biglake_iceberg_pipeline_spark.operators.text import (
+        corpus_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_vocabulary(docs, "text", k=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["doc_freq"]) for r in out] == [
+        ("cat", 4, 2),
+        ("the", 3, 2),
+        ("sat", 2, 2),
+    ]
+    # cumulative coverage is monotone and ends at (4+3+2)/12
+    cov = [r["cum_coverage"] for r in out]
+    assert cov == sorted(cov)
+    assert abs(cov[-1] - 9 / 12) < 1e-9
