@@ -529,25 +529,30 @@ GROUP BY 1, 2
 """
 
 
-def customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DEMO.md §7: behavior-summary text per customer (embedding input
-    for lookalike search). DECIMAL casts keep number formatting
-    identical across engines."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    m = orders.groupBy("o_custkey").agg(
+def _order_metrics(orders: DataFrame) -> DataFrame:
+    """Per-customer order rollup feeding the behavior summary."""
+    return orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("spend"),
         F.avg("o_totalprice").alias("aov"),
         F.max("o_orderdate").alias("last_order"),
     )
-    churned = F.datediff(F.to_date(F.lit(REF_DATE)), F.to_date("last_order")) > 90
-    # Money formatting must be bit-deterministic across engines: derive
-    # cents via explicit IEEE ops (round half-up by floor(x+0.5)) instead
-    # of each engine's ROUND, whose half-boundary behavior differs.
+
+
+def behavior_summary_expr():
+    """Summary-text expression over (n_orders, spend, last_order)
+    columns — shared by the full profiles build and the lookalike
+    target's key-filtered lookup so both produce byte-identical text.
+
+    Money formatting must be bit-deterministic across engines: derive
+    cents via explicit IEEE ops (round half-up by floor(x+0.5)) instead
+    of each engine's ROUND, whose half-boundary behavior differs."""
+    churned = (
+        F.datediff(F.to_date(F.lit(REF_DATE)), F.to_date("last_order")) > 90
+    )
     spend_r = F.round("spend", 2)
     aov = F.floor(spend_r * 100 / F.col("n_orders") + 0.5) / 100.0
-    summary = F.concat(
+    return F.concat(
         F.lit("Customer with "),
         F.col("n_orders").cast("string"),
         F.lit(" orders, total spend $"),
@@ -557,12 +562,21 @@ def customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(", "),
         F.when(churned, "churned").otherwise("active"),
     )
+
+
+def customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO.md §7: behavior-summary text per customer (embedding input
+    for lookalike search). DECIMAL casts keep number formatting
+    identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = _order_metrics(orders)
     return (
         cust.join(m, cust.c_custkey == m.o_custkey)
         .select(
             "c_custkey",
             "c_name",
-            summary.alias("behavior_summary"),
+            behavior_summary_expr().alias("behavior_summary"),
         )
     )
 

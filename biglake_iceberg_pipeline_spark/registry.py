@@ -26,78 +26,70 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-4 window: re-verify the five HUGEINT-oracle fixes (red in r3,
-# fixed in commit e6e15ef) plus the two new product_catalog queries.
+# Round-5 window: re-verify product_catalog (the only r4 red — array
+# output column, now a scalar digest) plus queries added this round.
+# Everything else in the window is the stalest set: the 49 keys whose
+# last driver row is r2/r3 (they were demoted in r4), including the
+# VERDICT-requested q6/q7/q9/q10/q1, gold_customer_metrics,
+# currency_convert, silver_dedup_events.
 PRIORITY_KEYS = (
+    "product_catalog",
+    "ann_ivf_int8",
+)
+
+# The 49 keys the r4 driver window checked green (CORRECTNESS_r04) —
+# their status is on record, so they rotate behind the stale set.
+# product_catalog (r4's one red) stays in the window for re-verify.
+DEMOTED_KEYS = frozenset({
     "embedding_stats",
     "ngram_contamination",
     "span_boilerplate",
     "events_sessions",
     "events_funnel",
-    "product_catalog",
     "product_catalog_ann",
     "customer_lookalike",
-)
-
-# Every key the r3 driver window already checked (all green except the
-# five PRIORITY re-verifies above) — pushed behind the keys whose last
-# driver row is r1/r2, so the 50-key window lands exactly on 8
-# priority + 42 stalest. q1_pricing_summary is demoted despite being
-# r2-stale to keep the window at 50: it is the entry() flagship, so
-# the driver smoke-checks it every round regardless.
-DEMOTED_KEYS = frozenset({
-    "q1_pricing_summary",
-    # r2-green stable-plan queries, demoted to fit this round's new
-    # keys (ann_ivf_kmeans, text_bpe_tokens) in the 50-key window;
-    # rotate back next round
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q9_profit_by_nation",
-    "gold_customer_metrics",
-    "gold_product_performance",
-    "currency_convert",
-    "silver_dedup_events",
-    "profile_column_stats",
-    "profile_type_distribution",
-    "users_enriched",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding",
-    "ann_topk",
-    "ann_ivf",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "multimodal_features",
-    "events_windowed",
-    "compare_schemas",
-    "describe_customer",
-    "events_json_extract",
-    "skew_safe_segment_activity",
-    "order_value_percentiles",
-    "revenue_pivot_by_priority",
-    "top_parts_per_brand",
-    "orders_with_returns",
-    "customers_without_orders",
-    "revenue_rollup",
-    "small_quantity_revenue",
-    "revenue_running_total",
-    "approx_event_stats",
-    "pii_redaction",
-    "text_repetition",
-    "sample_mixture",
-    "tfidf_keywords",
-    "text_lm_score",
-    "doc_chunks",
-    "strip_markup",
-    "url_extraction",
-    "asof_last_purchase",
-    "range_join_incidents",
-    "events_hypertable_rollup",
-    "events_gapfill",
-    "events_attribution",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_ivf_kmeans",
+    "text_bpe_tokens",
+    "embedding_quantization",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q2_min_cost_supplier",
+    "q4_priority_waiting",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q16_supplier_variety",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "silver_orders",
+    "clean_customer",
+    "gold_daily_sales",
+    "gold_orders_enriched",
+    "cohort_retention",
+    "customer_profiles",
+    "rfm_segments",
+    "address_standardize",
+    "profile_nulls",
+    "profile_date_potential",
+    "profile_number_potential",
+    "quality_duplicates",
+    "quality_approx_duplicates",
+    "quality_type_pollution",
+    "quality_null_like",
+    "safe_type_coercion",
+    "flag_duplicates",
+    "extract_currency",
+    "clean_documents",
+    "drop_empty_rows",
 })
 
 

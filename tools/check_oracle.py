@@ -61,9 +61,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from tools.lint_oracles import lint_output_types
+
     failures = 0
     for key in keys:
         sdf = qs[key](spark, SF_DIR)
+        # the DRIVER's canonicalizer (pandas sort_values) dies on
+        # list/dict cells — norm_cell below stringifies them, which
+        # masked the r4 product_catalog red; fail loudly instead
+        type_problems = lint_output_types(key, sdf.schema.fields)
+        if type_problems:
+            failures += 1
+            print(f"{key:32s} FAIL {'; '.join(type_problems)}")
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if key not in oracles:

@@ -90,9 +90,28 @@ def duck_schema(con, sql: str) -> list[tuple[str, str]]:
     return [(r[0], r[1]) for r in rows]
 
 
+def lint_output_types(key: str, spark_fields) -> list[str]:
+    """Doctrine rule 6 (the r4 red): no ArrayType/MapType column may
+    appear in ANY registered query's output — the driver canonicalizer
+    pandas-sorts the frame and dies on unhashable list/dict cells
+    (`product_catalog`, CORRECTNESS_r04). Emit a scalar digest (the
+    fingerprint BIGINT or a sequential-fold checksum) instead."""
+    from pyspark.sql import types as T
+
+    problems = []
+    for f in spark_fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            problems.append(
+                f"{key}: output column {f.name!r} is "
+                f"{f.dataType.simpleString()} — array/map/struct outputs "
+                f"crash the driver canonicalizer; emit a scalar digest"
+            )
+    return problems
+
+
 def lint_pair(key: str, duck_cols, spark_fields) -> list[str]:
     """Return problem strings for one (oracle, query) pair."""
-    problems = []
+    problems = lint_output_types(key, spark_fields)
     for name, t in duck_cols:
         for banned in BANNED_DUCK:
             if re.search(rf"\b{banned}\b", t.upper()):
@@ -148,6 +167,15 @@ def main() -> int:
             problems.append(f"{key}: spark analysis failed: {e}")
             continue
         problems.extend(lint_pair(key, dcols, sfields))
+    # rows-only queries (no oracle) still flow through the driver's
+    # canonicalizer — the array/map ban applies to them too
+    for key in sorted(set(qs) - set(oracles)):
+        try:
+            sfields = qs[key](spark, SF_DIR).schema.fields
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{key}: spark analysis failed: {e}")
+            continue
+        problems.extend(lint_output_types(key, sfields))
     for p in problems:
         print(p)
     print(f"-- {len(oracles)} oracles checked, {len(problems)} problems")
