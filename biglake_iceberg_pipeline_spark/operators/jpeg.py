@@ -275,6 +275,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         seglen = struct.unpack_from(">H", data, pos)[0]
+        # The length field counts itself; < 2 means `pos += seglen`
+        # cannot advance — a crafted 0x0000 length would loop forever
+        # re-parsing the same marker instead of hitting the fallback.
+        if seglen < 2:
+            raise JpegFormatError(f"bad segment length {seglen}")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -316,11 +321,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise JpegFormatError(
                     f"implausible frame dimensions {w}x{h}"
                 )
+            # Only grayscale and YCbCr frames can be produced anyway
+            # (len(scan) is 1 or 3 downstream); the header byte allows
+            # up to 255 components, each allocating a full coefficient
+            # plane — reject before sizing anything on it.
+            if ncomp not in (1, 3):
+                raise JpegFormatError(f"unsupported component count {ncomp}")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                ch, cv = hv >> 4, hv & 0xF
+                # T.81 bounds sampling factors to 1..4; 0 would divide
+                # by zero in the MCU grid and >4 inflates allocations.
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise JpegFormatError(
+                        f"bad sampling factors {ch}x{cv}"
+                    )
                 comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    {"id": cid, "h": ch, "v": cv, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

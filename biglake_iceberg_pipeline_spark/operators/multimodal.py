@@ -148,7 +148,10 @@ def _jpeg_features(payload: bytes) -> list[float]:
     try:
         return _image_features(decode_jpeg(payload))
     except (JpegFormatError, ValueError, EOFError, IndexError, KeyError,
-            MemoryError, struct.error):
+            MemoryError, ArithmeticError, struct.error):
+        # ArithmeticError: untrusted header arithmetic (e.g. a
+        # zero-divide the validators miss) must degrade to the flagged
+        # fallback, never fail the Spark task
         return _byte_stats(payload)
 
 

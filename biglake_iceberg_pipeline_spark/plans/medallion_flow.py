@@ -45,7 +45,11 @@ from biglake_iceberg_pipeline_spark.operators.medallion import (
 )
 from biglake_iceberg_pipeline_spark.operators.report import quality_report
 from biglake_iceberg_pipeline_spark.plans.incremental import lock_free_stamp
-from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+    LakehouseTable,
+    LineageBrokenError,
+    SnapshotNotFoundError,
+)
 from biglake_iceberg_pipeline_spark.sinks.matview import MaterializedView
 from biglake_iceberg_pipeline_spark.sources.readers import read_auto
 
@@ -209,9 +213,7 @@ def refresh_silver_incremental(
     else:
         try:
             delta = bronze.incremental_scan(spark, wm, current)
-        except ValueError as e:
-            if "rewrite" not in str(e) and "not found" not in str(e):
-                raise
+        except (LineageBrokenError, SnapshotNotFoundError):
             # bronze maintenance (compaction 'replace' / snapshot
             # expiry) broke the file-diff lineage. Latest-wins is
             # IDEMPOTENT over replayed rows, so a full re-read is
@@ -307,6 +309,7 @@ def run_medallion_flow(
     # "behind", so the refresh happens and the flow converges.
     bronze_snap = bronze.current_snapshot_id()
     silver_wm = silver.last_txn_version(_SILVER_APP)
+    silver_refreshed = False
     if bronze_snap is not None and (
         silver_wm is None or silver_wm < bronze_snap
     ):
@@ -329,10 +332,21 @@ def run_medallion_flow(
             ).drop("is_duplicate_in_file")
             silver.overwrite(_coerce_silver_types(spark, latest))
             lock_free_stamp(silver, bronze_snap, app=_SILVER_APP)
+        silver_refreshed = True
         metrics["silver_rows"] = _table_rows(spark, silver)
         events.append(("silver_rebuilt", "", metrics["silver_rows"]))
+    elif silver.current_snapshot_id() is not None:
+        # no-op replay: manifest metadata only, no scans
+        metrics["silver_rows"] = _table_rows(spark, silver)
 
-        # ---- gold: materialized views over silver
+    # ---- gold: materialized views over silver. OUTSIDE the
+    # silver-stale branch (ADVICE r4): a run that crashes after
+    # silver's watermark commit but before this loop leaves gold
+    # stale, and a replay with no new inbox files skips the branch —
+    # each view's own staleness check must therefore run every time
+    # (refresh() is a cheap watermark compare when already fresh).
+    gold_did_work = False
+    if silver.current_snapshot_id() is not None:
         for gname, fn in gold_views or []:
             mv = MaterializedView(
                 spark,
@@ -341,16 +355,20 @@ def run_medallion_flow(
                 fn,
                 os.path.join(lake_root, "gold", gname),
             )
+            was_fresh = mv.is_fresh()
             mv.refresh()
+            gold_did_work = gold_did_work or not was_fresh
             n = _table_rows(spark, mv.table)
             metrics["gold"][gname] = n
-            events.append(("gold_refreshed", gname, n))
+            if not was_fresh:
+                events.append(("gold_refreshed", gname, n))
 
+    # quality report whenever this run did real silver/gold work —
+    # covers the crash-window replay (silver fresh, gold stale) while
+    # keeping a true no-op replay scan-free
+    if silver_refreshed or gold_did_work:
         report = quality_report(silver.read(spark), "silver")
         metrics["quality_status"] = report["overall_status"]
-    elif silver.current_snapshot_id() is not None:
-        # no-op replay: manifest metadata only, no scans
-        metrics["silver_rows"] = _table_rows(spark, silver)
 
     # ---- event log (the logger service's Firestore analog)
     if events:

@@ -50,6 +50,23 @@ from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
 )
 
 
+class SnapshotNotFoundError(ValueError):
+    """A referenced snapshot id is absent from the table's log —
+    typically expired by maintenance. Subclasses ValueError so callers
+    predating the typed hierarchy keep working; incremental consumers
+    catch THIS (not message substrings) to decide 're-baseline from a
+    full read'."""
+
+
+class LineageBrokenError(ValueError):
+    """An incremental file-diff range crosses a rewrite snapshot
+    (merge/delete/update/replace/overwrite): existing rows moved to
+    new files, so a file-level diff would replay old rows as new.
+    Catch this to fall back to a full recompute — string-matching the
+    message would also swallow unrelated ValueErrors from user code
+    (ADVICE r4)."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed between this operation's read of the
     table and its commit — the Iceberg optimistic-concurrency failure.
@@ -410,7 +427,7 @@ class LakehouseTable:
         else:
             matches = [s for s in snaps if s["id"] == snapshot_id]
             if not matches:
-                raise ValueError(f"snapshot {snapshot_id} not found")
+                raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
         rows = self._read_manifest().get("file_rows", {})
         total = 0
@@ -651,12 +668,12 @@ class LakehouseTable:
         snaps = self.snapshots
         ids = [s["id"] for s in snaps]
         if from_snapshot_id not in ids:
-            raise ValueError(f"snapshot {from_snapshot_id} not found")
+            raise SnapshotNotFoundError(f"snapshot {from_snapshot_id} not found")
         to_snapshot_id = (
             to_snapshot_id if to_snapshot_id is not None else ids[-1]
         )
         if to_snapshot_id not in ids:
-            raise ValueError(f"snapshot {to_snapshot_id} not found")
+            raise SnapshotNotFoundError(f"snapshot {to_snapshot_id} not found")
         lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
         if hi < lo:
             raise ValueError("to_snapshot precedes from_snapshot")
@@ -665,7 +682,7 @@ class LakehouseTable:
             s["id"] for s in between if s["operation"] != "append"
         ]
         if non_append:
-            raise ValueError(
+            raise LineageBrokenError(
                 f"incremental scan crosses rewrite snapshots {non_append}; "
                 "re-baseline from a full read"
             )
@@ -709,9 +726,8 @@ class LakehouseTable:
                 spark, from_snapshot_id, to_snapshot_id
             )
             return added.withColumn("_change_type", F.lit("insert"))
-        except ValueError as e:
-            if "rewrite" not in str(e):
-                raise
+        except LineageBrokenError:
+            pass
         if not keys:
             raise ValueError(
                 "change_feed across rewrite snapshots needs `keys` to "
@@ -815,7 +831,7 @@ class LakehouseTable:
         snaps = self.snapshots
         match = [s for s in snaps if s["id"] == snapshot_id]
         if not match:
-            raise ValueError(f"snapshot {snapshot_id} not found")
+            raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
         snap = self._locked_commit(
             "rollback",
             list(match[0]["files"]),
@@ -967,7 +983,7 @@ class LakehouseTable:
         else:
             matches = [s for s in snaps if s["id"] == snapshot_id]
             if not matches:
-                raise ValueError(f"snapshot {snapshot_id} not found")
+                raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
         return self._read_files(spark, snap["files"])
 

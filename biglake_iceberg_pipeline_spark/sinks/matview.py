@@ -39,7 +39,11 @@ from biglake_iceberg_pipeline_spark.plans.incremental import (
     lock_free_stamp,
     refresh_additive_rollup,
 )
-from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+    LakehouseTable,
+    LineageBrokenError,
+    SnapshotNotFoundError,
+)
 
 
 class MaterializedView:
@@ -104,13 +108,15 @@ class MaterializedView:
                     self.combine,
                     app=self._app,
                 )
-            except ValueError as e:
-                if "rewrite" not in str(e) and "not found" not in str(e):
-                    raise  # a real usage error, not a lineage break
+            except (LineageBrokenError, SnapshotNotFoundError):
                 # base rewrote rows since the watermark, or table
                 # maintenance expired the watermark snapshot —
                 # incremental deltas are undefined; fall through to
-                # re-materialize
+                # re-materialize. Typed catches only (ADVICE r4):
+                # message-substring matching would swallow unrelated
+                # ValueErrors raised inside user-supplied
+                # defining_query/combine into a silent full recompute.
+                pass
         return self._full_recompute()
 
     def _full_recompute(self) -> int:

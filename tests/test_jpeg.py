@@ -161,6 +161,49 @@ def test_crafted_dimensions_rejected_before_allocation():
         decode_jpeg(payload)
 
 
+def test_zero_length_segment_rejected_not_infinite_loop():
+    """A marker segment whose 2-byte length field is 0 must raise
+    (ADVICE r4): `pos += seglen` advances by 0, so without the guard
+    the parser re-reads the same marker forever and wedges the task."""
+    payload = b"\xFF\xD8" + b"\xFF\xE0" + b"\x00\x00" + b"JFIF" + b"\xFF\xD9"
+    with pytest.raises(JpegFormatError, match="bad segment length"):
+        decode_jpeg(payload)
+    # and the feature extractor takes the flagged fallback
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    assert multimodal._jpeg_features(payload)[-1] == 0.0
+
+
+def test_zero_sampling_factors_rejected():
+    """SOF0 h/v nibbles of 0 previously reached `-(-w // (8 * hmax))`
+    as a ZeroDivisionError (not in the fallback catch tuple); the
+    header validator must refuse them as JpegFormatError instead."""
+    good = bytearray(encode_jpeg(_test_image(16, 16), 90))
+    i = good.find(b"\xFF\xC0")
+    good[i + 11] = 0x00  # component 0's h/v byte
+    with pytest.raises(JpegFormatError, match="bad sampling factors"):
+        decode_jpeg(bytes(good))
+    from biglake_iceberg_pipeline_spark.operators import multimodal
+
+    assert multimodal._jpeg_features(bytes(good))[-1] == 0.0
+
+
+def test_implausible_component_count_rejected():
+    """ncomp is an untrusted byte up to 255; each component allocates a
+    full coefficient plane, so only the decodable shapes (1, 3) pass."""
+    import struct as _s
+
+    sof = (
+        b"\xFF\xC0"
+        + _s.pack(">H", 2 + 1 + 2 + 2 + 1 + 3 * 255)
+        + _s.pack(">BHHB", 8, 64, 64, 255)
+        + bytes([1, 0x11, 0]) * 255
+    )
+    payload = b"\xFF\xD8" + sof + b"\xFF\xD9"
+    with pytest.raises(JpegFormatError, match="component count"):
+        decode_jpeg(payload)
+
+
 def test_non_interleaved_scan_refused():
     """A single-component scan on a 3-component frame (legal but
     unsupported non-interleaved baseline) must refuse loudly, not

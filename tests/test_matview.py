@@ -95,6 +95,39 @@ def test_additive_falls_back_to_full_on_base_rewrite(spark, tmp_path):
     assert mv.table.history()[-1]["operation"] == "overwrite"
 
 
+def test_user_query_valueerror_propagates_not_swallowed(spark, tmp_path):
+    """ADVICE r4: refresh used to decide 'lineage break → full
+    recompute' by substring-matching ValueError text ('not found'), so
+    a user bug whose message happened to contain it was silently
+    swallowed into a re-materialization. With typed exceptions it must
+    propagate."""
+    import pytest
+
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 50))
+
+    calls = {"n": 0}
+
+    def buggy_daily(df):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise ValueError("column 'revenue' not found in frame")
+        return _daily(df)
+
+    mv = MaterializedView(
+        spark, "daily_bug", base, buggy_daily, d + "/mv",
+        keys=["sale_date"],
+        combine=lambda old, new: old + new,
+    )
+    mv.refresh()
+    base.append(_orders(spark, 50, 80))
+    with pytest.raises(ValueError, match="not found in frame"):
+        mv.refresh()
+    # and the view was NOT silently re-materialized over the bug
+    assert not mv.is_fresh()
+
+
 def test_auto_refresh_on_commit_hook(spark, tmp_path):
     d = str(tmp_path)
     base = LakehouseTable(d + "/base")

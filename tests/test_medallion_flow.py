@@ -238,3 +238,41 @@ def test_medallion_incremental_silver_matches_rebuild(spark, tmp_path):
     assert ops_incr[0] == "append"
     assert "merge" in ops_incr and "overwrite" not in ops_incr
     assert rows_incr[3] == ("Carol", 350, "web")  # latest vintage won
+
+
+def test_gold_catches_up_after_crash_window(spark, tmp_path):
+    """ADVICE r4: a run that commits silver's watermark but dies before
+    the gold loop leaves gold stale; a replay with no new inbox files
+    used to skip the silver-stale branch and gold never caught up.
+    Simulated by running once with no gold views (silver lands, gold
+    absent), then replaying with views registered."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "f1.csv"), "w") as f:
+        f.write(F1)
+
+    m1 = run_medallion_flow(spark, inbox, lake, ["order_id"])
+    assert m1["gold"] == {} and m1["silver_rows"] == 3
+
+    # replay, no new files: silver fresh, gold stale → must catch up
+    m2 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_views=[("daily", _daily)],
+    )
+    assert m2["files_processed"] == 0 and m2["files_skipped"] == 1
+    assert m2["gold"]["daily"] == 2
+    assert m2["quality_status"] in ("pass", "warn", "fail")
+
+    # true no-op replay: gold metrics still reported (manifest reads),
+    # but no refresh work and no quality scan
+    m3 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_views=[("daily", _daily)],
+    )
+    assert m3["gold"]["daily"] == 2
+    assert m3["quality_status"] is None
+    # the event log recorded exactly one gold refresh across all runs
+    log = LakehouseTable(lake + "/_pipeline_log").read(spark)
+    n_gold_events = log.where("event = 'gold_refreshed'").count()
+    assert n_gold_events == 1
