@@ -55,6 +55,29 @@ def test_no_rdd_access_in_operators():
     assert not offenders, "\n".join(offenders)
 
 
+def test_gold_customer_metrics_plan_shape(spark, sf_dir):
+    """Pin the r5 A/B decision (VERDICT r4 item 3): the returns side
+    pre-aggregates lineitem at l_orderkey grain WITH a map-side
+    partial combine before any join — the probe side of the big-big
+    join is |orders|, not |lineitem|. A refactor that silently reverts
+    to joining raw lineitem rows changes this plan, failing here
+    instead of resurfacing as driver-bench drift."""
+    plan = _executed_plan(spark, "gold_customer_metrics", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dims broadcast at this scale; facts never sort-merge
+    assert "SortMergeJoin" not in plan
+    # the grain trick: partially-combined count at l_orderkey BEFORE
+    # the orders join
+    assert re.search(
+        r"HashAggregate\(keys=\[l_orderkey#\d+L?\], "
+        r"functions=\[partial_count",
+        plan,
+    ), plan
+    # and the final rollup still lands on the customer key
+    assert re.search(r"HashAggregate\(keys=\[o_custkey#\d+L?\]", plan)
+
+
 @pytest.mark.parametrize("key", sorted(FLAGSHIPS))
 def test_flagship_plan_invariants(spark, sf_dir, key):
     min_bhj, needs_pushdown = FLAGSHIPS[key]
