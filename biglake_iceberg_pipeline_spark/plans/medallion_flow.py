@@ -244,6 +244,30 @@ def refresh_silver_incremental(
     return silver.merge(spark, merged, key_cols, txn=(app, current))
 
 
+def archive_processed_file(
+    path: str, archive_dir: str, target_table: str = "bronze"
+) -> str:
+    """Move a loaded inbox file to ``archive_dir/<table>/<file>`` —
+    the reference loader's archive_original
+    (services/loader/cleanup.py:16): a processed file LEAVES the
+    inbox, so re-listing doesn't re-walk an ever-growing directory.
+    Idempotent exactly like the reference: a missing source means an
+    earlier run already moved it; return the expected archive path
+    without erroring. An existing archive file of the same name is
+    overwritten (same as GCS copy_blob), which is safe because the
+    bronze commit stamp — not archive presence — is what dedups
+    loads."""
+    import shutil
+
+    dest_dir = os.path.join(archive_dir, target_table)
+    dest = os.path.join(dest_dir, os.path.basename(path))
+    if not os.path.exists(path):
+        return dest
+    os.makedirs(dest_dir, exist_ok=True)
+    shutil.move(path, dest)
+    return dest
+
+
 def run_medallion_flow(
     spark: SparkSession,
     inbox_dir: str,
@@ -252,6 +276,7 @@ def run_medallion_flow(
     gold_views: list[tuple[str, Callable[[DataFrame], DataFrame]]]
     | None = None,
     silver_mode: str = "rebuild",
+    archive_dir: str | None = None,
 ) -> dict:
     """Process every file in ``inbox_dir`` through bronze → silver →
     gold under ``lake_root``. Re-running is safe: already-loaded files
@@ -262,7 +287,17 @@ def run_medallion_flow(
     (the reference's CREATE OR REPLACE shape — simplest, O(bronze));
     'incremental' folds only the new bronze files into silver via
     refresh_silver_incremental (O(delta + touched keys), the 100 TB
-    path)."""
+    path).
+
+    ``archive_dir``: when set, every file whose bronze commit stands
+    (loaded this run OR skipped as already-committed — the latter
+    heals a crash between commit and archive) is MOVED to
+    ``archive_dir/bronze/<file>`` after the commit, so the inbox
+    empties instead of growing unboundedly (reference
+    services/loader/cleanup.py:16 archive_original). The move happens
+    strictly after the commit: a crash between them leaves the file in
+    the inbox, and the replay skips the load (commit stamp) but
+    completes the archival — no double-load in either order."""
     if silver_mode not in ("rebuild", "incremental"):
         raise ValueError(f"unknown silver_mode {silver_mode!r}")
     bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
@@ -272,12 +307,20 @@ def run_medallion_flow(
     metrics: dict = {
         "files_processed": 0,
         "files_skipped": 0,
+        "files_archived": 0,
         "bronze_rows": 0,
         "silver_rows": None,
         "gold": {},
         "quality_status": None,
     }
     events: list[tuple[str, str, int]] = []
+
+    def _archive(name: str, path: str) -> None:
+        if archive_dir is None:
+            return
+        archive_processed_file(path, archive_dir, "bronze")
+        metrics["files_archived"] += 1
+        events.append(("file_archived", name, 0))
 
     # ---- bronze: one append per new file, skip replays
     for name in sorted(os.listdir(inbox_dir)):
@@ -288,6 +331,9 @@ def run_medallion_flow(
         if bronze.last_txn_version(app) is not None:
             metrics["files_skipped"] += 1
             events.append(("file_skipped_duplicate", name, 0))
+            # its commit stands — a crash between that commit and the
+            # archival left it in the inbox; finish the move now
+            _archive(name, path)
             continue
         df = _clean_for_bronze(read_auto(spark, path))
         df.persist()  # counted for the log, then appended — one read
@@ -296,6 +342,7 @@ def run_medallion_flow(
         df.unpersist()
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))
+        _archive(name, path)
 
     # manifest metadata when available (replays stay O(1)); a table
     # predating row-count tracking falls back to one scan

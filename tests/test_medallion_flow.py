@@ -276,3 +276,49 @@ def test_gold_catches_up_after_crash_window(spark, tmp_path):
     log = LakehouseTable(lake + "/_pipeline_log").read(spark)
     n_gold_events = log.where("event = 'gold_refreshed'").count()
     assert n_gold_events == 1
+
+
+def test_inbox_archival(spark, tmp_path):
+    """Reference loader cleanup.py:16 analog: a processed file leaves
+    the inbox for archive/<table>/<file>; redelivery no-ops; a crash
+    between bronze commit and archival heals on replay."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    archive = str(tmp_path / "archive")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "f1.csv"), "w") as f:
+        f.write(F1)
+
+    m1 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], archive_dir=archive
+    )
+    assert m1["files_processed"] == 1 and m1["files_archived"] == 1
+    assert os.listdir(inbox) == []  # inbox emptied
+    assert os.path.exists(os.path.join(archive, "bronze", "f1.csv"))
+
+    # redelivered file (same name, same content): commit stamp makes
+    # the load a no-op, and the copy is re-archived
+    with open(os.path.join(inbox, "f1.csv"), "w") as f:
+        f.write(F1)
+    m2 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], archive_dir=archive
+    )
+    assert m2["files_processed"] == 0 and m2["files_skipped"] == 1
+    assert m2["files_archived"] == 1 and os.listdir(inbox) == []
+    assert m2["bronze_rows"] == m1["bronze_rows"]  # no double-load
+
+    # crash window: commit landed (run without archive_dir), file
+    # still in inbox; the next archiving run completes the move
+    # without reloading
+    with open(os.path.join(inbox, "f2.csv"), "w") as f:
+        f.write(F2)
+    m3 = run_medallion_flow(spark, inbox, lake, ["order_id"])
+    assert m3["files_processed"] == 1
+    assert os.path.exists(os.path.join(inbox, "f2.csv"))  # "crashed"
+    m4 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], archive_dir=archive
+    )
+    assert m4["files_processed"] == 0 and m4["files_skipped"] == 1
+    assert m4["files_archived"] == 1 and os.listdir(inbox) == []
+    assert m4["bronze_rows"] == m3["bronze_rows"]
+    assert os.path.exists(os.path.join(archive, "bronze", "f2.csv"))
