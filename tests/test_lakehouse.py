@@ -852,3 +852,118 @@ def test_vector_index_txn_skip_no_phantom_rows(spark, tmp_path):
     # replay the same epoch: commit skipped -> index unchanged
     t.append(second, txn=("app", 0))
     assert spark.read.parquet(path).count() == n_indexed
+
+
+def test_maintenance_matview_changefeed_interplay(spark, tmp_path):
+    """The reference's daily pipeline runs ingest, maintenance, gold
+    refresh, and CDC consumers CONCURRENTLY over one table; the pieces
+    are individually tested, this drives them together (VERDICT r4
+    item 7): streaming appends fragment files → maintain() compacts/
+    expires/sweeps → the auto-refresh matview and a change_feed
+    consumer must stay correct across the compaction boundary, and a
+    consumer whose baseline snapshot expires must get the typed
+    re-baseline signal, not wrong rows."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        SnapshotNotFoundError,
+    )
+    from biglake_iceberg_pipeline_spark.sinks.matview import (
+        MaterializedView,
+    )
+    from biglake_iceberg_pipeline_spark.streaming.ingest import (
+        start_ingest_to_lakehouse,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = LakehouseTable(str(tmp_path / "tbl"))
+    mv = MaterializedView(
+        spark,
+        "by_name",
+        table,
+        lambda df: df.groupBy("name").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("score").alias("total")
+        ),
+        str(tmp_path / "mv"),
+        keys=["name"],
+        combine=lambda old, new: old + new,
+    ).auto_refresh_on_commit()
+
+    def ingest(fname, rows):
+        (inbox / fname).write_text(
+            "ID,Name,Score\n" + "\n".join(rows) + "\n"
+        )
+        q = start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            table.path,
+            str(tmp_path / "ckpt"),
+            schema="ID long, Name string, Score long",
+            table=table,
+        )
+        q.awaitTermination(180)
+
+    def mv_expected():
+        return {
+            r["name"]: (r["n"], r["total"])
+            for r in table.read(spark)
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("total"))
+            .collect()
+        }
+
+    def mv_actual():
+        return {
+            r["name"]: (r["n"], r["total"]) for r in mv.read().collect()
+        }
+
+    # phase 1: three micro-batch appends (one-file-per-batch
+    # fragmentation, each commit auto-refreshing the view)
+    ingest("f1.csv", ["1,a,10", "2,b,20"])
+    ingest("f2.csv", ["3,a,30", "4,c,40"])
+    ingest("f3.csv", ["5,b,50", "6,a,60"])
+    assert mv.is_fresh() and mv_actual() == mv_expected()
+    snap1 = table.current_snapshot_id()
+
+    # phase 2: two more streaming appends
+    ingest("f4.csv", ["7,c,70", "8,a,80"])
+    ingest("f5.csv", ["9,b,90", "10,d,100"])
+    # append-only range: the cheap file-diff path, no keys needed
+    cf1 = table.change_feed(spark, snap1)
+    assert sorted(r["id"] for r in cf1.collect()) == [7, 8, 9, 10]
+    assert set(r["_change_type"] for r in cf1.collect()) == {"insert"}
+
+    # nightly maintenance: compact + expire + sweep, while the view's
+    # auto-refresh hook fires on the compaction commit itself (the
+    # 'replace' breaks additive lineage → typed fallback to full
+    # recompute, not an error)
+    n_files_before = len(table.snapshots[-1]["files"])
+    report = table.maintain(
+        spark, max_files=2, keep_snapshots=4, orphan_grace_s=0.0
+    )
+    assert report["compacted_from"] == n_files_before
+    assert len(table.snapshots[-1]["files"]) <= 2
+    assert mv.is_fresh() and mv_actual() == mv_expected()
+
+    # phase 3: appends continue after compaction
+    ingest("f6.csv", ["11,d,110", "12,a,120"])
+    assert mv.is_fresh() and mv_actual() == mv_expected()
+
+    # change_feed range CROSSING the compaction: file diff is invalid
+    # (rows moved files), so keys are required and the snapshot diff
+    # must classify exactly the new rows as inserts — no phantom
+    # updates from rewritten-but-unchanged rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs `keys`"):
+        table.change_feed(spark, snap1).collect()
+    cf2 = table.change_feed(spark, snap1, keys=["id"]).collect()
+    assert sorted(r["id"] for r in cf2) == [7, 8, 9, 10, 11, 12]
+    assert set(r["_change_type"] for r in cf2) == {"insert"}
+
+    # aggressive expiry drops the consumer's baseline snapshot: the
+    # typed error tells it to re-baseline from a full read
+    table.expire_snapshots(keep_last=1)
+    with _pytest.raises(SnapshotNotFoundError):
+        table.change_feed(spark, snap1, keys=["id"])
+    assert table.read(spark).count() == 12
+    assert mv_actual() == mv_expected()
