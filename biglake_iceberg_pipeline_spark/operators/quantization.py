@@ -45,6 +45,90 @@ def dequantize(codes: Column, scale: Column) -> Column:
     return F.transform(codes, lambda c: c.cast("double") * scale)
 
 
+def pack_codes(codes_col: Column) -> Column:
+    """array<int> int8-range codes → a BINARY blob, one byte per
+    component. Parquet stores ByteType arrays as physical INT32 plus
+    per-element repetition levels — measured at ~0.6× the float
+    layout, nowhere near the promised 4×. A packed blob is dim bytes
+    + a length word per row with NO levels: the true quantized scan
+    payload. Packing is bit-faithful (two's-complement int8), so
+    unpack → dequantize reproduces exactly the values the array
+    layout would."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(v):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if row is None
+                else np.asarray(row, dtype=np.int8).tobytes()
+                for row in v
+            ],
+            dtype=object,
+        )
+
+    return pandas_udf(kernel, "binary")(codes_col)
+
+
+def cosine_int8_vs_literal(
+    blob_col: Column, scale_col: Column, query_vec: list[float]
+) -> Column:
+    """cosine(dequantized codes, literal query) straight off the
+    packed blobs: unpack int8, reconstruct component-wise as
+    code·scale, then the canonical fold — VECTORIZED ACROSS ROWS,
+    SEQUENTIAL ACROSS DIMS with recon_i = (code_i·scale)·q_i, the
+    exact op order of the DuckDB oracle replay (doctrine rule 3), so
+    quantized ANN stays hash-checkable end-to-end."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = [float(x) for x in query_vec]
+    qnorm = 0.0
+    for x in q:
+        qnorm = qnorm + x * x
+    qnorm = math.sqrt(qnorm)
+    dim = len(q)
+
+    def kernel(blobs, scales):
+        import pandas as pd
+
+        n = len(blobs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        vals = blobs.to_numpy()
+        sc = scales.to_numpy(dtype=np.float64)
+        good = [
+            i
+            for i in range(n)
+            if vals[i] is not None and len(vals[i]) == dim
+        ]
+        result: list[float | None] = [None] * n
+        if good:
+            arr = np.vstack(
+                [np.frombuffer(vals[i], dtype=np.int8) for i in good]
+            ).astype(np.float64)
+            s = sc[good]
+            rec = arr[:, 0] * s
+            dot = rec * q[0]
+            nrm = rec * rec
+            for i in range(1, dim):
+                rec = arr[:, i] * s
+                dot = dot + rec * q[i]
+                nrm = nrm + rec * rec
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = dot / (np.sqrt(nrm) * qnorm)
+            for j, i in enumerate(good):
+                result[i] = float(out[j])
+        return pd.Series(result, dtype=object)
+
+    return pandas_udf(kernel, "double")(blob_col, scale_col)
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

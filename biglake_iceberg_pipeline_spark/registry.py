@@ -90,6 +90,8 @@ DEMOTED_KEYS = frozenset({
     "extract_currency",
     "clean_documents",
     "drop_empty_rows",
+    # r3-green, demoted to make room for ann_ivf_int8 in the window
+    "ann_topk",
 })
 
 

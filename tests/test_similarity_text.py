@@ -168,6 +168,79 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert len({g[0] for g in got} & {r["vec_id"] for r in exact}) >= 3
 
 
+def test_int8_ivf_recall_pruning_and_scan_bytes(spark, sf_dir, tmp_path):
+    """The quantized index must (a) probe partition-pruned, (b) keep
+    recall at least as good as the float sign-bit index's pin (same
+    probe geometry, scoring differs only by bounded rounding error),
+    and (c) actually be smaller on disk — the scan-I/O reduction that
+    is the reason to quantize at 100 TB."""
+    import os
+
+    from biglake_iceberg_pipeline_spark.operators import vector_index
+    from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    fpath, ipath = str(tmp_path / "f32"), str(tmp_path / "i8")
+    vector_index.build_ivf_index(emb, fpath, "vec_id", "embedding", dim=len(q))
+    vector_index.build_ivf_index_int8(
+        emb, ipath, "vec_id", "embedding", dim=len(q)
+    )
+
+    probe = vector_index.ivf_probe_int8(spark, ipath, "vec_id", q, k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__code" in plan
+
+    got = [r["vec_id"] for r in probe.collect()]
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    f32 = [
+        r["vec_id"]
+        for r in vector_index.ivf_probe(
+            spark, fpath, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    assert got[0] == exact[0] == 0  # the query vector itself
+    # recall vs brute force >= the float index's own recall (same
+    # partitions probed; int8 rounding moves scores by < scale/2)
+    assert len(set(got) & set(exact)) >= len(set(f32) & set(exact))
+    assert len(set(got) & set(exact)) >= 3  # the sign-bit pin
+
+    def column_bytes(root, col_prefixes):
+        """Compressed bytes of the vector-payload columns across all
+        files — the probe's actual scan I/O. File-count metadata
+        overhead (footers) is excluded: at test scale it dominates
+        raw directory size, at 100 TB it vanishes."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for r, _d, names in os.walk(root):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(r, n)).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if any(
+                            c.path_in_schema.startswith(p)
+                            for p in col_prefixes
+                        ):
+                            total += c.total_compressed_size
+        return total
+
+    f32_payload = column_bytes(fpath, ("embedding",))
+    i8_payload = column_bytes(ipath, ("q_codes", "q_scale"))
+    # int8 codes + one double scale vs float64 components: the scan
+    # payload must shrink by well over 2x (theoretical ~7x at dim=16)
+    assert i8_payload < 0.5 * f32_payload, (i8_payload, f32_payload)
+
+
 def test_probe_codes_hamming_ball():
     from biglake_iceberg_pipeline_spark.operators.vector_index import (
         probe_codes,
