@@ -42,6 +42,114 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    corpus: DataFrame, batch: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without
+    re-deduping the corpus — the shape every growing training set
+    needs: the corpus is deduped once, then each incoming batch is
+    checked against it (reference quality/duplicates.sql semantics,
+    applied cross-table).
+
+    Verdict per batch row: ``corpus_dup`` (content already in the
+    corpus; ``keep_id`` = corpus representative), ``batch_dup``
+    (first seen in this batch under a smaller id), or ``new``.
+
+    Scale: the corpus side collapses to one (hash, keep_id) row per
+    distinct content BEFORE the join — at 100 TB that index is built
+    once, persisted (see ``tests/test_dedup.py`` for the lakehouse
+    index round-trip), and each batch joins against it on the hash
+    key: shuffle cost is O(batch + corpus-index), never O(corpus
+    text). Both groupBys partial-aggregate map-side."""
+    ch = F.md5(F.col(content_col)).alias("content_hash")
+    corpus_idx = (
+        corpus.select(ch, F.col(id_col).alias("cid"))
+        .groupBy("content_hash")
+        .agg(F.min("cid").alias("corpus_keep_id"))
+    )
+    return incremental_exact_dedup_vs_index(
+        corpus_idx, batch, id_col, content_col
+    )
+
+
+def incremental_exact_dedup_vs_index(
+    corpus_idx: DataFrame, batch: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Same as :func:`incremental_exact_dedup` but against a
+    pre-built (content_hash, corpus_keep_id) index — the persisted
+    form: accepted batches append their ``new`` hashes to the index
+    table so the next batch's check stays O(batch + index)."""
+    b = batch.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("content_hash")
+    )
+    batch_min = b.groupBy("content_hash").agg(
+        F.min(id_col).alias("batch_keep_id")
+    )
+    return (
+        b.join(batch_min, "content_hash")
+        .join(corpus_idx, "content_hash", "left")
+        .select(
+            F.col(id_col),
+            F.col("content_hash"),
+            F.when(F.col("corpus_keep_id").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col(id_col) != F.col("batch_keep_id"), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("corpus_keep_id", "batch_keep_id").alias("keep_id"),
+        )
+    )
+
+
+def incremental_minhash_candidates(
+    corpus_sigs: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    content_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against persisted corpus
+    MinHash signatures: only the batch's signatures are computed
+    fresh (``minhash_signatures`` over the batch), then band hashes
+    bucket-join against the corpus's stored band hashes — the
+    incremental form of ``minhash_lsh_pairs``. Output: (batch_id,
+    corpus_id, n_shared_bands), one row per candidate pair.
+
+    ``corpus_sigs`` is the output of :func:`minhash_signatures`
+    (``__id``, ``__sig``) as persisted when the corpus was deduped;
+    at 100 TB those signatures live in a lakehouse table bucketed by
+    band key, and a batch probe shuffles only the batch. Band keys
+    use the SAME ``xxhash64(slice(sig), band)`` convention as
+    ``minhash_lsh_pairs``, so an index built by the full dedup is
+    directly probe-able here."""
+    r = num_hashes // bands
+    b_sig = minhash_signatures(batch, id_col, content_col, num_hashes)
+
+    def bands_of(sig: DataFrame, out_id: str) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        F.slice("__sig", b * r + 1, r), F.lit(b)
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col("__id").alias(out_id), F.explode(band_structs).alias("bd")
+        ).select(out_id, "bd.band_id", "bd.band_key")
+
+    bb = bands_of(b_sig, "batch_id")
+    cb = bands_of(corpus_sigs, "corpus_id")
+    return (
+        bb.join(cb, ["band_id", "band_key"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def _word_shingles(text: Column, k: int) -> Column:
     """Distinct k-word shingles; whole text as a single shingle when
     shorter than k words (guards sequence() from descending)."""

@@ -31,6 +31,45 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus exact dedup: docs with doc_id % 5 == 0
+    arrive as the new batch, the rest are the standing corpus. The
+    corpus collapses to a (hash → keep_id) index before the join, so
+    a batch check costs O(batch + index), never O(corpus text) —
+    the reference dedups per-load (quality/duplicates.sql) and this
+    is the cross-load form a growing training corpus needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    out = dedup.incremental_exact_dedup(corpus, batch, "doc_id", "text")
+    return out.orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus_idx AS (
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS corpus_keep_id
+    FROM documents WHERE doc_id % 5 != 0 GROUP BY md5(text)
+),
+b AS (
+    SELECT doc_id, md5(text) AS content_hash
+    FROM documents WHERE doc_id % 5 = 0
+),
+batch_min AS (
+    SELECT content_hash, MIN(doc_id) AS batch_keep_id
+    FROM b GROUP BY content_hash
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN c.corpus_keep_id IS NOT NULL THEN 'corpus_dup'
+            WHEN b.doc_id != m.batch_keep_id THEN 'batch_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(c.corpus_keep_id, m.batch_keep_id) AS keep_id
+FROM b
+JOIN batch_min m ON b.content_hash = m.content_hash
+LEFT JOIN corpus_idx c ON b.content_hash = c.content_hash
+ORDER BY b.doc_id
+"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -672,6 +711,7 @@ ORDER BY label
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -693,6 +733,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,

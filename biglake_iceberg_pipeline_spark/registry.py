@@ -35,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY_KEYS = (
     "product_catalog",
     "ann_ivf_int8",
+    "dedup_incremental",
 )
 
 # The 49 keys the r4 driver window checked green (CORRECTNESS_r04) —
@@ -92,6 +93,8 @@ DEMOTED_KEYS = frozenset({
     "drop_empty_rows",
     # r3-green, demoted to make room for ann_ivf_int8 in the window
     "ann_topk",
+    # r3-green, demoted to make room for dedup_incremental (r5)
+    "compare_schemas",
 })
 
 

@@ -80,6 +80,80 @@ def test_embedding_near_dup(spark):
     assert found == {(1, 2)}
 
 
+def test_incremental_exact_dedup_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [(10, BASE), (11, FAR)], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(20, BASE), (21, NEAR), (22, NEAR), (23, "fresh text")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.incremental_exact_dedup(
+            corpus, batch, "id", "text"
+        ).collect()
+    }
+    assert out[20]["verdict"] == "corpus_dup" and out[20]["keep_id"] == 10
+    assert out[21]["verdict"] == "new" and out[21]["keep_id"] == 21
+    assert out[22]["verdict"] == "batch_dup" and out[22]["keep_id"] == 21
+    assert out[23]["verdict"] == "new"
+
+
+def test_incremental_dedup_persisted_index_roundtrip(spark, tmp_path):
+    """The 100 TB shape: the corpus hash index lives in a lakehouse
+    table; each accepted batch appends its 'new' hashes so the next
+    batch's check never rescans corpus text."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+    corpus = spark.createDataFrame(
+        [(10, BASE), (11, FAR)], "id long, text string"
+    )
+    idx = LakehouseTable(str(tmp_path / "dedup_idx"))
+    idx.append(
+        corpus.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("id").alias("corpus_keep_id")
+        )
+    )
+    batch1 = spark.createDataFrame(
+        [(20, BASE), (21, NEAR)], "id long, text string"
+    )
+    out1 = dedup.incremental_exact_dedup_vs_index(
+        idx.read(spark), batch1, "id", "text"
+    )
+    rows1 = {r["id"]: r["verdict"] for r in out1.collect()}
+    assert rows1 == {20: "corpus_dup", 21: "new"}
+    # accept batch1: its new hashes extend the index
+    idx.append(
+        out1.where(F.col("verdict") == "new").select(
+            "content_hash", F.col("keep_id").alias("corpus_keep_id")
+        )
+    )
+    # NEAR re-arrives in batch2 → now a corpus_dup of 21
+    batch2 = spark.createDataFrame([(30, NEAR)], "id long, text string")
+    row2 = dedup.incremental_exact_dedup_vs_index(
+        idx.read(spark), batch2, "id", "text"
+    ).collect()[0]
+    assert row2["verdict"] == "corpus_dup" and row2["keep_id"] == 21
+
+
+def test_incremental_minhash_probe_matches_full_lsh(spark, docs):
+    """A batch probe against persisted corpus signatures finds the
+    same cross-set candidates as the full self-join would."""
+    corpus = docs.where(F.col("id").isin(1, 4))  # BASE + FAR
+    batch = spark.createDataFrame(
+        [(50, NEAR), (51, "unrelated words entirely about nothing")],
+        "id long, text string",
+    )
+    corpus_sigs = dedup.minhash_signatures(corpus, "id", "text", 64)
+    cand = dedup.incremental_minhash_candidates(
+        corpus_sigs, batch, "id", "text", num_hashes=64, bands=16
+    ).collect()
+    pairs = {(r["batch_id"], r["corpus_id"]) for r in cand}
+    assert (50, 1) in pairs  # near-dup of corpus BASE found
+    assert all(c != 4 or b != 51 for b, c in pairs)  # no false FAR hit
+
+
 def test_flag_duplicates_marks_all_but_first(spark):
     from biglake_iceberg_pipeline_spark.operators.medallion import (
         flag_duplicates,

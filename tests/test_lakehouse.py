@@ -532,6 +532,101 @@ def test_analyze_records_table_stats(spark, tmp_path):
     assert t.stats()["snapshot_id"] != t.current_snapshot_id()
 
 
+def test_ndv_sketches_accurate_and_incremental(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.range(2000).select(
+            F.col("id"),
+            (F.col("id") % 37).cast("string").alias("grp"),
+            (F.col("id") % 100 / 7.0).alias("score"),  # double → cast path
+        )
+    )
+    n1 = t.refresh_ndv_sketches(spark)
+    assert n1 >= 1
+    est = t.ndv(spark)
+    assert abs(est["id"] - 2000) / 2000 < 0.05
+    assert est["grp"] == 37  # exact in sparse mode
+    assert abs(est["score"] - 100) <= 5
+    # append: ONLY the new files get sketched; old entries untouched
+    before = dict(t._read_manifest()["file_ndv"])
+    t.append(
+        spark.range(2000, 2500).select(
+            F.col("id"),
+            (F.col("id") % 37).cast("string").alias("grp"),
+            (F.col("id") % 100 / 7.0).alias("score"),
+        )
+    )
+    new_files = set(t.snapshots[-1]["files"]) - set(before)
+    n2 = t.refresh_ndv_sketches(spark)
+    assert n2 == len(new_files)
+    after = t._read_manifest()["file_ndv"]
+    assert all(after[f] == sk for f, sk in before.items())
+    est2 = t.ndv(spark, columns=["id"])
+    assert abs(est2["id"] - 2500) / 2500 < 0.05
+    assert t.refresh_ndv_sketches(spark) == 0  # idempotent, no work
+
+
+def test_ndv_sketches_survive_rewrites(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(500).withColumn("k", F.col("id") % 10))
+    assert t.ndv(spark)["id"] in range(475, 526)
+    # delete rewrites files: replacements are re-sketched, the union
+    # over live files reflects the removed rows (no HLL subtraction)
+    t.delete_where(spark, F.col("id") >= 100)
+    est = t.ndv(spark)
+    assert abs(est["id"] - 100) <= 5
+    # compaction rewrites without changing rows: estimate is stable
+    t.compact(spark, target_files=1)
+    est2 = t.ndv(spark)
+    assert abs(est2["id"] - 100) <= 5
+
+
+def test_ndv_sketches_schema_evolution(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(300).select(F.col("id")))
+    t.ndv(spark)
+    t.append(
+        spark.range(300, 400).select(
+            F.col("id"), (F.col("id") % 5).cast("string").alias("tag")
+        )
+    )
+    est = t.ndv(spark)
+    # pre-evolution files surface NULL for tag → contribute nothing
+    assert est["tag"] == 5
+    assert abs(est["id"] - 400) <= 10
+
+
+def test_analyze_incremental_matches_exact_without_scan(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, grp string"
+    )
+    t.append(df)
+    t.append(
+        spark.createDataFrame([(5, "c"), (6, None)], "id long, grp string")
+    )
+    exact = t.analyze(spark)
+    inc = t.analyze_incremental(spark)
+    assert inc == t.stats() and inc["source"] == "incremental"
+    assert inc["row_count"] == exact["row_count"] == 6
+    for c in ("id", "grp"):
+        assert inc["columns"][c]["nulls"] == exact["columns"][c]["nulls"]
+        assert inc["columns"][c]["ndv"] == exact["columns"][c]["ndv"]
+    assert inc["snapshot_id"] == t.current_snapshot_id()
+
+
+def test_analyze_incremental_partitioned_nulls(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["p"])
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, "x")], "id long, p string"
+    )
+    t.append(df)
+    inc = t.analyze_incremental(spark)
+    assert inc["columns"]["p"]["nulls"] == 1
+    assert inc["columns"]["p"]["ndv"] == 2  # NULL partition not counted
+    assert inc["columns"]["id"]["nulls"] == 0
+
+
 def test_rollback_to_snapshot(spark, tmp_path):
     t = LakehouseTable(str(tmp_path / "tbl"))
     s1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
