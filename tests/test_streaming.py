@@ -5,7 +5,22 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from biglake_iceberg_pipeline_spark.streaming import aggregations, ingest
+
+
+def _drain_streams(spark, timeout_s: float = 20.0):
+    """Wait for every streaming query to fully deregister — a
+    terminated availableNow query can linger in the active list for a
+    beat, and a restart sharing its checkpoint then trips Spark's
+    concurrent-checkpoint guard."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while spark.streams.active and time.monotonic() < deadline:
+        time.sleep(0.2)
+    assert not spark.streams.active
 
 
 def test_streaming_ingest_end_to_end(spark, tmp_path):
@@ -234,6 +249,123 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
     key = lambda r: (r.user_id, r.view_ts, r.purchase_ts)
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(want) > 0
+
+
+def test_windowed_agg_state_survives_restart(spark, tmp_path):
+    """Fault recovery for stateful aggregation: stop the query,
+    deliver more data, restart from the SAME checkpoint. Two things
+    must survive the restart: (1) open-window aggregation state — a
+    pre-restart event's window is emitted post-restart with the right
+    count; (2) the watermark — an event older than the checkpointed
+    watermark must be DROPPED, not resurrect its closed window as a
+    duplicate. This is the recovery every executor loss or deploy
+    exercises in production.
+
+    (applyInPandasWithState + foreachBatch/foreach crashes Spark
+    4.1.2's Python workers — known engine limitation — so the
+    restart pin runs on the built-in windowed aggregation, whose
+    append mode works with the recovery-capable file sink; the
+    custom stateful operator's cross-batch state continuation is
+    pinned by test_running_user_stats_stream.)"""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+
+    def land(name, rows):
+        spark.createDataFrame(
+            rows, "event_type string, ts string, value double"
+        ).selectExpr(
+            "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            aggregations.windowed_event_counts(
+                stream, window="5 minutes", watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        _drain_streams(spark)
+
+    land("b1", [("a", "2020-01-01 00:00:30", 1.0),
+                ("a", "2020-01-01 00:02:00", 2.0)])
+    land("b2", [("a", "2020-01-01 00:30:00", 4.0)])
+    run()  # watermark ends at 00:20 → window 00:00–00:05 closed+emitted
+    first = spark.read.parquet(str(out)).collect()
+    assert [(r["n_events"], r["total_value"]) for r in first] == [(2, 3.0)]
+    # restart: a too-late event (00:01 < restored watermark 00:20) and
+    # a fresh event that closes the 00:30 window held in state
+    land("b3", [("a", "2020-01-01 00:01:00", 99.0),
+                ("a", "2020-01-01 00:50:00", 8.0)])
+    run()
+    rows = sorted(
+        (r["window_start"].minute, r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # window 00:00 appears ONCE with the pre-restart count (late row
+    # dropped by the restored watermark); window 00:30's state —
+    # built before the restart — was emitted after it
+    assert rows == [(0, 2, 3.0), (30, 1, 4.0)]
+
+
+def test_ingest_replayed_epoch_is_noop(spark, tmp_path):
+    """The exactly-once crash window, driven through the real
+    streaming machinery: after a run commits batch N to the lakehouse
+    table AND the checkpoint, delete the checkpoint's commit marker
+    for N — exactly the on-disk state left by a crash BETWEEN the
+    table commit and the checkpoint commit. The restart replays batch
+    N; the table's (app_id, batch_id) txn stamp must turn the replay
+    into a no-op instead of a double-append."""
+    import os
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+    inbox = tmp_path / "inbox"
+    ckpt = tmp_path / "ckpt"
+    inbox.mkdir()
+    (inbox / "a.csv").write_text("id,v\n1,10\n2,20\n")
+
+    def run():
+        q = ingest.start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            str(tmp_path / "tbl"),
+            str(ckpt),
+            schema="id long, v double",
+        )
+        q.awaitTermination(120)
+        _drain_streams(spark)
+
+    run()
+    table = LakehouseTable(str(tmp_path / "tbl"))
+    assert table.read(spark).count() == 2
+    snap_before = table.current_snapshot_id()
+    # crash window: checkpoint thinks the last batch never finished.
+    # Remove the marker AND its checksum sidecar — an orphaned .crc
+    # trips Spark 4's checksum checkpoint manager on restart.
+    commits = sorted(os.listdir(ckpt / "commits"))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(ckpt / "commits" / last)
+    crc = ckpt / "commits" / f".{last}.crc"
+    if crc.exists():
+        os.remove(crc)
+    run()  # replays the batch
+    assert table.read(spark).count() == 2  # no duplicate rows
+    # and the replay's skipped commit left no new snapshot
+    assert table.current_snapshot_id() == snap_before
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
