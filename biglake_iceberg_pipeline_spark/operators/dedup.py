@@ -79,15 +79,20 @@ def incremental_exact_dedup_vs_index(
     pre-built (content_hash, corpus_keep_id) index — the persisted
     form: accepted batches append their ``new`` hashes to the index
     table so the next batch's check stays O(batch + index)."""
+    from pyspark.sql import Window
+
     b = batch.select(
         F.col(id_col), F.md5(F.col(content_col)).alias("content_hash")
     )
-    batch_min = b.groupBy("content_hash").agg(
-        F.min(id_col).alias("batch_keep_id")
+    # within-batch representative via window-min: one batch scan and
+    # one shuffle on the hash (a groupBy+self-join would scan the
+    # batch twice)
+    b = b.withColumn(
+        "batch_keep_id",
+        F.min(id_col).over(Window.partitionBy("content_hash")),
     )
     return (
-        b.join(batch_min, "content_hash")
-        .join(corpus_idx, "content_hash", "left")
+        b.join(corpus_idx, "content_hash", "left")
         .select(
             F.col(id_col),
             F.col("content_hash"),
