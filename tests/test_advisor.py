@@ -1,0 +1,112 @@
+"""Stats-informed join advisor: decisions come from manifest
+metadata (row counts, HLL NDV sketches, file sizes) and the chosen
+strategy never changes results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.operators import advisor
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+
+def _mk(spark, path, df):
+    t = LakehouseTable(str(path))
+    t.append(df)
+    return t
+
+
+def test_broadcast_advised_for_small_dim(spark, tmp_path):
+    dim = _mk(
+        spark,
+        tmp_path / "dim",
+        spark.range(50).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name")
+        ),
+    )
+    fact = _mk(
+        spark,
+        tmp_path / "fact",
+        spark.range(5000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        ),
+    )
+    out, advice = advisor.join_with_advice(spark, fact, dim, "k")
+    assert advice["strategy"] == "broadcast"
+    assert advice["broadcast_side"] == "right"
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 5000
+
+
+def test_salt_advised_for_hot_key(spark, tmp_path):
+    # 5000 rows but only 2 distinct keys → rows/NDV = 2500 per key
+    hot = _mk(
+        spark,
+        tmp_path / "hot",
+        spark.range(5000).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        ),
+    )
+    other = _mk(
+        spark,
+        tmp_path / "oth",
+        spark.range(2).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+    )
+    out, advice = advisor.join_with_advice(
+        spark, hot, other, "k", broadcast_bytes=1, skew_rows_per_key=1000
+    )
+    assert advice["strategy"] == "salt"
+    assert advice["salt_side"] in ("left", "right")
+    # strategy-invariance: salted result equals the plain join
+    plain = hot.read(spark).join(other.read(spark), "k")
+    assert sorted(map(tuple, out.select("k", "v", "tag").collect())) == sorted(
+        map(tuple, plain.select("k", "v", "tag").collect())
+    )
+
+
+def test_shuffle_default_with_uniform_keys(spark, tmp_path):
+    a = _mk(
+        spark,
+        tmp_path / "a",
+        spark.range(3000).select(F.col("id").alias("k"), F.col("id").alias("v")),
+    )
+    b = _mk(
+        spark,
+        tmp_path / "b",
+        spark.range(3000).select(F.col("id").alias("k"), F.col("id").alias("w")),
+    )
+    out, advice = advisor.join_with_advice(
+        spark, a, b, "k", broadcast_bytes=1, skew_rows_per_key=1000
+    )
+    assert advice["strategy"] == "shuffle"
+    assert advice["bucket_hint"] is False  # far below the bucket bar
+    assert out.count() == 3000
+    # the advisor's evidence trail is attached for observability
+    assert advice["inputs"]["rows"] == {"left": 3000, "right": 3000}
+    assert advice["inputs"]["ndv_k"]["left"] > 2500
+
+
+def test_advice_inputs_need_no_scan(spark, tmp_path, monkeypatch):
+    """After sketches exist, advise_join must not read data files —
+    the whole point is O(metadata) planning."""
+    t1 = _mk(
+        spark,
+        tmp_path / "t1",
+        spark.range(100).select(F.col("id").alias("k")),
+    )
+    t2 = _mk(
+        spark,
+        tmp_path / "t2",
+        spark.range(100).select(F.col("id").alias("k")),
+    )
+    t1.ndv(spark, columns=["k"])
+    t2.ndv(spark, columns=["k"])
+
+    def boom(*a, **kw):
+        raise AssertionError("advise_join scanned data files")
+
+    monkeypatch.setattr(LakehouseTable, "_read_files", boom)
+    advice = advisor.advise_join(spark, t1, t2, "k")
+    assert advice["strategy"] == "broadcast"
