@@ -839,20 +839,24 @@ class LakehouseTable:
     def _sketchable(dtype: str) -> bool:
         return not dtype.startswith(("array", "map", "struct", "binary"))
 
-    def refresh_ndv_sketches(self, spark: SparkSession) -> int:
-        """Sketch every current-snapshot data file that lacks a
-        per-column HLL sketch (one distributed job over ONLY those
-        files: group by input_file_name, partial sketches merge
-        map-side, result is |files| rows). Self-healing and
-        incremental: after an append only the new files are read.
-        Returns the number of files sketched."""
+    def refresh_ndv_sketches(
+        self, spark: SparkSession, files: list[str] | None = None
+    ) -> int:
+        """Sketch every current-snapshot data file (or the explicit
+        ``files`` list) that lacks a per-column HLL sketch (one
+        distributed job over ONLY those files: group by
+        input_file_name, partial sketches merge map-side, result is
+        |files| rows). Self-healing and incremental: after an append
+        only the new files are read. Returns the number of files
+        sketched."""
         import base64
         from urllib.parse import unquote, urlparse
 
-        snaps = self.snapshots
-        live = snaps[-1]["files"] if snaps else []
+        if files is None:
+            snaps = self.snapshots
+            files = snaps[-1]["files"] if snaps else []
         have = self._read_manifest().get("file_ndv", {})
-        missing = [f for f in live if f not in have]
+        missing = [f for f in files if f not in have]
         if not missing:
             return 0
         df = self._read_files(spark, missing)
@@ -898,18 +902,33 @@ class LakehouseTable:
         return len(new)
 
     def ndv(
-        self, spark: SparkSession, columns: list[str] | None = None
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        snapshot_id: int | None = None,
     ) -> dict[str, int]:
         """Approximate distinct count per column from the per-file
         sketches: refresh whatever files are missing (O(new data)),
         then union |live files| × |columns| pre-built sketches — no
         data scan. Feed these to broadcast/salt/bucket decisions
-        (``analyze_incremental`` persists them like ANALYZE)."""
+        (``analyze_incremental`` persists them like ANALYZE).
+
+        ``snapshot_id`` time-travels the estimate: sketches are keyed
+        by immutable data file, so the NDV of ANY unexpired snapshot
+        is just a different union over the same sketch pool."""
         import base64
 
-        self.refresh_ndv_sketches(spark)
         snaps = self.snapshots
-        live = snaps[-1]["files"] if snaps else []
+        if snapshot_id is None:
+            live = snaps[-1]["files"] if snaps else []
+        else:
+            matches = [s for s in snaps if s["id"] == snapshot_id]
+            if not matches:
+                raise SnapshotNotFoundError(
+                    f"snapshot {snapshot_id} not found"
+                )
+            live = matches[0]["files"]
+        self.refresh_ndv_sketches(spark, files=live)
         sketches = self._read_manifest().get("file_ndv", {})
         pairs = [
             (c, base64.b64decode(b64))
@@ -1103,7 +1122,12 @@ class LakehouseTable:
                     if f not in live and os.path.exists(f):
                         os.remove(f)
             manifest["snapshots"] = kept
-            for per_file_key in ("file_stats", "file_partitions", "file_rows"):
+            for per_file_key in (
+                "file_stats",
+                "file_partitions",
+                "file_rows",
+                "file_ndv",
+            ):
                 if per_file_key in manifest:
                     manifest[per_file_key] = {
                         f: st
@@ -1162,6 +1186,13 @@ class LakehouseTable:
         report["orphans_removed"] = len(
             self.sweep_orphans(older_than_s=orphan_grace_s)
         )
+        # keep NDV stats warm across the compaction's file rewrite —
+        # only for tables that opted into sketch stats (ndv() ran at
+        # least once), so maintenance stays metadata-only elsewhere
+        # key presence, not truthiness: a compaction + expiry can
+        # leave the dict momentarily empty for an opted-in table
+        if "file_ndv" in self._read_manifest():
+            report["ndv_files_sketched"] = self.refresh_ndv_sketches(spark)
         return report
 
     # ------------------------------------------------------------ reads

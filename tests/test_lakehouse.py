@@ -596,6 +596,29 @@ def test_ndv_sketches_schema_evolution(spark, tmp_path):
     assert abs(est["id"] - 400) <= 10
 
 
+def test_ndv_time_travel_and_maintenance_refresh(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.range(100).select(F.col("id")))
+    t.append(spark.range(100, 300).select(F.col("id")))
+    # sketches are per-file, so any unexpired snapshot's NDV is just
+    # a different union over the same pool
+    assert abs(t.ndv(spark, snapshot_id=s1)["id"] - 100) <= 3
+    assert abs(t.ndv(spark)["id"] - 300) <= 10
+    with pytest.raises(Exception, match="not found"):
+        t.ndv(spark, snapshot_id=999)
+    # maintenance re-sketches the compaction's rewritten files for
+    # opted-in tables, and expiry prunes dead files' sketches
+    for i in range(6):
+        t.append(spark.range(300 + i, 301 + i).select(F.col("id")))
+    report = t.maintain(spark, max_files=2, keep_snapshots=1)
+    assert report["compacted_from"] is not None
+    assert report["ndv_files_sketched"] >= 1
+    sketches = t._read_manifest()["file_ndv"]
+    live = set(t.snapshots[-1]["files"])
+    assert set(sketches) <= live  # expired files' sketches pruned
+    assert abs(t.ndv(spark)["id"] - 306) <= 10
+
+
 def test_analyze_incremental_matches_exact_without_scan(spark, tmp_path):
     t = LakehouseTable(str(tmp_path / "tbl"))
     df = spark.createDataFrame(
