@@ -277,6 +277,7 @@ def run_medallion_flow(
     | None = None,
     silver_mode: str = "rebuild",
     archive_dir: str | None = None,
+    dedup_content_col: str | None = None,
 ) -> dict:
     """Process every file in ``inbox_dir`` through bronze → silver →
     gold under ``lake_root``. Re-running is safe: already-loaded files
@@ -297,7 +298,17 @@ def run_medallion_flow(
     services/loader/cleanup.py:16 archive_original). The move happens
     strictly after the commit: a crash between them leaves the file in
     the inbox, and the replay skips the load (commit stamp) but
-    completes the archival — no double-load in either order."""
+    completes the archival — no double-load in either order.
+
+    ``dedup_content_col``: when set, rows whose content (md5 of that
+    column) was already loaded by ANY earlier file are dropped before
+    the bronze append — cross-load dedup against a persisted
+    ``_dedup_index`` hash table (operators/dedup.py
+    incremental_exact_dedup_vs_index: each file's check costs
+    O(file + index), never O(bronze text)). The index extension rides
+    the file's own txn stamp on the index table, so a crash between
+    the bronze commit and the index append is healed on replay, and a
+    replayed file never double-registers its hashes."""
     if silver_mode not in ("rebuild", "incremental"):
         raise ValueError(f"unknown silver_mode {silver_mode!r}")
     bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
@@ -322,6 +333,54 @@ def run_medallion_flow(
         metrics["files_archived"] += 1
         events.append(("file_archived", name, 0))
 
+    dedup_index = (
+        LakehouseTable(os.path.join(lake_root, "_dedup_index"))
+        if dedup_content_col
+        else None
+    )
+    if dedup_index is not None:
+        metrics["rows_dedup_dropped"] = 0
+
+    def _dedup_split(df: DataFrame):
+        """(rows to load, this file's new index rows). The index side
+        holds one (content_hash, corpus_keep_id) row per distinct
+        content ever accepted — checks are hash joins on the index,
+        never rescans of bronze text."""
+        from biglake_iceberg_pipeline_spark.operators.dedup import (
+            incremental_exact_dedup_vs_index,
+        )
+
+        idx_df = (
+            dedup_index.read(spark)
+            if dedup_index.current_snapshot_id() is not None
+            # typed empty index: same shape the first append creates
+            else df.select(
+                F.md5(F.col(dedup_content_col)).alias("content_hash"),
+                F.col(key_cols[0]).alias("corpus_keep_id"),
+            ).limit(0)
+        )
+        out = incremental_exact_dedup_vs_index(
+            idx_df, df, key_cols[0], dedup_content_col
+        )
+        dup_hashes = (
+            out.where(F.col("verdict") == "corpus_dup")
+            .select("content_hash")
+            .distinct()
+        )
+        keep = (
+            df.withColumn("__ch", F.md5(F.col(dedup_content_col)))
+            .join(
+                dup_hashes,
+                F.col("__ch") == dup_hashes["content_hash"],
+                "left_anti",
+            )
+            .drop("__ch")
+        )
+        new_rows = out.where(F.col("verdict") == "new").select(
+            "content_hash", F.col("keep_id").alias("corpus_keep_id")
+        )
+        return keep, new_rows
+
     # ---- bronze: one append per new file, skip replays
     for name in sorted(os.listdir(inbox_dir)):
         path = os.path.join(inbox_dir, name)
@@ -332,14 +391,33 @@ def run_medallion_flow(
             metrics["files_skipped"] += 1
             events.append(("file_skipped_duplicate", name, 0))
             # its commit stands — a crash between that commit and the
-            # archival left it in the inbox; finish the move now
+            # index append / archival left work behind; finish it now
+            if (
+                dedup_index is not None
+                and dedup_index.last_txn_version(app) is None
+                and os.path.isfile(path)
+            ):
+                df = _clean_for_bronze(read_auto(spark, path))
+                _, new_rows = _dedup_split(df)
+                dedup_index.append(new_rows, txn=(app, 0))
             _archive(name, path)
             continue
-        df = _clean_for_bronze(read_auto(spark, path))
-        df.persist()  # counted for the log, then appended — one read
+        raw = _clean_for_bronze(read_auto(spark, path))
+        raw.persist()  # one file read feeds count/dedup/append
+        df, new_rows = raw, None
+        if dedup_index is not None:
+            n_raw = raw.count()
+            df, new_rows = _dedup_split(raw)
         n = df.count()
+        if dedup_index is not None and n_raw - n:
+            metrics["rows_dedup_dropped"] += n_raw - n
+            events.append(("rows_cross_dedup_dropped", name, n_raw - n))
         bronze.append(df, txn=(app, 0))
-        df.unpersist()
+        if dedup_index is not None:
+            # stamp even an all-duplicate file (empty new_rows): the
+            # stamp is what tells replays the index extension is done
+            dedup_index.append(new_rows, txn=(app, 0))
+        raw.unpersist()
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))
         _archive(name, path)

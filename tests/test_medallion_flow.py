@@ -278,6 +278,62 @@ def test_gold_catches_up_after_crash_window(spark, tmp_path):
     assert n_gold_events == 1
 
 
+def test_cross_load_dedup_drops_seen_content(spark, tmp_path):
+    """dedup_content_col: content already accepted by an earlier file
+    never reaches bronze again; the persisted hash index survives
+    runs and a crash between bronze commit and index append heals."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "d1.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,alpha text\n2,beta text\n")
+
+    def run():
+        return run_medallion_flow(
+            spark, inbox, lake, ["doc_id"], dedup_content_col="body"
+        )
+
+    m1 = run()
+    assert m1["rows_dedup_dropped"] == 0
+    bronze = LakehouseTable(lake + "/bronze")
+    assert bronze.read(spark).count() == 2
+    # a later file re-delivers alpha's content under a new id
+    with open(os.path.join(inbox, "d2.csv"), "w") as f:
+        f.write("Doc ID,Body\n7,alpha text\n8,gamma text\n")
+    m2 = run()
+    assert m2["rows_dedup_dropped"] == 1
+    loaded = {r["doc_id"] for r in bronze.read(spark).collect()}
+    assert loaded == {"1", "2", "8"}  # 7's content already in the lake
+    # the index holds one row per distinct accepted content
+    idx = LakehouseTable(lake + "/_dedup_index")
+    assert idx.read(spark).count() == 3
+    # crash window: d3's bronze commit stands but the index append
+    # didn't happen — simulate by stamping bronze only
+    with open(os.path.join(inbox, "d3.csv"), "w") as f:
+        f.write("Doc ID,Body\n9,delta text\n")
+    from biglake_iceberg_pipeline_spark.plans.medallion_flow import (
+        _clean_for_bronze,
+        _file_app_id,
+    )
+    from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+    app = _file_app_id("d3.csv")
+    bronze.append(
+        _clean_for_bronze(read_auto(spark, os.path.join(inbox, "d3.csv"))),
+        txn=(app, 0),
+    )
+    m3 = run()  # replay: bronze skip, index heal
+    assert m3["files_skipped"] >= 1
+    assert idx.last_txn_version(app) == 0
+    assert idx.read(spark).count() == 4
+    # delta content re-arriving now dedups against the healed index
+    with open(os.path.join(inbox, "d4.csv"), "w") as f:
+        f.write("Doc ID,Body\n10,delta text\n")
+    m4 = run()
+    assert m4["rows_dedup_dropped"] == 1
+    assert bronze.read(spark).where("doc_id = 10").count() == 0
+
+
 def test_inbox_archival(spark, tmp_path):
     """Reference loader cleanup.py:16 analog: a processed file leaves
     the inbox for archive/<table>/<file>; redelivery no-ops; a crash
