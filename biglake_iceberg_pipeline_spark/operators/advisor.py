@@ -47,9 +47,11 @@ SKEW_ROWS_PER_KEY = 100_000
 BUCKET_ROWS = 100_000_000
 
 
-def table_size_bytes(table: LakehouseTable) -> int:
+def table_size_bytes(table: LakehouseTable) -> int | None:
     """On-disk bytes of the current snapshot — manifest file list +
-    os.stat, no scan."""
+    os.stat, no scan. None when any file is unreadable (e.g. a
+    concurrent expiry removed it): unknown must stay unknown — a
+    silent 0 would flip a huge table into the broadcast budget."""
     snaps = table.snapshots
     files = snaps[-1]["files"] if snaps else []
     total = 0
@@ -57,7 +59,7 @@ def table_size_bytes(table: LakehouseTable) -> int:
         try:
             total += os.path.getsize(f)
         except OSError:
-            pass
+            return None
     return total
 
 
@@ -81,15 +83,17 @@ def advise_join(
         "left": left.row_count() or 0,
         "right": right.row_count() or 0,
     }
-    ndv = {
-        "left": left.ndv(spark, columns=[key]).get(key, 0),
-        "right": right.ndv(spark, columns=[key]).get(key, 0),
+    inputs = {"bytes": sizes, "rows": rows}
+    # unknown size (None) is never broadcastable — rank it largest
+    known = {
+        s: (float("inf") if b is None else b) for s, b in sizes.items()
     }
-    inputs = {"bytes": sizes, "rows": rows, f"ndv_{key}": ndv}
     small, big = (
-        ("left", "right") if sizes["left"] <= sizes["right"] else ("right", "left")
+        ("left", "right") if known["left"] <= known["right"] else ("right", "left")
     )
-    if sizes[small] <= broadcast_bytes:
+    if known[small] <= broadcast_bytes:
+        # broadcast decided on size alone — don't pay the NDV lookup
+        # (first call on an unsketched table reads its data files)
         return {
             "strategy": "broadcast",
             "broadcast_side": small,
@@ -98,9 +102,13 @@ def advise_join(
             "inputs": inputs,
         }
     # too big to broadcast: shuffle join — check key skew on the
-    # bigger (probe) side. NDV==0 (no sketch / all-null) counts as
-    # maximally skewed: every row shares the null key.
-    per_key = rows[big] / ndv[big] if ndv[big] else float("inf")
+    # bigger (probe) side only. NDV==0 (no sketch / all-null) counts
+    # as maximally skewed: every row shares the null key.
+    big_ndv = (
+        left if big == "left" else right
+    ).ndv(spark, columns=[key]).get(key, 0)
+    inputs[f"ndv_{key}"] = {big: big_ndv}
+    per_key = rows[big] / big_ndv if big_ndv else float("inf")
     if rows[big] and per_key >= skew_rows_per_key:
         return {
             "strategy": "salt",
@@ -133,6 +141,16 @@ def join_with_advice(
     trust the frame regardless of the verdict."""
     advice = advise_join(spark, left, right, key, **thresholds)
     ldf, rdf = left.read(spark), right.read(spark)
+    # salting flips the join sides (skewed side first), which only
+    # preserves semantics for inner joins, or a left join whose
+    # preserved side IS the salted one — anything else degrades to a
+    # plain shuffle join rather than silently changing results
+    salt_ok = advice["strategy"] == "salt" and (
+        how == "inner" or (how == "left" and advice["salt_side"] == "left")
+    )
+    if advice["strategy"] == "salt" and not salt_ok:
+        advice = {**advice, "strategy": "shuffle", "salt_side": None,
+                  "salt_demoted": f"outer semantics ({how})"}
     if advice["strategy"] == "broadcast":
         if advice["broadcast_side"] == "left":
             out = F.broadcast(ldf).join(rdf, key, how)

@@ -78,7 +78,12 @@ def incremental_exact_dedup_vs_index(
     """Same as :func:`incremental_exact_dedup` but against a
     pre-built (content_hash, corpus_keep_id) index — the persisted
     form: accepted batches append their ``new`` hashes to the index
-    table so the next batch's check stays O(batch + index)."""
+    table so the next batch's check stays O(batch + index).
+
+    NULL content hashes to NULL: such rows are mutually DISTINCT
+    (absent content is not a duplicate of other absent content) —
+    each is its own ``new`` row with ``keep_id`` = itself, and none
+    belongs in a hash index."""
     from pyspark.sql import Window
 
     b = batch.select(
@@ -96,11 +101,14 @@ def incremental_exact_dedup_vs_index(
         .select(
             F.col(id_col),
             F.col("content_hash"),
-            F.when(F.col("corpus_keep_id").isNotNull(), F.lit("corpus_dup"))
+            F.when(F.col("content_hash").isNull(), F.lit("new"))
+            .when(F.col("corpus_keep_id").isNotNull(), F.lit("corpus_dup"))
             .when(F.col(id_col) != F.col("batch_keep_id"), F.lit("batch_dup"))
             .otherwise(F.lit("new"))
             .alias("verdict"),
-            F.coalesce("corpus_keep_id", "batch_keep_id").alias("keep_id"),
+            F.when(F.col("content_hash").isNull(), F.col(id_col))
+            .otherwise(F.coalesce("corpus_keep_id", "batch_keep_id"))
+            .alias("keep_id"),
         )
     )
 

@@ -59,12 +59,14 @@ batch_min AS (
     FROM b GROUP BY content_hash
 )
 SELECT b.doc_id, b.content_hash,
-       CASE WHEN c.corpus_keep_id IS NOT NULL THEN 'corpus_dup'
+       CASE WHEN b.content_hash IS NULL THEN 'new'
+            WHEN c.corpus_keep_id IS NOT NULL THEN 'corpus_dup'
             WHEN b.doc_id != m.batch_keep_id THEN 'batch_dup'
             ELSE 'new' END AS verdict,
-       COALESCE(c.corpus_keep_id, m.batch_keep_id) AS keep_id
+       CASE WHEN b.content_hash IS NULL THEN b.doc_id
+            ELSE COALESCE(c.corpus_keep_id, m.batch_keep_id) END AS keep_id
 FROM b
-JOIN batch_min m ON b.content_hash = m.content_hash
+LEFT JOIN batch_min m ON b.content_hash = m.content_hash
 LEFT JOIN corpus_idx c ON b.content_hash = c.content_hash
 ORDER BY b.doc_id
 """

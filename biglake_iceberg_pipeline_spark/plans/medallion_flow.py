@@ -344,8 +344,10 @@ def run_medallion_flow(
     def _dedup_split(df: DataFrame):
         """(rows to load, this file's new index rows). The index side
         holds one (content_hash, corpus_keep_id) row per distinct
-        content ever accepted — checks are hash joins on the index,
-        never rescans of bronze text."""
+        non-NULL content ever accepted — checks are hash joins on the
+        index, never rescans of bronze text. The verdict frame is
+        materialized ONCE (persist) and both outputs derive from it,
+        so the index join runs once per file."""
         from biglake_iceberg_pipeline_spark.operators.dedup import (
             incremental_exact_dedup_vs_index,
         )
@@ -361,7 +363,7 @@ def run_medallion_flow(
         )
         out = incremental_exact_dedup_vs_index(
             idx_df, df, key_cols[0], dedup_content_col
-        )
+        ).persist()
         dup_hashes = (
             out.where(F.col("verdict") == "corpus_dup")
             .select("content_hash")
@@ -376,38 +378,60 @@ def run_medallion_flow(
             )
             .drop("__ch")
         )
-        new_rows = out.where(F.col("verdict") == "new").select(
-            "content_hash", F.col("keep_id").alias("corpus_keep_id")
-        )
-        return keep, new_rows
+        # NULL content never joins and never dedups — keep it out of
+        # the index or it accumulates one junk row per file
+        new_rows = out.where(
+            (F.col("verdict") == "new") & F.col("content_hash").isNotNull()
+        ).select("content_hash", F.col("keep_id").alias("corpus_keep_id"))
+        return keep, new_rows, out
+
+    def _heal_index(name: str, path: str) -> None:
+        """A crash between a file's bronze commit and its index
+        append leaves the index behind that file; finish the append
+        (idempotent via the txn stamp)."""
+        if (
+            dedup_index is not None
+            and dedup_index.last_txn_version(_file_app_id(name)) is None
+            and os.path.isfile(path)
+        ):
+            df = _clean_for_bronze(read_auto(spark, path))
+            _, new_rows, out = _dedup_split(df)
+            dedup_index.append(new_rows, txn=(_file_app_id(name), 0))
+            out.unpersist()
+
+    inbox_files = [
+        (name, os.path.join(inbox_dir, name))
+        for name in sorted(os.listdir(inbox_dir))
+        if os.path.isfile(os.path.join(inbox_dir, name))
+    ]
+
+    # ---- heal pass BEFORE any load: every bronze-committed file must
+    # be in the index before this run checks new files against it —
+    # healing lazily at the crashed file's sorted position would let a
+    # file sorting earlier re-admit content the crashed file already
+    # committed
+    if dedup_index is not None:
+        for name, path in inbox_files:
+            if bronze.last_txn_version(_file_app_id(name)) is not None:
+                _heal_index(name, path)
 
     # ---- bronze: one append per new file, skip replays
-    for name in sorted(os.listdir(inbox_dir)):
-        path = os.path.join(inbox_dir, name)
-        if not os.path.isfile(path):
-            continue
+    for name, path in inbox_files:
         app = _file_app_id(name)
         if bronze.last_txn_version(app) is not None:
             metrics["files_skipped"] += 1
             events.append(("file_skipped_duplicate", name, 0))
             # its commit stands — a crash between that commit and the
-            # index append / archival left work behind; finish it now
-            if (
-                dedup_index is not None
-                and dedup_index.last_txn_version(app) is None
-                and os.path.isfile(path)
-            ):
-                df = _clean_for_bronze(read_auto(spark, path))
-                _, new_rows = _dedup_split(df)
-                dedup_index.append(new_rows, txn=(app, 0))
+            # archival left it in the inbox; finish the move now (the
+            # index heal already ran in the pre-pass)
             _archive(name, path)
             continue
         raw = _clean_for_bronze(read_auto(spark, path))
         raw.persist()  # one file read feeds count/dedup/append
-        df, new_rows = raw, None
+        df, new_rows, out = raw, None, None
         if dedup_index is not None:
             n_raw = raw.count()
-            df, new_rows = _dedup_split(raw)
+            df, new_rows, out = _dedup_split(raw)
         n = df.count()
         if dedup_index is not None and n_raw - n:
             metrics["rows_dedup_dropped"] += n_raw - n
@@ -417,6 +441,7 @@ def run_medallion_flow(
             # stamp even an all-duplicate file (empty new_rows): the
             # stamp is what tells replays the index extension is done
             dedup_index.append(new_rows, txn=(app, 0))
+            out.unpersist()
         raw.unpersist()
         metrics["files_processed"] += 1
         events.append(("file_loaded_bronze", name, n))

@@ -889,6 +889,14 @@ class LakehouseTable:
             for r in rows
         }
         new = {f: by_path[f] for f in missing if f in by_path}
+        # zero-row files produce no groupBy row; memoize an empty
+        # sketch dict (verified 0 rows via footer) so they aren't
+        # re-read on every future refresh
+        absent = [f for f in missing if f not in by_path]
+        if absent:
+            for f, n in self._file_row_counts(absent).items():
+                if n == 0:
+                    new[f] = {}
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
@@ -993,8 +1001,22 @@ class LakehouseTable:
         file_rows = self._file_row_counts(live)
         file_nulls = self._file_null_counts(live)
         file_parts = self._read_manifest().get("file_partitions", {})
+        # column set from the committed schema, matching analyze()'s
+        # eligibility — an ALL-NULL column has no sketch (ndv 0) but
+        # must still report its null count
+        schema_json = self._read_manifest().get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(schema_json)).fields
+                if self._sketchable(f.dataType.simpleString())
+            ]
+        else:
+            cols = list(ndv)
         nulls: dict[str, int | None] = {}
-        for c in ndv:
+        for c in cols:
             total: int | None = 0
             for f in live:
                 per = file_nulls.get(f, {})
@@ -1019,7 +1041,7 @@ class LakehouseTable:
             "snapshot_id": self.current_snapshot_id(),
             "row_count": sum(file_rows.values()),
             "columns": {
-                c: {"ndv": ndv[c], "nulls": nulls[c]} for c in ndv
+                c: {"ndv": ndv.get(c, 0), "nulls": nulls[c]} for c in cols
             },
             "source": "incremental",
         }

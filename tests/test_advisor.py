@@ -83,9 +83,52 @@ def test_shuffle_default_with_uniform_keys(spark, tmp_path):
     assert advice["strategy"] == "shuffle"
     assert advice["bucket_hint"] is False  # far below the bucket bar
     assert out.count() == 3000
-    # the advisor's evidence trail is attached for observability
+    # evidence trail: only the consulted side's NDV is looked up
     assert advice["inputs"]["rows"] == {"left": 3000, "right": 3000}
-    assert advice["inputs"]["ndv_k"]["left"] > 2500
+    assert list(advice["inputs"]["ndv_k"].values())[0] > 2500
+
+
+def test_salt_demoted_for_outer_semantics(spark, tmp_path):
+    """Salting flips join sides; a left join whose preserved side is
+    NOT the salted one must degrade to shuffle, not silently preserve
+    the wrong side."""
+    hot = _mk(
+        spark,
+        tmp_path / "hot",
+        spark.range(5000).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        ),
+    )
+    other = _mk(
+        spark,
+        tmp_path / "oth",
+        spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("tag")),
+    )
+    # salt_side would be 'left' (hot) — a left join FROM other must
+    # preserve other's unmatched keys 2..4, so salting is unusable
+    out, advice = advisor.join_with_advice(
+        spark, other, hot, "k",
+        how="left", broadcast_bytes=1, skew_rows_per_key=1000,
+    )
+    assert advice["strategy"] == "shuffle" and "salt_demoted" in advice
+    got = {r["k"] for r in out.select("k").distinct().collect()}
+    assert got == {0, 1, 2, 3, 4}  # unmatched left keys preserved
+
+
+def test_unknown_size_never_broadcast(spark, tmp_path):
+    t1 = _mk(spark, tmp_path / "t1",
+             spark.range(100).select(F.col("id").alias("k")))
+    t2 = _mk(spark, tmp_path / "t2",
+             spark.range(100).select(F.col("id").alias("k")))
+    t1.ndv(spark, columns=["k"])
+    t2.ndv(spark, columns=["k"])
+    import os
+    # one of t1's data files vanishes (concurrent expiry): its size is
+    # UNKNOWN, which must not read as 0-bytes-and-broadcastable
+    os.remove(t1.snapshots[-1]["files"][0])
+    advice = advisor.advise_join(spark, t1, t2, "k")
+    assert advice["inputs"]["bytes"]["left"] is None
+    assert advice["broadcast_side"] != "left"
 
 
 def test_advice_inputs_need_no_scan(spark, tmp_path, monkeypatch):

@@ -638,6 +638,35 @@ def test_analyze_incremental_matches_exact_without_scan(spark, tmp_path):
     assert inc["snapshot_id"] == t.current_snapshot_id()
 
 
+def test_analyze_incremental_all_null_column(spark, tmp_path):
+    """An all-NULL column has no HLL sketch, but must still appear in
+    the stats (ndv 0, full null count) — same shape analyze() gives."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "id long, ghost string"
+        )
+    )
+    inc = t.analyze_incremental(spark)
+    assert inc["columns"]["ghost"] == {"ndv": 0, "nulls": 2}
+    exact = t.analyze(spark)
+    assert exact["columns"]["ghost"]["ndv"] == 0
+    assert exact["columns"]["ghost"]["nulls"] == 2
+
+
+def test_ndv_zero_row_files_memoized(spark, tmp_path):
+    """A zero-row data file (empty append) gets an empty sketch entry
+    once — not a fresh Spark read job on every refresh."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).select(F.col("id")))
+    t.append(spark.range(0).select(F.col("id")))  # empty epoch
+    assert t.refresh_ndv_sketches(spark) >= 1
+    assert t.refresh_ndv_sketches(spark) == 0  # nothing left to do
+    sketches = t._read_manifest()["file_ndv"]
+    assert set(sketches) == set(t.snapshots[-1]["files"])
+    assert t.ndv(spark)["id"] == 10
+
+
 def test_analyze_incremental_partitioned_nulls(spark, tmp_path):
     t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["p"])
     df = spark.createDataFrame(

@@ -334,6 +334,61 @@ def test_cross_load_dedup_drops_seen_content(spark, tmp_path):
     assert bronze.read(spark).where("doc_id = 10").count() == 0
 
 
+def test_cross_load_dedup_heal_runs_before_loads(spark, tmp_path):
+    """A file that sorts EARLIER than a crashed file must still dedup
+    against the crashed file's content: the index heal is a pre-pass
+    over every bronze-committed file, not a lazy step at the crashed
+    file's sorted position."""
+    from biglake_iceberg_pipeline_spark.plans.medallion_flow import (
+        _clean_for_bronze,
+        _file_app_id,
+    )
+    from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    # z.csv loaded bronze (content X) but crashed before index append
+    with open(os.path.join(inbox, "z.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,content x\n")
+    bronze = LakehouseTable(lake + "/bronze")
+    bronze.append(
+        _clean_for_bronze(read_auto(spark, os.path.join(inbox, "z.csv"))),
+        txn=(_file_app_id("z.csv"), 0),
+    )
+    # a.csv (sorts before z.csv) re-delivers content X under a new id
+    with open(os.path.join(inbox, "a.csv"), "w") as f:
+        f.write("Doc ID,Body\n9,content x\n")
+    m = run_medallion_flow(
+        spark, inbox, lake, ["doc_id"], dedup_content_col="body"
+    )
+    assert m["rows_dedup_dropped"] == 1  # a.csv's X dropped
+    bodies = [r["body"] for r in bronze.read(spark).collect()]
+    assert bodies == ["content x"]  # X in bronze exactly once
+
+
+def test_cross_load_dedup_null_content_not_indexed(spark, tmp_path):
+    """NULL content (blank / sentinel) rows load every time — absent
+    content is not a duplicate — and never enter the hash index."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "n1.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,N/A\n2,real stuff\n")
+    run_medallion_flow(spark, inbox, lake, ["doc_id"], dedup_content_col="body")
+    with open(os.path.join(inbox, "n2.csv"), "w") as f:
+        f.write("Doc ID,Body\n3,N/A\n")
+    m = run_medallion_flow(
+        spark, inbox, lake, ["doc_id"], dedup_content_col="body"
+    )
+    assert m["rows_dedup_dropped"] == 0  # NULL is never a dup
+    bronze = LakehouseTable(lake + "/bronze")
+    assert bronze.read(spark).count() == 3
+    idx = LakehouseTable(lake + "/_dedup_index").read(spark)
+    assert idx.where(F.col("content_hash").isNull()).count() == 0
+    assert idx.count() == 1  # only 'real stuff'
+
+
 def test_inbox_archival(spark, tmp_path):
     """Reference loader cleanup.py:16 analog: a processed file leaves
     the inbox for archive/<table>/<file>; redelivery no-ops; a crash

@@ -10,17 +10,18 @@ from pyspark.sql import functions as F
 from biglake_iceberg_pipeline_spark.streaming import aggregations, ingest
 
 
-def _drain_streams(spark, timeout_s: float = 20.0):
-    """Wait for every streaming query to fully deregister — a
-    terminated availableNow query can linger in the active list for a
-    beat, and a restart sharing its checkpoint then trips Spark's
-    concurrent-checkpoint guard."""
+def _drain_query(q, timeout_s: float = 20.0):
+    """Wait for THIS query to fully deregister — a terminated
+    availableNow query can linger in the active list for a beat, and
+    a restart sharing its checkpoint then trips Spark's concurrent-
+    checkpoint guard. Scoped to the one query: other tests in the
+    session may legitimately have their own actives."""
     import time
 
     deadline = time.monotonic() + timeout_s
-    while spark.streams.active and time.monotonic() < deadline:
+    while q.isActive and time.monotonic() < deadline:
         time.sleep(0.2)
-    assert not spark.streams.active
+    assert not q.isActive
 
 
 def test_streaming_ingest_end_to_end(spark, tmp_path):
@@ -298,7 +299,7 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
-        _drain_streams(spark)
+        _drain_query(q)
 
     land("b1", [("a", "2020-01-01 00:00:30", 1.0),
                 ("a", "2020-01-01 00:02:00", 2.0)])
@@ -347,7 +348,7 @@ def test_ingest_replayed_epoch_is_noop(spark, tmp_path):
             schema="id long, v double",
         )
         q.awaitTermination(120)
-        _drain_streams(spark)
+        _drain_query(q)
 
     run()
     table = LakehouseTable(str(tmp_path / "tbl"))
