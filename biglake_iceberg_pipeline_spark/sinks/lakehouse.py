@@ -1078,6 +1078,71 @@ class LakehouseTable:
         self._fire_commit_hooks("rollback", snap)
         return snap
 
+    def clone_to(self, dest_path: str) -> "LakehouseTable":
+        """Zero-copy shallow clone (BigQuery table clone / Delta
+        SHALLOW CLONE): the clone's manifest references the SOURCE's
+        data files — no data is copied, the clone is ready instantly
+        regardless of table size. Both tables then evolve
+        independently: data files are immutable, so writes on either
+        side only add/retire references, never mutate shared bytes;
+        the clone's own writes land under its own directory.
+
+        GC safety — the part naive shallow clones get wrong: the
+        clone is registered in the source manifest, and the source's
+        ``expire_snapshots``/``sweep_orphans`` treat files referenced
+        by any registered clone's manifest as live, so source
+        maintenance cannot delete bytes a clone still reads. A clone
+        whose directory disappears simply stops protecting anything.
+        Conversely, either table only ever deletes files under its
+        OWN path, so a clone's expiry can't reach into the source."""
+        dest = LakehouseTable(dest_path, partition_by=self.partition_by)
+        if dest._read_manifest()["snapshots"]:
+            raise ValueError(f"{dest_path!r} already has snapshots")
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            if not manifest["snapshots"]:
+                raise ValueError("cannot clone an empty table")
+            cloned = json.loads(json.dumps(manifest))  # deep copy
+            cloned["cloned_from"] = self.path
+            cloned.pop("clones", None)  # clones don't inherit clones
+            dest._commit(cloned)
+            manifest.setdefault("clones", [])
+            if dest.path not in manifest["clones"]:
+                manifest["clones"].append(dest.path)
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        return dest
+
+    def _clone_protected_files(self, manifest: dict) -> set[str]:
+        """Files any registered clone still references (every snapshot
+        of the clone — clones can time-travel). A clone whose manifest
+        is gone protects nothing."""
+        protected: set[str] = set()
+        for clone_path in manifest.get("clones", []):
+            try:
+                with open(
+                    os.path.join(clone_path, "_manifest.json")
+                ) as fh:
+                    cm = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for s in cm.get("snapshots", []):
+                protected.update(s["files"])
+        return protected
+
+    def _owns(self, path: str) -> bool:
+        """True iff ``path`` lies under this table's directory —
+        deletion is only ever allowed for owned files (a clone's
+        expiry must not reach into its source's storage)."""
+        return os.path.realpath(path).startswith(
+            os.path.realpath(self.path) + os.sep
+        )
+
     def sweep_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files on disk that no snapshot references
         (Iceberg remove_orphan_files): crashed writers and txn-skipped
@@ -1098,6 +1163,7 @@ class LakehouseTable:
             live = {
                 f for s in manifest["snapshots"] for f in s["files"]
             }
+            live |= self._clone_protected_files(manifest)
             now = time.time()
             removed = []
             for root, _dirs, names in os.walk(data_root):
@@ -1139,9 +1205,16 @@ class LakehouseTable:
                 return []
             expired, kept = snaps[:-keep_last], snaps[-keep_last:]
             live = {f for s in kept for f in s["files"]}
+            live |= self._clone_protected_files(manifest)
             for s in expired:
                 for f in s["files"]:
-                    if f not in live and os.path.exists(f):
+                    # _owns: a clone's expiry never deletes SOURCE
+                    # files its retired snapshots referenced
+                    if (
+                        f not in live
+                        and self._owns(f)
+                        and os.path.exists(f)
+                    ):
                         os.remove(f)
             manifest["snapshots"] = kept
             for per_file_key in (

@@ -679,6 +679,59 @@ def test_analyze_incremental_partitioned_nulls(spark, tmp_path):
     assert inc["columns"]["id"]["nulls"] == 0
 
 
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    src = LakehouseTable(str(tmp_path / "src"))
+    src.append(spark.range(100).withColumn("v", F.col("id") * 2))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: identical content, no data files under the clone
+    assert clone.read(spark).count() == 100
+    assert not any(
+        clone._owns(f) for f in clone.snapshots[-1]["files"]
+    )
+    # independent evolution in both directions
+    clone.append(spark.range(100, 150).withColumn("v", F.col("id")))
+    src.append(spark.range(200, 210).withColumn("v", F.col("id")))
+    assert clone.read(spark).count() == 150
+    assert src.read(spark).count() == 110
+    with pytest.raises(ValueError, match="already has snapshots"):
+        src.clone_to(str(tmp_path / "clone"))
+
+
+def test_clone_protects_files_from_source_gc(spark, tmp_path):
+    src = LakehouseTable(str(tmp_path / "src"))
+    src.append(spark.range(50))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    shared = list(clone.snapshots[-1]["files"])
+    # source moves on and expires history — the clone's files survive
+    src.overwrite(spark.range(5))
+    src.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(f) for f in shared)
+    assert clone.read(spark).count() == 50
+    src.sweep_orphans(older_than_s=0.0)
+    assert clone.read(spark).count() == 50
+    # deregistered clone (directory gone) stops protecting
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "clone"))
+    # the protected files left the snapshot list at the first expiry;
+    # with the clone gone they are plain orphans and the sweep
+    # reclaims them
+    src.sweep_orphans(older_than_s=0.0)
+    assert not any(os.path.exists(f) for f in shared)
+
+
+def test_clone_expiry_never_touches_source_files(spark, tmp_path):
+    src = LakehouseTable(str(tmp_path / "src"))
+    src.append(spark.range(40))
+    src_files = list(src.snapshots[-1]["files"])
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.overwrite(spark.range(7))  # clone diverges fully
+    clone.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(f) for f in src_files)
+    assert src.read(spark).count() == 40
+    assert clone.read(spark).count() == 7
+
+
 def test_rollback_to_snapshot(spark, tmp_path):
     t = LakehouseTable(str(tmp_path / "tbl"))
     s1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
