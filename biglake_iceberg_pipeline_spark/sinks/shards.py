@@ -1,0 +1,104 @@
+"""Deterministic training-shard layout for dataset export.
+
+A training run doesn't read a table — it reads SHARDS: fixed-count,
+near-equal files a data loader can assign to workers, with stable
+membership so a resumed or re-sharded job sees the same split.
+Reference-scope parity: the reference exports curated tables to GCS
+for downstream consumers (sql/export/*); this is the export shape an
+LLM data loader actually consumes.
+
+Layout: ``out_dir/shard=K/*.parquet`` (hive-partitioned), one file
+per shard, membership = ``pmod(xxhash64(id), n_shards)`` — a pure
+function of the row id, so it is reproducible across runs, Spark
+versions, and input partitionings (no RNG, no round-robin). A
+``_shards.json`` manifest records per-shard row counts/bytes (and an
+optional per-shard sum, e.g. token counts) from parquet footers — the
+loader can plan epochs without opening data files.
+
+Scale: one shuffle (repartition on the shard id) and one write pass;
+each of the ``n_shards`` tasks writes exactly its own file. Reading
+one shard is partition-pruned to that directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str,
+    sort_within: list[str] | None = None,
+    sum_col: str | None = None,
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic hash shards;
+    returns the manifest (also persisted as ``_shards.json``).
+    ``sort_within`` orders rows inside each shard (e.g. by length for
+    bucketed batching); ``sum_col`` adds a per-shard sum (e.g. token
+    counts) to the manifest."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    ).repartition(n_shards, "shard")
+    if sort_within:
+        sharded = sharded.sortWithinPartitions("shard", *sort_within)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    import pyarrow.parquet as pq
+
+    shards: dict[str, dict] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("shard="):
+            continue
+        k = entry.split("=", 1)[1]
+        rows = 0
+        size = 0
+        files = []
+        for name in sorted(os.listdir(os.path.join(out_dir, entry))):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(out_dir, entry, name)
+            rows += pq.ParquetFile(p).metadata.num_rows
+            size += os.path.getsize(p)
+            files.append(name)
+        shards[k] = {"rows": rows, "bytes": size, "files": files}
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "assignment": "pmod(xxhash64(id), n_shards)",
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    if sum_col is not None:
+        sums = {
+            str(r["shard"]): r["s"]
+            for r in df.withColumn(
+                "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+            )
+            .groupBy("shard")
+            .agg(F.sum(sum_col).alias("s"))
+            .collect()
+        }
+        for k in shards:
+            shards[k][f"sum_{sum_col}"] = sums.get(k, 0)
+    with open(os.path.join(out_dir, "_shards.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def read_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFrame:
+    """One shard's rows — a directory-pruned read, never a full-
+    dataset scan."""
+    return spark.read.parquet(os.path.join(out_dir, f"shard={shard}"))
+
+
+def shard_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "_shards.json")) as fh:
+        return json.load(fh)

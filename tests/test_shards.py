@@ -1,0 +1,60 @@
+"""Deterministic training-shard export: stable membership, one file
+per shard, footer-backed manifest, pruned single-shard reads."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks import shards
+
+
+def test_shards_deterministic_and_complete(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("tokens"),
+    )
+    m = shards.write_training_shards(
+        df, str(tmp_path / "a"), n_shards=8, id_col="doc_id",
+        sum_col="tokens",
+    )
+    assert m["n_shards"] == 8 and m["total_rows"] == 1000
+    assert set(m["shards"]) == {str(i) for i in range(8)}
+    # one file per shard; manifest rows match footers
+    assert all(len(s["files"]) == 1 for s in m["shards"].values())
+    assert sum(s["sum_tokens"] for s in m["shards"].values()) == int(
+        df.agg(F.sum("tokens")).collect()[0][0]
+    )
+    # membership is a pure function of the id: a differently
+    # partitioned copy of the same data shards identically
+    df2 = df.repartition(17).sortWithinPartitions("tokens")
+    shards.write_training_shards(
+        df2, str(tmp_path / "b"), n_shards=8, id_col="doc_id"
+    )
+    for k in range(8):
+        a = {r["doc_id"] for r in shards.read_shard(spark, str(tmp_path / "a"), k).collect()}
+        b = {r["doc_id"] for r in shards.read_shard(spark, str(tmp_path / "b"), k).collect()}
+        assert a == b and a  # same membership, nothing empty
+    # shards partition the id space (disjoint + complete)
+    union = set()
+    for k in range(8):
+        part = {r["doc_id"] for r in shards.read_shard(spark, str(tmp_path / "a"), k).collect()}
+        assert not (union & part)
+        union |= part
+    assert len(union) == 1000
+
+
+def test_shards_sorted_within_and_manifest_roundtrip(spark, tmp_path):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (999 - F.col("id")).alias("length")
+    )
+    shards.write_training_shards(
+        df, str(tmp_path / "s"), n_shards=4, id_col="doc_id",
+        sort_within=["length"],
+    )
+    m = shards.shard_manifest(str(tmp_path / "s"))
+    assert m["total_rows"] == 200
+    got = [r["length"] for r in shards.read_shard(spark, str(tmp_path / "s"), 0).collect()]
+    assert got == sorted(got)  # within-shard order is on disk
+    assert os.path.exists(str(tmp_path / "s" / "_shards.json"))
