@@ -73,11 +73,9 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode(
-    df: DataFrame, id_col: str, vec_col: str, codebooks: list
-) -> DataFrame:
-    """(id, pq_code binary[m]): each byte is the row's nearest
-    centroid id in that subspace. One Arrow-batched pass."""
+def pq_code_column(vec_col, codebooks: list):
+    """Column expression: vector → m-byte PQ code (each byte the
+    nearest centroid id in that subspace). Arrow-batched."""
     cents = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
     m, _k, dsub = cents.shape
 
@@ -96,20 +94,24 @@ def pq_encode(
             out.append(bytes(d2.argmin(axis=1).astype(np.uint8)))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+    return encode(vec_col)
 
 
-def pq_topk(
-    codes: DataFrame,
-    id_col: str,
-    codebooks: list,
-    query_vec: list[float],
-    k: int = 10,
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: list
 ) -> DataFrame:
-    """Top-k by ADC distance (ascending L2² estimate): the query's
-    ``m × k`` centroid-distance table is built driver-side and
-    broadcast inside the kernel closure; each row costs m byte
-    lookups + a sum. Returns (id, adc_dist)."""
+    """(id, pq_code binary[m]): one Arrow-batched pass."""
+    return df.select(
+        F.col(id_col),
+        pq_code_column(F.col(vec_col), codebooks).alias("pq_code"),
+    )
+
+
+def adc_column(code_col, codebooks: list, query_vec: list[float]):
+    """Column expression: PQ code → ADC L2² estimate vs the query.
+    The query's ``m × k`` centroid-distance table is built
+    driver-side and rides the kernel closure; each row costs m byte
+    lookups + a sum (numpy gather)."""
     cents = np.asarray(codebooks, dtype=np.float64)  # (m, K, dsub)
     m, _K, dsub = cents.shape
     q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
@@ -130,8 +132,25 @@ def pq_topk(
             out[valid] = scores
         return pd.Series(out)
 
+    return adc(code_col)
+
+
+def pq_topk(
+    codes: DataFrame,
+    id_col: str,
+    codebooks: list,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by ADC distance (ascending L2² estimate). Returns
+    (id, adc_dist)."""
     return (
-        codes.select(F.col(id_col), adc(F.col("pq_code")).alias("adc_dist"))
+        codes.select(
+            F.col(id_col),
+            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
+                "adc_dist"
+            ),
+        )
         .where(F.col("adc_dist").isNotNull())
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)

@@ -315,6 +315,95 @@ def ivf_probe_int8(
     )
 
 
+def build_ivf_index_pq(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    planes: int = 8,
+    dim: int | None = None,
+) -> None:
+    """IVF-PQ (the FAISS workhorse): coarse sign-bit partitioning for
+    pruning + per-row PQ codes as the payload — m bytes per vector
+    (16× less scan I/O than float at m=16 over 64 dims, 4× less than
+    int8). Same probe geometry as the float/int8 indexes (the coarse
+    code comes from the original vector); only the scoring payload
+    shrinks. Persist the codebooks next to the index — probes need
+    them to build the ADC table."""
+    from biglake_iceberg_pipeline_spark.operators.pq import pq_code_column
+
+    coded = df.select(
+        F.col(id_col),
+        pq_code_column(F.col(vec_col), codebooks).alias("pq_code"),
+        signbit_code(F.col(vec_col), planes, dim=dim).alias("__code"),
+    )
+    coded.write.mode("overwrite").partitionBy("__code").parquet(path)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_pq_codebooks.json"), "w") as fh:
+        _json.dump(codebooks, fh)
+
+
+def ivf_probe_pq(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    nprobe_hamming: int = 1,
+    rerank_source: DataFrame | None = None,
+    vec_col: str | None = None,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Partition-pruned ADC probe over the PQ payload. Without
+    ``rerank_source``: top-k by ADC distance, (id, adc_dist)
+    ascending. With it (the float table + ``vec_col``): ADC shortlist
+    → exact cosine re-rank on the shortlist only, (id, cosine)
+    descending — near-exact recall while the corpus-wide pass reads
+    m bytes/row."""
+    import json as _json
+    import os as _os
+
+    from biglake_iceberg_pipeline_spark.operators.pq import adc_column
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+
+    with open(_os.path.join(path, "_pq_codebooks.json")) as fh:
+        codebooks = _json.load(fh)
+    codes = probe_codes(query_vec, planes, nprobe_hamming)
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("__code").isin(codes))
+        .select(
+            F.col(id_col),
+            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
+                "adc_dist"
+            ),
+        )
+        .where(F.col("adc_dist").isNotNull())
+    )
+    if rerank_source is None:
+        return scan.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+    short = scan.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        shortlist
+    )
+    return (
+        rerank_source.join(F.broadcast(short.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_vs_literal(F.col(vec_col), list(query_vec)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 # ------------------------------------------------ k-means IVF (trained)
 
 def train_kmeans_centroids(

@@ -59,6 +59,50 @@ def test_pq_adc_recall_floor(emb, books):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_pq_index_probe(spark, tmp_path, emb, books):
+    """IVF-PQ: coarse partition pruning + PQ payload. The probe with
+    re-ranking matches brute force within the probed partitions; the
+    stored payload is the m-byte code (16 bytes/vector), not floats."""
+    import pyarrow.parquet as pq_meta
+
+    from biglake_iceberg_pipeline_spark.operators import vector_index as vi
+
+    path = str(tmp_path / "ivfpq")
+    vi.build_ivf_index_pq(emb, path, "vec_id", "embedding", books, planes=4)
+    q = list(emb.where("vec_id = 42").select("embedding").first()[0])
+    got = vi.ivf_probe_pq(
+        spark, path, "vec_id", q, k=5, planes=4, nprobe_hamming=1,
+        rerank_source=emb, vec_col="embedding",
+    ).collect()
+    assert got[0]["vec_id"] == 42 and got[0]["cosine"] == 1.0
+    assert len(got) == 5
+    # ADC-only probe works and is ascending
+    adc = vi.ivf_probe_pq(
+        spark, path, "vec_id", q, k=5, planes=4, nprobe_hamming=1
+    ).collect()
+    assert adc[0]["vec_id"] == 42
+    dists = [r["adc_dist"] for r in adc]
+    assert dists == sorted(dists)
+    # payload check: pq_code column chunks are ~m bytes/row, far
+    # below a float array layout (~4*dim plus levels)
+    import glob
+    import os
+
+    total_code_bytes = 0
+    total_rows = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        meta = pq_meta.ParquetFile(f).metadata
+        total_rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == "pq_code":
+                    total_code_bytes += col.total_uncompressed_size
+    assert total_rows == 500
+    assert total_code_bytes / total_rows < 64  # ≪ 4*64 float bytes
+
+
 def test_pq_rerank_recovers_exact(emb, books):
     for qid in (7, 42):
         q = list(emb.where(f"vec_id = {qid}").select("embedding").first()[0])
