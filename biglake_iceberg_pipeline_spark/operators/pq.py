@@ -45,6 +45,8 @@ def train_pq_codebooks(
     """Per-subspace codebooks as a nested list ``[m][k][d/m]``
     (JSON-serializable — persist next to the index). Driver-side
     Lloyd's on a bounded sample; deterministic init."""
+    if k > 256:
+        raise ValueError(f"k={k} > 256: codes are one uint8 per subspace")
     rows = df.select(vec_col).limit(sample_n).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     n, d = x.shape
@@ -78,6 +80,10 @@ def pq_code_column(vec_col, codebooks: list):
     nearest centroid id in that subspace). Arrow-batched."""
     cents = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
     m, _k, dsub = cents.shape
+    if _k > 256:
+        raise ValueError(
+            f"codebook k={_k} > 256: uint8 codes would wrap centroid ids"
+        )
 
     @pandas_udf("binary")
     def encode(vecs):
@@ -165,6 +171,7 @@ def pq_topk_rerank(
     query_vec: list[float],
     k: int = 10,
     shortlist: int = 100,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Production PQ probing: ADC over the compressed codes picks a
     ``shortlist`` (the cheap pass over the whole corpus — m bytes per
@@ -172,12 +179,18 @@ def pq_topk_rerank(
     vectors (a semi-join-sized read). Recall is set by the shortlist
     size, not the quantizer — shortlist/k of 10× recovers near-exact
     results while the corpus-wide scan stays 32× lighter. Returns
-    (id, cosine) descending."""
+    (id, cosine) descending.
+
+    Pass the precomputed ``codes`` frame (``pq_encode`` output or a
+    persisted code table) for repeated queries — without it each call
+    re-encodes the float corpus, which forfeits the I/O win (the
+    materialized form is ``build_ivf_index_pq``)."""
     from biglake_iceberg_pipeline_spark.operators.similarity import (
         cosine_vs_literal,
     )
 
-    codes = pq_encode(df, id_col, vec_col, codebooks)
+    if codes is None:
+        codes = pq_encode(df, id_col, vec_col, codebooks)
     short = pq_topk(codes, id_col, codebooks, query_vec, k=shortlist)
     return (
         df.join(F.broadcast(short.select(id_col)), id_col)

@@ -342,8 +342,13 @@ def build_ivf_index_pq(
     import json as _json
     import os as _os
 
-    with open(_os.path.join(path, "_pq_codebooks.json"), "w") as fh:
-        _json.dump(codebooks, fh)
+    # the probe needs the FULL quantizer spec, not just the
+    # codebooks: a planes mismatch would silently prune against the
+    # wrong code universe
+    with open(_os.path.join(path, "_pq_meta.json"), "w") as fh:
+        _json.dump(
+            {"codebooks": codebooks, "planes": planes, "dim": dim}, fh
+        )
 
 
 def ivf_probe_pq(
@@ -352,18 +357,19 @@ def ivf_probe_pq(
     id_col: str,
     query_vec: list[float],
     k: int = 10,
-    planes: int = 8,
     nprobe_hamming: int = 1,
     rerank_source: DataFrame | None = None,
     vec_col: str | None = None,
     shortlist: int = 100,
 ) -> DataFrame:
-    """Partition-pruned ADC probe over the PQ payload. Without
-    ``rerank_source``: top-k by ADC distance, (id, adc_dist)
-    ascending. With it (the float table + ``vec_col``): ADC shortlist
-    → exact cosine re-rank on the shortlist only, (id, cosine)
-    descending — near-exact recall while the corpus-wide pass reads
-    m bytes/row."""
+    """Partition-pruned ADC probe over the PQ payload. The quantizer
+    spec (codebooks AND planes) comes from the index's own sidecar —
+    a caller-supplied planes could silently prune against the wrong
+    code universe. Without ``rerank_source``: top-k by ADC distance,
+    (id, adc_dist) ascending. With it (the float table + ``vec_col``):
+    ADC shortlist → exact cosine re-rank on the shortlist only,
+    (id, cosine) descending — near-exact recall while the corpus-wide
+    pass reads m bytes/row."""
     import json as _json
     import os as _os
 
@@ -372,9 +378,10 @@ def ivf_probe_pq(
         cosine_vs_literal,
     )
 
-    with open(_os.path.join(path, "_pq_codebooks.json")) as fh:
-        codebooks = _json.load(fh)
-    codes = probe_codes(query_vec, planes, nprobe_hamming)
+    with open(_os.path.join(path, "_pq_meta.json")) as fh:
+        meta = _json.load(fh)
+    codebooks = meta["codebooks"]
+    codes = probe_codes(query_vec, meta["planes"], nprobe_hamming)
     scan = (
         spark.read.parquet(path)
         .where(F.col("__code").isin(codes))

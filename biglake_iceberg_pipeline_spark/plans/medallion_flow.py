@@ -409,9 +409,20 @@ def run_medallion_flow(
     # be in the index before this run checks new files against it —
     # healing lazily at the crashed file's sorted position would let a
     # file sorting earlier re-admit content the crashed file already
-    # committed
+    # committed. The archive is walked too: a replay run invoked
+    # WITHOUT dedup_content_col archives crashed-window files out of
+    # the inbox, and the next dedup-enabled run must still heal them.
     if dedup_index is not None:
-        for name, path in inbox_files:
+        heal_candidates = dict(inbox_files)
+        arch_bronze = (
+            os.path.join(archive_dir, "bronze") if archive_dir else None
+        )
+        if arch_bronze and os.path.isdir(arch_bronze):
+            for name in sorted(os.listdir(arch_bronze)):
+                heal_candidates.setdefault(
+                    name, os.path.join(arch_bronze, name)
+                )
+        for name, path in sorted(heal_candidates.items()):
             if bronze.last_txn_version(_file_app_id(name)) is not None:
                 _heal_index(name, path)
 

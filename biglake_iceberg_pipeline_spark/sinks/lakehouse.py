@@ -1106,6 +1106,10 @@ class LakehouseTable:
             cloned = json.loads(json.dumps(manifest))  # deep copy
             cloned["cloned_from"] = self.path
             cloned.pop("clones", None)  # clones don't inherit clones
+            # vector-index meta points at SOURCE-owned paths; if the
+            # clone inherited it, its appends would write phantom rows
+            # into the source's index — the clone builds its own
+            cloned.pop("vector_indexes", None)
             dest._commit(cloned)
             manifest.setdefault("clones", [])
             if dest.path not in manifest["clones"]:
@@ -1120,10 +1124,20 @@ class LakehouseTable:
 
     def _clone_protected_files(self, manifest: dict) -> set[str]:
         """Files any registered clone still references (every snapshot
-        of the clone — clones can time-travel). A clone whose manifest
-        is gone protects nothing."""
+        of the clone — clones can time-travel), TRANSITIVELY: a
+        clone-of-a-clone registers only on its direct parent, but may
+        still reference this table's files, so the walk follows each
+        clone's own ``clones`` list. A clone whose manifest is gone
+        protects nothing (and neither do its descendants through it —
+        re-cloning should re-register)."""
         protected: set[str] = set()
-        for clone_path in manifest.get("clones", []):
+        queue = list(manifest.get("clones", []))
+        seen: set[str] = set()
+        while queue:
+            clone_path = queue.pop()
+            if clone_path in seen:
+                continue
+            seen.add(clone_path)
             try:
                 with open(
                     os.path.join(clone_path, "_manifest.json")
@@ -1133,6 +1147,7 @@ class LakehouseTable:
                 continue
             for s in cm.get("snapshots", []):
                 protected.update(s["files"])
+            queue.extend(cm.get("clones", []))
         return protected
 
     def _owns(self, path: str) -> bool:

@@ -49,6 +49,11 @@ def write_training_shards(
     ).repartition(n_shards, "shard")
     if sort_within:
         sharded = sharded.sortWithinPartitions("shard", *sort_within)
+    if sum_col is not None:
+        # cache so write + per-shard sums are one source scan (and
+        # the sums describe exactly the rows written, even over a
+        # mutable source)
+        sharded = sharded.persist()
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
     import pyarrow.parquet as pq
@@ -79,13 +84,11 @@ def write_training_shards(
     if sum_col is not None:
         sums = {
             str(r["shard"]): r["s"]
-            for r in df.withColumn(
-                "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-            )
-            .groupBy("shard")
+            for r in sharded.groupBy("shard")
             .agg(F.sum(sum_col).alias("s"))
             .collect()
         }
+        sharded.unpersist()
         for k in shards:
             shards[k][f"sum_{sum_col}"] = sums.get(k, 0)
     with open(os.path.join(out_dir, "_shards.json"), "w") as fh:

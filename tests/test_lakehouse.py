@@ -720,6 +720,61 @@ def test_clone_protects_files_from_source_gc(spark, tmp_path):
     assert not any(os.path.exists(f) for f in shared)
 
 
+def test_clone_does_not_inherit_vector_index(spark, tmp_path):
+    """Vector-index meta points at source-owned paths; a clone
+    inheriting it would index ITS appends into the SOURCE's index as
+    phantom rows."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        register_lakehouse_index,
+    )
+
+    src = LakehouseTable(str(tmp_path / "src"))
+    src.append(
+        spark.range(20).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"),
+                (F.col("id") % 3).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    register_lakehouse_index(
+        spark, src, "embedding", "vec_id", planes=2, dim=2
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.vector_index_meta() == {}
+    src_meta_before = src.vector_index_meta()
+    clone.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(1.0).cast("float"), F.lit(2.0).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    # the clone's append left the source's index untouched
+    assert src.vector_index_meta() == src_meta_before
+
+
+def test_clone_gc_protection_is_transitive(spark, tmp_path):
+    """A clone-of-a-clone registers only on its parent, but the
+    ORIGINAL source must still protect files the grandchild reads."""
+    a = LakehouseTable(str(tmp_path / "a"))
+    a.append(spark.range(30))
+    shared = list(a.snapshots[-1]["files"])
+    b = a.clone_to(str(tmp_path / "b"))
+    c = b.clone_to(str(tmp_path / "c"))
+    # b moves on and drops its reference to a's files
+    b.overwrite(spark.range(3))
+    b.expire_snapshots(keep_last=1)
+    # a's GC must still see c's references THROUGH b's registration
+    a.overwrite(spark.range(2))
+    a.expire_snapshots(keep_last=1)
+    a.sweep_orphans(older_than_s=0.0)
+    assert all(os.path.exists(f) for f in shared)
+    assert c.read(spark).count() == 30
+
+
 def test_clone_expiry_never_touches_source_files(spark, tmp_path):
     src = LakehouseTable(str(tmp_path / "src"))
     src.append(spark.range(40))

@@ -367,6 +367,43 @@ def test_cross_load_dedup_heal_runs_before_loads(spark, tmp_path):
     assert bodies == ["content x"]  # X in bronze exactly once
 
 
+def test_cross_load_dedup_heals_from_archive(spark, tmp_path):
+    """Crash window + a replay run WITHOUT dedup_content_col (flag
+    toggled off) archives the crashed file out of the inbox; the next
+    dedup-enabled run must heal the index from the ARCHIVE, or the
+    file's content is re-admittable forever."""
+    from biglake_iceberg_pipeline_spark.plans.medallion_flow import (
+        _clean_for_bronze,
+        _file_app_id,
+    )
+    from biglake_iceberg_pipeline_spark.sources.readers import read_auto
+
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    arch = str(tmp_path / "arch")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "f.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,crashed content\n")
+    bronze = LakehouseTable(lake + "/bronze")
+    bronze.append(
+        _clean_for_bronze(read_auto(spark, os.path.join(inbox, "f.csv"))),
+        txn=(_file_app_id("f.csv"), 0),
+    )
+    # replay WITHOUT dedup: archives f.csv, no index work
+    run_medallion_flow(spark, inbox, lake, ["doc_id"], archive_dir=arch)
+    assert not os.listdir(inbox)
+    # dedup-enabled run heals from the archive; re-delivered content
+    # then dedups
+    with open(os.path.join(inbox, "g.csv"), "w") as f:
+        f.write("Doc ID,Body\n9,crashed content\n")
+    m = run_medallion_flow(
+        spark, inbox, lake, ["doc_id"],
+        dedup_content_col="body", archive_dir=arch,
+    )
+    assert m["rows_dedup_dropped"] == 1
+    assert bronze.read(spark).count() == 1
+
+
 def test_cross_load_dedup_null_content_not_indexed(spark, tmp_path):
     """NULL content (blank / sentinel) rows load every time — absent
     content is not a duplicate — and never enter the hash index."""

@@ -29,6 +29,14 @@ def _truth(emb, q, k=10):
     ]
 
 
+def test_pq_rejects_k_over_256(emb):
+    with pytest.raises(ValueError, match="256"):
+        pq.train_pq_codebooks(emb, "embedding", m=8, k=512)
+    fake_books = [[[0.0] * 8] * 300] * 8  # 300 centroids/subspace
+    with pytest.raises(ValueError, match="256"):
+        pq.pq_encode(emb, "vec_id", "embedding", fake_books)
+
+
 def test_pq_codebooks_deterministic(emb):
     a = pq.train_pq_codebooks(emb, "embedding", m=8, k=16)
     b = pq.train_pq_codebooks(emb, "embedding", m=8, k=16)
@@ -71,14 +79,15 @@ def test_ivf_pq_index_probe(spark, tmp_path, emb, books):
     vi.build_ivf_index_pq(emb, path, "vec_id", "embedding", books, planes=4)
     q = list(emb.where("vec_id = 42").select("embedding").first()[0])
     got = vi.ivf_probe_pq(
-        spark, path, "vec_id", q, k=5, planes=4, nprobe_hamming=1,
+        spark, path, "vec_id", q, k=5, nprobe_hamming=1,
         rerank_source=emb, vec_col="embedding",
     ).collect()
     assert got[0]["vec_id"] == 42 and got[0]["cosine"] == 1.0
     assert len(got) == 5
     # ADC-only probe works and is ascending
+    # planes comes from the index sidecar — no caller mismatch possible
     adc = vi.ivf_probe_pq(
-        spark, path, "vec_id", q, k=5, planes=4, nprobe_hamming=1
+        spark, path, "vec_id", q, k=5, nprobe_hamming=1
     ).collect()
     assert adc[0]["vec_id"] == 42
     dists = [r["adc_dist"] for r in adc]
