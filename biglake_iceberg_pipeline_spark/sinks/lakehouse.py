@@ -1078,6 +1078,111 @@ class LakehouseTable:
         self._fire_commit_hooks("rollback", snap)
         return snap
 
+    # ---- snapshot tags (Iceberg tags: named, GC-protected refs) ----
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag / BigQuery table snapshot):
+        ``read(spark, tag=name)`` resolves it, and ``expire_snapshots``
+        keeps tagged snapshots (and their files) alive regardless of
+        ``keep_last`` until the tag is deleted — the audit/compliance
+        pin that plain history expiry would silently destroy."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            snaps = manifest["snapshots"]
+            if not snaps:
+                raise ValueError("cannot tag an empty table")
+            sid = snaps[-1]["id"] if snapshot_id is None else snapshot_id
+            if not any(s["id"] == sid for s in snaps):
+                raise SnapshotNotFoundError(f"snapshot {sid} not found")
+            manifest.setdefault("tags", {})[name] = sid
+            self._commit(manifest)
+            return sid
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def delete_tag(self, name: str) -> None:
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            manifest.get("tags", {}).pop(name, None)
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._read_manifest().get("tags", {}))
+
+    # ---- write-audit-publish (Iceberg WAP) -------------------------
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        rules: dict,
+        txn: tuple[str, int] | None = None,
+    ) -> tuple[int, dict]:
+        """Iceberg's WAP pattern: STAGE the data files (invisible —
+        readers only see manifest-referenced files), AUDIT exactly the
+        bytes that would be published (the staged files are read back
+        through the expectations gate), and PUBLISH atomically only on
+        a clean audit. A failed audit deletes the staged files and
+        raises ``ExpectationsFailed`` — the table never exposes an
+        unaudited row, which a plain append-then-validate cannot
+        guarantee. Returns (snapshot_id, violation_metrics)."""
+        from biglake_iceberg_pipeline_spark.operators.expectations import (
+            ExpectationsFailed,
+            check,
+        )
+
+        spark = df.sparkSession
+        manifest = self._read_manifest()
+        if manifest["schema"] is not None and manifest["snapshots"]:
+            target = self._read_files(
+                spark, manifest["snapshots"][-1]["files"]
+            )
+            df = align_for_append(df, target)
+        files = self._write_data(df)
+        staged = spark.read.parquet(*files)
+        _, metrics = check(staged, rules, on_violation="warn")
+        if any(v > 0 for v in metrics.values()):
+            # drop the whole staging dir (data + _SUCCESS/.crc
+            # sidecars) — it was never referenced by any manifest
+            import shutil
+
+            stage_dirs = set()
+            for f in files:
+                d = os.path.dirname(f)
+                while d and not os.path.basename(d).startswith("snap-"):
+                    d = os.path.dirname(d)
+                if d:
+                    stage_dirs.add(d)
+            for d in stage_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            raise ExpectationsFailed(metrics)
+        snap, committed = self._locked_commit(
+            "append",
+            files,
+            self._file_stats(files),
+            df.schema.json(),
+            inherit_prev_files=True,
+            txn=txn,
+        )
+        if committed and self._read_manifest().get("vector_indexes"):
+            from biglake_iceberg_pipeline_spark.operators.vector_index import (
+                maintain_lakehouse_indexes,
+            )
+
+            maintain_lakehouse_indexes(self, spark.read.parquet(*files))
+        if committed:
+            self._fire_commit_hooks("append", snap)
+        return snap, metrics
+
     def clone_to(self, dest_path: str) -> "LakehouseTable":
         """Zero-copy shallow clone (BigQuery table clone / Delta
         SHALLOW CLONE): the clone's manifest references the SOURCE's
@@ -1218,7 +1323,20 @@ class LakehouseTable:
             snaps = manifest["snapshots"]
             if len(snaps) <= keep_last:
                 return []
-            expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+            tagged = set(manifest.get("tags", {}).values())
+            keep_tail = {s["id"] for s in snaps[-keep_last:]}
+            expired = [
+                s
+                for s in snaps[:-keep_last]
+                if s["id"] not in tagged
+            ]
+            kept = [
+                s
+                for s in snaps
+                if s["id"] in keep_tail or s["id"] in tagged
+            ]
+            if not expired:
+                return []
             live = {f for s in kept for f in s["files"]}
             live |= self._clone_protected_files(manifest)
             for s in expired:
@@ -1308,9 +1426,20 @@ class LakehouseTable:
     # ------------------------------------------------------------ reads
 
     def read(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read latest or time-travel to a snapshot id."""
+        """Read latest, time-travel to a snapshot id, or resolve a
+        named tag (``tag`` and ``snapshot_id`` are exclusive)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            tags = self._read_manifest().get("tags", {})
+            if tag not in tags:
+                raise SnapshotNotFoundError(f"tag {tag!r} not found")
+            snapshot_id = tags[tag]
         snaps = self.snapshots
         if not snaps:
             raise ValueError(f"no snapshots in {self.path}")

@@ -679,6 +679,77 @@ def test_analyze_incremental_partitioned_nulls(spark, tmp_path):
     assert inc["columns"]["id"]["nulls"] == 0
 
 
+def test_tags_survive_expiry_until_deleted(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.range(10))
+    t.tag("audit-2024", s1)
+    t.overwrite(spark.range(3))
+    t.overwrite(spark.range(2))
+    # expiry keeps the tagged snapshot + its files beyond keep_last
+    expired = t.expire_snapshots(keep_last=1)
+    assert s1 not in expired
+    assert t.read(spark, tag="audit-2024").count() == 10
+    assert t.tags() == {"audit-2024": s1}
+    # deleting the tag releases it: next expiry reclaims
+    t.delete_tag("audit-2024")
+    assert s1 in t.expire_snapshots(keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not found"):
+        t.read(spark, tag="audit-2024")
+
+
+def test_tag_unknown_snapshot_rejected(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(2))
+    with pytest.raises(Exception, match="not found"):
+        t.tag("x", 99)
+
+
+def test_write_audit_publish(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.operators.expectations import (
+        ExpectationsFailed,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, 50.0)], "id long, amount double")
+    )
+    rules = {"amount_positive": F.col("amount") > 0}
+    # clean batch publishes atomically
+    snap, metrics = t.write_audit_publish(
+        spark.createDataFrame([(2, 10.0), (3, 20.0)], "id long, amount double"),
+        rules,
+    )
+    assert metrics == {"amount_positive": 0}
+    assert t.read(spark).count() == 3
+    # dirty batch: staged files removed, NOTHING published
+    files_before = list(t.snapshots[-1]["files"])
+    with pytest.raises(ExpectationsFailed):
+        t.write_audit_publish(
+            spark.createDataFrame(
+                [(4, -5.0), (5, 1.0)], "id long, amount double"
+            ),
+            rules,
+        )
+    assert t.read(spark).count() == 3  # reader never saw row 4 or 5
+    assert t.snapshots[-1]["files"] == files_before
+    # the failed batch's staged DATA files are gone (no orphan leak;
+    # the sweep still reports committed files' .crc sidecars, which
+    # is its normal behavior)
+    orphans = t.sweep_orphans(older_than_s=0.0)
+    assert [f for f in orphans if f.endswith(".parquet")] == []
+
+
+def test_wap_txn_replay_noop(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, 5.0)], "id long, amount double")
+    rules = {"pos": F.col("amount") > 0}
+    t.write_audit_publish(df, rules, txn=("wap-app", 1))
+    t.write_audit_publish(df, rules, txn=("wap-app", 1))  # replay
+    assert t.read(spark).count() == 1
+
+
 def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
     src = LakehouseTable(str(tmp_path / "src"))
     src.append(spark.range(100).withColumn("v", F.col("id") * 2))
