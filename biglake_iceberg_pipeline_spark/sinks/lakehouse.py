@@ -460,29 +460,9 @@ class LakehouseTable:
             )
             df = align_for_append(df, target)
         files = self._write_data(df)
-        snap, committed = self._locked_commit(
-            "append",
-            files,
-            self._file_stats(files),
-            df.schema.json(),
-            inherit_prev_files=True,
-            txn=txn,
+        return self._publish_append_files(
+            df.sparkSession, files, df.schema.json(), txn
         )
-        # Incremental vector-index upkeep (auto_embedding_columns
-        # seam): code ONLY the files this commit added. Gated on the
-        # lock-authoritative committed signal — a txn-skipped replay
-        # must not index its orphaned files as phantom rows.
-        if committed and self._read_manifest().get("vector_indexes"):
-            from biglake_iceberg_pipeline_spark.operators.vector_index import (
-                maintain_lakehouse_indexes,
-            )
-
-            maintain_lakehouse_indexes(
-                self, df.sparkSession.read.parquet(*files)
-            )
-        if committed:
-            self._fire_commit_hooks("append", snap)
-        return snap
 
     def overwrite(self, df: DataFrame) -> int:
         # overwrite replaces whatever the tail is — no read-state
@@ -685,6 +665,17 @@ class LakehouseTable:
             raise LineageBrokenError(
                 f"incremental scan crosses rewrite snapshots {non_append}; "
                 "re-baseline from a full read"
+            )
+        # snapshot ids are sequential: a GAP in the surviving range
+        # means tag-preserving expiry dropped intermediate snapshots,
+        # and one of them could have been a rewrite this scan would
+        # silently replay — broken lineage, same as crossing one
+        if ids[lo:hi + 1] != list(
+            range(from_snapshot_id, to_snapshot_id + 1)
+        ):
+            raise LineageBrokenError(
+                "incremental scan range has expired intermediate "
+                "snapshots (history gap); re-baseline from a full read"
             )
         base_files = set(snaps[lo]["files"])
         added = [
@@ -1080,12 +1071,20 @@ class LakehouseTable:
 
     # ---- snapshot tags (Iceberg tags: named, GC-protected refs) ----
 
-    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+    def tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        replace: bool = False,
+    ) -> int:
         """Name a snapshot (Iceberg tag / BigQuery table snapshot):
         ``read(spark, tag=name)`` resolves it, and ``expire_snapshots``
         keeps tagged snapshots (and their files) alive regardless of
         ``keep_last`` until the tag is deleted — the audit/compliance
-        pin that plain history expiry would silently destroy."""
+        pin that plain history expiry would silently destroy.
+        Retargeting an existing name requires ``replace=True``
+        (silently moving a pin releases the old snapshot's GC
+        protection — Iceberg refuses the same way)."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
@@ -1095,7 +1094,13 @@ class LakehouseTable:
             sid = snaps[-1]["id"] if snapshot_id is None else snapshot_id
             if not any(s["id"] == sid for s in snaps):
                 raise SnapshotNotFoundError(f"snapshot {sid} not found")
-            manifest.setdefault("tags", {})[name] = sid
+            tags = manifest.setdefault("tags", {})
+            if name in tags and tags[name] != sid and not replace:
+                raise ValueError(
+                    f"tag {name!r} already pins snapshot {tags[name]}; "
+                    "pass replace=True to retarget it"
+                )
+            tags[name] = sid
             self._commit(manifest)
             return sid
         finally:
@@ -1105,10 +1110,16 @@ class LakehouseTable:
                 pass
 
     def delete_tag(self, name: str) -> None:
+        """Remove a tag, releasing its snapshot's GC protection.
+        Unknown names raise — a typo must not leave the real pin
+        holding storage forever with no signal."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
-            manifest.get("tags", {}).pop(name, None)
+            tags = manifest.get("tags", {})
+            if name not in tags:
+                raise KeyError(f"tag {name!r} not found")
+            del tags[name]
             self._commit(manifest)
         finally:
             try:
@@ -1121,6 +1132,50 @@ class LakehouseTable:
 
     # ---- write-audit-publish (Iceberg WAP) -------------------------
 
+    @staticmethod
+    def _stage_dir_of(files: list[str]) -> str | None:
+        """The one ``snap-*`` staging directory a `_write_data` call
+        produced (all its files live under it)."""
+        d = os.path.dirname(files[0]) if files else ""
+        while d and d != os.sep:
+            if os.path.basename(d).startswith("snap-"):
+                return d
+            d = os.path.dirname(d)
+        return None
+
+    def _publish_append_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema_json: str,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """The shared append tail: atomic manifest commit of staged
+        files + (committed-gated) incremental vector-index upkeep +
+        post-commit hooks. Used by ``append`` and
+        ``write_audit_publish`` so the commit/index/hook sequence has
+        exactly one definition."""
+        snap, committed = self._locked_commit(
+            "append",
+            files,
+            self._file_stats(files),
+            schema_json,
+            inherit_prev_files=True,
+            txn=txn,
+        )
+        # Gated on the lock-authoritative committed signal — a
+        # txn-skipped replay must not index its orphaned files as
+        # phantom rows.
+        if committed and self._read_manifest().get("vector_indexes"):
+            from biglake_iceberg_pipeline_spark.operators.vector_index import (
+                maintain_lakehouse_indexes,
+            )
+
+            maintain_lakehouse_indexes(self, spark.read.parquet(*files))
+        if committed:
+            self._fire_commit_hooks("append", snap)
+        return snap
+
     def write_audit_publish(
         self,
         df: DataFrame,
@@ -1131,10 +1186,13 @@ class LakehouseTable:
         readers only see manifest-referenced files), AUDIT exactly the
         bytes that would be published (the staged files are read back
         through the expectations gate), and PUBLISH atomically only on
-        a clean audit. A failed audit deletes the staged files and
-        raises ``ExpectationsFailed`` — the table never exposes an
-        unaudited row, which a plain append-then-validate cannot
-        guarantee. Returns (snapshot_id, violation_metrics)."""
+        a clean audit. ANY audit failure — rule violations or a bad
+        rule expression — removes the staging directory, so the table
+        never exposes an unaudited row and never leaks staged files;
+        a plain append-then-validate can guarantee neither. Returns
+        (snapshot_id, violation_metrics)."""
+        import shutil
+
         from biglake_iceberg_pipeline_spark.operators.expectations import (
             ExpectationsFailed,
             check,
@@ -1148,39 +1206,25 @@ class LakehouseTable:
             )
             df = align_for_append(df, target)
         files = self._write_data(df)
-        staged = spark.read.parquet(*files)
-        _, metrics = check(staged, rules, on_violation="warn")
+        stage_dir = self._stage_dir_of(files)
+        try:
+            # basePath restores hive partition columns on partitioned
+            # tables (a plain leaf-file read would drop them from the
+            # audited frame)
+            reader = spark.read
+            if stage_dir is not None:
+                reader = reader.option("basePath", stage_dir)
+            staged = reader.parquet(*files)
+            _, metrics = check(staged, rules, on_violation="warn")
+        except Exception:
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+            raise
         if any(v > 0 for v in metrics.values()):
-            # drop the whole staging dir (data + _SUCCESS/.crc
-            # sidecars) — it was never referenced by any manifest
-            import shutil
-
-            stage_dirs = set()
-            for f in files:
-                d = os.path.dirname(f)
-                while d and not os.path.basename(d).startswith("snap-"):
-                    d = os.path.dirname(d)
-                if d:
-                    stage_dirs.add(d)
-            for d in stage_dirs:
-                shutil.rmtree(d, ignore_errors=True)
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
             raise ExpectationsFailed(metrics)
-        snap, committed = self._locked_commit(
-            "append",
-            files,
-            self._file_stats(files),
-            df.schema.json(),
-            inherit_prev_files=True,
-            txn=txn,
-        )
-        if committed and self._read_manifest().get("vector_indexes"):
-            from biglake_iceberg_pipeline_spark.operators.vector_index import (
-                maintain_lakehouse_indexes,
-            )
-
-            maintain_lakehouse_indexes(self, spark.read.parquet(*files))
-        if committed:
-            self._fire_commit_hooks("append", snap)
+        snap = self._publish_append_files(spark, files, df.schema.json(), txn)
         return snap, metrics
 
     def clone_to(self, dest_path: str) -> "LakehouseTable":
@@ -1433,14 +1477,15 @@ class LakehouseTable:
     ) -> DataFrame:
         """Read latest, time-travel to a snapshot id, or resolve a
         named tag (``tag`` and ``snapshot_id`` are exclusive)."""
-        if tag is not None:
+        manifest = self._read_manifest()  # ONE read: tag + snapshot
+        if tag is not None:               # resolution stay consistent
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
-            tags = self._read_manifest().get("tags", {})
+            tags = manifest.get("tags", {})
             if tag not in tags:
                 raise SnapshotNotFoundError(f"tag {tag!r} not found")
             snapshot_id = tags[tag]
-        snaps = self.snapshots
+        snaps = manifest["snapshots"]
         if not snaps:
             raise ValueError(f"no snapshots in {self.path}")
         if snapshot_id is None:

@@ -706,6 +706,85 @@ def test_tag_unknown_snapshot_rejected(spark, tmp_path):
         t.tag("x", 99)
 
 
+def test_tag_retarget_requires_replace(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.range(2))
+    s2 = t.append(spark.range(2, 4))
+    t.tag("pin", s1)
+    with pytest.raises(ValueError, match="replace=True"):
+        t.tag("pin", s2)
+    assert t.tags()["pin"] == s1  # the pin held
+    t.tag("pin", s2, replace=True)
+    assert t.tags()["pin"] == s2
+    with pytest.raises(KeyError, match="not found"):
+        t.delete_tag("typo-name")
+
+
+def test_expiry_gap_breaks_incremental_lineage(spark, tmp_path):
+    """Tag-preserving expiry can leave GAPS in the surviving snapshot
+    list; an incremental scan from a tagged snapshot across a gap
+    must raise (an expired middle snapshot could have been a rewrite
+    the file-diff would silently replay) — and change_feed must then
+    take its keyed snapshot-diff fallback, which is gap-safe."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LineageBrokenError,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.tag("base", s1)
+    t.overwrite(spark.createDataFrame([(1, "A")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.expire_snapshots(keep_last=2)  # survivors: [s1(tagged), s3, s4]
+    with pytest.raises(LineageBrokenError, match="gap"):
+        t.incremental_scan(spark, s1)
+    # change_feed still answers correctly via the snapshot diff
+    changes = {
+        (r["id"], r["_change_type"])
+        for r in t.change_feed(spark, s1, keys=["id"]).collect()
+    }
+    assert (1, "update_postimage") in changes
+    assert (2, "insert") in changes and (3, "insert") in changes
+
+
+def test_wap_partitioned_table(spark, tmp_path):
+    """The staged audit frame must include hive partition columns."""
+    from biglake_iceberg_pipeline_spark.operators.expectations import (
+        ExpectationsFailed,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["region"])
+    rules = {"region_known": F.col("region").isin("eu", "us")}
+    snap, m = t.write_audit_publish(
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "id long, region string"
+        ),
+        rules,
+    )
+    assert m == {"region_known": 0} and t.read(spark).count() == 2
+    with pytest.raises(ExpectationsFailed):
+        t.write_audit_publish(
+            spark.createDataFrame([(3, "xx")], "id long, region string"),
+            rules,
+        )
+    assert t.read(spark).count() == 2
+    # bad rule expression: staging cleaned, error surfaces
+    import glob
+
+    with pytest.raises(Exception):
+        t.write_audit_publish(
+            spark.createDataFrame([(4, "eu")], "id long, region string"),
+            {"bad": F.col("no_such_column") > 0},
+        )
+    live = set(t.snapshots[-1]["files"])
+    on_disk = set(
+        glob.glob(str(tmp_path / "tbl" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    assert on_disk == live  # no staged leftovers from either failure
+
+
 def test_write_audit_publish(spark, tmp_path):
     from biglake_iceberg_pipeline_spark.operators.expectations import (
         ExpectationsFailed,
