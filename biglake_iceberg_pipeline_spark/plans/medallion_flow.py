@@ -278,6 +278,7 @@ def run_medallion_flow(
     silver_mode: str = "rebuild",
     archive_dir: str | None = None,
     dedup_content_col: str | None = None,
+    bronze_rules: dict | None = None,
 ) -> dict:
     """Process every file in ``inbox_dir`` through bronze → silver →
     gold under ``lake_root``. Re-running is safe: already-loaded files
@@ -308,7 +309,14 @@ def run_medallion_flow(
     O(file + index), never O(bronze text)). The index extension rides
     the file's own txn stamp on the index table, so a crash between
     the bronze commit and the index append is healed on replay, and a
-    replayed file never double-registers its hashes."""
+    replayed file never double-registers its hashes.
+
+    ``bronze_rules``: when set, each file loads through
+    write-audit-publish — its rows are staged and audited against the
+    expectations rules BEFORE the bronze commit; a violating file is
+    rejected whole (counted in ``files_rejected``, left in the inbox
+    for inspection, later files unaffected) and bronze never exposes
+    an unaudited row."""
     if silver_mode not in ("rebuild", "incremental"):
         raise ValueError(f"unknown silver_mode {silver_mode!r}")
     bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
@@ -340,6 +348,8 @@ def run_medallion_flow(
     )
     if dedup_index is not None:
         metrics["rows_dedup_dropped"] = 0
+    if bronze_rules:
+        metrics["files_rejected"] = 0
 
     def _dedup_split(df: DataFrame):
         """(rows to load, this file's new index rows). The index side
@@ -447,7 +457,27 @@ def run_medallion_flow(
         if dedup_index is not None and n_raw - n:
             metrics["rows_dedup_dropped"] += n_raw - n
             events.append(("rows_cross_dedup_dropped", name, n_raw - n))
-        bronze.append(df, txn=(app, 0))
+        if bronze_rules:
+            # write-audit-publish: the file's rows are staged and
+            # audited BEFORE the bronze commit — a bad file is
+            # rejected whole (quarantined in place, next files still
+            # load) and bronze never exposes an unaudited row
+            from biglake_iceberg_pipeline_spark.operators.expectations import (
+                ExpectationsFailed,
+            )
+
+            try:
+                bronze.write_audit_publish(df, bronze_rules, txn=(app, 0))
+            except ExpectationsFailed as e:
+                metrics.setdefault("files_rejected", 0)
+                metrics["files_rejected"] += 1
+                events.append(("file_rejected_audit", name, sum(e.metrics.values())))
+                if dedup_index is not None:
+                    out.unpersist()
+                raw.unpersist()
+                continue  # file stays in the inbox for inspection
+        else:
+            bronze.append(df, txn=(app, 0))
         if dedup_index is not None:
             # stamp even an all-duplicate file (empty new_rows): the
             # stamp is what tells replays the index extension is done

@@ -426,6 +426,37 @@ def test_cross_load_dedup_null_content_not_indexed(spark, tmp_path):
     assert idx.count() == 1  # only 'real stuff'
 
 
+def test_bronze_rules_reject_bad_file_whole(spark, tmp_path):
+    """bronze_rules gates each file through write-audit-publish: a
+    violating file is rejected whole and stays in the inbox, later
+    files still load, and a later re-run of the fixed inbox loads the
+    corrected file normally."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "a_bad.csv"), "w") as f:
+        f.write("Order ID,Amount\n1,-5\n2,10\n")  # negative amount
+    with open(os.path.join(inbox, "b_good.csv"), "w") as f:
+        f.write("Order ID,Amount\n3,30\n")
+    rules = {"amount_pos": F.col("amount") > 0}
+    m = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], bronze_rules=rules
+    )
+    assert m["files_rejected"] == 1 and m["files_processed"] == 1
+    bronze = LakehouseTable(lake + "/bronze")
+    assert {r["order_id"] for r in bronze.read(spark).collect()} == {"3"}
+    assert os.path.exists(os.path.join(inbox, "a_bad.csv"))  # quarantined
+    # operator fixes the file; re-run loads it (txn stamp was never
+    # written for the rejected file)
+    with open(os.path.join(inbox, "a_bad.csv"), "w") as f:
+        f.write("Order ID,Amount\n1,5\n2,10\n")
+    m2 = run_medallion_flow(
+        spark, inbox, lake, ["order_id"], bronze_rules=rules
+    )
+    assert m2["files_rejected"] == 0 and m2["files_processed"] == 1
+    assert bronze.read(spark).count() == 3
+
+
 def test_inbox_archival(spark, tmp_path):
     """Reference loader cleanup.py:16 analog: a processed file leaves
     the inbox for archive/<table>/<file>; redelivery no-ops; a crash
