@@ -48,8 +48,16 @@ def train_pq_codebooks(
     if k > 256:
         raise ValueError(f"k={k} > 256: codes are one uint8 per subspace")
     rows = df.select(vec_col).limit(sample_n).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    vecs = [r[0] for r in rows if r[0] is not None]
+    if not vecs:
+        raise ValueError("train_pq_codebooks: no non-null vectors to fit")
+    x = np.asarray(vecs, dtype=np.float64)
     n, d = x.shape
+    if n < k:
+        raise ValueError(
+            f"train_pq_codebooks: sample has {n} vectors < k={k} "
+            "centroids — lower k or raise sample_n"
+        )
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
@@ -62,15 +70,25 @@ def train_pq_codebooks(
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            # deterministic reseed order: points by descending distance
+            # to their assigned centroid; each empty cluster takes the
+            # next UNUSED one (two empties in one iteration must not
+            # collapse onto the same point)
+            reseed_order = iter(
+                np.argsort(-d2[np.arange(n), assign], kind="stable")
+            )
+            used: set[int] = set()
             for c in range(k):
                 mask = assign == c
                 if mask.any():
                     cent[c] = sub[mask].mean(axis=0)
                 else:
-                    # deterministic reseed: the point farthest from
-                    # its assigned centroid
-                    far = d2[np.arange(n), assign].argmax()
-                    cent[c] = sub[far]
+                    far = next(
+                        (i for i in reseed_order if i not in used), None
+                    )
+                    if far is not None:
+                        used.add(int(far))
+                        cent[c] = sub[far]
         books.append(cent.tolist())
     return books
 

@@ -389,10 +389,19 @@ def run_medallion_flow(
             .drop("__ch")
         )
         # NULL content never joins and never dedups — keep it out of
-        # the index or it accumulates one junk row per file
-        new_rows = out.where(
-            (F.col("verdict") == "new") & F.col("content_hash").isNotNull()
-        ).select("content_hash", F.col("keep_id").alias("corpus_keep_id"))
+        # the index or it accumulates one junk row per file. The
+        # groupBy collapses fully identical in-file rows (same id AND
+        # content — both verdict 'new') to ONE index row per hash;
+        # duplicate index entries would fan out every later file's
+        # left join against the index.
+        new_rows = (
+            out.where(
+                (F.col("verdict") == "new")
+                & F.col("content_hash").isNotNull()
+            )
+            .groupBy("content_hash")
+            .agg(F.min("keep_id").alias("corpus_keep_id"))
+        )
         return keep, new_rows, out
 
     def _heal_index(name: str, path: str) -> None:
@@ -454,9 +463,6 @@ def run_medallion_flow(
             n_raw = raw.count()
             df, new_rows, out = _dedup_split(raw)
         n = df.count()
-        if dedup_index is not None and n_raw - n:
-            metrics["rows_dedup_dropped"] += n_raw - n
-            events.append(("rows_cross_dedup_dropped", name, n_raw - n))
         if bronze_rules:
             # write-audit-publish: the file's rows are staged and
             # audited BEFORE the bronze commit — a bad file is
@@ -478,6 +484,12 @@ def run_medallion_flow(
                 continue  # file stays in the inbox for inspection
         else:
             bronze.append(df, txn=(app, 0))
+        # dedup-drop accounting AFTER the audit gate: a file rejected
+        # whole by bronze_rules must not report dedup-dropped rows it
+        # never loaded
+        if dedup_index is not None and n_raw - n:
+            metrics["rows_dedup_dropped"] += n_raw - n
+            events.append(("rows_cross_dedup_dropped", name, n_raw - n))
         if dedup_index is not None:
             # stamp even an all-duplicate file (empty new_rows): the
             # stamp is what tells replays the index extension is done

@@ -1248,7 +1248,15 @@ class LakehouseTable:
         if dest._read_manifest()["snapshots"]:
             raise ValueError(f"{dest_path!r} already has snapshots")
         lock = self._acquire_lock()
+        dest_lock = None
         try:
+            # the emptiness re-check must hold the DESTINATION's
+            # commit lock: two concurrent clone_to calls to the same
+            # dest both pass the unlocked check above, and the later
+            # _commit would silently overwrite the earlier clone
+            dest_lock = dest._acquire_lock()
+            if dest._read_manifest()["snapshots"]:
+                raise ValueError(f"{dest_path!r} already has snapshots")
             manifest = self._read_manifest()
             if not manifest["snapshots"]:
                 raise ValueError("cannot clone an empty table")
@@ -1265,10 +1273,13 @@ class LakehouseTable:
                 manifest["clones"].append(dest.path)
             self._commit(manifest)
         finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+            for lk in (dest_lock, lock):
+                if lk is None:
+                    continue
+                try:
+                    os.remove(lk)
+                except OSError:
+                    pass
         return dest
 
     def _clone_protected_files(self, manifest: dict) -> set[str]:

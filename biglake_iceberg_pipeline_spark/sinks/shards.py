@@ -74,6 +74,12 @@ def write_training_shards(
             size += os.path.getsize(p)
             files.append(name)
         shards[k] = {"rows": rows, "bytes": size, "files": files}
+    # a fixed-count layout promises ALL n_shards entries — a hash
+    # bucket left empty on small data still gets a manifest row (and
+    # read_shard returns a typed empty frame for it), so a loader
+    # planning n workers never hits a missing key
+    for k in range(n_shards):
+        shards.setdefault(str(k), {"rows": 0, "bytes": 0, "files": []})
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
@@ -98,8 +104,16 @@ def write_training_shards(
 
 def read_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFrame:
     """One shard's rows — a directory-pruned read, never a full-
-    dataset scan."""
-    return spark.read.parquet(os.path.join(out_dir, f"shard={shard}"))
+    dataset scan. A shard with zero rows (hash bucket empty on small
+    data) has no directory on disk; return a typed empty frame with
+    the dataset's schema instead of raising."""
+    path = os.path.join(out_dir, f"shard={shard}")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    # schema from the dataset's footers (schema inference only — no
+    # data rows read)
+    base = spark.read.parquet(out_dir).drop("shard")
+    return spark.createDataFrame([], base.schema)
 
 
 def shard_manifest(out_dir: str) -> dict:

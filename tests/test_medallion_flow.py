@@ -501,3 +501,57 @@ def test_inbox_archival(spark, tmp_path):
     assert m4["files_archived"] == 1 and os.listdir(inbox) == []
     assert m4["bronze_rows"] == m3["bronze_rows"]
     assert os.path.exists(os.path.join(archive, "bronze", "f2.csv"))
+
+
+def test_identical_infile_rows_index_once(spark, tmp_path):
+    """Fully identical in-file rows (same id AND content — bronze
+    keeps both, only flagging them) must produce ONE index row per
+    content hash; duplicate index entries would fan out every later
+    file's left join against the index."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "twin.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,same text\n1,same text\n2,other\n")
+    run_medallion_flow(
+        spark, inbox, lake, ["doc_id"], dedup_content_col="body"
+    )
+    idx = LakehouseTable(lake + "/_dedup_index").read(spark)
+    assert idx.count() == 2  # one row per distinct content
+    assert idx.select("content_hash").distinct().count() == 2
+    # a later duplicate delivery joins to exactly one index row
+    with open(os.path.join(inbox, "redeliver.csv"), "w") as f:
+        f.write("Doc ID,Body\n9,same text\n")
+    m = run_medallion_flow(
+        spark, inbox, lake, ["doc_id"], dedup_content_col="body"
+    )
+    assert m["rows_dedup_dropped"] == 1
+
+
+def test_audit_rejected_file_reports_no_dedup_drops(spark, tmp_path):
+    """A file rejected whole by the bronze WAP audit must not count
+    dedup-dropped rows it never loaded (metrics accounting runs after
+    the audit gate)."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "a_ok.csv"), "w") as f:
+        f.write("Doc ID,Body\n1,alpha\n2,beta\n")
+    rules = {"no_gamma": F.col("body") != "gamma"}
+    run_medallion_flow(
+        spark, inbox, lake, ["doc_id"],
+        dedup_content_col="body", bronze_rules=rules,
+    )
+    # b_bad re-delivers alpha (a cross-file dup) AND fails the audit
+    # (a forbidden 'gamma' row) — the whole file is rejected, so NO
+    # dedup drop may be reported and the index must not grow
+    with open(os.path.join(inbox, "b_bad.csv"), "w") as f:
+        f.write("Doc ID,Body\n3,alpha\n4,gamma\n")
+    m = run_medallion_flow(
+        spark, inbox, lake, ["doc_id"],
+        dedup_content_col="body", bronze_rules=rules,
+    )
+    assert m["files_rejected"] == 1
+    assert m["rows_dedup_dropped"] == 0
+    idx = LakehouseTable(lake + "/_dedup_index").read(spark)
+    assert idx.count() == 2  # gamma never accepted

@@ -125,3 +125,13 @@ def test_pq_rerank_recovers_exact(emb, books):
         # shortlist 10x the k: re-ranked results ≈ exact search
         assert len(set(got) & set(truth)) >= 9, (got, truth)
         assert got[0] == truth[0]  # the top hit is exact
+
+
+def test_pq_train_guards(spark, emb):
+    # sample smaller than k: clear error, not duplicate centroids
+    with pytest.raises(ValueError, match="< k"):
+        pq.train_pq_codebooks(emb, "embedding", m=8, k=32, sample_n=5)
+    # empty / all-null input: clear error, not a shape-unpack crash
+    empty = emb.where("vec_id < 0")
+    with pytest.raises(ValueError, match="no non-null"):
+        pq.train_pq_codebooks(empty, "embedding", m=8, k=4)

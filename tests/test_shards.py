@@ -58,3 +58,25 @@ def test_shards_sorted_within_and_manifest_roundtrip(spark, tmp_path):
     got = [r["length"] for r in shards.read_shard(spark, str(tmp_path / "s"), 0).collect()]
     assert got == sorted(got)  # within-shard order is on disk
     assert os.path.exists(str(tmp_path / "s" / "_shards.json"))
+
+
+def test_empty_shard_gets_manifest_entry_and_typed_read(spark, tmp_path):
+    # 2 rows into 16 shards: most hash buckets are empty — a fixed-
+    # count layout still promises all 16 manifest entries, and
+    # read_shard returns a typed empty frame for a missing directory
+    df = spark.range(2).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("body")
+    )
+    m = shards.write_training_shards(
+        df, str(tmp_path / "e"), n_shards=16, id_col="doc_id"
+    )
+    assert set(m["shards"]) == {str(i) for i in range(16)}
+    empties = [k for k, s in m["shards"].items() if s["rows"] == 0]
+    assert empties and all(
+        m["shards"][k] == {"rows": 0, "bytes": 0, "files": []}
+        for k in empties
+    )
+    k = int(empties[0])
+    got = shards.read_shard(spark, str(tmp_path / "e"), k)
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "body"}
