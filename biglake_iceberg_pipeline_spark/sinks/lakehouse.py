@@ -830,6 +830,60 @@ class LakehouseTable:
     def _sketchable(dtype: str) -> bool:
         return not dtype.startswith(("array", "map", "struct", "binary"))
 
+    def _ndv_sketches(
+        self, files: list[str] | None = None
+    ) -> dict[str, dict]:
+        """Resolve per-file NDV sketches ({data_file: {col: b64}})
+        for ``files`` (default: every file with a pointer).
+
+        Sketches live in puffin-style SIDECAR blobs under
+        ``stats/`` — one JSON blob per refresh batch — and the
+        manifest keeps only a {data_file: sidecar_relpath} pointer
+        map. Sketch payload is O(files × cols × KB); inlining it in
+        ``_manifest.json`` would make every commit rewrite megabytes
+        and every manifest read parse them (the r5 scale finding).
+        With pointers the manifest stays O(snapshots + files) and a
+        stats reader opens only the blobs it needs, each once.
+
+        A pointer whose blob is missing/corrupt resolves to no sketch
+        — the file simply re-sketches on the next refresh (self-
+        healing, same contract as a never-sketched file). Legacy
+        manifests with an embedded ``file_ndv`` dict still resolve;
+        the next refresh migrates them into a sidecar."""
+        manifest = self._read_manifest()
+        legacy = manifest.get("file_ndv", {})
+        ptr = manifest.get("ndv_sidecars", {})
+        if files is None:
+            files = list(dict.fromkeys(list(legacy) + list(ptr)))
+        out = {f: legacy[f] for f in files if f in legacy}
+        by_blob: dict[str, list[str]] = {}
+        for f in files:
+            rel = ptr.get(f)
+            if rel is not None and f not in out:
+                by_blob.setdefault(rel, []).append(f)
+        for rel, fs in by_blob.items():
+            try:
+                with open(os.path.join(self.path, rel)) as fh:
+                    blob = json.load(fh)
+            except (OSError, ValueError):
+                continue  # lost blob → those files re-sketch later
+            for f in fs:
+                if f in blob:
+                    out[f] = blob[f]
+        return out
+
+    def _write_ndv_sidecar(self, sketches: dict[str, dict]) -> str:
+        """Persist one refresh batch's sketches as a sidecar blob;
+        returns its manifest-relative path."""
+        stats_dir = os.path.join(self.path, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        rel = os.path.join("stats", f"ndv-{uuid.uuid4().hex}.json")
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sketches, fh)
+        os.replace(tmp, os.path.join(self.path, rel))
+        return rel
+
     def refresh_ndv_sketches(
         self, spark: SparkSession, files: list[str] | None = None
     ) -> int:
@@ -846,7 +900,7 @@ class LakehouseTable:
         if files is None:
             snaps = self.snapshots
             files = snaps[-1]["files"] if snaps else []
-        have = self._read_manifest().get("file_ndv", {})
+        have = self._ndv_sketches(files)
         missing = [f for f in files if f not in have]
         if not missing:
             return 0
@@ -888,10 +942,25 @@ class LakehouseTable:
             for f, n in self._file_row_counts(absent).items():
                 if n == 0:
                     new[f] = {}
+        if not new:
+            return 0
+        # blob first, pointers second: a crash in between leaves an
+        # unreferenced sidecar (GC'd at expiry), never dangling
+        # pointers
+        rel = self._write_ndv_sidecar(new)
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
-            manifest.setdefault("file_ndv", {}).update(new)
+            ptr = manifest.setdefault("ndv_sidecars", {})
+            for f in new:
+                ptr[f] = rel
+            # migrate a legacy embedded sketch dict into its own
+            # sidecar so the manifest sheds the payload
+            legacy = manifest.pop("file_ndv", None)
+            if legacy:
+                legacy_rel = self._write_ndv_sidecar(legacy)
+                for f in legacy:
+                    ptr.setdefault(f, legacy_rel)
             self._commit(manifest)
         finally:
             try:
@@ -928,7 +997,7 @@ class LakehouseTable:
                 )
             live = matches[0]["files"]
         self.refresh_ndv_sketches(spark, files=live)
-        sketches = self._read_manifest().get("file_ndv", {})
+        sketches = self._ndv_sketches(live)
         pairs = [
             (c, base64.b64decode(b64))
             for f in live
@@ -1267,6 +1336,23 @@ class LakehouseTable:
             # clone inherited it, its appends would write phantom rows
             # into the source's index — the clone builds its own
             cloned.pop("vector_indexes", None)
+            # NDV sidecar pointers are table-relative: copy the
+            # referenced stats blobs (KBs — metadata, not data) into
+            # the clone so its ndv()/advisor stay scan-free and the
+            # source's expiry can never reap a blob the clone reads
+            for rel in set(cloned.get("ndv_sidecars", {}).values()):
+                src_blob = os.path.join(self.path, rel)
+                dst_blob = os.path.join(dest.path, rel)
+                try:
+                    os.makedirs(os.path.dirname(dst_blob), exist_ok=True)
+                    with open(src_blob, "rb") as r, open(
+                        dst_blob, "wb"
+                    ) as w:
+                        w.write(r.read())
+                except OSError:
+                    # lost blob: the clone's pointers self-heal by
+                    # re-sketching those files on its next refresh
+                    pass
             dest._commit(cloned)
             manifest.setdefault("clones", [])
             if dest.path not in manifest["clones"]:
@@ -1410,6 +1496,7 @@ class LakehouseTable:
                 "file_partitions",
                 "file_rows",
                 "file_ndv",
+                "ndv_sidecars",
             ):
                 if per_file_key in manifest:
                     manifest[per_file_key] = {
@@ -1417,6 +1504,28 @@ class LakehouseTable:
                         for f, st in manifest[per_file_key].items()
                         if f in live
                     }
+            # sidecar GC: a stats blob no remaining pointer references
+            # (all its files expired, or it was orphaned by a crashed
+            # refresh) is dead weight — delete it. Runs under the
+            # commit lock, so no refresh can be adding pointers.
+            stats_dir = os.path.join(self.path, "stats")
+            if os.path.isdir(stats_dir):
+                referenced = set(
+                    manifest.get("ndv_sidecars", {}).values()
+                )
+                now = time.time()
+                for name in os.listdir(stats_dir):
+                    rel = os.path.join("stats", name)
+                    if rel not in referenced and name.startswith("ndv-"):
+                        path = os.path.join(stats_dir, name)
+                        try:
+                            # grace window: an in-flight refresh writes
+                            # its blob BEFORE taking the commit lock —
+                            # don't reap what's about to be referenced
+                            if now - os.path.getmtime(path) > 300:
+                                os.remove(path)
+                        except OSError:
+                            pass
             self._commit(manifest)
             return [s["id"] for s in expired]
         finally:
@@ -1474,7 +1583,8 @@ class LakehouseTable:
         # least once), so maintenance stays metadata-only elsewhere
         # key presence, not truthiness: a compaction + expiry can
         # leave the dict momentarily empty for an opted-in table
-        if "file_ndv" in self._read_manifest():
+        manifest = self._read_manifest()
+        if "ndv_sidecars" in manifest or "file_ndv" in manifest:
             report["ndv_files_sketched"] = self.refresh_ndv_sketches(spark)
         return report
 

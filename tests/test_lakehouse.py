@@ -4,6 +4,7 @@ compaction, snapshot expiry, schema evolution on append."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -548,7 +549,7 @@ def test_ndv_sketches_accurate_and_incremental(spark, tmp_path):
     assert est["grp"] == 37  # exact in sparse mode
     assert abs(est["score"] - 100) <= 5
     # append: ONLY the new files get sketched; old entries untouched
-    before = dict(t._read_manifest()["file_ndv"])
+    before = dict(t._ndv_sketches())
     t.append(
         spark.range(2000, 2500).select(
             F.col("id"),
@@ -559,7 +560,7 @@ def test_ndv_sketches_accurate_and_incremental(spark, tmp_path):
     new_files = set(t.snapshots[-1]["files"]) - set(before)
     n2 = t.refresh_ndv_sketches(spark)
     assert n2 == len(new_files)
-    after = t._read_manifest()["file_ndv"]
+    after = t._ndv_sketches()
     assert all(after[f] == sk for f, sk in before.items())
     est2 = t.ndv(spark, columns=["id"])
     assert abs(est2["id"] - 2500) / 2500 < 0.05
@@ -613,7 +614,7 @@ def test_ndv_time_travel_and_maintenance_refresh(spark, tmp_path):
     report = t.maintain(spark, max_files=2, keep_snapshots=1)
     assert report["compacted_from"] is not None
     assert report["ndv_files_sketched"] >= 1
-    sketches = t._read_manifest()["file_ndv"]
+    sketches = t._ndv_sketches()
     live = set(t.snapshots[-1]["files"])
     assert set(sketches) <= live  # expired files' sketches pruned
     assert abs(t.ndv(spark)["id"] - 306) <= 10
@@ -662,7 +663,7 @@ def test_ndv_zero_row_files_memoized(spark, tmp_path):
     t.append(spark.range(0).select(F.col("id")))  # empty epoch
     assert t.refresh_ndv_sketches(spark) >= 1
     assert t.refresh_ndv_sketches(spark) == 0  # nothing left to do
-    sketches = t._read_manifest()["file_ndv"]
+    sketches = t._ndv_sketches()
     assert set(sketches) == set(t.snapshots[-1]["files"])
     assert t.ndv(spark)["id"] == 10
 
@@ -1372,3 +1373,113 @@ def test_maintenance_matview_changefeed_interplay(spark, tmp_path):
         table.change_feed(spark, snap1, keys=["id"])
     assert table.read(spark).count() == 12
     assert mv_actual() == mv_expected()
+
+
+def test_ndv_sidecars_keep_manifest_lean(spark, tmp_path):
+    """Sketch payload lives in stats/ sidecar blobs; the manifest
+    holds only {file: sidecar_path} pointers. Across many refreshes
+    the manifest grows by pointer bytes (O(files)), never by sketch
+    bytes (O(files x cols x KB)) — the r5 scale finding."""
+    import os as _os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    sizes = []
+    for i in range(12):
+        t.append(
+            spark.range(i * 50, i * 50 + 50).select(
+                F.col("id"), (F.col("id") % 7).cast("string").alias("g")
+            )
+        )
+        t.refresh_ndv_sketches(spark)
+        sizes.append(_os.path.getsize(t.manifest_path))
+    m = t._read_manifest()
+    assert "file_ndv" not in m  # zero embedded sketch payload
+    n_files = len(t.snapshots[-1]["files"])
+    assert set(m["ndv_sidecars"]) == set(t.snapshots[-1]["files"])
+    # the sketch section of the manifest is pointer-sized: ~a path
+    # per file, never a KB-scale base64 sketch (the snapshot log's
+    # own growth is separate and pruned by expiry)
+    import json as _json
+    ptr_bytes = len(_json.dumps(m["ndv_sidecars"]))
+    assert ptr_bytes < n_files * 300, ptr_bytes
+    assert all(len(v) < 300 for v in m["ndv_sidecars"].values())
+    blob_bytes = sum(
+        _os.path.getsize(_os.path.join(t.path, rel))
+        for rel in set(m["ndv_sidecars"].values())
+    )
+    assert blob_bytes > 10 * 1024  # the payload really moved out
+    # estimates are unchanged by the layout
+    assert abs(t.ndv(spark)["id"] - 600) <= 12
+    assert t.ndv(spark)["g"] == 7
+
+
+def test_ndv_sidecar_gc_and_lost_blob_self_heal(spark, tmp_path):
+    import os as _os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).select(F.col("id")))
+        t.refresh_ndv_sketches(spark)
+    stats_dir = _os.path.join(t.path, "stats")
+    # age the blobs past the GC grace window, then compact + expire:
+    # dead files' pointers are pruned and unreferenced blobs deleted
+    for name in _os.listdir(stats_dir):
+        p = _os.path.join(stats_dir, name)
+        _os.utime(p, (time.time() - 600, time.time() - 600))
+    t.compact(spark, target_files=1)
+    t.refresh_ndv_sketches(spark)
+    for name in _os.listdir(stats_dir):
+        p = _os.path.join(stats_dir, name)
+        if name.startswith("ndv-"):
+            _os.utime(p, (time.time() - 600, time.time() - 600))
+    t.expire_snapshots(keep_last=1)
+    m = t._read_manifest()
+    live = set(t.snapshots[-1]["files"])
+    assert set(m["ndv_sidecars"]) == live
+    on_disk = {
+        _os.path.join("stats", n)
+        for n in _os.listdir(stats_dir)
+        if n.startswith("ndv-")
+    }
+    assert on_disk == set(m["ndv_sidecars"].values())
+    # lost blob: pointers resolve to nothing → refresh re-sketches
+    for rel in on_disk:
+        _os.remove(_os.path.join(t.path, rel))
+    assert t._ndv_sketches() == {}
+    assert t.refresh_ndv_sketches(spark) == len(live)
+    assert abs(t.ndv(spark)["id"] - 40) <= 3
+
+
+def test_ndv_legacy_embedded_sketches_migrate(spark, tmp_path):
+    """A manifest written before the sidecar layout (embedded
+    file_ndv dict) still reads, and the next refresh moves the
+    payload into a sidecar."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(100).select(F.col("id")))
+    t.refresh_ndv_sketches(spark)
+    # rewrite the manifest into the legacy shape
+    m = t._read_manifest()
+    sketches = t._ndv_sketches()
+    m.pop("ndv_sidecars")
+    m["file_ndv"] = sketches
+    t._commit(m)
+    assert t._ndv_sketches() == sketches  # legacy read path
+    t.append(spark.range(100, 150).select(F.col("id")))
+    t.refresh_ndv_sketches(spark)
+    m2 = t._read_manifest()
+    assert "file_ndv" not in m2
+    assert set(m2["ndv_sidecars"]) == set(t.snapshots[-1]["files"])
+    assert abs(t.ndv(spark)["id"] - 150) <= 5
+
+
+def test_clone_carries_ndv_sidecars(spark, tmp_path):
+    """A shallow clone copies the KB-scale stats blobs (not data):
+    its ndv() is immediately scan-free and survives source expiry."""
+    src = LakehouseTable(str(tmp_path / "src"))
+    src.append(spark.range(200).select(F.col("id")))
+    src.refresh_ndv_sketches(spark)
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # no further sketching needed on the clone
+    assert set(clone._ndv_sketches()) == set(clone.snapshots[-1]["files"])
+    assert clone.refresh_ndv_sketches(spark) == 0
+    assert abs(clone.ndv(spark)["id"] - 200) <= 6
