@@ -70,11 +70,20 @@ def advise_join(
     key: str,
     broadcast_bytes: int = BROADCAST_BYTES,
     skew_rows_per_key: int = SKEW_ROWS_PER_KEY,
+    allow_refresh: bool = True,
 ) -> dict:
     """Pick a join strategy from manifest metadata only. Returns
     ``{"strategy": "broadcast"|"salt"|"shuffle", "broadcast_side":
     "left"|"right"|None, "salt_side": ..., "inputs": {...},
-    "bucket_hint": bool}``."""
+    "bucket_hint": bool}``.
+
+    ``allow_refresh=False`` makes the call STRICTLY O(metadata): if
+    the probe side's NDV sketches don't cover its live files, the
+    advisor returns a plain ``shuffle`` verdict flagged
+    ``stats_missing`` instead of sketching inline (which reads every
+    unsketched file — a full scan on a cold 100 TB fact). Schedulers
+    should sketch asynchronously via ``maintain()`` /
+    ``refresh_ndv_sketches()`` and re-advise."""
     sizes = {
         "left": table_size_bytes(left),
         "right": table_size_bytes(right),
@@ -104,9 +113,20 @@ def advise_join(
     # too big to broadcast: shuffle join — check key skew on the
     # bigger (probe) side only. NDV==0 (no sketch / all-null) counts
     # as maximally skewed: every row shares the null key.
-    big_ndv = (
-        left if big == "left" else right
-    ).ndv(spark, columns=[key]).get(key, 0)
+    big_table = left if big == "left" else right
+    if not allow_refresh:
+        snaps = big_table.snapshots
+        live = snaps[-1]["files"] if snaps else []
+        if set(live) - set(big_table._ndv_sketches(live)):
+            return {
+                "strategy": "shuffle",
+                "broadcast_side": None,
+                "salt_side": None,
+                "bucket_hint": min(rows.values()) >= BUCKET_ROWS,
+                "stats_missing": big,
+                "inputs": inputs,
+            }
+    big_ndv = big_table.ndv(spark, columns=[key]).get(key, 0)
     inputs[f"ndv_{key}"] = {big: big_ndv}
     per_key = rows[big] / big_ndv if big_ndv else float("inf")
     if rows[big] and per_key >= skew_rows_per_key:

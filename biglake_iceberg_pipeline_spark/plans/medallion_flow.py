@@ -279,6 +279,7 @@ def run_medallion_flow(
     archive_dir: str | None = None,
     dedup_content_col: str | None = None,
     bronze_rules: dict | None = None,
+    gold_dim_joins: list[tuple[str, str, str]] | None = None,
 ) -> dict:
     """Process every file in ``inbox_dir`` through bronze → silver →
     gold under ``lake_root``. Re-running is safe: already-loaded files
@@ -316,7 +317,19 @@ def run_medallion_flow(
     expectations rules BEFORE the bronze commit; a violating file is
     rejected whole (counted in ``files_rejected``, left in the inbox
     for inspection, later files unaffected) and bronze never exposes
-    an unaudited row."""
+    an unaudited row.
+
+    ``gold_dim_joins``: entries ``(gold_name, dim_table_path, key)``
+    — each materializes ``gold/<name>`` as silver LEFT-enriched with
+    the dimension lakehouse table, with the physical join strategy
+    picked by the stats advisor (operators/advisor.py) from manifest
+    metadata ONLY (``allow_refresh=False``: a cold unsketched dim
+    yields a plain shuffle flagged ``stats_missing`` rather than an
+    inline sketching scan — ``maintain()`` sketches it for next
+    time). The chosen advice is recorded in
+    ``metrics["gold_advice"]`` and in the view's ``_advice.json``,
+    and the view refreshes only when silver's or the dim's snapshot
+    moved."""
     if silver_mode not in ("rebuild", "incremental"):
         raise ValueError(f"unknown silver_mode {silver_mode!r}")
     bronze = LakehouseTable(os.path.join(lake_root, "bronze"))
@@ -565,6 +578,52 @@ def run_medallion_flow(
             metrics["gold"][gname] = n
             if not was_fresh:
                 events.append(("gold_refreshed", gname, n))
+        for gname, dim_path, jkey in gold_dim_joins or []:
+            import json as _json
+
+            from biglake_iceberg_pipeline_spark.operators.advisor import (
+                join_with_advice,
+            )
+
+            dim = LakehouseTable(dim_path)
+            gold_tbl = LakehouseTable(
+                os.path.join(lake_root, "gold", gname)
+            )
+            state_path = os.path.join(gold_tbl.path, "_advice.json")
+            want = {
+                "silver": silver.current_snapshot_id(),
+                "dim": dim.current_snapshot_id(),
+            }
+            try:
+                with open(state_path) as fh:
+                    state = _json.load(fh)
+            except (OSError, ValueError):
+                state = None
+            fresh = (
+                state is not None
+                and {k: state.get(k) for k in want} == want
+                and gold_tbl.current_snapshot_id() is not None
+            )
+            if fresh:
+                advice = state["advice"]
+            else:
+                out, advice = join_with_advice(
+                    spark, silver, dim, jkey, how="left",
+                    allow_refresh=False,
+                )
+                gold_tbl.overwrite(out)
+                # watermark AFTER the overwrite: a crash in between
+                # just re-materializes (overwrite is idempotent)
+                with open(state_path, "w") as fh:
+                    _json.dump({**want, "advice": advice}, fh)
+            n = _table_rows(spark, gold_tbl)
+            metrics["gold"][gname] = n
+            metrics.setdefault("gold_advice", {})[gname] = advice
+            if not fresh:
+                gold_did_work = True
+                events.append(
+                    ("gold_dim_joined", f"{gname}:{advice['strategy']}", n)
+                )
 
     # quality report whenever this run did real silver/gold work —
     # covers the crash-window replay (silver fresh, gold stale) while

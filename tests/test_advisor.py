@@ -153,3 +153,44 @@ def test_advice_inputs_need_no_scan(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(LakehouseTable, "_read_files", boom)
     advice = advisor.advise_join(spark, t1, t2, "k")
     assert advice["strategy"] == "broadcast"
+
+
+def test_allow_refresh_false_never_scans_cold_table(spark, tmp_path, monkeypatch):
+    """A cold (unsketched) probe side with allow_refresh=False gets a
+    'shuffle' verdict flagged stats_missing — never an inline
+    sketching scan. After maintenance sketches it, the same call
+    upgrades to a real stats-based verdict."""
+    big = _mk(
+        spark,
+        tmp_path / "big",
+        spark.range(5000).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        ),
+    )
+    other = _mk(
+        spark,
+        tmp_path / "oth",
+        spark.range(2).select(F.col("id").alias("k")),
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("no-scan advise read data files")
+
+    monkeypatch.setattr(LakehouseTable, "_read_files", boom)
+    advice = advisor.advise_join(
+        spark, big, other, "k",
+        broadcast_bytes=1, skew_rows_per_key=1000, allow_refresh=False,
+    )
+    assert advice["strategy"] == "shuffle"
+    assert advice["stats_missing"] in ("left", "right")
+    monkeypatch.undo()
+    # async sketching (what maintain() does), then re-advise no-scan
+    big.refresh_ndv_sketches(spark)
+    other.refresh_ndv_sketches(spark)
+    monkeypatch.setattr(LakehouseTable, "_read_files", boom)
+    advice2 = advisor.advise_join(
+        spark, big, other, "k",
+        broadcast_bytes=1, skew_rows_per_key=1000, allow_refresh=False,
+    )
+    assert advice2["strategy"] == "salt"
+    assert "stats_missing" not in advice2

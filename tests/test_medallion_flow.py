@@ -555,3 +555,52 @@ def test_audit_rejected_file_reports_no_dedup_drops(spark, tmp_path):
     assert m["rows_dedup_dropped"] == 0
     idx = LakehouseTable(lake + "/_dedup_index").read(spark)
     assert idx.count() == 2  # gamma never accepted
+
+
+def test_gold_dim_join_uses_advisor(spark, tmp_path):
+    """gold_dim_joins materializes silver LEFT-enriched with a dim
+    lakehouse table; the join strategy comes from the stats advisor
+    in no-scan mode, the advice trail is in metrics + _advice.json,
+    and the view refreshes only when silver or the dim moved."""
+    import json
+
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "orders.csv"), "w") as f:
+        f.write("Order ID,Cust\n1,a\n2,b\n3,a\n")
+    dim = LakehouseTable(str(tmp_path / "cust_dim"))
+    dim.append(
+        spark.createDataFrame(
+            [("a", "gold-tier"), ("b", "basic")], "cust string, tier string"
+        )
+    )
+
+    def run():
+        return run_medallion_flow(
+            spark, inbox, lake, ["order_id"],
+            gold_dim_joins=[("orders_enriched", dim.path, "cust")],
+        )
+
+    m1 = run()
+    advice = m1["gold_advice"]["orders_enriched"]
+    assert advice["strategy"] == "broadcast"  # tiny dim
+    assert m1["gold"]["orders_enriched"] == 3
+    g = LakehouseTable(lake + "/gold/orders_enriched")
+    rows = {(r["order_id"], r["tier"]) for r in g.read(spark).collect()}
+    assert rows == {(1, "gold-tier"), (2, "basic"), (3, "gold-tier")}
+    with open(os.path.join(g.path, "_advice.json")) as fh:
+        state = json.load(fh)
+    assert state["advice"]["strategy"] == "broadcast"
+    # no inputs moved → the view is fresh, no re-materialization
+    snap_before = g.current_snapshot_id()
+    m2 = run()
+    assert g.current_snapshot_id() == snap_before
+    assert m2["gold"]["orders_enriched"] == 3
+    # dim moves → refresh picks it up (silver unchanged)
+    dim.append(
+        spark.createDataFrame([("c", "new")], "cust string, tier string")
+    )
+    m3 = run()
+    assert g.current_snapshot_id() != snap_before
+    assert m3["gold"]["orders_enriched"] == 3  # left join: silver rows
