@@ -103,10 +103,24 @@ def start_ingest_to_lakehouse(
     fmt: str = "csv",
     merge_keys: list[str] | None = None,
     table=None,
+    audit_rules: dict | None = None,
+    on_reject=None,
 ) -> StreamingQuery:
     """Inbox → clean → snapshot-committed lakehouse table — the full
     reference flow (agent cleans, loader appends/upserts to Iceberg)
     as one streaming job.
+
+    ``audit_rules``: when set, every micro-batch commits through
+    write-audit-publish (append path) or a pre-merge expectations
+    gate (merge path) — a poisoned epoch is rejected ATOMICALLY
+    (staging cleaned up, nothing published, txn never stamped) and
+    QUARANTINED to ``<table>/_quarantine/epoch=<id>/`` for
+    inspection, while the query keeps running and later epochs land.
+    Mirrors the batch flow's ``bronze_rules``. A crash-replayed
+    rejected epoch re-audits and re-rejects (quarantine writes are
+    overwrite-idempotent); a crash-replayed PUBLISHED epoch still
+    no-ops on its txn stamp. ``on_reject(batch_id, metrics)`` is an
+    optional observer callback per rejected epoch.
 
     Pass ``table`` (a LakehouseTable at ``table_path``) to keep an
     instance the caller has decorated — e.g. with post-commit hooks
@@ -144,7 +158,21 @@ def start_ingest_to_lakehouse(
     # with the old run's epochs.
     app_id = "ingest-" + hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:12]
 
+    def _quarantine(batch_df: DataFrame, batch_id: int, metrics) -> None:
+        import os
+
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(table.path, "_quarantine", f"epoch={batch_id}")
+        )
+        if on_reject is not None:
+            on_reject(batch_id, metrics)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from biglake_iceberg_pipeline_spark.operators.expectations import (
+            ExpectationsFailed,
+            check,
+        )
+
         seen = table.last_txn_version(app_id)
         if seen is not None and seen >= batch_id:
             return  # replayed epoch, already in the table
@@ -153,11 +181,27 @@ def start_ingest_to_lakehouse(
             # a batch may carry several versions of a key (e.g. two
             # files landed); last-writer-wins within the batch
             batch_df = batch_df.dropDuplicates(merge_keys)
+            if audit_rules:
+                # merge rewrites in place (no staged-append form), so
+                # the audit gates the batch BEFORE any table write —
+                # a rejected epoch touches nothing but quarantine
+                _, metrics = check(batch_df, audit_rules, "warn")
+                if any(v > 0 for v in metrics.values()):
+                    _quarantine(batch_df, batch_id, metrics)
+                    return
             if table.current_snapshot_id() is not None:
                 table.merge(
                     batch_df.sparkSession, batch_df, merge_keys, txn=txn
                 )
                 return
+            table.append(batch_df, txn=txn)
+            return
+        if audit_rules:
+            try:
+                table.write_audit_publish(batch_df, audit_rules, txn=txn)
+            except ExpectationsFailed as e:
+                _quarantine(batch_df, batch_id, e.metrics)
+            return
         table.append(batch_df, txn=txn)
 
     return (

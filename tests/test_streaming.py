@@ -409,3 +409,70 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     run_once()
     rows = sorted(r.id for r in spark.read.parquet(str(out)).collect())
     assert rows == list(range(12))  # each exactly once, none replayed
+
+
+def test_streaming_wap_quarantines_poisoned_epoch(spark, tmp_path):
+    """audit_rules on the streaming ingest: a poisoned micro-batch is
+    rejected atomically (quarantined, nothing published, no staged
+    leftovers) WITHOUT stopping the query; later epochs land; a
+    replayed rejected epoch stays out; a replayed published epoch
+    no-ops on its txn stamp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text("Order ID,Amount\n1,10.0\n2,20.0\n")
+    table = LakehouseTable(str(tmp_path / "bronze"))
+    rules = {"amount_pos": F.col("amount") > 0}
+    rejected = []
+
+    def run():
+        q = ingest.start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            str(tmp_path / "bronze"),
+            str(tmp_path / "ckpt"),
+            schema="`Order ID` long, Amount double",
+            table=table,
+            audit_rules=rules,
+            on_reject=lambda bid, m: rejected.append((bid, dict(m))),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert table.read(spark).count() == 2 and not rejected
+    # epoch 2 is poisoned (negative amount) — with maxFilesPerTrigger
+    # default 16, one new file = one epoch
+    (inbox / "b2.csv").write_text("Order ID,Amount\n3,-5.0\n4,40.0\n")
+    run()
+    assert len(rejected) == 1 and rejected[0][1]["amount_pos"] == 1
+    assert table.read(spark).count() == 2  # nothing from the bad epoch
+    qdir = os.path.join(table.path, "_quarantine")
+    assert os.path.isdir(qdir) and len(os.listdir(qdir)) == 1
+    quarantined = spark.read.parquet(os.path.join(qdir, os.listdir(qdir)[0]))
+    assert {r["order_id"] for r in quarantined.collect()} == {3, 4}
+    # no staged leftovers: every data file on disk is manifest-live
+    live = {os.path.basename(f) for f in table.snapshots[-1]["files"]}
+    on_disk = {
+        n
+        for root, _d, names in os.walk(os.path.join(table.path, "data"))
+        for n in names
+        if n.endswith(".parquet")
+    }
+    assert on_disk == live
+    # the query keeps going: a later clean epoch lands
+    (inbox / "b3.csv").write_text("Order ID,Amount\n5,50.0\n")
+    run()
+    assert {r["order_id"] for r in table.read(spark).collect()} == {1, 2, 5}
+    # replay on the SAME checkpoint with no new files: published
+    # epochs no-op on their txn stamps, the rejected epoch stays out
+    snap = table.current_snapshot_id()
+    run()
+    assert table.current_snapshot_id() == snap
+    assert table.read(spark).count() == 3
