@@ -318,18 +318,26 @@ class LakehouseTable:
                 )
         return vals
 
-    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema_json: str | None = None,
+    ) -> DataFrame:
         """Open an explicit manifest file list. Unpartitioned: plain
         multi-file read. Partitioned: group by snapshot dir and read
         each group with basePath so Spark's partition discovery
         restores the hive-path columns, then cast them back to the
-        committed schema (discovery would re-infer types per group)."""
+        committed schema (discovery would re-infer types per group).
+        ``schema_json`` overrides the overlay schema (branch reads:
+        a branch may have evolved past the main-line schema)."""
         if not self.partition_by:
             # Overlay the committed (possibly evolved) schema: files
             # written before an add-column/widen commit then surface
             # NULL / upcast values — Spark's parquet reader fills
             # missing columns and widens in the scan, no rewrite.
-            schema_json = self._read_manifest().get("schema")
+            if schema_json is None:
+                schema_json = self._read_manifest().get("schema")
             if schema_json:
                 from pyspark.sql.types import StructType
 
@@ -1199,6 +1207,189 @@ class LakehouseTable:
     def tags(self) -> dict[str, int]:
         return dict(self._read_manifest().get("tags", {}))
 
+    # ---- snapshot branches (Iceberg refs: multi-commit staging) ----
+    # write_audit_publish stages ONE commit; a branch stages MANY: a
+    # backfill or multi-step rewrite lands commit-by-commit on the
+    # branch (each auditable via read(branch=...)), invisible to main
+    # readers, then publishes atomically with fast_forward — or is
+    # abandoned with delete_branch, costing main nothing. Branch
+    # commits carry branch-LOCAL ids; real snapshot ids are assigned
+    # at publish, under the commit lock, so concurrent main commits
+    # can never collide with staged ones. Branch-referenced files are
+    # GC-protected like tagged ones (expiry/orphan sweep treat them
+    # as live).
+
+    def _branch_state(self, manifest: dict, name: str) -> dict:
+        br = manifest.get("branches", {}).get(name)
+        if br is None:
+            raise KeyError(f"branch {name!r} not found")
+        return br
+
+    @staticmethod
+    def _branch_tail_files(br: dict) -> list[str]:
+        snaps = br["snapshots"]
+        return snaps[-1]["files"] if snaps else list(br["base_files"])
+
+    def create_branch(
+        self, name: str, from_snapshot: int | None = None
+    ) -> int | None:
+        """Open a named branch at ``from_snapshot`` (default: current
+        tail; an empty table branches from nothing). The base's FILE
+        LIST is captured so the branch stays readable even if the
+        base snapshot later expires (its files are branch-protected,
+        the log entry need not be)."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            branches = manifest.setdefault("branches", {})
+            if name in branches:
+                raise ValueError(f"branch {name!r} already exists")
+            snaps = manifest["snapshots"]
+            if from_snapshot is None:
+                base = snaps[-1]["id"] if snaps else None
+            else:
+                if not any(s["id"] == from_snapshot for s in snaps):
+                    raise SnapshotNotFoundError(
+                        f"snapshot {from_snapshot} not found"
+                    )
+                base = from_snapshot
+            base_files = (
+                next(s["files"] for s in snaps if s["id"] == base)
+                if base is not None
+                else []
+            )
+            branches[name] = {
+                "base": base,
+                "base_files": list(base_files),
+                "snapshots": [],
+                "schema": manifest.get("schema"),
+            }
+            self._commit(manifest)
+            return base
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def branches(self) -> dict[str, dict]:
+        return {
+            n: {
+                "base": b["base"],
+                "commits": len(b["snapshots"]),
+            }
+            for n, b in self._read_manifest().get("branches", {}).items()
+        }
+
+    def append_to_branch(self, name: str, df: DataFrame) -> int:
+        """Stage an append on the branch (schema evolution applies
+        against the BRANCH's frame, like ``append`` does on main).
+        Returns the branch-local commit number. Main readers see
+        nothing until ``fast_forward``."""
+        manifest = self._read_manifest()
+        br = self._branch_state(manifest, name)
+        spark = df.sparkSession
+        cur = self._branch_tail_files(br)
+        if br.get("schema") and cur:
+            target = self._read_files(spark, cur, schema_json=br["schema"])
+            df = align_for_append(df, target)
+        files = self._write_data(df)
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            br = self._branch_state(manifest, name)
+            tail = self._branch_tail_files(br)
+            # per-file metadata lands at stage time so branch reads
+            # can prune and publish is a pure manifest splice
+            manifest.setdefault("file_stats", {}).update(
+                self._file_stats(files)
+            )
+            manifest.setdefault("file_rows", {}).update(
+                self._file_row_counts(files)
+            )
+            if self.partition_by:
+                fp = manifest.setdefault("file_partitions", {})
+                for f in files:
+                    fp[f] = self._partition_values(f)
+            bid = len(br["snapshots"]) + 1
+            br["snapshots"].append(
+                {
+                    "id": bid,
+                    "operation": "append",
+                    "ts": time.time(),
+                    "files": tail + files,
+                }
+            )
+            br["schema"] = df.schema.json()
+            self._commit(manifest)
+            return bid
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def fast_forward(self, name: str) -> int:
+        """Publish the branch: splice its staged commits onto main
+        (real snapshot ids assigned now, under the lock) and drop the
+        branch ref. Fails with CommitConflict if main advanced past
+        the branch's base — the staged commits were built against
+        stale state; re-stage on a fresh branch (no silent merge)."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            br = self._branch_state(manifest, name)
+            snaps = manifest["snapshots"]
+            tail = snaps[-1]["id"] if snaps else None
+            if tail != br["base"]:
+                raise CommitConflict(
+                    f"main advanced to snapshot {tail} (branch {name!r} "
+                    f"based on {br['base']}); re-stage on a fresh branch"
+                )
+            last = tail
+            for s in br["snapshots"]:
+                last = self._next_id(manifest)
+                manifest["snapshots"].append({**s, "id": last})
+            if br["snapshots"] and br.get("schema"):
+                manifest["schema"] = br["schema"]
+            del manifest["branches"][name]
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        if last != tail:
+            self._fire_commit_hooks("fast_forward", last)
+        return last
+
+    def delete_branch(self, name: str) -> None:
+        """Abandon a branch: its staged files lose GC protection and
+        the next orphan sweep reclaims them. Unknown names raise."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            if name not in manifest.get("branches", {}):
+                raise KeyError(f"branch {name!r} not found")
+            del manifest["branches"][name]
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _branch_protected_files(self, manifest: dict) -> set[str]:
+        """Files any open branch references (base capture + staged
+        commits) — live for GC purposes until the branch publishes
+        or is deleted."""
+        out: set[str] = set()
+        for br in manifest.get("branches", {}).values():
+            out.update(br.get("base_files", []))
+            for s in br["snapshots"]:
+                out.update(s["files"])
+        return out
+
     # ---- write-audit-publish (Iceberg WAP) -------------------------
 
     @staticmethod
@@ -1336,6 +1527,9 @@ class LakehouseTable:
             # clone inherited it, its appends would write phantom rows
             # into the source's index — the clone builds its own
             cloned.pop("vector_indexes", None)
+            # open branches stage source-side work-in-progress; a
+            # clone starts from published state only
+            cloned.pop("branches", None)
             # NDV sidecar pointers are table-relative: copy the
             # referenced stats blobs (KBs — metadata, not data) into
             # the clone so its ndv()/advisor stay scan-free and the
@@ -1425,6 +1619,7 @@ class LakehouseTable:
                 f for s in manifest["snapshots"] for f in s["files"]
             }
             live |= self._clone_protected_files(manifest)
+            live |= self._branch_protected_files(manifest)
             now = time.time()
             removed = []
             for root, _dirs, names in os.walk(data_root):
@@ -1480,6 +1675,7 @@ class LakehouseTable:
                 return []
             live = {f for s in kept for f in s["files"]}
             live |= self._clone_protected_files(manifest)
+            live |= self._branch_protected_files(manifest)
             for s in expired:
                 for f in s["files"]:
                     # _owns: a clone's expiry never deletes SOURCE
@@ -1595,10 +1791,24 @@ class LakehouseTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
-        """Read latest, time-travel to a snapshot id, or resolve a
-        named tag (``tag`` and ``snapshot_id`` are exclusive)."""
+        """Read latest, time-travel to a snapshot id, resolve a named
+        tag, or read a BRANCH's staged state (``snapshot_id`` /
+        ``tag`` / ``branch`` are mutually exclusive)."""
         manifest = self._read_manifest()  # ONE read: tag + snapshot
+        if branch is not None:
+            if snapshot_id is not None or tag is not None:
+                raise ValueError(
+                    "pass snapshot_id, tag, or branch — not several"
+                )
+            br = self._branch_state(manifest, branch)
+            files = self._branch_tail_files(br)
+            if not files:
+                raise ValueError(f"branch {branch!r} has no data")
+            return self._read_files(
+                spark, files, schema_json=br.get("schema")
+            )
         if tag is not None:               # resolution stay consistent
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")

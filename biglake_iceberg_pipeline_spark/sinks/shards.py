@@ -66,9 +66,21 @@ def write_training_shards(
         rows = 0
         size = 0
         files = []
-        for name in sorted(os.listdir(os.path.join(out_dir, entry))):
-            if not name.endswith(".parquet"):
-                continue
+        # deterministic file names: Spark's part-...-<task-uuid> names
+        # differ run to run; rename so the same input produces a
+        # byte-identical layout and manifest (reproducible exports)
+        originals = sorted(
+            n
+            for n in os.listdir(os.path.join(out_dir, entry))
+            if n.endswith(".parquet")
+        )
+        for i, orig in enumerate(originals):
+            name = f"part-{i:05d}.parquet"
+            if orig != name:
+                os.replace(
+                    os.path.join(out_dir, entry, orig),
+                    os.path.join(out_dir, entry, name),
+                )
             p = os.path.join(out_dir, entry, name)
             rows += pq.ParquetFile(p).metadata.num_rows
             size += os.path.getsize(p)
@@ -97,6 +109,52 @@ def write_training_shards(
         sharded.unpersist()
         for k in shards:
             shards[k][f"sum_{sum_col}"] = sums.get(k, 0)
+    with open(os.path.join(out_dir, "_shards.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def write_training_shards_from_table(
+    spark: SparkSession,
+    table,
+    out_dir: str,
+    n_shards: int,
+    id_col: str,
+    tag: str | None = None,
+    snapshot_id: int | None = None,
+    **kwargs,
+) -> dict:
+    """Export a lakehouse snapshot as training shards — ``table`` is
+    a ``LakehouseTable``; pin the input with ``tag`` (snapshot tags
+    are GC-protected, so the export stays reproducible even after
+    expiry) or an explicit ``snapshot_id``; default latest.
+
+    "training set v3" becomes ONE call: tag v3 + this export. The
+    manifest records the resolved ``source`` (table path, tag,
+    snapshot id), and because shard membership is a pure hash of the
+    id and data files are immutable, the SAME tag always produces a
+    byte-identical ``_shards.json``."""
+    manifest_src = table._read_manifest()
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        tags = manifest_src.get("tags", {})
+        if tag not in tags:
+            raise ValueError(f"tag {tag!r} not found")
+        resolved = tags[tag]
+    elif snapshot_id is not None:
+        resolved = snapshot_id
+    else:
+        resolved = table.current_snapshot_id()
+    df = table.read(spark, snapshot_id=resolved)
+    manifest = write_training_shards(
+        df, out_dir, n_shards, id_col, **kwargs
+    )
+    manifest["source"] = {
+        "table": table.path,
+        "tag": tag,
+        "snapshot_id": resolved,
+    }
     with open(os.path.join(out_dir, "_shards.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest

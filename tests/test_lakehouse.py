@@ -1483,3 +1483,101 @@ def test_clone_carries_ndv_sidecars(spark, tmp_path):
     assert set(clone._ndv_sketches()) == set(clone.snapshots[-1]["files"])
     assert clone.refresh_ndv_sketches(spark) == 0
     assert abs(clone.ndv(spark)["id"] - 200) <= 6
+
+
+def test_branch_multi_commit_staging_and_fast_forward(spark, tmp_path):
+    """Iceberg-ref branches: staged commits are invisible to main,
+    readable via read(branch=...), and publish atomically with
+    fast_forward (real snapshot ids assigned at publish)."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).select(F.col("id")))
+    base = t.current_snapshot_id()
+    assert t.create_branch("backfill") == base
+    # two staged commits, the second evolving the schema
+    t.append_to_branch("backfill", spark.range(10, 20).select(F.col("id")))
+    t.append_to_branch(
+        "backfill",
+        spark.range(20, 25).select(
+            F.col("id"), F.lit("x").alias("tag")
+        ),
+    )
+    assert t.branches() == {"backfill": {"base": base, "commits": 2}}
+    # main is untouched; branch sees the staged state + evolved schema
+    assert t.read(spark).count() == 10
+    br = t.read(spark, branch="backfill")
+    assert br.count() == 25
+    assert dict(br.dtypes)["tag"] == "string"
+    assert br.where("id < 10").select("tag").distinct().collect()[0][0] is None
+    # publish: two new main snapshots, schema evolved, branch gone
+    last = t.fast_forward("backfill")
+    assert t.current_snapshot_id() == last
+    assert [s["id"] for s in t.snapshots] == [base, base + 1, base + 2]
+    assert t.read(spark).count() == 25
+    assert dict(t.read(spark).dtypes)["tag"] == "string"
+    assert t.branches() == {}
+    # time-travel works through the published intermediate commit
+    assert t.read(spark, snapshot_id=base + 1).count() == 20
+
+
+def test_branch_fast_forward_conflicts_when_main_moves(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(5).select(F.col("id")))
+    t.create_branch("wip")
+    t.append_to_branch("wip", spark.range(5, 8).select(F.col("id")))
+    # main advances past the branch base → publish must refuse
+    t.append(spark.range(100, 103).select(F.col("id")))
+    with pytest.raises(CommitConflict, match="re-stage"):
+        t.fast_forward("wip")
+    # abandon: main unaffected, branch gone, staged files sweepable
+    t.delete_branch("wip")
+    assert t.read(spark).count() == 8
+    with pytest.raises(KeyError):
+        t.delete_branch("wip")
+    removed = t.sweep_orphans(older_than_s=0)
+    assert len(removed) >= 1  # the staged branch files reclaimed
+    assert t.read(spark).count() == 8
+
+
+def test_branch_files_gc_protected_until_publish(spark, tmp_path):
+    """Branch-referenced files (base capture + staged commits) are
+    live for expiry and orphan sweeps while the branch is open."""
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).select(F.col("id")))
+    t.create_branch("hold")
+    t.append_to_branch("hold", spark.range(10, 20).select(F.col("id")))
+    # churn main so the branch base falls out of keep_last
+    for i in range(4):
+        t.append(spark.range(100 + i, 101 + i).select(F.col("id")))
+    t.expire_snapshots(keep_last=1)
+    swept = t.sweep_orphans(older_than_s=0)
+    assert [f for f in swept if f.endswith(".parquet")] == []
+    # the branch still reads fully (its base files survived expiry)
+    assert t.read(spark, branch="hold").count() == 20
+    # published or deleted, protection lapses with the ref
+    t.delete_branch("hold")
+    swept = t.sweep_orphans(older_than_s=0)
+    assert [f for f in swept if f.endswith(".parquet")]
+
+
+def test_branch_on_empty_table_and_guards(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.create_branch("seed")
+    with pytest.raises(ValueError, match="no data"):
+        t.read(spark, branch="seed")
+    t.append_to_branch("seed", spark.range(3).select(F.col("id")))
+    assert t.read(spark, branch="seed").count() == 3
+    assert t.current_snapshot_id() is None  # main still empty
+    last = t.fast_forward("seed")
+    assert t.current_snapshot_id() == last
+    assert t.read(spark).count() == 3
+    t.create_branch("x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("x")
+    with pytest.raises(KeyError, match="not found"):
+        t.append_to_branch("ghost", spark.range(1))
+    with pytest.raises(ValueError, match="not several"):
+        t.read(spark, branch="x", snapshot_id=1)

@@ -80,3 +80,56 @@ def test_empty_shard_gets_manifest_entry_and_typed_read(spark, tmp_path):
     got = shards.read_shard(spark, str(tmp_path / "e"), k)
     assert got.count() == 0
     assert set(got.columns) == {"doc_id", "body"}
+
+
+def test_shards_from_tagged_snapshot_reproducible(spark, tmp_path):
+    """Tag-pinned export: 'training set v3' = tag + shard manifest.
+    The same tag yields a byte-identical _shards.json across runs,
+    even after the table moved on past the tag."""
+    import json
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(str(tmp_path / "docs"))
+    t.append(
+        spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("body"),
+        )
+    )
+    t.tag("v3")
+    m1 = shards.write_training_shards_from_table(
+        spark, t, str(tmp_path / "e1"), n_shards=4, id_col="doc_id",
+        tag="v3", sort_within=["doc_id"],
+    )
+    assert m1["source"]["tag"] == "v3"
+    assert m1["source"]["snapshot_id"] == t.current_snapshot_id()
+    # table moves on — the tag still pins the export input
+    t.append(
+        spark.range(300, 400).select(
+            F.col("id").alias("doc_id"),
+            F.lit("later").alias("body"),
+        )
+    )
+    shards.write_training_shards_from_table(
+        spark, t, str(tmp_path / "e2"), n_shards=4, id_col="doc_id",
+        tag="v3", sort_within=["doc_id"],
+    )
+    b1 = open(str(tmp_path / "e1" / "_shards.json"), "rb").read()
+    b2 = open(str(tmp_path / "e2" / "_shards.json"), "rb").read()
+    assert b1 == b2  # byte-identical manifest
+    assert json.loads(b1)["total_rows"] == 300
+    # deterministic file names inside each shard
+    for k, s in json.loads(b1)["shards"].items():
+        assert all(f.startswith("part-") and "-" not in f[5:-8]
+                   for f in s["files"])
+    # unknown tag is a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        shards.write_training_shards_from_table(
+            spark, t, str(tmp_path / "e3"), n_shards=4,
+            id_col="doc_id", tag="nope",
+        )
