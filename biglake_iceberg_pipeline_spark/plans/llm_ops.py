@@ -431,6 +431,57 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _PQ_INDEX_PATHS:
+        import hashlib
+        import os
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.pq import (
+            train_pq_codebooks,
+        )
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            build_ivf_index_pq,
+            cleanup_index_at_exit,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/pq_ivf_index_{tag}_{os.getpid()}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = train_pq_codebooks(emb, "embedding", m=16, k=32)
+        build_ivf_index_pq(emb, path, "vec_id", "embedding", books, planes=4)
+        cleanup_index_at_exit(path)
+        _PQ_INDEX_PATHS[sf_dir] = path
+    return _PQ_INDEX_PATHS[sf_dir]
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (G29, the FAISS workhorse): coarse sign-bit
+    pruning, m-byte PQ codes as the scanned payload (<64 bytes/row,
+    parquet-metadata-asserted in tests/test_pq.py), ADC shortlist →
+    exact cosine re-rank confined to the shortlist. Rows-only driver
+    check (k-means codebook training is not DuckDB-replayable);
+    recall-vs-brute-force and the payload bound are pinned in
+    tests/test_pq.py::test_ivf_pq_index_probe."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        ivf_probe_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_probe_pq(
+        spark,
+        _pq_index_path(spark, sf_dir),
+        "vec_id",
+        _query_vec(spark, sf_dir),
+        k=10,
+        rerank_source=emb,
+        vec_col="embedding",
+    )
+
+
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE token counts (operators/bpe.py): merges
     learned from a 500-doc sample, applied distributed. Rows-only
@@ -723,6 +774,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_int8": ann_ivf_int8,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_ivf_pq": ann_ivf_pq,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_tokens": text_tokens,

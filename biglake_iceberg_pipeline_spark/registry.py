@@ -26,75 +26,76 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 window: re-verify product_catalog (the only r4 red — array
-# output column, now a scalar digest) plus queries added this round.
-# Everything else in the window is the stalest set: the 49 keys whose
-# last driver row is r2/r3 (they were demoted in r4), including the
-# VERDICT-requested q6/q7/q9/q10/q1, gold_customer_metrics,
-# currency_convert, silver_dedup_events.
+# Round-6 window: ann_ivf_pq is new this round (G29's driver row).
+# The rest of the window is the stalest set: ann_topk +
+# compare_schemas (last driver row r3) and 47 of the 49 r4-green
+# keys (the two listed at the bottom of DEMOTED_KEYS wait for r7 —
+# the window holds exactly 50).
 PRIORITY_KEYS = (
+    "ann_ivf_pq",
+    "ann_topk",
+    "compare_schemas",
+)
+
+# The 50 keys the r5 driver window checked (CORRECTNESS_r05 — all
+# green: 48 hash-matches + 2 rows-only by design), plus the first two
+# r4-green keys (embedding_stats, ngram_contamination) to keep the
+# window at exactly 50; those two rotate back in r7.
+DEMOTED_KEYS = frozenset({
+    # r5-green set
     "product_catalog",
     "ann_ivf_int8",
     "dedup_incremental",
-)
-
-# The 49 keys the r4 driver window checked green (CORRECTNESS_r04) —
-# their status is on record, so they rotate behind the stale set.
-# product_catalog (r4's one red) stays in the window for re-verify.
-DEMOTED_KEYS = frozenset({
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding",
+    "ann_ivf",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "multimodal_features",
+    "events_windowed",
+    "describe_customer",
+    "events_json_extract",
+    "skew_safe_segment_activity",
+    "order_value_percentiles",
+    "revenue_pivot_by_priority",
+    "top_parts_per_brand",
+    "orders_with_returns",
+    "customers_without_orders",
+    "revenue_rollup",
+    "small_quantity_revenue",
+    "revenue_running_total",
+    "approx_event_stats",
+    "pii_redaction",
+    "text_repetition",
+    "sample_mixture",
+    "tfidf_keywords",
+    "text_lm_score",
+    "doc_chunks",
+    "strip_markup",
+    "url_extraction",
+    "asof_last_purchase",
+    "range_join_incidents",
+    "events_hypertable_rollup",
+    "events_gapfill",
+    "events_attribution",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q9_profit_by_nation",
+    "silver_dedup_events",
+    "gold_customer_metrics",
+    "gold_product_performance",
+    "currency_convert",
+    "users_enriched",
+    "profile_column_stats",
+    "profile_type_distribution",
+    # r4-green overflow — rotate back in r7
     "embedding_stats",
     "ngram_contamination",
-    "span_boilerplate",
-    "events_sessions",
-    "events_funnel",
-    "product_catalog_ann",
-    "customer_lookalike",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_ivf_kmeans",
-    "text_bpe_tokens",
-    "embedding_quantization",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q2_min_cost_supplier",
-    "q4_priority_waiting",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q16_supplier_variety",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "silver_orders",
-    "clean_customer",
-    "gold_daily_sales",
-    "gold_orders_enriched",
-    "cohort_retention",
-    "customer_profiles",
-    "rfm_segments",
-    "address_standardize",
-    "profile_nulls",
-    "profile_date_potential",
-    "profile_number_potential",
-    "quality_duplicates",
-    "quality_approx_duplicates",
-    "quality_type_pollution",
-    "quality_null_like",
-    "safe_type_coercion",
-    "flag_duplicates",
-    "extract_currency",
-    "clean_documents",
-    "drop_empty_rows",
-    # r3-green, demoted to make room for ann_ivf_int8 in the window
-    "ann_topk",
-    # r3-green, demoted to make room for dedup_incremental (r5)
-    "compare_schemas",
 })
 
 
