@@ -115,9 +115,9 @@ def advise_join(
     # as maximally skewed: every row shares the null key.
     big_table = left if big == "left" else right
     if not allow_refresh:
-        snaps = big_table.snapshots
-        live = snaps[-1]["files"] if snaps else []
-        if set(live) - set(big_table._ndv_sketches(live)):
+        # pointer-presence only (no sidecar blob I/O): the decision
+        # to bail must itself stay O(manifest)
+        if not big_table.ndv_covered():
             return {
                 "strategy": "shuffle",
                 "broadcast_side": None,
@@ -126,7 +126,11 @@ def advise_join(
                 "stats_missing": big,
                 "inputs": inputs,
             }
-    big_ndv = big_table.ndv(spark, columns=[key]).get(key, 0)
+    # refresh only when allowed; covered tables resolve their blobs
+    # exactly once inside ndv()
+    big_ndv = big_table.ndv(
+        spark, columns=[key], refresh=allow_refresh
+    ).get(key, 0)
     inputs[f"ndv_{key}"] = {big: big_ndv}
     per_key = rows[big] / big_ndv if big_ndv else float("inf")
     if rows[big] and per_key >= skew_rows_per_key:

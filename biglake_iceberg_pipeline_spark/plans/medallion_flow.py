@@ -590,9 +590,15 @@ def run_medallion_flow(
                 os.path.join(lake_root, "gold", gname)
             )
             state_path = os.path.join(gold_tbl.path, "_advice.json")
+            # the watermark must pin the ENTIRE join config, not just
+            # snapshot ids: snapshot ids start at 1 for every table,
+            # so a re-pointed dim_path (or changed key) would collide
+            # and wrongly read as fresh, serving stale gold rows
             want = {
                 "silver": silver.current_snapshot_id(),
                 "dim": dim.current_snapshot_id(),
+                "dim_path": os.path.realpath(dim.path),
+                "key": jkey,
             }
             try:
                 with open(state_path) as fh:

@@ -354,22 +354,47 @@ class LakehouseTable:
             while not os.path.basename(d).startswith("snap-"):
                 d = os.path.dirname(d)
             groups[d].append(f)
+        # the overlay schema honors the same override as the
+        # unpartitioned path (branch reads on a partitioned table —
+        # possibly before any MAIN commit, when the manifest schema
+        # is still None)
+        if schema_json is None:
+            schema_json = self._read_manifest().get("schema")
+        committed = (
+            StructType.fromJson(json.loads(schema_json))
+            if schema_json
+            else None
+        )
         part_types = {
             fld.name: fld.dataType
-            for fld in StructType.fromJson(
-                json.loads(self._read_manifest()["schema"])
-            ).fields
+            for fld in (committed.fields if committed else [])
             if fld.name in self.partition_by
         }
         parts = []
         for base, fs in sorted(groups.items()):
             df = spark.read.option("basePath", base).parquet(*fs)
+            # cast partition cols per group BEFORE the union: each
+            # group's discovery re-infers them independently
             for col, typ in part_types.items():
                 df = df.withColumn(col, F.col(col).cast(typ))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if committed is not None:
+            # full overlay, matching the unpartitioned path: files
+            # predating an add-column commit surface NULL, widened
+            # columns upcast, column order follows the schema
+            out = out.select(
+                *[
+                    (
+                        F.col(fld.name).cast(fld.dataType)
+                        if fld.name in out.columns
+                        else F.lit(None).cast(fld.dataType)
+                    ).alias(fld.name)
+                    for fld in committed.fields
+                ]
+            )
         return out
 
     @staticmethod
@@ -977,11 +1002,26 @@ class LakehouseTable:
                 pass
         return len(new)
 
+    def ndv_covered(self, files: list[str] | None = None) -> bool:
+        """POINTER-presence check: do all ``files`` (default: current
+        snapshot) have a sketch entry? Reads only the manifest —
+        never opens sidecar blobs — so O(metadata) callers (the join
+        advisor's no-scan mode) can gate on it without paying blob
+        I/O. A dangling pointer (lost blob) passes this check; the
+        estimate then just under-counts until the next refresh."""
+        if files is None:
+            snaps = self.snapshots
+            files = snaps[-1]["files"] if snaps else []
+        m = self._read_manifest()
+        have = set(m.get("file_ndv", {})) | set(m.get("ndv_sidecars", {}))
+        return not (set(files) - have)
+
     def ndv(
         self,
         spark: SparkSession,
         columns: list[str] | None = None,
         snapshot_id: int | None = None,
+        refresh: bool = True,
     ) -> dict[str, int]:
         """Approximate distinct count per column from the per-file
         sketches: refresh whatever files are missing (O(new data)),
@@ -1004,7 +1044,8 @@ class LakehouseTable:
                     f"snapshot {snapshot_id} not found"
                 )
             live = matches[0]["files"]
-        self.refresh_ndv_sketches(spark, files=live)
+        if refresh:
+            self.refresh_ndv_sketches(spark, files=live)
         sketches = self._ndv_sketches(live)
         pairs = [
             (c, base64.b64decode(b64))
@@ -1379,6 +1420,28 @@ class LakehouseTable:
             except OSError:
                 pass
 
+    def _gc_ndv_sidecars(self, manifest: dict) -> None:
+        """Delete stats blobs no pointer references (all their files
+        expired, or orphaned by a refresh that crashed before its
+        pointer commit). MUST be called under the commit lock — no
+        refresh can be adding pointers concurrently. The mtime grace
+        window protects an in-flight refresh that has written its
+        blob but not yet taken the lock."""
+        stats_dir = os.path.join(self.path, "stats")
+        if not os.path.isdir(stats_dir):
+            return
+        referenced = set(manifest.get("ndv_sidecars", {}).values())
+        now = time.time()
+        for name in os.listdir(stats_dir):
+            rel = os.path.join("stats", name)
+            if rel not in referenced and name.startswith("ndv-"):
+                path = os.path.join(stats_dir, name)
+                try:
+                    if now - os.path.getmtime(path) > 300:
+                        os.remove(path)
+                except OSError:
+                    pass
+
     def _branch_protected_files(self, manifest: dict) -> set[str]:
         """Files any open branch references (base capture + staged
         commits) — live for GC purposes until the branch publishes
@@ -1505,16 +1568,25 @@ class LakehouseTable:
         Conversely, either table only ever deletes files under its
         OWN path, so a clone's expiry can't reach into the source."""
         dest = LakehouseTable(dest_path, partition_by=self.partition_by)
+        # cheap pre-lock guards (both re-checked under the locks)
         if dest._read_manifest()["snapshots"]:
             raise ValueError(f"{dest_path!r} already has snapshots")
-        lock = self._acquire_lock()
+        if not self._read_manifest()["snapshots"]:
+            raise ValueError("cannot clone an empty table")
+        # canonical lock ORDER (by path): concurrent clone_to A→B and
+        # B→A must not each hold one lock while spinning on the other
+        # for the full acquire timeout
+        first, second = sorted(
+            (self, dest), key=lambda t: os.path.realpath(t.path)
+        )
+        lock = first._acquire_lock()
         dest_lock = None
         try:
+            dest_lock = second._acquire_lock()
             # the emptiness re-check must hold the DESTINATION's
             # commit lock: two concurrent clone_to calls to the same
             # dest both pass the unlocked check above, and the later
             # _commit would silently overwrite the earlier clone
-            dest_lock = dest._acquire_lock()
             if dest._read_manifest()["snapshots"]:
                 raise ValueError(f"{dest_path!r} already has snapshots")
             manifest = self._read_manifest()
@@ -1658,6 +1730,10 @@ class LakehouseTable:
             manifest = self._read_manifest()
             snaps = manifest["snapshots"]
             if len(snaps) <= keep_last:
+                # still reap stats blobs orphaned by crashed
+                # refreshes — on a low-churn table this early return
+                # is the ONLY maintenance path that ever runs
+                self._gc_ndv_sidecars(manifest)
                 return []
             tagged = set(manifest.get("tags", {}).values())
             keep_tail = {s["id"] for s in snaps[-keep_last:]}
@@ -1672,6 +1748,7 @@ class LakehouseTable:
                 if s["id"] in keep_tail or s["id"] in tagged
             ]
             if not expired:
+                self._gc_ndv_sidecars(manifest)
                 return []
             live = {f for s in kept for f in s["files"]}
             live |= self._clone_protected_files(manifest)
@@ -1700,28 +1777,7 @@ class LakehouseTable:
                         for f, st in manifest[per_file_key].items()
                         if f in live
                     }
-            # sidecar GC: a stats blob no remaining pointer references
-            # (all its files expired, or it was orphaned by a crashed
-            # refresh) is dead weight — delete it. Runs under the
-            # commit lock, so no refresh can be adding pointers.
-            stats_dir = os.path.join(self.path, "stats")
-            if os.path.isdir(stats_dir):
-                referenced = set(
-                    manifest.get("ndv_sidecars", {}).values()
-                )
-                now = time.time()
-                for name in os.listdir(stats_dir):
-                    rel = os.path.join("stats", name)
-                    if rel not in referenced and name.startswith("ndv-"):
-                        path = os.path.join(stats_dir, name)
-                        try:
-                            # grace window: an in-flight refresh writes
-                            # its blob BEFORE taking the commit lock —
-                            # don't reap what's about to be referenced
-                            if now - os.path.getmtime(path) > 300:
-                                os.remove(path)
-                        except OSError:
-                            pass
+            self._gc_ndv_sidecars(manifest)
             self._commit(manifest)
             return [s["id"] for s in expired]
         finally:

@@ -97,6 +97,10 @@ def write_training_shards(
         "id_col": id_col,
         "assignment": "pmod(xxhash64(id), n_shards)",
         "total_rows": sum(s["rows"] for s in shards.values()),
+        # the data schema (sans the shard key): read_shard's typed
+        # empty frame for a zero-row bucket needs it even when NO
+        # bucket materialized on disk (fully empty export)
+        "schema": df.schema.json(),
         "shards": shards,
     }
     if sum_col is not None:
@@ -134,11 +138,10 @@ def write_training_shards_from_table(
     snapshot id), and because shard membership is a pure hash of the
     id and data files are immutable, the SAME tag always produces a
     byte-identical ``_shards.json``."""
-    manifest_src = table._read_manifest()
     if tag is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or tag, not both")
-        tags = manifest_src.get("tags", {})
+        tags = table.tags()
         if tag not in tags:
             raise ValueError(f"tag {tag!r} not found")
         resolved = tags[tag]
@@ -168,8 +171,19 @@ def read_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFrame:
     path = os.path.join(out_dir, f"shard={shard}")
     if os.path.isdir(path):
         return spark.read.parquet(path)
-    # schema from the dataset's footers (schema inference only — no
-    # data rows read)
+    # typed empty frame from the manifest's recorded schema — works
+    # even when the whole export is empty (zero directories on disk,
+    # where a footer-based inference would raise); older manifests
+    # without a schema fall back to footer inference
+    manifest = shard_manifest(out_dir)
+    if manifest.get("schema"):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(manifest["schema"]))
+        )
     base = spark.read.parquet(out_dir).drop("shard")
     return spark.createDataFrame([], base.schema)
 

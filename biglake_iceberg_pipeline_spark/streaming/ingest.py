@@ -178,17 +178,21 @@ def start_ingest_to_lakehouse(
             return  # replayed epoch, already in the table
         txn = (app_id, batch_id)
         if merge_keys:
-            # a batch may carry several versions of a key (e.g. two
-            # files landed); last-writer-wins within the batch
-            batch_df = batch_df.dropDuplicates(merge_keys)
             if audit_rules:
                 # merge rewrites in place (no staged-append form), so
                 # the audit gates the batch BEFORE any table write —
-                # a rejected epoch touches nothing but quarantine
+                # and BEFORE within-batch dedup: a poisoned row
+                # shadowed by a clean same-key row must still reject
+                # the epoch (otherwise rejection depends on how rows
+                # happened to batch), and quarantine must hold the
+                # RAW epoch for inspection
                 _, metrics = check(batch_df, audit_rules, "warn")
                 if any(v > 0 for v in metrics.values()):
                     _quarantine(batch_df, batch_id, metrics)
                     return
+            # a batch may carry several versions of a key (e.g. two
+            # files landed); last-writer-wins within the batch
+            batch_df = batch_df.dropDuplicates(merge_keys)
             if table.current_snapshot_id() is not None:
                 table.merge(
                     batch_df.sparkSession, batch_df, merge_keys, txn=txn

@@ -1581,3 +1581,50 @@ def test_branch_on_empty_table_and_guards(spark, tmp_path):
         t.append_to_branch("ghost", spark.range(1))
     with pytest.raises(ValueError, match="not several"):
         t.read(spark, branch="x", snapshot_id=1)
+
+
+def test_branch_on_partitioned_table(spark, tmp_path):
+    """Branch staging works on a partitioned table — including from
+    an EMPTY main (no committed schema yet) and with branch-side
+    schema evolution overlaid on read."""
+    t = LakehouseTable(str(tmp_path / "tbl"), partition_by=["p"])
+    t.create_branch("b")
+    t.append_to_branch(
+        "b",
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, p string"),
+    )
+    t.append_to_branch(
+        "b",
+        spark.createDataFrame(
+            [(3, "x", 9.5)], "id long, p string, score double"
+        ),
+    )
+    br = t.read(spark, branch="b")
+    assert br.count() == 3
+    assert dict(br.dtypes)["score"] == "double"
+    assert dict(br.dtypes)["p"] == "string"
+    got = {r["id"]: r["score"] for r in br.collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    t.fast_forward("b")
+    assert t.read(spark).count() == 3
+    # partition pruning metadata landed at stage time
+    assert t.read(spark).where("p = 'x'").count() == 2
+
+
+def test_ndv_sidecar_gc_runs_without_expiry(spark, tmp_path):
+    """A blob orphaned by a crashed refresh (written, never pointed
+    to) is reaped by expire_snapshots even when NOTHING expires —
+    the only maintenance path a low-churn table ever runs."""
+    import os as _os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.range(10).select(F.col("id")))
+    t.refresh_ndv_sketches(spark)
+    # simulate the crash: blob written, no pointer committed
+    orphan = t._write_ndv_sidecar({"/nonexistent.parquet": {}})
+    p = _os.path.join(t.path, orphan)
+    _os.utime(p, (time.time() - 600, time.time() - 600))
+    assert t.expire_snapshots(keep_last=5) == []  # nothing to expire
+    assert not _os.path.exists(p)  # ...but the orphan blob is gone
+    # the referenced blob survives
+    assert t._ndv_sketches() != {}

@@ -604,3 +604,35 @@ def test_gold_dim_join_uses_advisor(spark, tmp_path):
     m3 = run()
     assert g.current_snapshot_id() != snap_before
     assert m3["gold"]["orders_enriched"] == 3  # left join: silver rows
+
+
+def test_gold_dim_join_repoint_invalidates_freshness(spark, tmp_path):
+    """Re-pointing a gold_dim_joins entry at a DIFFERENT dim table
+    (or key) must re-materialize even when the snapshot ids collide
+    (they start at 1 for every table) — the watermark pins the whole
+    join config, not just ids."""
+    inbox = str(tmp_path / "inbox")
+    lake = str(tmp_path / "lake")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "orders.csv"), "w") as f:
+        f.write("Order ID,Cust\n1,a\n")
+    dim_a = LakehouseTable(str(tmp_path / "dimA"))
+    dim_a.append(
+        spark.createDataFrame([("a", "tierA")], "cust string, tier string")
+    )
+    dim_b = LakehouseTable(str(tmp_path / "dimB"))
+    dim_b.append(
+        spark.createDataFrame([("a", "tierB")], "cust string, tier string")
+    )
+    run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_dim_joins=[("g", dim_a.path, "cust")],
+    )
+    g = LakehouseTable(lake + "/gold/g")
+    assert g.read(spark).collect()[0]["tier"] == "tierA"
+    # same gold name, same snapshot ids, different dim table
+    run_medallion_flow(
+        spark, inbox, lake, ["order_id"],
+        gold_dim_joins=[("g", dim_b.path, "cust")],
+    )
+    assert g.read(spark).collect()[0]["tier"] == "tierB"

@@ -133,3 +133,20 @@ def test_shards_from_tagged_snapshot_reproducible(spark, tmp_path):
             spark, t, str(tmp_path / "e3"), n_shards=4,
             id_col="doc_id", tag="nope",
         )
+
+
+def test_fully_empty_export_still_reads_typed(spark, tmp_path):
+    """An export whose input has ZERO rows writes no shard dirs at
+    all; read_shard must still return the typed empty frame the
+    manifest promises (schema recorded in _shards.json)."""
+    df = spark.range(0).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("body")
+    )
+    m = shards.write_training_shards(
+        df, str(tmp_path / "z"), n_shards=4, id_col="doc_id"
+    )
+    assert m["total_rows"] == 0
+    assert set(m["shards"]) == {"0", "1", "2", "3"}
+    got = shards.read_shard(spark, str(tmp_path / "z"), 2)
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "body"}

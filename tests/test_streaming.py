@@ -476,3 +476,47 @@ def test_streaming_wap_quarantines_poisoned_epoch(spark, tmp_path):
     run()
     assert table.current_snapshot_id() == snap
     assert table.read(spark).count() == 3
+
+
+def test_streaming_wap_merge_path_audits_before_dedup(spark, tmp_path):
+    """On the merge path, the audit gates the RAW epoch before
+    within-batch dedup: a poisoned row shadowed by a clean same-key
+    row must still reject the epoch (rejection must not depend on
+    how rows happened to batch), and quarantine holds the raw rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # one epoch: poisoned (id=1, -5) AND clean (id=1, 10) — dedup
+    # would have hidden the poisoned version from the audit
+    (inbox / "b1.csv").write_text(
+        "Order ID,Amount\n1,-5.0\n1,10.0\n2,20.0\n"
+    )
+    table = LakehouseTable(str(tmp_path / "t"))
+    rejected = []
+    q = ingest.start_ingest_to_lakehouse(
+        spark,
+        str(inbox),
+        str(tmp_path / "t"),
+        str(tmp_path / "ckpt"),
+        schema="`Order ID` long, Amount double",
+        table=table,
+        merge_keys=["order_id"],
+        audit_rules={"amount_pos": F.col("amount") > 0},
+        on_reject=lambda bid, m: rejected.append((bid, dict(m))),
+    )
+    q.awaitTermination(120)
+    assert len(rejected) == 1 and rejected[0][1]["amount_pos"] == 1
+    assert table.current_snapshot_id() is None  # nothing published
+    qdir = os.path.join(table.path, "_quarantine")
+    quarantined = spark.read.parquet(
+        os.path.join(qdir, os.listdir(qdir)[0])
+    )
+    # raw epoch preserved: BOTH versions of id=1 are inspectable
+    assert quarantined.where("order_id = 1").count() == 2
