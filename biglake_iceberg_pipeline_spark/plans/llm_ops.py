@@ -678,6 +678,48 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing at a 2048-token context
+    (operators/packing.py): every document gets its training-sequence
+    id and in-sequence offset. The global prefix sum runs as a
+    two-level distributed scan (range shuffle + per-partition windows
+    + O(partitions) driver offsets) — NOT a single-partition global
+    window — and the assignment is exactly one SQL window function
+    for the oracle."""
+    from biglake_iceberg_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws, _ = text.token_counts(F.col("text"))
+    return pack_sequences(
+        docs.select("doc_id", ws.alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        cap=2048,
+    )
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  start // 2048 AS seq_id,
+  start % 2048 AS seq_offset
+FROM s
+"""
+
+
 TEXT_TOKENS_SQL = r"""
 SELECT doc_id,
     len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
@@ -778,6 +820,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
+    "pack_training_sequences": pack_training_sequences,
     "text_bpe_tokens": text_bpe_tokens,
     "text_fingerprint": text_fingerprint,
     "multimodal_features": multimodal_features,
@@ -797,6 +840,7 @@ ORACLE = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "embedding_stats": EMBEDDING_STATS_SQL,
     "embedding_quantization": EMBEDDING_QUANTIZATION_SQL,

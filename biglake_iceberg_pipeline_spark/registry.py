@@ -26,21 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 window: ann_ivf_pq is new this round (G29's driver row).
-# The rest of the window is the stalest set: ann_topk +
-# compare_schemas (last driver row r3) and 47 of the 49 r4-green
-# keys (the two listed at the bottom of DEMOTED_KEYS wait for r7 —
-# the window holds exactly 50).
+# Round-6 window: ann_ivf_pq (G29's driver row) and
+# pack_training_sequences (G30) are new this round. The rest of the
+# window is the stalest set: ann_topk + compare_schemas (last driver
+# row r3) and 46 of the 49 r4-green keys (the three listed at the
+# bottom of DEMOTED_KEYS wait for r7 — the window holds exactly 50).
 PRIORITY_KEYS = (
     "ann_ivf_pq",
+    "pack_training_sequences",
     "ann_topk",
     "compare_schemas",
 )
 
 # The 50 keys the r5 driver window checked (CORRECTNESS_r05 — all
-# green: 48 hash-matches + 2 rows-only by design), plus the first two
-# r4-green keys (embedding_stats, ngram_contamination) to keep the
-# window at exactly 50; those two rotate back in r7.
+# green: 48 hash-matches + 2 rows-only by design), plus three
+# r4-green keys (embedding_stats, ngram_contamination,
+# span_boilerplate) to keep the window at exactly 50; those three
+# rotate back in r7.
 DEMOTED_KEYS = frozenset({
     # r5-green set
     "product_catalog",
@@ -96,6 +98,7 @@ DEMOTED_KEYS = frozenset({
     # r4-green overflow — rotate back in r7
     "embedding_stats",
     "ngram_contamination",
+    "span_boilerplate",
 })
 
 
