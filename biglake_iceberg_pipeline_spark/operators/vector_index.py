@@ -108,24 +108,51 @@ def register_lakehouse_index(
     id_col: str,
     planes: int = 8,
     dim: int | None = None,
+    kind: str = "flat",
+    pq_m: int = 16,
+    pq_k: int = 32,
+    pq_sample_n: int = 4096,
 ) -> None:
     """CREATE VECTOR INDEX for a lakehouse table (DEMO.md §7): builds
     the partitioned-code layout from the CURRENT snapshot under
     ``<table>/_index/<vec_col>/`` and records it in the manifest.
     Subsequent ``table.append(...)`` calls maintain it INCREMENTALLY —
     only the appended rows are coded and written (parquet append into
-    the code partitions), so index upkeep is O(batch), not O(table)."""
+    the code partitions), so index upkeep is O(batch), not O(table).
+
+    ``kind``: 'flat' stores the float vector as the partition payload
+    (exact cosine within probed partitions); 'pq' stores m-byte PQ
+    codes instead (USING IVF_PQ — the 100 TB shape: probes read
+    ~m bytes/row, re-rank against the table's floats only on the
+    shortlist). PQ codebooks are trained from a bounded sample at
+    registration and persisted in the INDEX's own ``_pq_meta.json``
+    sidecar — never in the table manifest (KB-scale payload there
+    would repeat the embedded-NDV-sketch mistake)."""
+    if kind not in ("flat", "pq"):
+        raise ValueError(f"unknown index kind {kind!r}")
     path = f"{table.path}/_index/{vec_col}"
     df = table.read(spark).select(id_col, vec_col)
     if dim is None:
         row = df.select(vec_col).first()
         dim = len(row[0]) if row else None
-    coded = df.select(
-        df[id_col],
-        df[vec_col],
-        signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
-    )
-    coded.write.mode("overwrite").partitionBy("__code").parquet(path)
+    if kind == "pq":
+        from biglake_iceberg_pipeline_spark.operators.pq import (
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(
+            df, vec_col, m=pq_m, k=pq_k, sample_n=pq_sample_n
+        )
+        build_ivf_index_pq(
+            df, path, id_col, vec_col, books, planes=planes, dim=dim
+        )
+    else:
+        coded = df.select(
+            df[id_col],
+            df[vec_col],
+            signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
+        )
+        coded.write.mode("overwrite").partitionBy("__code").parquet(path)
     table.set_vector_index_meta(
         vec_col,
         {
@@ -133,6 +160,7 @@ def register_lakehouse_index(
             "id_col": id_col,
             "planes": planes,
             "dim": dim,
+            "kind": kind,
             "indexed_snapshot": table.current_snapshot_id(),
         },
     )
@@ -159,13 +187,36 @@ def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
         # while the index still holds every deleted/pre-update vector.
         if index_staleness(table, meta) is not None:
             continue
-        coded = appended_df.select(
-            appended_df[meta["id_col"]],
-            appended_df[vec_col],
-            signbit_code(
-                appended_df[vec_col], meta["planes"], dim=meta["dim"]
-            ).alias("__code"),
-        ).where(appended_df[vec_col].isNotNull())
+        if meta.get("kind") == "pq":
+            # encode the batch with the REGISTERED codebooks (from
+            # the index sidecar): appended rows get the same quantizer
+            # the probe's ADC table is built from
+            import json as _json
+            import os as _os
+
+            from biglake_iceberg_pipeline_spark.operators.pq import (
+                pq_code_column,
+            )
+
+            with open(_os.path.join(meta["path"], "_pq_meta.json")) as fh:
+                books = _json.load(fh)["codebooks"]
+            coded = appended_df.select(
+                appended_df[meta["id_col"]],
+                pq_code_column(
+                    appended_df[vec_col], books
+                ).alias("pq_code"),
+                signbit_code(
+                    appended_df[vec_col], meta["planes"], dim=meta["dim"]
+                ).alias("__code"),
+            ).where(appended_df[vec_col].isNotNull())
+        else:
+            coded = appended_df.select(
+                appended_df[meta["id_col"]],
+                appended_df[vec_col],
+                signbit_code(
+                    appended_df[vec_col], meta["planes"], dim=meta["dim"]
+                ).alias("__code"),
+            ).where(appended_df[vec_col].isNotNull())
         coded.write.mode("append").partitionBy("__code").parquet(
             meta["path"]
         )
@@ -182,9 +233,13 @@ def probe_lakehouse_index(
     k: int = 10,
     nprobe_hamming: int = 1,
     on_stale: str = "raise",
+    rerank: bool = True,
 ) -> DataFrame:
     """VECTOR_SEARCH over a registered index: partition-pruned scan of
-    the probed code directories only.
+    the probed code directories only. A 'pq' index probes its m-byte
+    codes via ADC and (``rerank=True``) re-ranks the shortlist with
+    exact cosine against the table's float vectors — output matches
+    the flat index's (id, cosine_sim) shape.
 
     ``on_stale`` controls behavior when rows were rewritten after the
     index build (index_staleness): 'raise' (default) fails with
@@ -204,10 +259,33 @@ def probe_lakehouse_index(
                 meta["id_col"],
                 planes=meta["planes"],
                 dim=meta.get("dim"),
+                kind=meta.get("kind", "flat"),
             )
             meta = table.vector_index_meta()[vec_col]
         else:
             raise StaleVectorIndexError(f"{vec_col!r}: {reason}")
+    if meta.get("kind") == "pq":
+        out = ivf_probe_pq(
+            spark,
+            meta["path"],
+            meta["id_col"],
+            query_vec,
+            k=k,
+            nprobe_hamming=nprobe_hamming,
+            rerank_source=(
+                table.read(spark).select(meta["id_col"], vec_col)
+                if rerank
+                else None
+            ),
+            vec_col=vec_col,
+            shortlist=max(10 * k, 100),
+        )
+        if rerank:
+            out = out.select(
+                F.col(meta["id_col"]),
+                F.round("cosine", 4).alias("cosine_sim"),
+            )
+        return out
     return ivf_probe(
         spark,
         meta["path"],

@@ -1370,16 +1370,57 @@ class LakehouseTable:
             except OSError:
                 pass
 
-    def fast_forward(self, name: str) -> int:
+    def fast_forward(
+        self,
+        name: str,
+        spark: SparkSession | None = None,
+        audit_rules: dict | None = None,
+    ) -> int:
         """Publish the branch: splice its staged commits onto main
         (real snapshot ids assigned now, under the lock) and drop the
         branch ref. Fails with CommitConflict if main advanced past
         the branch's base — the staged commits were built against
-        stale state; re-stage on a fresh branch (no silent merge)."""
+        stale state; re-stage on a fresh branch (no silent merge).
+
+        ``audit_rules`` (requires ``spark``): the branch TAIL — the
+        exact state main readers would see — is audited through the
+        expectations gate BEFORE publishing; a violation raises
+        ExpectationsFailed and the branch stays open (append a
+        correction commit and retry, or delete_branch). This is the
+        multi-commit WAP: stage many commits, audit the combined
+        result once, publish atomically."""
+        audited_commits = None
+        if audit_rules is not None:
+            if spark is None:
+                raise ValueError("audit_rules requires spark")
+            from biglake_iceberg_pipeline_spark.operators.expectations import (
+                ExpectationsFailed,
+                check,
+            )
+
+            manifest = self._read_manifest()
+            br = self._branch_state(manifest, name)
+            audited_commits = len(br["snapshots"])
+            tail_files = self._branch_tail_files(br)
+            if tail_files:
+                staged = self._read_files(
+                    spark, tail_files, schema_json=br.get("schema")
+                )
+                _, metrics = check(staged, audit_rules, "warn")
+                if any(v > 0 for v in metrics.values()):
+                    raise ExpectationsFailed(metrics)
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             br = self._branch_state(manifest, name)
+            if (
+                audited_commits is not None
+                and len(br["snapshots"]) != audited_commits
+            ):
+                raise CommitConflict(
+                    f"branch {name!r} gained commits after the audit; "
+                    "re-run fast_forward"
+                )
             snaps = manifest["snapshots"]
             tail = snaps[-1]["id"] if snaps else None
             if tail != br["base"]:

@@ -1628,3 +1628,41 @@ def test_ndv_sidecar_gc_runs_without_expiry(spark, tmp_path):
     assert not _os.path.exists(p)  # ...but the orphan blob is gone
     # the referenced blob survives
     assert t._ndv_sketches() != {}
+
+
+def test_branch_fast_forward_audit_gate(spark, tmp_path):
+    """Multi-commit WAP: the branch TAIL is audited before publish; a
+    violation keeps the branch open (fix with another branch commit,
+    then publish), and main never exposes the bad state."""
+    from biglake_iceberg_pipeline_spark.operators.expectations import (
+        ExpectationsFailed,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    )
+    t.create_branch("load")
+    t.append_to_branch(
+        "load",
+        spark.createDataFrame([(2, -5.0)], "id long, amount double"),
+    )
+    rules = {"amount_pos": F.col("amount") > 0}
+    with pytest.raises(ExpectationsFailed):
+        t.fast_forward("load", spark=spark, audit_rules=rules)
+    assert t.read(spark).count() == 1  # main untouched
+    assert t.branches()["load"]["commits"] == 1  # branch still open
+    # a correction commit CANNOT fix an already-staged bad row (the
+    # tail is cumulative) — but a fresh branch with good data passes
+    t.delete_branch("load")
+    t.create_branch("load2")
+    t.append_to_branch(
+        "load2",
+        spark.createDataFrame([(2, 5.0)], "id long, amount double"),
+    )
+    t.fast_forward("load2", spark=spark, audit_rules=rules)
+    assert t.read(spark).count() == 2
+    # audit without spark is a clear error
+    t.create_branch("x")
+    with pytest.raises(ValueError, match="requires spark"):
+        t.fast_forward("x", audit_rules=rules)

@@ -464,3 +464,51 @@ def test_cosine_kernels_null_and_ragged_vectors(spark):
     }
     assert lit[1] == 1.0 and lit[6] == 0.0
     assert lit[2] is None and lit[3] is None and lit[5] is None
+
+
+def test_lakehouse_pq_index_register_probe_maintain(spark, tmp_path):
+    """USING IVF_PQ on the registered-index seam: registration trains
+    codebooks and stores m-byte codes; probes ADC-shortlist then
+    re-rank against the table floats (same output shape as flat);
+    appends maintain the index incrementally with the REGISTERED
+    codebooks; the staleness guard applies unchanged."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index as vi
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    t = LakehouseTable(str(tmp_path / "vecs"))
+    t.append(emb.where("vec_id < 400"))
+    vi.register_lakehouse_index(
+        spark, t, "embedding", "vec_id", planes=4, kind="pq",
+        pq_m=16, pq_k=16, pq_sample_n=1024,
+    )
+    assert t.vector_index_meta()["embedding"]["kind"] == "pq"
+    q = list(emb.where("vec_id = 42").select("embedding").first()[0])
+    got = vi.probe_lakehouse_index(spark, t, "embedding", q, k=5).collect()
+    assert got[0]["vec_id"] == 42 and got[0]["cosine_sim"] == 1.0
+    assert list(got[0].asDict()) == ["vec_id", "cosine_sim"]
+    # the stored payload is pq_code bytes, not float arrays
+    idx = spark.read.parquet(t.vector_index_meta()["embedding"]["path"])
+    assert dict(idx.dtypes)["pq_code"] == "binary"
+    assert "embedding" not in idx.columns
+    n_before = idx.count()
+    # incremental maintenance: appended rows coded with the
+    # registered codebooks, index grows by exactly the batch
+    t.append(emb.where("vec_id >= 400"))
+    idx2 = spark.read.parquet(t.vector_index_meta()["embedding"]["path"])
+    assert idx2.count() == n_before + emb.where("vec_id >= 400").count()
+    q2 = list(emb.where("vec_id = 450").select("embedding").first()[0])
+    got2 = vi.probe_lakehouse_index(spark, t, "embedding", q2, k=3).collect()
+    assert got2[0]["vec_id"] == 450
+    # row-rewriting commits trip the staleness guard, rebuild heals
+    t.delete_where(spark, F.col("vec_id") == 0)
+    import pytest as _pytest
+
+    with _pytest.raises(vi.StaleVectorIndexError):
+        vi.probe_lakehouse_index(spark, t, "embedding", q, k=3)
+    got3 = vi.probe_lakehouse_index(
+        spark, t, "embedding", q, k=3, on_stale="rebuild"
+    ).collect()
+    assert got3[0]["vec_id"] == 42
