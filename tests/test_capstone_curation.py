@@ -50,16 +50,36 @@ def test_incremental_corpus_growth_capstone(spark, tmp_path):
     )
     assert idx.read(spark).count() == before + n_accepted
 
-    # 2. accepted docs exported as training shards; totals must tie
+    # 2. accepted docs packed into training sequences (r6), then
+    # exported as shards BY SEQUENCE so each shard holds whole
+    # sequences; totals must tie through both stages
+    from biglake_iceberg_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from biglake_iceberg_pipeline_spark.operators.text import token_counts
+
     accepted_docs = docs.join(
         F.broadcast(accepted.select("doc_id")), "doc_id"
     )
+    ws, _bpe = token_counts(F.col("text"))
+    packed = pack_sequences(
+        accepted_docs.select("doc_id", ws.alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        cap=512,
+    )
+    assert packed.count() == n_accepted
     m = shards.write_training_shards(
-        accepted_docs, str(tmp_path / "shards"), n_shards=4,
-        id_col="doc_id", sum_col="n_chars",
+        packed, str(tmp_path / "shards"), n_shards=4,
+        id_col="seq_id", sum_col="n_tokens",
     )
     assert m["total_rows"] == n_accepted
     assert sum(s["rows"] for s in m["shards"].values()) == n_accepted
+    # whole-sequence shards: a sequence never splits across shards
+    seen: dict[int, int] = {}
+    for k in range(4):
+        for r in shards.read_shard(spark, str(tmp_path / "shards"), k).collect():
+            assert seen.setdefault(r["seq_id"], k) == k
 
     # 3. accepted embeddings into an IVF-PQ index; a probe returns
     # only accepted ids, top hit exact
