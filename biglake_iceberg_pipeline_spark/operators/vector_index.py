@@ -133,7 +133,11 @@ def register_lakehouse_index(
     path = f"{table.path}/_index/{vec_col}"
     df = table.read(spark).select(id_col, vec_col)
     if dim is None:
-        row = df.select(vec_col).first()
+        # probe a NON-NULL vector: nulls are legal in the column and
+        # the first row may carry one
+        row = (
+            df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
         dim = len(row[0]) if row else None
     if kind == "pq":
         from biglake_iceberg_pipeline_spark.operators.pq import (
@@ -153,17 +157,23 @@ def register_lakehouse_index(
             signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
         )
         coded.write.mode("overwrite").partitionBy("__code").parquet(path)
-    table.set_vector_index_meta(
-        vec_col,
-        {
-            "path": path,
-            "id_col": id_col,
-            "planes": planes,
-            "dim": dim,
-            "kind": kind,
-            "indexed_snapshot": table.current_snapshot_id(),
-        },
-    )
+    meta = {
+        "path": path,
+        "id_col": id_col,
+        "planes": planes,
+        "dim": dim,
+        "kind": kind,
+        "indexed_snapshot": table.current_snapshot_id(),
+    }
+    if kind == "pq":
+        # the quantizer HYPERPARAMETERS ride the meta (scalars only —
+        # the codebooks themselves live in the index sidecar): a
+        # staleness rebuild must retrain the SAME quantizer, not the
+        # defaults
+        meta.update(
+            {"pq_m": pq_m, "pq_k": pq_k, "pq_sample_n": pq_sample_n}
+        )
+    table.set_vector_index_meta(vec_col, meta)
 
 
 def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
@@ -260,32 +270,48 @@ def probe_lakehouse_index(
                 planes=meta["planes"],
                 dim=meta.get("dim"),
                 kind=meta.get("kind", "flat"),
+                pq_m=meta.get("pq_m", 16),
+                pq_k=meta.get("pq_k", 32),
+                pq_sample_n=meta.get("pq_sample_n", 4096),
             )
             meta = table.vector_index_meta()[vec_col]
         else:
             raise StaleVectorIndexError(f"{vec_col!r}: {reason}")
     if meta.get("kind") == "pq":
-        out = ivf_probe_pq(
+        id_col = meta["id_col"]
+        short = ivf_probe_pq(
             spark,
             meta["path"],
-            meta["id_col"],
+            id_col,
             query_vec,
-            k=k,
+            k=max(10 * k, 100) if rerank else k,
             nprobe_hamming=nprobe_hamming,
-            rerank_source=(
-                table.read(spark).select(meta["id_col"], vec_col)
-                if rerank
-                else None
-            ),
-            vec_col=vec_col,
-            shortlist=max(10 * k, 100),
         )
-        if rerank:
-            out = out.select(
-                F.col(meta["id_col"]),
-                F.round("cosine", 4).alias("cosine_sim"),
+        if not rerank:
+            return short
+        # shortlist ids collect driver-side (bounded: ~10k ids) and
+        # push into the table scan as an isin predicate — the re-rank
+        # reads only row groups containing shortlist ids, NOT the
+        # whole float column corpus-wide (which would forfeit the
+        # m-bytes-per-row win PQ exists for)
+        ids = [r[id_col] for r in short.select(id_col).collect()]
+        if not ids:
+            return short.select(
+                F.col(id_col),
+                F.col("adc_dist").cast("double").alias("cosine_sim"),
+            ).limit(0)
+        return (
+            table.read(spark)
+            .where(F.col(id_col).isin(ids))
+            .select(
+                F.col(id_col),
+                F.round(
+                    cosine_vs_literal(F.col(vec_col), list(query_vec)), 4
+                ).alias("cosine_sim"),
             )
-        return out
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
     return ivf_probe(
         spark,
         meta["path"],

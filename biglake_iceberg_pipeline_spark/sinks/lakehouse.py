@@ -1389,7 +1389,7 @@ class LakehouseTable:
         correction commit and retry, or delete_branch). This is the
         multi-commit WAP: stage many commits, audit the combined
         result once, publish atomically."""
-        audited_commits = None
+        audited_tail = None
         if audit_rules is not None:
             if spark is None:
                 raise ValueError("audit_rules requires spark")
@@ -1400,11 +1400,10 @@ class LakehouseTable:
 
             manifest = self._read_manifest()
             br = self._branch_state(manifest, name)
-            audited_commits = len(br["snapshots"])
-            tail_files = self._branch_tail_files(br)
-            if tail_files:
+            audited_tail = list(self._branch_tail_files(br))
+            if audited_tail:
                 staged = self._read_files(
-                    spark, tail_files, schema_json=br.get("schema")
+                    spark, audited_tail, schema_json=br.get("schema")
                 )
                 _, metrics = check(staged, audit_rules, "warn")
                 if any(v > 0 for v in metrics.values()):
@@ -1413,12 +1412,17 @@ class LakehouseTable:
         try:
             manifest = self._read_manifest()
             br = self._branch_state(manifest, name)
+            # identity check, not a commit COUNT: a branch deleted and
+            # recreated under the same name (even with the same number
+            # of commits) between audit and lock must not publish
+            # rows the audit never saw — the audited TAIL FILE LIST
+            # is what was actually read
             if (
-                audited_commits is not None
-                and len(br["snapshots"]) != audited_commits
+                audited_tail is not None
+                and list(self._branch_tail_files(br)) != audited_tail
             ):
                 raise CommitConflict(
-                    f"branch {name!r} gained commits after the audit; "
+                    f"branch {name!r} changed after the audit; "
                     "re-run fast_forward"
                 )
             snaps = manifest["snapshots"]

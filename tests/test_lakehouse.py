@@ -1666,3 +1666,81 @@ def test_branch_fast_forward_audit_gate(spark, tmp_path):
     t.create_branch("x")
     with pytest.raises(ValueError, match="requires spark"):
         t.fast_forward("x", audit_rules=rules)
+
+
+def test_branch_audit_guard_is_identity_not_count(spark, tmp_path, monkeypatch):
+    """A branch swapped out between the audit and the commit lock —
+    even with the SAME commit count — must conflict, not publish
+    rows the audit never saw."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10.0)], "id long, amount double"))
+    t.create_branch("w")
+    t.append_to_branch(
+        "w", spark.createDataFrame([(2, 20.0)], "id long, amount double")
+    )
+    orig = LakehouseTable._acquire_lock
+    state = {"fired": False}
+
+    def hooked(self, *a, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            # simulate a delete+recreate racing in after the audit:
+            # same name, same commit COUNT, different staged files
+            m = self._read_manifest()
+            br = m["branches"]["w"]
+            swapped = dict(br)
+            swapped["snapshots"] = [
+                {**br["snapshots"][0], "files": list(br["base_files"])}
+            ]
+            m["branches"]["w"] = swapped
+            self._commit(m)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(LakehouseTable, "_acquire_lock", hooked)
+    with pytest.raises(CommitConflict, match="changed after the audit"):
+        t.fast_forward(
+            "w", spark=spark,
+            audit_rules={"pos": F.col("amount") > 0},
+        )
+    monkeypatch.undo()
+    assert t.read(spark).count() == 1  # nothing published
+
+
+def test_pq_index_rebuild_preserves_quantizer_params(spark, tmp_path):
+    """on_stale='rebuild' must retrain the SAME quantizer the user
+    registered (pq_m/pq_k/pq_sample_n ride the meta), not defaults —
+    with m=8 on these dims the default m=16 would still divide, so
+    assert the meta round-trips exactly."""
+    from biglake_iceberg_pipeline_spark.operators import vector_index as vi
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = LakehouseTable(str(tmp_path / "v"))
+    t.append(emb)
+    vi.register_lakehouse_index(
+        spark, t, "embedding", "vec_id", planes=2, kind="pq",
+        pq_m=8, pq_k=8, pq_sample_n=256,
+    )
+    meta = t.vector_index_meta()["embedding"]
+    assert (meta["pq_m"], meta["pq_k"], meta["pq_sample_n"]) == (8, 8, 256)
+    q = list(emb.where("vec_id = 3").select("embedding").first()[0])
+    t.delete_where(spark, F.col("vec_id") == 0)  # trips staleness
+    got = vi.probe_lakehouse_index(
+        spark, t, "embedding", q, k=3, on_stale="rebuild"
+    ).collect()
+    assert got[0]["vec_id"] == 3
+    meta2 = t.vector_index_meta()["embedding"]
+    assert (meta2["pq_m"], meta2["pq_k"], meta2["pq_sample_n"]) == (8, 8, 256)
+    # the rebuilt codes are m=8 bytes
+    import pyarrow.parquet as pq_meta
+    import glob as _glob
+    import os as _os
+
+    f = _glob.glob(_os.path.join(meta2["path"], "**", "*.parquet"),
+                   recursive=True)[0]
+    pf = pq_meta.ParquetFile(f)
+    rows = [r for b in pf.iter_batches() for r in b.column("pq_code").to_pylist()]
+    assert all(len(code) == 8 for code in rows if code is not None)

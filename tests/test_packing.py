@@ -44,39 +44,31 @@ def test_pack_matches_naive_and_is_partitioning_invariant(spark):
 
 
 def test_pack_no_global_single_partition_window(spark):
-    """The scale property: the plan must contain a window partitioned
-    by __pid, never an empty-partition-spec global window (which
-    would serialize the corpus through one task)."""
+    """The scale property: the REAL pipeline's plan (pre-checkpoint,
+    via _packing_plan) must window-partition by __pid — never an
+    empty-partition-spec global window, which would serialize the
+    corpus through one task."""
+    from biglake_iceberg_pipeline_spark.operators.packing import (
+        _packing_plan,
+    )
+
     df = spark.range(1000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n")
     )
-    packed = pack_sequences(df, "doc_id", "n", cap=512)
-    # localCheckpoint truncates lineage; re-derive the plan instead
-    laid = (
-        df.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
-        .repartitionByRange(8, F.col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    from pyspark.sql import Window
+    laid, out = _packing_plan(df, "doc_id", "n", 512, None)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        # every window spec in the plan is partitioned by __pid: a
+        # global window would show windowspecdefinition(doc_id ...)
+        # with no partition key
+        import re
 
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    plan = (
-        laid.withColumn("c", F.sum("n_tokens").over(w))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Window" in plan
-    # a global window shows an empty partition spec: "windowspecdefinition(<order>"
-    # while ours partitions by __pid first
-    assert "windowspecdefinition(__pid" in plan
-    # and the packed result is still correct
-    assert packed.count() == 1000
+        specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+        assert specs and all(s.strip().startswith("__pid") for s in specs)
+        assert out.count() == 1000
+    finally:
+        laid.unpersist()
 
 
 def test_pack_guards_and_summary(spark):
@@ -89,8 +81,11 @@ def test_pack_guards_and_summary(spark):
     got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in packed.collect()}
     # doc1 [0,100), doc2 [100,300) straddles into seq 1, doc3 [300,600)
     assert got == {1: (0, 0), 2: (0, 100), 3: (1, 50)}
-    summ = {r["seq_id"]: r["n_docs"] for r in packing_summary(packed, 250).collect()}
-    assert summ == {0: 2, 1: 1}
+    summ = {
+        r["seq_id"]: (r["n_docs"], r["tokens_started"])
+        for r in packing_summary(packed).collect()
+    }
+    assert summ == {0: (2, 300), 1: (1, 300)}
 
 
 def test_pack_composes_with_shard_export(spark, tmp_path):
