@@ -714,8 +714,8 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-  start // 2048 AS seq_id,
-  start % 2048 AS seq_offset
+  CAST(start // 2048 AS BIGINT) AS seq_id,
+  CAST(start % 2048 AS BIGINT) AS seq_offset
 FROM s
 """
 
