@@ -1465,6 +1465,43 @@ class LakehouseTable:
             except OSError:
                 pass
 
+    def compact_ndv_sidecars(self, max_blobs: int = 8) -> int:
+        """Merge the stats sidecar blobs into one when refresh churn
+        has scattered them (each refresh batch writes its own blob, so
+        a streaming table accumulates O(refreshes) small files — the
+        same fragmentation data files get, solved the same way).
+        Returns the number of blobs merged, 0 when under the
+        threshold. Old blobs become unreferenced and are reaped by
+        the next expiry's GC once past the grace window."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            ptr = manifest.get("ndv_sidecars", {})
+            blobs = set(ptr.values())
+            if len(blobs) <= max_blobs:
+                return 0
+            merged: dict[str, dict] = {}
+            for rel in blobs:
+                try:
+                    with open(os.path.join(self.path, rel)) as fh:
+                        merged.update(json.load(fh))
+                except (OSError, ValueError):
+                    continue  # lost blob: its files re-sketch later
+            # keep only pointed files (a blob may carry entries whose
+            # pointers were pruned by expiry)
+            merged = {f: sk for f, sk in merged.items() if f in ptr}
+            if not merged:
+                return 0
+            rel = self._write_ndv_sidecar(merged)
+            manifest["ndv_sidecars"] = {f: rel for f in merged}
+            self._commit(manifest)
+            return len(blobs)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def _gc_ndv_sidecars(self, manifest: dict) -> None:
         """Delete stats blobs no pointer references (all their files
         expired, or orphaned by a refresh that crashed before its
@@ -1883,6 +1920,7 @@ class LakehouseTable:
         manifest = self._read_manifest()
         if "ndv_sidecars" in manifest or "file_ndv" in manifest:
             report["ndv_files_sketched"] = self.refresh_ndv_sketches(spark)
+            report["ndv_sidecars_compacted"] = self.compact_ndv_sidecars()
         return report
 
     # ------------------------------------------------------------ reads

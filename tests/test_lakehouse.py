@@ -1744,3 +1744,35 @@ def test_pq_index_rebuild_preserves_quantizer_params(spark, tmp_path):
     pf = pq_meta.ParquetFile(f)
     rows = [r for b in pf.iter_batches() for r in b.column("pq_code").to_pylist()]
     assert all(len(code) == 8 for code in rows if code is not None)
+
+
+def test_ndv_sidecar_compaction(spark, tmp_path):
+    """Refresh churn scatters one blob per batch; maintenance merges
+    them into one (pointers repointed, estimates unchanged, old blobs
+    reaped by the next expiry GC after the grace window)."""
+    import os as _os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    for i in range(10):
+        t.append(spark.range(i * 20, i * 20 + 20).select(F.col("id")))
+        t.refresh_ndv_sketches(spark)
+    m = t._read_manifest()
+    assert len(set(m["ndv_sidecars"].values())) == 10
+    est_before = t.ndv(spark)["id"]
+    assert t.compact_ndv_sidecars(max_blobs=4) == 10
+    m2 = t._read_manifest()
+    assert len(set(m2["ndv_sidecars"].values())) == 1
+    assert set(m2["ndv_sidecars"]) == set(m["ndv_sidecars"])
+    assert t.ndv(spark)["id"] == est_before
+    assert t.refresh_ndv_sketches(spark) == 0  # nothing lost
+    # under the threshold: no-op
+    assert t.compact_ndv_sidecars(max_blobs=4) == 0
+    # old blobs die at the next expiry once past the grace window
+    stats_dir = _os.path.join(t.path, "stats")
+    for name in _os.listdir(stats_dir):
+        p = _os.path.join(stats_dir, name)
+        _os.utime(p, (time.time() - 600, time.time() - 600))
+    t.expire_snapshots(keep_last=50)  # nothing expires; GC still runs
+    left = [n for n in _os.listdir(stats_dir) if n.startswith("ndv-")]
+    assert len(left) == 1  # only the merged blob survives
+    assert t.ndv(spark)["id"] == est_before
