@@ -319,3 +319,42 @@ def test_money_round_matches_duckdb_bitwise(vals, digits):
         ).fetchone()[0]
         want = math.floor(v * scale + 0.5) / scale
         assert got == want or (math.isnan(got) and math.isnan(want))
+
+
+_pack_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 50)),
+    max_size=20,
+)
+
+
+@given(rows=_pack_rows, cap=st.integers(1, 64))
+@settings(**_SETTINGS)
+def test_pack_sequences_equals_sequential_reference(spark, rows, cap):
+    """pack_sequences ≡ a sequential single-node layout: sort by id,
+    accumulate token offsets, split at cap. Random sizes include
+    zero-token docs, docs larger than cap (multi-sequence straddles),
+    and duplicate ids (collapsed to one row — last write wins in the
+    dict, matching distinct input assumption via dedup)."""
+    from biglake_iceberg_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # unique ids: packing is defined over a keyed corpus
+    uniq = {}
+    for i, n in rows:
+        uniq[i] = n
+    if not uniq:
+        return
+    want = {}
+    start = 0
+    for i in sorted(uniq):
+        want[i] = (start // cap, start % cap)
+        start += uniq[i]
+    df = spark.createDataFrame(
+        list(uniq.items()), "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", cap=cap).collect()
+    }
+    assert got == want
