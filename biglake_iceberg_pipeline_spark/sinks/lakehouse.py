@@ -1481,21 +1481,44 @@ class LakehouseTable:
             if len(blobs) <= max_blobs:
                 return 0
             merged: dict[str, dict] = {}
+            readable: set[str] = set()
             for rel in blobs:
                 try:
                     with open(os.path.join(self.path, rel)) as fh:
-                        merged.update(json.load(fh))
+                        blob = json.load(fh)
                 except (OSError, ValueError):
-                    continue  # lost blob: its files re-sketch later
-            # keep only pointed files (a blob may carry entries whose
-            # pointers were pruned by expiry)
-            merged = {f: sk for f, sk in merged.items() if f in ptr}
-            if not merged:
+                    continue  # lost blob: its pointers stay as-is
+                readable.add(rel)
+                merged.update(blob)
+            # keep only entries whose AUTHORITATIVE pointer targets a
+            # readable blob (a blob may carry entries for files since
+            # pruned or repointed)
+            merged = {
+                f: sk for f, sk in merged.items()
+                if ptr.get(f) in readable
+            }
+            if len(readable) <= 1 or not merged:
                 return 0
-            rel = self._write_ndv_sidecar(merged)
-            manifest["ndv_sidecars"] = {f: rel for f in merged}
+            new_rel = self._write_ndv_sidecar(merged)
+            # pointers at unreadable blobs are LEFT UNTOUCHED — the
+            # same self-heal contract as everywhere else (re-sketch on
+            # next refresh), never silently dropped coverage
+            manifest["ndv_sidecars"] = {
+                f: (new_rel if rel in readable else rel)
+                for f, rel in ptr.items()
+            }
+            # restart the GC grace clock on the superseded blobs: a
+            # reader holding the PRE-compaction manifest must get the
+            # full window to finish its blob opens — an hours-old
+            # blob would otherwise be reaped by the very next expiry
+            now = time.time()
+            for rel in readable:
+                try:
+                    os.utime(os.path.join(self.path, rel), (now, now))
+                except OSError:
+                    pass
             self._commit(manifest)
-            return len(blobs)
+            return len(readable)
         finally:
             try:
                 os.remove(lock)

@@ -1776,3 +1776,46 @@ def test_ndv_sidecar_compaction(spark, tmp_path):
     left = [n for n in _os.listdir(stats_dir) if n.startswith("ndv-")]
     assert len(left) == 1  # only the merged blob survives
     assert t.ndv(spark)["id"] == est_before
+
+
+def test_ndv_sidecar_compaction_preserves_lost_blob_pointers(spark, tmp_path):
+    """Compaction must not silently drop coverage: files whose blob
+    is unreadable keep their original pointer (self-heal on the next
+    refresh), and superseded blobs get a fresh GC grace window so a
+    pre-compaction reader can finish."""
+    import os as _os
+
+    t = LakehouseTable(str(tmp_path / "tbl"))
+    for i in range(6):
+        t.append(spark.range(i * 10, i * 10 + 10).select(F.col("id")))
+        t.refresh_ndv_sketches(spark)
+    m = t._read_manifest()
+    victim_rel = sorted(set(m["ndv_sidecars"].values()))[0]
+    victim_files = {
+        f for f, rel in m["ndv_sidecars"].items() if rel == victim_rel
+    }
+    _os.remove(_os.path.join(t.path, victim_rel))
+    # age the survivors so the grace-restart is observable
+    stats_dir = _os.path.join(t.path, "stats")
+    for name in _os.listdir(stats_dir):
+        p = _os.path.join(stats_dir, name)
+        _os.utime(p, (time.time() - 600, time.time() - 600))
+    n = t.compact_ndv_sidecars(max_blobs=2)
+    assert n == 5  # the 5 readable blobs merged; the lost one skipped
+    m2 = t._read_manifest()
+    for f in victim_files:
+        assert m2["ndv_sidecars"][f] == victim_rel  # pointer preserved
+    # superseded blobs got a fresh mtime: GC leaves them (grace)
+    t.expire_snapshots(keep_last=50)
+    merged_rel = {
+        rel for rel in set(m2["ndv_sidecars"].values()) if rel != victim_rel
+    }
+    on_disk = {
+        _os.path.join("stats", x)
+        for x in _os.listdir(stats_dir)
+        if x.startswith("ndv-")
+    }
+    assert merged_rel <= on_disk and len(on_disk) >= 6  # olds still in grace
+    # lost-blob files re-sketch on the next refresh; estimate heals
+    assert t.refresh_ndv_sketches(spark) == len(victim_files)
+    assert abs(t.ndv(spark)["id"] - 60) <= 3
