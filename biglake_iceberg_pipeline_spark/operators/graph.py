@@ -46,6 +46,11 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # materialize ONCE: every iteration joins against sym, and an
+        # unpinned lineage would re-run the (expensive) candidate
+        # pipeline that produced the edges on every round — measured
+        # 2× on the sf0.1 dedup_clusters query
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("id"))
