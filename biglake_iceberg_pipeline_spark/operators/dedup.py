@@ -397,6 +397,12 @@ def simhash_pairs(
     )
 
 
+#: vocabulary size above which the Jaccard verify switches from
+#: fixed-width bitmaps (popcount-AND, ≤ 2 KB/doc) to sorted int
+#: arrays — module-level so tests can force either path
+BITMAP_VOCAB_MAX = 16384
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams of lowercased text (1-based substr,
     guarded for short strings). Semantics reference — the pure-SQL
@@ -469,9 +475,22 @@ def ngram_jaccard_pairs(
 
     Scale: explode cost is the prefix fraction (~(1-t) of each doc's
     grams); the join is a hash join on (partition, gram); the verify
-    join fetches each candidate's two arrays by id. At 100 TB add a
+    join fetches each candidate's two sets by id. At 100 TB add a
     (lang, length-band) partition key and/or a MinHash pre-filter —
     the verify stays the same.
+
+    Notes: the call is EAGER (one bounded metadata job counts the
+    vocabulary, and the tokenized corpus is pinned with a
+    localCheckpoint so the Arrow tokenizer runs once and the verify
+    geometry is computed against the same snapshot the candidates
+    were). The prefilters use an epsilon-relaxed threshold
+    (t − 1e-9) so double rounding can only WIDEN the candidate set
+    (J values are rationals with denominator ≤ |A∪B|, so 1e-9 slack
+    is far below the smallest possible gap for any real corpus) —
+    the exact verify is what decides membership. Unicode caveat:
+    the Arrow tokenizer lowercases with Python's str.lower(), which
+    can differ from JVM/DuckDB lower() on case mappings added in
+    newer Unicode versions; ASCII and common scripts are identical.
     """
     from pyspark.sql import Window
 
@@ -480,18 +499,28 @@ def ngram_jaccard_pairs(
         F.col(partition_col).alias("__part"),
         char_ngrams_pandas(F.col(text_col), n).alias("__ng"),
     ).withColumn("__n", F.size("__ng"))
-    # prefix length |A| - ceil(t*|A|) + 1 (>= 1 for any non-empty set)
+    # pin the tokenized snapshot: every branch below (doc frequency,
+    # prefixes, factorization, verify sets) derives from ONE
+    # materialization — no tokenizer re-runs, and no construction-vs-
+    # execution drift between the vocabulary count and the gram ids
+    g = g.localCheckpoint()
+    eps = 1e-9  # prefilter slack: widen-only, never drop (see doc)
+    # prefix length |A| - ceil(t*|A| - eps) + 1 (>= 1 when non-empty)
     pref_len = (
         F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(eps)).cast(
+            "int"
+        )
         + F.lit(1)
     )
     # Global order = RARE-FIRST (document frequency asc, gram asc):
     # any consistent total order is lossless, but ordering by rarity
     # makes prefixes the most selective grams — under lexicographic
     # order the candidate join floods on grams half the corpus
-    # shares. The df table is vocabulary-sized (≪ corpus) and
-    # broadcast.
+    # shares. The df table is vocabulary-sized (≪ corpus); AQE
+    # broadcasts it at runtime when small — no explicit hint, so a
+    # CJK-scale vocabulary degrades to a shuffle join instead of an
+    # OOM.
     all_tokens = g.select(
         "__id", "__part", "__n", F.explode("__ng").alias("__tok")
     )
@@ -502,7 +531,7 @@ def ngram_jaccard_pairs(
         Window.partitionBy("__id").orderBy("__df", "__tok")
     )
     tokens = (
-        all_tokens.join(F.broadcast(gram_df), "__tok")
+        all_tokens.join(gram_df, "__tok")
         .withColumn("__rk", rk)
         .where(F.col("__rk") <= pref_len)
         .select("__id", "__part", "__n", "__tok")
@@ -510,7 +539,7 @@ def ngram_jaccard_pairs(
     ta, tb = tokens.alias("ta"), tokens.alias("tb")
     size_ok = F.least(F.col("ta.__n"), F.col("tb.__n")) >= F.lit(
         threshold
-    ) * F.greatest(F.col("ta.__n"), F.col("tb.__n"))
+    ) * F.greatest(F.col("ta.__n"), F.col("tb.__n")) - F.lit(eps)
     cand = (
         ta.join(
             tb,
@@ -519,11 +548,11 @@ def ngram_jaccard_pairs(
             & (F.col("ta.__id") < F.col("tb.__id"))
             & size_ok,
         )
-        .groupBy(
+        .select(
             F.col("ta.__id").alias("id_a"),
             F.col("tb.__id").alias("id_b"),
         )
-        .agg(F.first("ta.__part").alias("__part"))
+        .distinct()
     )
     # ---- exact verify on candidates. Grams are FACTORIZED to dense
     # int ids (an exact injective mapping, not a hash), then the set
@@ -536,15 +565,54 @@ def ngram_jaccard_pairs(
     # Either way |A∪B| = |A| + |B| − |A∩B| (distinct sets) — no
     # union materialization. The vocabulary count is one bounded
     # metadata job (|vocab| ≪ corpus).
-    gid = gram_df.select(
-        "__tok",
-        (F.row_number().over(Window.orderBy("__tok")) - 1).alias(
-            "__gid"
-        ),
-    )
-    n_vocab = gid.count()
-    ids = all_tokens.join(F.broadcast(gid), "__tok")
-    if n_vocab <= 16384:  # ≤ 256 longs (2 KB) per doc
+    n_vocab = gram_df.count()
+    if n_vocab <= BITMAP_VOCAB_MAX:
+        # a single-task window over ≤16k vocabulary rows is trivial
+        gid = gram_df.select(
+            "__tok",
+            (F.row_number().over(Window.orderBy("__tok")) - 1).alias(
+                "__gid"
+            ),
+        )
+        ids = all_tokens.join(F.broadcast(gid), "__tok")
+    else:
+        # large vocabulary (CJK-scale char n-grams): dense ids via
+        # the two-level scan (range shuffle + per-partition local
+        # ranks + O(partitions) driver offsets) — no single-task
+        # global sort, no vocabulary broadcast
+        ranked = (
+            gram_df.repartitionByRange(32, F.col("__tok"))
+            .sortWithinPartitions("__tok")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        counts = {
+            r["__pid"]: r["c"]
+            for r in ranked.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        run = 0
+        offs = {}
+        for pid in sorted(counts):
+            offs[pid] = run
+            run += counts[pid]
+        off_df = ranked.sparkSession.createDataFrame(
+            list(offs.items()), "__pid int, __off long"
+        )
+        local_rk = F.row_number().over(
+            Window.partitionBy("__pid").orderBy("__tok")
+        )
+        gid = (
+            ranked.withColumn("__lrk", local_rk)
+            .join(F.broadcast(off_df), "__pid")
+            .select(
+                "__tok",
+                (F.col("__off") + F.col("__lrk") - 1).alias("__gid"),
+            )
+        )
+        ids = all_tokens.join(gid, "__tok")
+    if n_vocab <= BITMAP_VOCAB_MAX:  # ≤ 256 longs (2 KB) per doc
         n_words = (n_vocab + 63) // 64
         words = ids.groupBy(
             "__id", (F.col("__gid") / 64).cast("int").alias("__w")

@@ -1480,31 +1480,32 @@ class LakehouseTable:
             blobs = set(ptr.values())
             if len(blobs) <= max_blobs:
                 return 0
-            merged: dict[str, dict] = {}
-            readable: set[str] = set()
-            for rel in blobs:
+            contents: dict[str, dict] = {}
+            for rel in sorted(blobs):
                 try:
                     with open(os.path.join(self.path, rel)) as fh:
-                        blob = json.load(fh)
+                        contents[rel] = json.load(fh)
                 except (OSError, ValueError):
                     continue  # lost blob: its pointers stay as-is
-                readable.add(rel)
-                merged.update(blob)
-            # keep only entries whose AUTHORITATIVE pointer targets a
-            # readable blob (a blob may carry entries for files since
-            # pruned or repointed)
+            # each file's sketch comes from its AUTHORITATIVE blob —
+            # never from whichever blob happened to iterate last (a
+            # superseded blob can carry a stale entry for the same
+            # file)
             merged = {
-                f: sk for f, sk in merged.items()
-                if ptr.get(f) in readable
+                f: contents[rel][f]
+                for f, rel in ptr.items()
+                if rel in contents and f in contents[rel]
             }
+            readable = set(contents)
             if len(readable) <= 1 or not merged:
                 return 0
             new_rel = self._write_ndv_sidecar(merged)
-            # pointers at unreadable blobs are LEFT UNTOUCHED — the
-            # same self-heal contract as everywhere else (re-sketch on
+            # pointers at unreadable blobs (or at entries a readable
+            # blob is missing) are LEFT UNTOUCHED — the same
+            # self-heal contract as everywhere else (re-sketch on
             # next refresh), never silently dropped coverage
             manifest["ndv_sidecars"] = {
-                f: (new_rel if rel in readable else rel)
+                f: (new_rel if f in merged else rel)
                 for f, rel in ptr.items()
             }
             # restart the GC grace clock on the superseded blobs: a

@@ -164,3 +164,30 @@ def test_flag_duplicates_marks_all_but_first(spark):
     )
     out = flag_duplicates(df).collect()
     assert sum(r["is_duplicate_in_file"] for r in out) == 1
+
+
+def test_ngram_jaccard_array_path_equals_bitmap_path(spark, monkeypatch):
+    """The large-vocabulary verify (two-level dense ids + sorted int
+    arrays) must return exactly what the bitmap path returns — force
+    it by dropping the switch threshold to 0."""
+    from biglake_iceberg_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    want = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", "source", 3, 0.5
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(D, "BITMAP_VOCAB_MAX", 0)
+    got = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", "source", 3, 0.5
+            ).collect(),
+        )
+    )
+    assert got == want and want  # non-trivial and identical
