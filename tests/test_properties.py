@@ -358,3 +358,58 @@ def test_pack_sequences_equals_sequential_reference(spark, rows, cap):
         for r in pack_sequences(df, "doc_id", "n_tokens", cap=cap).collect()
     }
     assert got == want
+
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 30),                      # doc id
+        st.text(alphabet="abcd ", max_size=12),  # tiny alphabet => dense overlap
+        st.sampled_from(["s1", "s2"]),           # partition
+    ),
+    max_size=14,
+)
+
+
+@given(rows=_docs, t=st.sampled_from([0.07, 0.3, 0.5, 0.7, 0.9, 1.0]))
+@settings(**_SETTINGS)
+def test_ngram_jaccard_equals_naive_reference(spark, rows, t):
+    """The prefix-filtered set-similarity join ≡ a naive Python
+    all-pairs reference, across thresholds including ones whose
+    double product overshoots (0.07) and degenerate docs (empty,
+    shorter than n, identical)."""
+    from biglake_iceberg_pipeline_spark.operators import dedup as D
+
+    uniq = {}
+    for i, txt, src in rows:
+        uniq[i] = (txt, src)
+    if not uniq:
+        return
+
+    def grams(s):
+        s = s.lower()
+        m = max(len(s) - 2, 1)
+        return set(s[i : i + 3] for i in range(m))
+
+    want = set()
+    ids = sorted(uniq)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            (ta_, sa), (tb_, sb) = uniq[a], uniq[b]
+            if sa != sb:
+                continue
+            ga, gb = grams(ta_), grams(tb_)
+            j = round(len(ga & gb) / len(ga | gb), 4)
+            if j >= t:
+                want.add((a, b, j))
+    df = spark.createDataFrame(
+        [(i, txt, src) for i, (txt, src) in uniq.items()],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 3, t
+        ).collect()
+    }
+    assert got == want
