@@ -152,6 +152,8 @@ class LakehouseTable:
         expected_tail: int | None = ...,
         inherit_prev_files: bool = False,
         txn: tuple[str, int] | None = None,
+        delete_files: list[str] | None = None,
+        delete_meta: dict[str, dict] | None = None,
     ) -> tuple[int, bool]:
         """Allocate the snapshot id and swap the manifest under the
         commit lock; returns ``(snapshot_id, committed)`` where
@@ -175,7 +177,15 @@ class LakehouseTable:
         becomes a no-op instead of duplicate rows. Skipped commits may
         leave unreferenced data files behind; they are invisible to
         readers (manifest-driven scans) and reclaimable by an orphan
-        sweep."""
+        sweep.
+
+        ``delete_files`` is the FULL delete-file tail for the new
+        snapshot (merge-on-read row-level deletes). None means: carry
+        the previous tail's deletes for appends (a row deleted before
+        an append stays deleted), empty for rewrites (a rewrite reads
+        the delete-applied state, so the new files already exclude
+        deleted rows — the deletes are materialized). ``delete_meta``
+        adds per-delete-file metadata (kind / keys / applies_to)."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
@@ -197,23 +207,58 @@ class LakehouseTable:
                 if inherit_prev_files
                 else files
             )
-            manifest.setdefault("file_stats", {}).update(stats)
-            manifest.setdefault("file_rows", {}).update(
-                self._file_row_counts(files)
+            prev_deletes = (
+                snaps[-1].get("deletes", []) if snaps else []
             )
+            if delete_files is None:
+                tail_deletes = (
+                    list(prev_deletes) if inherit_prev_files else []
+                )
+            else:
+                tail_deletes = list(delete_files)
+            manifest.setdefault("file_stats", {}).update(stats)
+            known_rows = manifest.setdefault("file_rows", {})
+            known_rows.update(
+                self._file_row_counts(
+                    [f for f in files if f not in known_rows]
+                )
+            )
+            new_deletes = [
+                d for d in tail_deletes if d not in set(prev_deletes)
+            ]
+            if new_deletes:
+                # delete files carry footer row counts too: row_count()
+                # subtracts position-delete rows without a scan
+                known_rows.update(self._file_row_counts(new_deletes))
+            if delete_meta:
+                manifest.setdefault("delete_meta", {}).update(delete_meta)
+            # Per-file add-order watermark, the equality-delete scope:
+            # a delete at snapshot D applies only to files with
+            # added_at <= D's applies_to. New files stamp at THIS
+            # snapshot; inherited files missing a stamp (pre-feature
+            # history, branch-spliced commits) existed at or before
+            # the previous tail, so backfill there — never at snap_id,
+            # which would wrongly shield them from an equality delete
+            # committing right now against the previous tail.
+            fa = manifest.setdefault("file_added_at", {})
+            new_set = set(files)
+            for f in all_files:
+                if f not in fa:
+                    fa[f] = snap_id if f in new_set else (tail or 0)
             if self.partition_by:
                 manifest["partition_by"] = self.partition_by
                 fp = manifest.setdefault("file_partitions", {})
                 for f in files:
                     fp[f] = self._partition_values(f)
-            manifest["snapshots"].append(
-                {
-                    "id": snap_id,
-                    "operation": operation,
-                    "ts": time.time(),
-                    "files": all_files,
-                }
-            )
+            entry = {
+                "id": snap_id,
+                "operation": operation,
+                "ts": time.time(),
+                "files": all_files,
+            }
+            if tail_deletes:
+                entry["deletes"] = tail_deletes
+            manifest["snapshots"].append(entry)
             if schema_json is not None:
                 manifest["schema"] = schema_json
             if txn is not None:
@@ -318,11 +363,27 @@ class LakehouseTable:
                 )
         return vals
 
+    @staticmethod
+    def _meta_cols(df: DataFrame) -> DataFrame:
+        """Project the hidden ``_metadata`` struct into ``__file``
+        (scheme-stripped path, matching manifest paths) and ``__pos``
+        (row index within the file) — the coordinates merge-on-read
+        position deletes are keyed by. Both sides of the delete
+        anti-join derive them the same way, so they always agree."""
+        return df.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:/+", "/"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
     def _read_files(
         self,
         spark: SparkSession,
         files: list[str],
         schema_json: str | None = None,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Open an explicit manifest file list. Unpartitioned: plain
         multi-file read. Partitioned: group by snapshot dir and read
@@ -330,7 +391,9 @@ class LakehouseTable:
         restores the hive-path columns, then cast them back to the
         committed schema (discovery would re-infer types per group).
         ``schema_json`` overrides the overlay schema (branch reads:
-        a branch may have evolved past the main-line schema)."""
+        a branch may have evolved past the main-line schema).
+        ``with_meta`` carries ``__file``/``__pos`` through for the
+        merge-on-read delete overlay."""
         if not self.partition_by:
             # Overlay the committed (possibly evolved) schema: files
             # written before an add-column/widen commit then surface
@@ -342,8 +405,10 @@ class LakehouseTable:
                 from pyspark.sql.types import StructType
 
                 committed = StructType.fromJson(json.loads(schema_json))
-                return spark.read.schema(committed).parquet(*files)
-            return spark.read.parquet(*files)
+                out = spark.read.schema(committed).parquet(*files)
+            else:
+                out = spark.read.parquet(*files)
+            return self._meta_cols(out) if with_meta else out
         from collections import defaultdict
 
         from pyspark.sql.types import StructType
@@ -373,6 +438,8 @@ class LakehouseTable:
         parts = []
         for base, fs in sorted(groups.items()):
             df = spark.read.option("basePath", base).parquet(*fs)
+            if with_meta:
+                df = self._meta_cols(df)
             # cast partition cols per group BEFORE the union: each
             # group's discovery re-infers them independently
             for col, typ in part_types.items():
@@ -393,7 +460,8 @@ class LakehouseTable:
                         else F.lit(None).cast(fld.dataType)
                     ).alias(fld.name)
                     for fld in committed.fields
-                ]
+                ],
+                *(["__file", "__pos"] if with_meta else []),
             )
         return out
 
@@ -451,7 +519,14 @@ class LakehouseTable:
     def row_count(self, snapshot_id: int | None = None) -> int | None:
         """Table row count from manifest metadata — O(1) manifest
         read, no scan. None when any file predates row-count tracking
-        (fall back to read().count() there)."""
+        (fall back to read().count() there).
+
+        Merge-on-read deletes: position-delete rows subtract EXACTLY
+        (each names one live row — the delete scan runs against the
+        delete-applied state, so a row is never deleted twice);
+        outstanding EQUALITY deletes make the count unknowable from
+        metadata (how many older rows match the keys needs a scan) —
+        None until compaction materializes them."""
         snaps = self.snapshots
         if not snaps:
             return 0
@@ -462,12 +537,20 @@ class LakehouseTable:
             if not matches:
                 raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
-        rows = self._read_manifest().get("file_rows", {})
+        manifest = self._read_manifest()
+        rows = manifest.get("file_rows", {})
         total = 0
         for f in snap["files"]:
             if f not in rows:
                 return None
             total += rows[f]
+        dmeta = manifest.get("delete_meta", {})
+        for d in snap.get("deletes", []):
+            if dmeta.get(d, {}).get("kind", "position") != "position":
+                return None
+            if d not in rows:
+                return None
+            total -= rows[d]
         return total
 
     def _next_id(self, manifest: dict) -> int:
@@ -537,7 +620,13 @@ class LakehouseTable:
         if not manifest["snapshots"]:
             raise ValueError("empty table")
         base = manifest["snapshots"][-1]["id"]
-        df = self._read_files(spark, manifest["snapshots"][-1]["files"])
+        # delete-applied read: compaction MATERIALIZES outstanding
+        # merge-on-read deletes — the rewritten files exclude deleted
+        # rows and the new snapshot carries an empty delete tail, so
+        # readers stop paying the anti-join
+        df = self._read_snapshot(
+            spark, manifest["snapshots"][-1], manifest
+        )
         if zorder_by:
             from biglake_iceberg_pipeline_spark.operators.zorder import (
                 with_zorder,
@@ -572,19 +661,27 @@ class LakehouseTable:
         source: DataFrame,
         keys: list[str],
         txn: tuple[str, int] | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """MERGE (upsert) by key: source rows replace matching target
         rows; unmatched source rows are inserted (Iceberg
-        MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT,
-        copy-on-write path).
+        MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
 
-        Plan: target left-anti source-keys (drops rows being updated)
-        ∪ source. One shuffle on the key for the anti join; at 100 TB
-        the real Iceberg runtime would prune the rewrite to affected
-        partitions — here the snapshot rewrite is whole-table, same
-        semantics. Duplicate keys in source are rejected (Iceberg
-        errors on multi-row matches too: nondeterministic update).
-        """
+        ``mode="copy-on-write"`` (default) — plan: target left-anti
+        source-keys (drops rows being updated) ∪ source. One shuffle
+        on the key for the anti join; the snapshot rewrite is
+        whole-table. ``mode="merge-on-read"`` — the 100 TB path: one
+        commit = source appended as new data files + an EQUALITY
+        delete file on the merge keys that voids matching rows in
+        OLDER files only (added_at scoping); nothing is rewritten and
+        the commit costs O(source), not O(table). Readers pay a
+        broadcast anti-join until compaction materializes it.
+        Duplicate keys in source are rejected in both modes (Iceberg
+        errors on multi-row matches too: nondeterministic update)."""
+        if mode == "merge-on-read":
+            return self._merge_mor(spark, source, keys, txn)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode {mode!r}")
         dup = (
             source.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
         )
@@ -613,9 +710,98 @@ class LakehouseTable:
             self._fire_commit_hooks("merge", snap)
         return snap
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
-        """DELETE FROM ... WHERE condition (copy-on-write rewrite of
-        the surviving rows; condition is a Column or SQL string)."""
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """Merge-on-read MERGE: stage the source as ordinary data
+        files, derive the equality-delete keys from the STAGED bytes
+        (one evaluation of the source pipeline — the dup-key check
+        runs on the same read), and commit both in one snapshot. The
+        delete's applies_to watermark is the pre-commit tail, so it
+        voids only pre-existing rows; the staged files themselves are
+        stamped at the new snapshot id and survive their own delete."""
+        import shutil
+
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            # no target rows to void — a merge into an empty table is
+            # exactly an append
+            return self.append(source, txn=txn)
+        base = snaps[-1]["id"]
+        if manifest["schema"] is not None:
+            target = self._read_files(spark, snaps[-1]["files"])
+            source = align_for_append(source, target)
+        missing = set(keys) - set(source.columns)
+        if missing:
+            raise ValueError(f"merge keys missing from source: {missing}")
+        data_files = self._write_data(source)
+        stage = self._stage_dir_of(data_files)
+        try:
+            reader = spark.read
+            if stage is not None:
+                reader = reader.option("basePath", stage)
+            staged = reader.parquet(*data_files)
+            dup = (
+                staged.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+            )
+            if dup.count() > 0:
+                raise ValueError(
+                    f"source has duplicate merge keys on {keys}"
+                )
+            eq_files = self._write_delete_file(
+                staged.select(*keys).distinct()
+            )
+        except Exception:
+            if stage is not None:
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
+        snap_id, committed = self._locked_commit(
+            "merge",
+            data_files,
+            self._file_stats(data_files),
+            source.schema.json(),
+            expected_tail=base,
+            inherit_prev_files=True,
+            txn=txn,
+            delete_files=snaps[-1].get("deletes", []) + eq_files,
+            delete_meta={
+                p: {
+                    "kind": "equality",
+                    "keys": list(keys),
+                    "applies_to": base,
+                }
+                for p in eq_files
+            },
+        )
+        if committed:
+            self._fire_commit_hooks("merge", snap_id)
+        return snap_id
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        mode: str = "copy-on-write",
+        ranges: dict[str, tuple] | None = None,
+    ) -> int:
+        """DELETE FROM ... WHERE condition (condition is a Column or
+        SQL string). ``mode="copy-on-write"`` rewrites the surviving
+        rows — right for bulk deletes. ``mode="merge-on-read"`` writes
+        a position-delete file instead (see ``delete_where_mor``) —
+        right for selective deletes on huge tables, where rewriting
+        everything to drop a few rows is the scale killer."""
+        if mode == "merge-on-read":
+            return self.delete_where_mor(spark, condition, ranges)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown delete mode {mode!r}")
         base = self.current_snapshot_id()
         target = self.read(spark)
         if isinstance(condition, str):
@@ -633,12 +819,26 @@ class LakehouseTable:
         return snap
 
     def update_where(
-        self, spark: SparkSession, condition, assignments: dict
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        mode: str = "copy-on-write",
     ) -> int:
-        """UPDATE ... SET col = expr WHERE condition (copy-on-write
-        rewrite, Iceberg UPDATE semantics). ``assignments`` maps
-        column name → Column or SQL string; non-matching rows pass
-        through untouched. Conflict-checked like every rewrite."""
+        """UPDATE ... SET col = expr WHERE condition (Iceberg UPDATE
+        semantics). ``assignments`` maps column name → Column or SQL
+        string; non-matching rows pass through untouched.
+        Conflict-checked like every rewrite.
+
+        ``mode="copy-on-write"`` (default) rewrites the whole table.
+        ``mode="merge-on-read"`` expresses the update as delete +
+        insert in ONE snapshot (Iceberg v2): a position-delete file
+        voids the matched rows and the updated versions land as new
+        data files — commit cost O(matched rows), not O(table)."""
+        if mode == "merge-on-read":
+            return self._update_mor(spark, condition, assignments)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown update mode {mode!r}")
         base = self.current_snapshot_id()
         target = self.read(spark)
         if isinstance(condition, str):
@@ -662,6 +862,82 @@ class LakehouseTable:
         )[0]
         self._fire_commit_hooks("update", snap)
         return snap
+
+    def _update_mor(
+        self, spark: SparkSession, condition, assignments: dict
+    ) -> int:
+        """Merge-on-read UPDATE: stage the matched-and-updated rows
+        WITH their source (__file, __pos) coordinates in one
+        evaluation of the match scan (a nondeterministic condition
+        must not pick different rows for the delete and the insert),
+        then derive BOTH the position-delete file and the new data
+        files from the staged bytes and commit them as one snapshot.
+        The match scan runs on the delete-applied current state, so
+        already-deleted rows are never updated back to life."""
+        import shutil
+
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError("empty table")
+        snap = snaps[-1]
+        base = snap["id"]
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        df = self._read_files(spark, snap["files"], with_meta=True)
+        df = self._apply_deletes(
+            spark, df, manifest, snap.get("deletes", [])
+        )
+        data_cols = [
+            c for c in df.columns if c not in ("__file", "__pos")
+        ]
+        updated = df.where(condition)
+        for col, expr in assignments.items():
+            if col not in data_cols:
+                raise ValueError(f"unknown column {col!r}")
+            if isinstance(expr, str):
+                expr = F.expr(expr)
+            updated = updated.withColumn(col, expr)
+        # staging under data/: a crash leaves an unreferenced dir the
+        # orphan sweep reclaims, like any other failed write
+        stage = os.path.join(
+            self.path, "data", f"snap-{uuid.uuid4().hex[:12]}-upd"
+        )
+        updated.write.mode("overwrite").parquet(stage)
+        try:
+            staged_files = [
+                os.path.join(root, n)
+                for root, _d, names in os.walk(stage)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+            n_rows = sum(
+                self._file_row_counts(staged_files).values()
+            )
+            if n_rows == 0:
+                return base  # no match: nothing to commit
+            staged = spark.read.parquet(*staged_files)
+            del_files = self._write_delete_file(
+                staged.select(
+                    F.col("__file").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+            new_files = self._write_data(staged.select(*data_cols))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        snap_id = self._locked_commit(
+            "update",
+            new_files,
+            self._file_stats(new_files),
+            None,
+            expected_tail=base,
+            inherit_prev_files=True,
+            delete_files=snap.get("deletes", []) + del_files,
+            delete_meta={p: {"kind": "position"} for p in del_files},
+        )[0]
+        self._fire_commit_hooks("update", snap_id)
+        return snap_id
 
     def incremental_scan(
         self,
@@ -1103,7 +1379,13 @@ class LakehouseTable:
         is minutes of metadata work instead of a full-table pass.
         Columns evolved onto the table mid-history read as NULL from
         pre-evolution files, so a file missing a column contributes
-        its full row count to that column's null total."""
+        its full row count to that column's null total.
+
+        Outstanding merge-on-read deletes: the row count subtracts
+        position-delete rows (exact, via ``row_count``); NDV and null
+        counts come from per-data-file footers/sketches and so are
+        UPPER bounds until compaction materializes the deletes —
+        the same freshness contract Iceberg's per-file stats carry."""
         ndv = self.ndv(spark)
         snaps = self.snapshots
         live = snaps[-1]["files"] if snaps else []
@@ -1146,9 +1428,14 @@ class LakehouseTable:
                 else:
                     total += n
             nulls[c] = total
+        rc = sum(file_rows.values())
+        if snaps and snaps[-1].get("deletes"):
+            exact = self.row_count()
+            if exact is not None:  # position deletes: exact subtract
+                rc = exact
         stats = {
             "snapshot_id": self.current_snapshot_id(),
-            "row_count": sum(file_rows.values()),
+            "row_count": rc,
             "columns": {
                 c: {"ndv": ndv.get(c, 0), "nulls": nulls[c]} for c in cols
             },
@@ -1183,6 +1470,10 @@ class LakehouseTable:
             {},
             None,
             expected_tail=snaps[-1]["id"],
+            # the rolled-back-to state includes its delete tail: a
+            # snapshot with outstanding merge-on-read deletes must not
+            # resurrect deleted rows on rollback
+            delete_files=list(match[0].get("deletes", [])),
         )[0]
         self._fire_commit_hooks("rollback", snap)
         return snap
@@ -1294,14 +1585,22 @@ class LakehouseTable:
                         f"snapshot {from_snapshot} not found"
                     )
                 base = from_snapshot
-            base_files = (
-                next(s["files"] for s in snaps if s["id"] == base)
+            base_snap = (
+                next(s for s in snaps if s["id"] == base)
                 if base is not None
-                else []
+                else None
             )
             branches[name] = {
                 "base": base,
-                "base_files": list(base_files),
+                "base_files": list(
+                    base_snap["files"] if base_snap else []
+                ),
+                # outstanding merge-on-read deletes at the base apply
+                # to branch reads too (and are GC-protected while the
+                # branch is open)
+                "base_deletes": list(
+                    base_snap.get("deletes", []) if base_snap else []
+                ),
                 "snapshots": [],
                 "schema": manifest.get("schema"),
             }
@@ -1433,9 +1732,17 @@ class LakehouseTable:
                     f"based on {br['base']}); re-stage on a fresh branch"
                 )
             last = tail
+            base_deletes = list(br.get("base_deletes", []))
             for s in br["snapshots"]:
                 last = self._next_id(manifest)
-                manifest["snapshots"].append({**s, "id": last})
+                entry = {**s, "id": last}
+                # spliced commits are appends on top of the base
+                # state: they carry the base's outstanding deletes —
+                # dropping them would resurrect deleted rows at
+                # publish time
+                if base_deletes:
+                    entry["deletes"] = base_deletes
+                manifest["snapshots"].append(entry)
             if br["snapshots"] and br.get("schema"):
                 manifest["schema"] = br["schema"]
             del manifest["branches"][name]
@@ -1555,6 +1862,7 @@ class LakehouseTable:
         out: set[str] = set()
         for br in manifest.get("branches", {}).values():
             out.update(br.get("base_files", []))
+            out.update(br.get("base_deletes", []))
             for s in br["snapshots"]:
                 out.update(s["files"])
         return out
@@ -1765,8 +2073,17 @@ class LakehouseTable:
                 continue
             for s in cm.get("snapshots", []):
                 protected.update(s["files"])
+                protected.update(s.get("deletes", []))
             queue.extend(cm.get("clones", []))
         return protected
+
+    @staticmethod
+    def _walk_roots(*roots: str):
+        """os.walk over several roots (data/ and deletes/ — orphaned
+        merge-on-read delete files from crashed writers leak storage
+        exactly like orphaned data files)."""
+        for r in roots:
+            yield from os.walk(r)
 
     def _owns(self, path: str) -> bool:
         """True iff ``path`` lies under this table's directory —
@@ -1790,17 +2107,22 @@ class LakehouseTable:
         commit lock so the referenced-set can't change mid-sweep;
         returns the deleted paths."""
         data_root = os.path.join(self.path, "data")
+        deletes_root = os.path.join(self.path, "deletes")
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             live = {
-                f for s in manifest["snapshots"] for f in s["files"]
+                f
+                for s in manifest["snapshots"]
+                for f in s["files"] + s.get("deletes", [])
             }
             live |= self._clone_protected_files(manifest)
             live |= self._branch_protected_files(manifest)
             now = time.time()
             removed = []
-            for root, _dirs, names in os.walk(data_root):
+            for root, _dirs, names in self._walk_roots(
+                data_root, deletes_root
+            ):
                 for name in names:
                     path = os.path.join(root, name)
                     if path in live:
@@ -1813,12 +2135,13 @@ class LakehouseTable:
                     except OSError:
                         continue  # concurrently removed / unreadable
             # prune now-empty snapshot dirs (cosmetic, keeps ls sane)
-            for root, _dirs, _names in os.walk(data_root, topdown=False):
-                try:
-                    if root != data_root and not os.listdir(root):
-                        os.rmdir(root)
-                except OSError:
-                    pass
+            for base in (data_root, deletes_root):
+                for root, _dirs, _names in os.walk(base, topdown=False):
+                    try:
+                        if root != base and not os.listdir(root):
+                            os.rmdir(root)
+                    except OSError:
+                        pass
             return removed
         finally:
             try:
@@ -1856,11 +2179,15 @@ class LakehouseTable:
             if not expired:
                 self._gc_ndv_sidecars(manifest)
                 return []
-            live = {f for s in kept for f in s["files"]}
+            live = {
+                f
+                for s in kept
+                for f in s["files"] + s.get("deletes", [])
+            }
             live |= self._clone_protected_files(manifest)
             live |= self._branch_protected_files(manifest)
             for s in expired:
-                for f in s["files"]:
+                for f in s["files"] + s.get("deletes", []):
                     # _owns: a clone's expiry never deletes SOURCE
                     # files its retired snapshots referenced
                     if (
@@ -1876,6 +2203,8 @@ class LakehouseTable:
                 "file_rows",
                 "file_ndv",
                 "ndv_sidecars",
+                "file_added_at",
+                "delete_meta",
             ):
                 if per_file_key in manifest:
                     manifest[per_file_key] = {
@@ -1900,11 +2229,16 @@ class LakehouseTable:
         orphan_grace_s: float = 3600.0,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        max_delete_files: int = 4,
     ) -> dict:
         """The nightly maintenance job (Iceberg's rewrite_data_files +
         expire_snapshots + remove_orphan_files as one call): compact
-        when the live file count exceeds ``max_files`` (optionally
-        sort/z-order clustering while at it), expire old snapshots,
+        when the live file count exceeds ``max_files`` OR the
+        merge-on-read delete tail exceeds ``max_delete_files``
+        (Iceberg's rewrite_position_delete_files concern — a table
+        taking steady MoR deletes with few data files would otherwise
+        accumulate anti-joins on every read forever), optionally
+        sort/z-order clustering while at it, expire old snapshots,
         sweep orphans. Returns what was done. Streaming appends create
         one-file-per-batch fragmentation; running this on a schedule
         keeps scans at O(max_files) opens instead of O(batches)."""
@@ -1915,7 +2249,12 @@ class LakehouseTable:
             "orphans_removed": 0,
         }
         snaps = self.snapshots
-        if snaps and len(snaps[-1]["files"]) > max_files:
+        files_over = snaps and len(snaps[-1]["files"]) > max_files
+        dels_over = (
+            snaps
+            and len(snaps[-1].get("deletes", [])) > max_delete_files
+        )
+        if files_over:
             try:
                 self.compact(
                     spark,
@@ -1924,11 +2263,25 @@ class LakehouseTable:
                     zorder_by=zorder_by,
                 )
                 report["compacted_from"] = len(snaps[-1]["files"])
+                report["deletes_materialized"] = len(
+                    snaps[-1].get("deletes", [])
+                )
             except CommitConflict:
                 # a writer appended during the rewrite (the normal
                 # state of a streaming table) — skip compaction this
                 # run rather than aborting expiry + sweep; the next
                 # scheduled run retries
+                report["compact_conflict"] = True
+        elif dels_over:
+            # delete tail too long but the file count is healthy:
+            # targeted materialization rewrites only delete-affected
+            # files instead of the whole table
+            try:
+                self.materialize_deletes(spark)
+                report["deletes_materialized"] = len(
+                    snaps[-1].get("deletes", [])
+                )
+            except CommitConflict:
                 report["compact_conflict"] = True
         report["expired_snapshots"] = self.expire_snapshots(
             keep_last=keep_snapshots
@@ -1946,6 +2299,284 @@ class LakehouseTable:
             report["ndv_files_sketched"] = self.refresh_ndv_sketches(spark)
             report["ndv_sidecars_compacted"] = self.compact_ndv_sidecars()
         return report
+
+    # ---- merge-on-read row-level deletes (Iceberg v2 delete files) --
+    # A DELETE/MERGE at 100 TB must not rewrite 100 TB: instead of the
+    # copy-on-write rewrite, a merge-on-read commit writes a SMALL
+    # delete file and leaves every data file in place —
+    #   * position deletes: (file_path, pos) rows naming exactly the
+    #     deleted rows (written by delete_where(mode="merge-on-read")),
+    #   * equality deletes: key rows that void any OLDER data row with
+    #     a matching key (written by merge(mode="merge-on-read")).
+    # Readers overlay them as broadcast anti-joins; compaction
+    # materializes them back into plain data files. This is Iceberg's
+    # format-v2 row-level delete design re-expressed on the JSON
+    # manifest: the commit costs O(matched rows), reads cost one extra
+    # broadcast join until the next compaction.
+
+    def _write_delete_file(self, df: DataFrame) -> list[str]:
+        """Write a delete frame under ``deletes/``. coalesce(1): delete
+        files are meant to be small relative to data (a bulk delete
+        should use the copy-on-write path — rewriting is cheaper than
+        anti-joining half the table on every read)."""
+        out = os.path.join(
+            self.path, "deletes", f"del-{uuid.uuid4().hex[:12]}"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        found = []
+        for root, _dirs, names in os.walk(out):
+            found += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        return sorted(found)
+
+    def _apply_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        manifest: dict,
+        delete_paths: list[str],
+    ) -> DataFrame:
+        """Overlay a snapshot's delete files onto a ``with_meta`` read.
+        Position deletes anti-join on (__file, __pos); equality
+        deletes anti-join on their key columns, scoped to data files
+        with added_at <= the delete's applies_to watermark (a row
+        appended AFTER the delete committed must survive even if its
+        key matches — Iceberg's sequence-number scoping). Delete files
+        and the added_at map are metadata-sized → broadcast; the data
+        side stays one scan with no shuffle."""
+        meta = manifest.get("delete_meta", {})
+        pos = [
+            p
+            for p in delete_paths
+            if meta.get(p, {}).get("kind", "position") == "position"
+        ]
+        eqs = [
+            p
+            for p in delete_paths
+            if meta.get(p, {}).get("kind") == "equality"
+        ]
+        if pos:
+            dels = spark.read.parquet(*pos).select(
+                F.col("file_path").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
+            )
+            df = df.join(
+                F.broadcast(dels),
+                (F.col("__file") == F.col("__del_file"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+        if eqs:
+            added = manifest.get("file_added_at", {})
+            amap = spark.createDataFrame(
+                [(f, int(a)) for f, a in added.items()],
+                schema="__file_a string, __added_at long",
+            )
+            df = df.join(
+                F.broadcast(amap),
+                F.col("__file") == F.col("__file_a"),
+                "left",
+            ).drop("__file_a")
+            from collections import defaultdict
+
+            by_keys: dict[tuple, list[str]] = defaultdict(list)
+            for p in eqs:
+                by_keys[tuple(meta[p]["keys"])].append(p)
+            for keys, paths in by_keys.items():
+                frames = None
+                for p in paths:
+                    d = spark.read.parquet(p).select(
+                        *[
+                            F.col(k).alias(f"__eq_{k}")
+                            for k in keys
+                        ],
+                        F.lit(int(meta[p]["applies_to"])).alias(
+                            "__eq_applies"
+                        ),
+                    )
+                    frames = (
+                        d if frames is None else frames.unionByName(d)
+                    )
+                cond = F.coalesce(
+                    F.col("__added_at"), F.lit(2**62)
+                ) <= F.col("__eq_applies")
+                for k in keys:
+                    cond = cond & F.col(k).eqNullSafe(
+                        F.col(f"__eq_{k}")
+                    )
+                df = df.join(F.broadcast(frames), cond, "left_anti")
+            df = df.drop("__added_at")
+        return df
+
+    def _read_snapshot(
+        self, spark: SparkSession, snap: dict, manifest: dict
+    ) -> DataFrame:
+        """A snapshot's logical rows: its file list with its delete
+        tail applied (the one read-side entry point every full read —
+        read / scan / compact / copy-on-write rewrites — goes
+        through)."""
+        deletes = snap.get("deletes", [])
+        if not deletes:
+            return self._read_files(spark, snap["files"])
+        df = self._read_files(spark, snap["files"], with_meta=True)
+        df = self._apply_deletes(spark, df, manifest, deletes)
+        return df.drop("__file", "__pos")
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        condition,
+        ranges: dict[str, tuple] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE: write a position-delete file naming
+        the matching rows instead of rewriting the table — commit cost
+        O(matched rows + scanned files), not O(table). ``ranges`` (same
+        shape as ``scan``) prunes the files scanned for matches via
+        manifest stats; it MUST be implied by ``condition`` — rows
+        outside the ranges are not scanned and so not deleted.
+
+        The match scan runs against the delete-APPLIED current state,
+        so a row already deleted can never be re-deleted — which keeps
+        ``row_count``'s position-delete subtraction exact. A no-match
+        delete commits nothing and returns the current snapshot id.
+        Readers pay one broadcast anti-join until ``compact``/
+        ``maintain`` materializes the deletes."""
+        import shutil
+
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError("empty table")
+        snap = snaps[-1]
+        base = snap["id"]
+        cand = (
+            self.pruned_files(ranges) if ranges else list(snap["files"])
+        )
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        if not cand:
+            return base
+        df = self._read_files(spark, cand, with_meta=True)
+        df = self._apply_deletes(
+            spark, df, manifest, snap.get("deletes", [])
+        )
+        matches = df.where(condition).select(
+            F.col("__file").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        new_files = self._write_delete_file(matches)
+        if sum(self._file_row_counts(new_files).values()) == 0:
+            shutil.rmtree(
+                os.path.dirname(new_files[0]), ignore_errors=True
+            )
+            return base
+        snap_id = self._locked_commit(
+            "delete",
+            [],
+            {},
+            None,
+            expected_tail=base,
+            inherit_prev_files=True,
+            delete_files=snap.get("deletes", []) + new_files,
+            delete_meta={p: {"kind": "position"} for p in new_files},
+        )[0]
+        self._fire_commit_hooks("delete", snap_id)
+        return snap_id
+
+    def materialize_deletes(self, spark: SparkSession) -> int:
+        """Targeted delete materialization (Iceberg's
+        rewrite_position_delete_files / delete-aware
+        rewrite_data_files): rewrite ONLY the data files the
+        outstanding merge-on-read deletes can touch, carry every
+        other file into the new snapshot unchanged, and commit with
+        an empty delete tail. ``compact()`` also materializes, but
+        rewrites the WHOLE table — the point of MoR deletes at
+        100 TB is that a handful of deleted rows must not force an
+        O(table) rewrite even at cleanup time; this costs
+        O(affected files).
+
+        Affected files: position deletes name theirs outright (read
+        from the metadata-sized delete files); equality deletes
+        bound candidates by the added_at watermark, then prune by
+        footer min/max intersection between each data file's key
+        range and the delete file's key range (conservative — a
+        range overlap without a key match just rewrites a file to
+        identical content, never misses a deletion). Returns the new
+        snapshot id (the current one when nothing is outstanding)."""
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError("empty table")
+        snap = snaps[-1]
+        base = snap["id"]
+        deletes = snap.get("deletes", [])
+        if not deletes:
+            return base
+        meta = manifest.get("delete_meta", {})
+        added = manifest.get("file_added_at", {})
+        fstats = manifest.get("file_stats", {})
+        pos = [
+            p
+            for p in deletes
+            if meta.get(p, {}).get("kind", "position") == "position"
+        ]
+        eqs = [
+            p
+            for p in deletes
+            if meta.get(p, {}).get("kind") == "equality"
+        ]
+        affected: set[str] = set()
+        if pos:
+            affected.update(
+                r.file_path
+                for r in spark.read.parquet(*pos)
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
+        for p in eqs:
+            keys = meta[p]["keys"]
+            applies = meta[p]["applies_to"]
+            # the delete file's own footer min/max bounds the key set
+            dstats = self._file_stats([p]).get(p, {})
+            for f in snap["files"]:
+                if f in affected:
+                    continue
+                if added.get(f, 0) > applies:
+                    continue  # appended after the delete: out of scope
+                per = fstats.get(f, {})
+                hit = True
+                for k in keys:
+                    dr, fr = dstats.get(k), per.get(k)
+                    if dr is None or fr is None:
+                        continue  # unknown range: keep (conservative)
+                    if dr[1] < fr[0] or dr[0] > fr[1]:
+                        hit = False
+                        break
+                if hit:
+                    affected.add(f)
+        affected &= set(snap["files"])
+        carried = [f for f in snap["files"] if f not in affected]
+        new_files: list[str] = []
+        if affected:
+            df = self._read_files(
+                spark, sorted(affected), with_meta=True
+            )
+            df = self._apply_deletes(spark, df, manifest, deletes)
+            new_files = self._write_data(df.drop("__file", "__pos"))
+        snap_id = self._locked_commit(
+            "replace",
+            carried + new_files,
+            self._file_stats(new_files),
+            None,
+            expected_tail=base,
+            delete_files=[],
+        )[0]
+        self._fire_commit_hooks("replace", snap_id)
+        return snap_id
 
     # ------------------------------------------------------------ reads
 
@@ -1969,9 +2600,22 @@ class LakehouseTable:
             files = self._branch_tail_files(br)
             if not files:
                 raise ValueError(f"branch {branch!r} has no data")
-            return self._read_files(
-                spark, files, schema_json=br.get("schema")
+            base_deletes = br.get("base_deletes", [])
+            if not base_deletes:
+                return self._read_files(
+                    spark, files, schema_json=br.get("schema")
+                )
+            # the base snapshot's outstanding deletes apply to its
+            # files on the branch too; branch-STAGED files are never
+            # in file_added_at, so equality deletes scope past them
+            df = self._read_files(
+                spark,
+                files,
+                schema_json=br.get("schema"),
+                with_meta=True,
             )
+            df = self._apply_deletes(spark, df, manifest, base_deletes)
+            return df.drop("__file", "__pos")
         if tag is not None:               # resolution stay consistent
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
@@ -1989,7 +2633,7 @@ class LakehouseTable:
             if not matches:
                 raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
-        return self._read_files(spark, snap["files"])
+        return self._read_snapshot(spark, snap, manifest)
 
     def pruned_files(
         self,
@@ -2075,7 +2719,22 @@ class LakehouseTable:
         if not files:
             df = self.read(spark, snapshot_id)
         else:
-            df = self._read_files(spark, files)
+            manifest = self._read_manifest()
+            snaps = manifest["snapshots"]
+            snap = (
+                snaps[-1]
+                if snapshot_id is None
+                else next(s for s in snaps if s["id"] == snapshot_id)
+            )
+            deletes = snap.get("deletes", [])
+            if deletes:
+                # merge-on-read overlay on the pruned subset: position
+                # deletes naming pruned-out files simply never match
+                df = self._read_files(spark, files, with_meta=True)
+                df = self._apply_deletes(spark, df, manifest, deletes)
+                df = df.drop("__file", "__pos")
+            else:
+                df = self._read_files(spark, files)
         cond = F.lit(True)
         for col, (lo, hi) in ranges.items():
             if lo is not None:
