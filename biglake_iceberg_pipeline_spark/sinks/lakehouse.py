@@ -223,8 +223,9 @@ class LakehouseTable:
                     [f for f in files if f not in known_rows]
                 )
             )
+            prev_delete_set = set(prev_deletes)
             new_deletes = [
-                d for d in tail_deletes if d not in set(prev_deletes)
+                d for d in tail_deletes if d not in prev_delete_set
             ]
             if new_deletes:
                 # delete files carry footer row counts too: row_count()
@@ -366,14 +367,29 @@ class LakehouseTable:
     @staticmethod
     def _meta_cols(df: DataFrame) -> DataFrame:
         """Project the hidden ``_metadata`` struct into ``__file``
-        (scheme-stripped path, matching manifest paths) and ``__pos``
-        (row index within the file) — the coordinates merge-on-read
-        position deletes are keyed by. Both sides of the delete
-        anti-join derive them the same way, so they always agree."""
+        (scheme-stripped, PERCENT-DECODED path, matching the raw
+        manifest paths) and ``__pos`` (row index within the file) —
+        the coordinates merge-on-read position deletes are keyed by.
+
+        ``_metadata.file_path`` is a Hadoop Path URI: spaces and
+        special characters (a table dir with a space, a hive
+        partition value needing escaping) arrive percent-encoded,
+        while the manifest stores raw os paths — comparing them
+        un-decoded silently voids no rows. ``url_decode`` is
+        form-decoding ('+' → space), but Hadoop leaves literal '+'
+        unencoded in the URI, so '+' is pre-escaped to %2B first;
+        a raw '%' never appears un-encoded in the URI (Hadoop writes
+        %25), so the decode cannot throw."""
         return df.select(
             "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^file:/+", "/"
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), r"^file:/+", "/"
+                    ),
+                    r"\+",
+                    "%2B",
+                )
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
@@ -726,6 +742,13 @@ class LakehouseTable:
         stamped at the new snapshot id and survive their own delete."""
         import shutil
 
+        # validate against the RAW source: align_for_append null-fills
+        # target-schema columns, which would let a source missing its
+        # key column slide through as NULL keys (and the equality
+        # delete would then void NULL-key target rows via eqNullSafe)
+        missing = set(keys) - set(source.columns)
+        if missing:
+            raise ValueError(f"merge keys missing from source: {missing}")
         manifest = self._read_manifest()
         snaps = manifest["snapshots"]
         if not snaps:
@@ -736,9 +759,6 @@ class LakehouseTable:
         if manifest["schema"] is not None:
             target = self._read_files(spark, snaps[-1]["files"])
             source = align_for_append(source, target)
-        missing = set(keys) - set(source.columns)
-        if missing:
-            raise ValueError(f"merge keys missing from source: {missing}")
         data_files = self._write_data(source)
         stage = self._stage_dir_of(data_files)
         try:
@@ -2247,6 +2267,7 @@ class LakehouseTable:
             "compact_conflict": False,
             "expired_snapshots": [],
             "orphans_removed": 0,
+            "deletes_materialized": 0,
         }
         snaps = self.snapshots
         files_over = snaps and len(snaps[-1]["files"]) > max_files
@@ -2540,16 +2561,29 @@ class LakehouseTable:
         for p in eqs:
             keys = meta[p]["keys"]
             applies = meta[p]["applies_to"]
-            # the delete file's own footer min/max bounds the key set
+            # the delete file's own footer min/max bounds the key set;
+            # min/max EXCLUDE nulls, but the read overlay matches NULL
+            # keys via eqNullSafe — when the delete holds a NULL key,
+            # range pruning must not skip files that also hold NULLs
             dstats = self._file_stats([p]).get(p, {})
+            dnulls = self._file_null_counts([p]).get(p, {})
             for f in snap["files"]:
                 if f in affected:
                     continue
                 if added.get(f, 0) > applies:
                     continue  # appended after the delete: out of scope
                 per = fstats.get(f, {})
+                fnulls = None  # lazily-read footer null counts
                 hit = True
                 for k in keys:
+                    if dnulls.get(k, 1) or dnulls.get(k) is None:
+                        # delete may carry a NULL key: does the file?
+                        if fnulls is None:
+                            fnulls = self._file_null_counts([f]).get(
+                                f, {}
+                            )
+                        if fnulls.get(k, 1) or fnulls.get(k) is None:
+                            continue  # NULL↔NULL possible: keep file
                     dr, fr = dstats.get(k), per.get(k)
                     if dr is None or fr is None:
                         continue  # unknown range: keep (conservative)

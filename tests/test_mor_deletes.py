@@ -578,6 +578,91 @@ def test_maintain_materializes_long_delete_tail(spark, tmp_path):
     assert len(t.snapshots[-1].get("deletes", [])) == 1
 
 
+def test_mor_survives_percent_escaped_paths(spark, tmp_path):
+    # _metadata.file_path is a Hadoop URI: a table dir with a space
+    # (or an escapable partition value) arrives percent-encoded while
+    # the manifest holds raw paths — __file must decode to match
+    t = LakehouseTable(str(tmp_path / "my table"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id long, grp long"
+        ).coalesce(1)
+    )
+    t.delete_where(spark, "grp = 1", mode="merge-on-read")
+    assert t.read(spark).count() == 5
+    t.materialize_deletes(spark)
+    assert not t.snapshots[-1].get("deletes")
+    assert t.read(spark).count() == 5  # no resurrection
+    # equality-delete scoping on a partitioned table with an
+    # escapable partition value
+    p = LakehouseTable(
+        str(tmp_path / "p"), partition_by=["grp"]
+    )
+    p.append(
+        spark.createDataFrame(
+            [(1, "old", "a b"), (2, "keep", "a b")],
+            "id long, name string, grp string",
+        )
+    )
+    p.merge(
+        spark,
+        spark.createDataFrame(
+            [(1, "NEW", "a b")], "id long, name string, grp string"
+        ),
+        keys=["id"],
+        mode="merge-on-read",
+    )
+    rows = {r.id: r.name for r in p.read(spark).collect()}
+    assert rows == {1: "NEW", 2: "keep"}
+    p.materialize_deletes(spark)
+    rows = {r.id: r.name for r in p.read(spark).collect()}
+    assert rows == {1: "NEW", 2: "keep"}
+
+
+def test_materialize_handles_null_merge_keys(spark, tmp_path):
+    # parquet min/max stats exclude NULLs, but the read overlay
+    # matches NULL keys via eqNullSafe — pruning must not skip files
+    # whose only match is a NULL key
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(100, "a"), (200, "b"), (None, "old-null")],
+            "id long, name string",
+        ).coalesce(1)
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, "five"), (None, "new-null")], "id long, name string"
+        ),
+        keys=["id"],
+        mode="merge-on-read",
+    )
+    before = sorted(
+        [(r.id, r.name) for r in t.read(spark).collect()], key=str
+    )
+    assert len(before) == 4  # old-null replaced by new-null
+    t.materialize_deletes(spark)
+    after = sorted(
+        [(r.id, r.name) for r in t.read(spark).collect()], key=str
+    )
+    assert after == before  # old NULL-key row did not resurrect
+
+
+def test_mor_merge_missing_key_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    src = spark.createDataFrame([("zzz",)], "name string")
+    with pytest.raises(ValueError, match="merge keys missing"):
+        t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    assert t.read(spark).count() == 5
+
+
+def test_maintain_report_has_deletes_key_on_quiet_run(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    report = t.maintain(spark, max_files=64, max_delete_files=4)
+    assert report["deletes_materialized"] == 0
+
+
 def test_unknown_modes_raise(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", n=5)
     with pytest.raises(ValueError, match="unknown delete mode"):
