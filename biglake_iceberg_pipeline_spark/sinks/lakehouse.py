@@ -246,11 +246,18 @@ class LakehouseTable:
             for f in all_files:
                 if f not in fa:
                     fa[f] = snap_id if f in new_set else (tail or 0)
-            if self.partition_by:
+            # manifest-authoritative spec: only seed it when absent —
+            # an instance constructed before evolve_partition_spec ran
+            # must not clobber the evolved spec back (its files still
+            # commit fine: layout is per-file)
+            if self.partition_by and "partition_by" not in manifest:
                 manifest["partition_by"] = self.partition_by
+            if manifest.get("partition_by") or self.partition_by:
                 fp = manifest.setdefault("file_partitions", {})
                 for f in files:
-                    fp[f] = self._partition_values(f)
+                    vals = self._partition_values(f)
+                    if vals:
+                        fp[f] = vals
             entry = {
                 "id": snap_id,
                 "operation": operation,
@@ -331,11 +338,12 @@ class LakehouseTable:
         # commit time, under the lock)
         out = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex[:12]}")
         w = df.write.mode("overwrite")
-        if self.partition_by:
-            missing = set(self.partition_by) - set(df.columns)
+        spec = self._current_spec()
+        if spec:
+            missing = set(spec) - set(df.columns)
             if missing:
                 raise ValueError(f"partition columns missing: {missing}")
-            w = w.partitionBy(*self.partition_by)
+            w = w.partitionBy(*spec)
         w.parquet(out)
         found = []
         for root, _dirs, names in os.walk(out):
@@ -349,20 +357,42 @@ class LakehouseTable:
     def _partition_values(self, path: str) -> dict[str, str | None]:
         """Hive path segments (col=value) → raw partition values.
         Spark percent-escapes special chars in values and writes NULL
-        as __HIVE_DEFAULT_PARTITION__ (kept as None: never pruned)."""
+        as __HIVE_DEFAULT_PARTITION__ (kept as None: never pruned).
+
+        Parses every hive segment BELOW the file's ``snap-*`` staging
+        dir rather than filtering to the instance's spec: with
+        partition-spec evolution (F31) each file's layout is whatever
+        spec was current when it was written, and the manifest records
+        it per file. Segments above the staging dir (a table path that
+        happens to contain '=') are never partition values."""
         from urllib.parse import unquote
 
+        segs = path.split(os.sep)
+        snap_idx = -1
+        for j, s in enumerate(segs):
+            if s.startswith("snap-"):
+                snap_idx = j
         vals: dict[str, str | None] = {}
-        for seg in path.split(os.sep):
+        for seg in segs[snap_idx + 1 :]:
             if "=" not in seg:
                 continue
             col, _, raw = seg.partition("=")
-            if col in (self.partition_by or ()):
-                raw = unquote(raw)
-                vals[col] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-                )
+            raw = unquote(raw)
+            vals[col] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            )
         return vals
+
+    def _current_spec(self) -> list[str] | None:
+        """The partition spec new writes use: the manifest's (which
+        ``evolve_partition_spec`` updates — so even an instance
+        constructed before an evolution writes the CURRENT layout),
+        falling back to the constructor's for tables with no manifest
+        spec recorded yet."""
+        m = self._read_manifest()
+        if "partition_by" in m:
+            return m["partition_by"] or None
+        return self.partition_by
 
     @staticmethod
     def _meta_cols(df: DataFrame) -> DataFrame:
@@ -409,14 +439,38 @@ class LakehouseTable:
         ``schema_json`` overrides the overlay schema (branch reads:
         a branch may have evolved past the main-line schema).
         ``with_meta`` carries ``__file``/``__pos`` through for the
-        merge-on-read delete overlay."""
-        if not self.partition_by:
+        merge-on-read delete overlay.
+
+        With partition-spec evolution (F31) a file list can mix
+        LAYOUTS: each snapshot dir was written under one spec, and
+        basePath discovery restores exactly the hive columns that dir
+        has — a column that is path-encoded in one group is a data
+        column in another, and the union aligns them by name. The
+        partition-column set is therefore the UNION across the
+        requested files' recorded specs plus the current one."""
+        manifest_cache: dict | None = None
+
+        def _manifest() -> dict:
+            nonlocal manifest_cache
+            if manifest_cache is None:
+                manifest_cache = self._read_manifest()
+            return manifest_cache
+
+        part_cols: set[str] = set(self.partition_by or ())
+        if self.partition_by is not None or files:
+            m = _manifest()
+            spec = m.get("partition_by")
+            part_cols |= set(spec or ())
+            fparts = m.get("file_partitions", {})
+            for f in files:
+                part_cols |= fparts.get(f, {}).keys()
+        if not part_cols:
             # Overlay the committed (possibly evolved) schema: files
             # written before an add-column/widen commit then surface
             # NULL / upcast values — Spark's parquet reader fills
             # missing columns and widens in the scan, no rewrite.
             if schema_json is None:
-                schema_json = self._read_manifest().get("schema")
+                schema_json = _manifest().get("schema")
             if schema_json:
                 from pyspark.sql.types import StructType
 
@@ -440,7 +494,7 @@ class LakehouseTable:
         # possibly before any MAIN commit, when the manifest schema
         # is still None)
         if schema_json is None:
-            schema_json = self._read_manifest().get("schema")
+            schema_json = _manifest().get("schema")
         committed = (
             StructType.fromJson(json.loads(schema_json))
             if schema_json
@@ -449,7 +503,7 @@ class LakehouseTable:
         part_types = {
             fld.name: fld.dataType
             for fld in (committed.fields if committed else [])
-            if fld.name in self.partition_by
+            if fld.name in part_cols
         }
         parts = []
         for base, fs in sorted(groups.items()):
@@ -457,9 +511,12 @@ class LakehouseTable:
             if with_meta:
                 df = self._meta_cols(df)
             # cast partition cols per group BEFORE the union: each
-            # group's discovery re-infers them independently
+            # group's discovery re-infers them independently; a group
+            # written under a DIFFERENT spec simply lacks the column
+            # (it is a data column there, already typed, or absent)
             for col, typ in part_types.items():
-                df = df.withColumn(col, F.col(col).cast(typ))
+                if col in df.columns:
+                    df = df.withColumn(col, F.col(col).cast(typ))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1431,16 +1488,14 @@ class LakehouseTable:
             total: int | None = 0
             for f in live:
                 per = file_nulls.get(f, {})
+                pvals = file_parts.get(f, {})
                 if c in per:
                     n = per[c]
-                elif c in (self.partition_by or ()):
-                    # partition columns live in the path, not the
-                    # footer; NULL iff the hive value is the default
-                    n = (
-                        file_rows.get(f, 0)
-                        if file_parts.get(f, {}).get(c) is None
-                        else 0
-                    )
+                elif c in pvals:
+                    # a path-encoded column for THIS file (specs are
+                    # per-file under partition evolution): NULL iff
+                    # the hive value is the default
+                    n = file_rows.get(f, 0) if pvals[c] is None else 0
                 else:
                     n = file_rows.get(f)  # pre-evolution file: all null
                 if n is None or total is None:
@@ -1497,6 +1552,69 @@ class LakehouseTable:
         )[0]
         self._fire_commit_hooks("rollback", snap)
         return snap
+
+    def evolve_partition_spec(
+        self, new_partition_by: list[str] | None
+    ) -> None:
+        """Change the partition spec WITHOUT rewriting a byte
+        (Iceberg partition evolution): a metadata-only update — files
+        already written keep their old layout, files written from now
+        on use the new one, and every read/prune path handles mixed
+        layouts per file (the manifest records each file's own
+        partition values; footer stats cover a spec's column where it
+        is a data column). At 100 TB this is the difference between
+        changing a table's partitioning and re-ingesting it.
+
+        ``new_partition_by=None`` (or ``[]``) evolves to
+        unpartitioned. Columns must exist in the committed schema.
+        ``compact()`` (or ``maintain``) migrates the whole table to
+        the current spec as a side effect of its rewrite — run it
+        when the old layout should stop being scanned.
+
+        The spec history is recorded in the manifest
+        (``partition_spec_history``) for observability."""
+        new_spec = list(new_partition_by) if new_partition_by else None
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            schema_json = manifest.get("schema")
+            if new_spec and schema_json:
+                from pyspark.sql.types import StructType
+
+                known = {
+                    f.name
+                    for f in StructType.fromJson(
+                        json.loads(schema_json)
+                    ).fields
+                }
+                missing = set(new_spec) - known
+                if missing:
+                    raise ValueError(
+                        f"partition columns not in schema: {missing}"
+                    )
+            old = manifest.get("partition_by") or self.partition_by
+            if (old or None) == (new_spec or None):
+                return  # no-op
+            manifest["partition_by"] = new_spec
+            manifest.setdefault("partition_spec_history", []).append(
+                {
+                    "spec": new_spec,
+                    "previous": old,
+                    "ts": time.time(),
+                    "at_snapshot": (
+                        manifest["snapshots"][-1]["id"]
+                        if manifest["snapshots"]
+                        else None
+                    ),
+                }
+            )
+            self._commit(manifest)
+            self.partition_by = new_spec
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     # ---- snapshot tags (Iceberg tags: named, GC-protected refs) ----
 
@@ -1667,10 +1785,12 @@ class LakehouseTable:
             manifest.setdefault("file_rows", {}).update(
                 self._file_row_counts(files)
             )
-            if self.partition_by:
+            if manifest.get("partition_by") or self.partition_by:
                 fp = manifest.setdefault("file_partitions", {})
                 for f in files:
-                    fp[f] = self._partition_values(f)
+                    vals = self._partition_values(f)
+                    if vals:
+                        fp[f] = vals
             bid = len(br["snapshots"]) + 1
             br["snapshots"].append(
                 {
