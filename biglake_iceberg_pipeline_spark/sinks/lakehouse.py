@@ -80,12 +80,19 @@ class LakehouseTable:
     def __init__(self, path: str, partition_by: list[str] | None = None):
         self.path = path
         self.manifest_path = os.path.join(path, "_manifest.json")
-        existing = self._read_manifest().get("partition_by")
-        if partition_by and existing and partition_by != existing:
-            raise ValueError(
-                f"table is partitioned by {existing}, got {partition_by}"
-            )
-        self.partition_by = partition_by or existing or None
+        manifest = self._read_manifest()
+        if "partition_by" in manifest:
+            # manifest-authoritative, INCLUDING key-present-None
+            # ("evolved to unpartitioned") — a constructor spec that
+            # disagrees with the recorded one is an error either way
+            existing = manifest["partition_by"] or None
+            if partition_by and partition_by != existing:
+                raise ValueError(
+                    f"table is partitioned by {existing}, got {partition_by}"
+                )
+            self.partition_by = existing
+        else:
+            self.partition_by = partition_by or None
         #: post-commit observers, fired as fn(table, operation, snap_id)
         #: AFTER a successful data commit (never for txn-skipped
         #: replays). In-process only — the seam materialized views and
@@ -252,12 +259,7 @@ class LakehouseTable:
             # commit fine: layout is per-file)
             if self.partition_by and "partition_by" not in manifest:
                 manifest["partition_by"] = self.partition_by
-            if manifest.get("partition_by") or self.partition_by:
-                fp = manifest.setdefault("file_partitions", {})
-                for f in files:
-                    vals = self._partition_values(f)
-                    if vals:
-                        fp[f] = vals
+            self._record_file_partitions(manifest, files)
             entry = {
                 "id": snap_id,
                 "operation": operation,
@@ -332,13 +334,19 @@ class LakehouseTable:
 
     # ----------------------------------------------------------- writes
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, spec: list[str] | None | str = "unset"
+    ) -> list[str]:
         # uuid dir, not snapshot-id dir: two concurrent writers must
         # never target the same directory (ids are only assigned at
         # commit time, under the lock)
         out = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex[:12]}")
         w = df.write.mode("overwrite")
-        spec = self._current_spec()
+        # spec="unset" (the default) resolves the manifest-current
+        # spec; callers that already hold a freshly read manifest pass
+        # its value through to skip the redundant manifest parse
+        if spec == "unset":
+            spec = self._current_spec()
         if spec:
             missing = set(spec) - set(df.columns)
             if missing:
@@ -382,6 +390,20 @@ class LakehouseTable:
                 None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
             )
         return vals
+
+    def _record_file_partitions(
+        self, manifest: dict, files: list[str]
+    ) -> None:
+        """Record each new file's own hive-path values (the per-file
+        partition spec pruning and analysis consult). Shared by the
+        main commit path and branch staging so the two can't diverge."""
+        if not (manifest.get("partition_by") or self.partition_by):
+            return
+        fp = manifest.setdefault("file_partitions", {})
+        for f in files:
+            vals = self._partition_values(f)
+            if vals:
+                fp[f] = vals
 
     def _current_spec(self) -> list[str] | None:
         """The partition spec new writes use: the manifest's (which
@@ -507,16 +529,27 @@ class LakehouseTable:
         }
         parts = []
         for base, fs in sorted(groups.items()):
-            df = spark.read.option("basePath", base).parquet(*fs)
+            reader = spark.read.option("basePath", base)
+            if committed is not None:
+                # declare the committed schema: hive-path columns cast
+                # from the RAW segment string straight to the declared
+                # type — never through partition-type INFERENCE, whose
+                # round-trip corrupts numeric-looking strings
+                # ('01' → int 1 → '1') and would make the same value
+                # differ between a vintage where the column is
+                # path-encoded and one where it is a data column
+                reader = reader.schema(committed)
+            df = reader.parquet(*fs)
             if with_meta:
                 df = self._meta_cols(df)
-            # cast partition cols per group BEFORE the union: each
-            # group's discovery re-infers them independently; a group
-            # written under a DIFFERENT spec simply lacks the column
-            # (it is a data column there, already typed, or absent)
-            for col, typ in part_types.items():
-                if col in df.columns:
-                    df = df.withColumn(col, F.col(col).cast(typ))
+            if committed is None:
+                # no committed schema yet: cast inferred partition
+                # cols per group BEFORE the union; a group written
+                # under a DIFFERENT spec simply lacks the column
+                # (it is a data column there, already typed, or absent)
+                for col, typ in part_types.items():
+                    if col in df.columns:
+                        df = df.withColumn(col, F.col(col).cast(typ))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -717,7 +750,10 @@ class LakehouseTable:
             ).sortWithinPartitions(*sort_by)
         else:
             compacted = df.coalesce(target_files)
-        files = self._write_data(compacted)
+        files = self._write_data(
+            compacted,
+            spec=manifest.get("partition_by", self.partition_by),
+        )
         snap = self._locked_commit(
             "replace",
             files,
@@ -816,7 +852,9 @@ class LakehouseTable:
         if manifest["schema"] is not None:
             target = self._read_files(spark, snaps[-1]["files"])
             source = align_for_append(source, target)
-        data_files = self._write_data(source)
+        data_files = self._write_data(
+            source, spec=manifest.get("partition_by", self.partition_by)
+        )
         stage = self._stage_dir_of(data_files)
         try:
             reader = spark.read
@@ -1000,7 +1038,10 @@ class LakehouseTable:
                     F.col("__pos").alias("pos"),
                 )
             )
-            new_files = self._write_data(staged.select(*data_cols))
+            new_files = self._write_data(
+                staged.select(*data_cols),
+                spec=manifest.get("partition_by", self.partition_by),
+            )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         snap_id = self._locked_commit(
@@ -1592,7 +1633,14 @@ class LakehouseTable:
                     raise ValueError(
                         f"partition columns not in schema: {missing}"
                     )
-            old = manifest.get("partition_by") or self.partition_by
+            # key-present-None means "evolved to unpartitioned" — it
+            # must NOT fall back to this instance's constructor spec,
+            # or an evolve back to that spec silently no-ops
+            old = (
+                manifest["partition_by"]
+                if "partition_by" in manifest
+                else self.partition_by
+            )
             if (old or None) == (new_spec or None):
                 return  # no-op
             manifest["partition_by"] = new_spec
@@ -1785,12 +1833,7 @@ class LakehouseTable:
             manifest.setdefault("file_rows", {}).update(
                 self._file_row_counts(files)
             )
-            if manifest.get("partition_by") or self.partition_by:
-                fp = manifest.setdefault("file_partitions", {})
-                for f in files:
-                    vals = self._partition_values(f)
-                    if vals:
-                        fp[f] = vals
+            self._record_file_partitions(manifest, files)
             bid = len(br["snapshots"]) + 1
             br["snapshots"].append(
                 {
@@ -2720,7 +2763,10 @@ class LakehouseTable:
                 spark, sorted(affected), with_meta=True
             )
             df = self._apply_deletes(spark, df, manifest, deletes)
-            new_files = self._write_data(df.drop("__file", "__pos"))
+            new_files = self._write_data(
+                df.drop("__file", "__pos"),
+                spec=manifest.get("partition_by", self.partition_by),
+            )
         snap_id = self._locked_commit(
             "replace",
             carried + new_files,

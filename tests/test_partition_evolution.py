@@ -197,6 +197,58 @@ def test_schema_then_partition_evolution_compose(spark, tmp_path):
     assert any("region=y" in f for f in kept)
 
 
+def test_evolve_back_after_unpartitioned_is_not_a_noop(spark, tmp_path):
+    # key-present-None ("evolved to unpartitioned") must not fall back
+    # to a stale instance's constructor spec and no-op the evolve back
+    t1 = LakehouseTable(str(tmp_path / "t"), partition_by=["grp"])
+    t1.append(spark.createDataFrame(_rows(10), SCHEMA))
+    t1.evolve_partition_spec(None)
+    t2 = LakehouseTable(str(tmp_path / "t"))
+    t2.partition_by = ["grp"]  # simulate an instance holding the target
+    t2.evolve_partition_spec(["grp"])
+    assert t2._read_manifest()["partition_by"] == ["grp"]
+    hist = t2._read_manifest()["partition_spec_history"]
+    assert hist[-1]["previous"] is None  # true previous, not the attr
+    t2.append(spark.createDataFrame(_rows(10, 1000), SCHEMA))
+    newest = set(t2.snapshots[-1]["files"]) - set(
+        t2.snapshots[-2]["files"]
+    )
+    assert all("grp=" in f for f in newest)
+
+
+def test_construct_with_spec_on_evolved_unpartitioned_raises(
+    spark, tmp_path
+):
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.append(spark.createDataFrame(_rows(10), SCHEMA))
+    t.evolve_partition_spec(None)
+    with pytest.raises(ValueError, match="partitioned by"):
+        LakehouseTable(str(tmp_path / "t"), partition_by=["grp"])
+
+
+def test_string_partition_values_survive_mixed_layouts(spark, tmp_path):
+    # '01' must not round-trip through partition-type inference
+    # (-> int 1 -> '1') in the vintage where it is path-encoded
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["code"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "01"), (2, "007")], "id long, code string"
+        )
+    )
+    t.evolve_partition_spec(None)
+    t.append(
+        spark.createDataFrame(
+            [(3, "01"), (4, "007")], "id long, code string"
+        )
+    )
+    out = t.read(spark)
+    assert out.where("code = '01'").count() == 2
+    assert out.where("code = '007'").count() == 2
+    assert (
+        t.scan(spark, ranges={"code": ("01", "01")}).count() == 2
+    )
+
+
 def test_partition_values_ignore_table_path_segments(spark, tmp_path):
     # a table PATH containing '=' must not be parsed as a partition
     t = LakehouseTable(str(tmp_path / "v=1"), partition_by=["grp"])
