@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -48,6 +49,126 @@ from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
     align_to_schema,
     evolve_schema,
 )
+
+# ---- hidden-partitioning transforms (Iceberg partition transforms) --
+# A spec entry is either a plain column name (identity partitioning)
+# or a TRANSFORM of one: "days(ts)" / "months(ts)" / "hours(ts)" /
+# "bucket(16,id)" / "truncate(4,name)". The derived value exists ONLY
+# in the hive path (never as a data column, never in read output) —
+# Iceberg's hidden partitioning: users query the SOURCE column and
+# pruning maps their predicate to the transform, so nobody has to
+# remember to also filter a synthetic day/bucket column.
+
+_TRANSFORM_RE = re.compile(
+    r"^(days|months|hours|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$"
+)
+
+
+def _parse_spec_entry(entry: str) -> dict:
+    """'col' → identity; 'days(col)' etc → transform descriptor with
+    the derived hive column name (``p_<col>_<kind>[<param>]`` — no
+    leading underscore: Spark's file index hides ``_*`` paths)."""
+    m = _TRANSFORM_RE.match(entry.strip())
+    if not m:
+        return {
+            "kind": "identity",
+            "src": entry,
+            "param": None,
+            "name": entry,
+        }
+    kind, param, src = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if param is None:
+            raise ValueError(
+                f"{kind}() needs a width, e.g. {kind}(16,{src})"
+            )
+        return {
+            "kind": kind,
+            "src": src,
+            "param": int(param),
+            "name": f"p_{src}_{kind}{param}",
+        }
+    if param is not None:
+        raise ValueError(f"{kind}() takes one column: {kind}({src})")
+    return {
+        "kind": kind,
+        "src": src,
+        "param": None,
+        "name": f"p_{src}_{kind[:-1]}",
+    }
+
+
+_TIME_FORMATS = {
+    "days": "yyyy-MM-dd",
+    "months": "yyyy-MM",
+    "hours": "yyyy-MM-dd-HH",
+}
+_TIME_STRFTIME = {
+    "days": "%Y-%m-%d",
+    "months": "%Y-%m",
+    "hours": "%Y-%m-%d-%H",
+}
+
+
+def _transform_expr(e: dict):
+    """The derived partition value as a JVM expression (computed at
+    write time only; readers never see it)."""
+    c = F.col(e["src"])
+    if e["kind"] in _TIME_FORMATS:
+        return F.date_format(
+            c.cast("timestamp"), _TIME_FORMATS[e["kind"]]
+        )
+    if e["kind"] == "bucket":
+        # crc32 over the string form: replicable driver-side
+        # (zlib.crc32) for metadata-only pruning — xxhash64/murmur3
+        # have no stdlib Python twin
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(e["param"])
+        )
+    if e["kind"] == "truncate":
+        return F.substring(c.cast("string"), 1, e["param"])
+    raise ValueError(f"unknown transform {e['kind']!r}")
+
+
+def _transform_bounds(e: dict, lo, hi):
+    """Map a predicate range on the SOURCE column to a range on the
+    derived hive value, for manifest-level pruning. Time and truncate
+    transforms are monotone in the value's string form, so the bound
+    images bound the image. bucket() is not ordered: only an equality
+    (lo == hi) prunes, to the single bucket of that value. Returns
+    (lo', hi') as strings, or None when this transform can't prune
+    the given range (the file is then kept conservatively)."""
+    import datetime
+    import zlib
+
+    def day_str(v):
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.strftime(_TIME_STRFTIME[e["kind"]])
+        return None
+
+    if e["kind"] in _TIME_STRFTIME:
+        lo2 = day_str(lo) if lo is not None else None
+        hi2 = day_str(hi) if hi is not None else None
+        if (lo is not None and lo2 is None) or (
+            hi is not None and hi2 is None
+        ):
+            return None
+        return lo2, hi2
+    if e["kind"] == "truncate":
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return None  # numeric truncate: keep conservatively
+        return lo[: e["param"]], hi[: e["param"]]
+    if e["kind"] == "bucket":
+        if lo is None or hi is None or lo != hi:
+            return None
+        b = str(zlib.crc32(str(lo).encode("utf-8")) % e["param"])
+        return b, b
+    return None
 
 
 class SnapshotNotFoundError(ValueError):
@@ -259,6 +380,7 @@ class LakehouseTable:
             # commit fine: layout is per-file)
             if self.partition_by and "partition_by" not in manifest:
                 manifest["partition_by"] = self.partition_by
+                self._record_transforms(manifest, self.partition_by)
             self._record_file_partitions(manifest, files)
             entry = {
                 "id": snap_id,
@@ -341,17 +463,32 @@ class LakehouseTable:
         # never target the same directory (ids are only assigned at
         # commit time, under the lock)
         out = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex[:12]}")
-        w = df.write.mode("overwrite")
         # spec="unset" (the default) resolves the manifest-current
         # spec; callers that already hold a freshly read manifest pass
         # its value through to skip the redundant manifest parse
         if spec == "unset":
             spec = self._current_spec()
+        part_cols = []
         if spec:
-            missing = set(spec) - set(df.columns)
+            entries = [_parse_spec_entry(x) for x in spec]
+            missing = {e["src"] for e in entries} - set(df.columns)
             if missing:
                 raise ValueError(f"partition columns missing: {missing}")
-            w = w.partitionBy(*spec)
+            for e in entries:
+                if e["kind"] != "identity":
+                    if e["name"] in df.columns:
+                        raise ValueError(
+                            f"derived partition column {e['name']!r} "
+                            "collides with a data column"
+                        )
+                    # hidden: the derived value lands in the hive path
+                    # only — partitionBy removes it from the data files
+                    # and reads never surface it
+                    df = df.withColumn(e["name"], _transform_expr(e))
+            part_cols = [e["name"] for e in entries]
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
         w.parquet(out)
         found = []
         for root, _dirs, names in os.walk(out):
@@ -390,6 +527,24 @@ class LakehouseTable:
                 None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
             )
         return vals
+
+    @staticmethod
+    def _record_transforms(manifest: dict, spec) -> None:
+        """Register a spec's transform entries (derived hive column →
+        {src, kind, param}) so pruning can map source-column
+        predicates to derived path values FOREVER — files written
+        under an old spec keep pruning after any number of
+        evolutions, so entries accumulate and are never removed."""
+        for x in spec or ():
+            e = _parse_spec_entry(x)
+            if e["kind"] != "identity":
+                manifest.setdefault("partition_transforms", {})[
+                    e["name"]
+                ] = {
+                    "src": e["src"],
+                    "kind": e["kind"],
+                    "param": e["param"],
+                }
 
     def _record_file_partitions(
         self, manifest: dict, files: list[str]
@@ -1619,20 +1774,32 @@ class LakehouseTable:
         try:
             manifest = self._read_manifest()
             schema_json = manifest.get("schema")
-            if new_spec and schema_json:
-                from pyspark.sql.types import StructType
+            if new_spec:
+                entries = [_parse_spec_entry(x) for x in new_spec]
+                if schema_json:
+                    from pyspark.sql.types import StructType
 
-                known = {
-                    f.name
-                    for f in StructType.fromJson(
-                        json.loads(schema_json)
-                    ).fields
-                }
-                missing = set(new_spec) - known
-                if missing:
-                    raise ValueError(
-                        f"partition columns not in schema: {missing}"
-                    )
+                    known = {
+                        f.name
+                        for f in StructType.fromJson(
+                            json.loads(schema_json)
+                        ).fields
+                    }
+                    missing = {e["src"] for e in entries} - known
+                    if missing:
+                        raise ValueError(
+                            f"partition columns not in schema: {missing}"
+                        )
+                    clash = {
+                        e["name"]
+                        for e in entries
+                        if e["kind"] != "identity"
+                    } & known
+                    if clash:
+                        raise ValueError(
+                            f"derived partition columns collide with "
+                            f"data columns: {clash}"
+                        )
             # key-present-None means "evolved to unpartitioned" — it
             # must NOT fall back to this instance's constructor spec,
             # or an evolve back to that spec silently no-ops
@@ -1644,6 +1811,7 @@ class LakehouseTable:
             if (old or None) == (new_spec or None):
                 return  # no-op
             manifest["partition_by"] = new_spec
+            self._record_transforms(manifest, new_spec)
             manifest.setdefault("partition_spec_history", []).append(
                 {
                     "spec": new_spec,
@@ -2860,22 +3028,47 @@ class LakehouseTable:
         )
         stats = manifest.get("file_stats", {})
         fparts = manifest.get("file_partitions", {})
+        # hidden-partitioning: map source-column predicates onto the
+        # derived hive values recorded per file (src → [(derived
+        # name, descriptor)]) — this is how a predicate on ts prunes
+        # p_ts_day=... directories without the user ever naming them
+        by_src: dict[str, list] = {}
+        for name, te in manifest.get("partition_transforms", {}).items():
+            by_src.setdefault(te["src"], []).append((name, te))
         out = []
         for f in snap["files"]:
             fstats = dict(stats.get(f, {}))
-            for col, raw in fparts.get(f, {}).items():
+            fp_f = fparts.get(f, {})
+            for col, raw in fp_f.items():
                 v = self._coerce_partition_value(raw, ranges.get(col))
                 if v is not None:
                     fstats[col] = [v, v]  # exact: min == max
             keep = True
             for col, (lo, hi) in ranges.items():
-                if col not in fstats:
-                    continue
-                fmin, fmax = fstats[col]
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
-                ):
-                    keep = False
+                if col in fstats:
+                    fmin, fmax = fstats[col]
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        keep = False
+                        break
+                for name, te in by_src.get(col, ()):
+                    raw = fp_f.get(name)
+                    if raw is None:
+                        continue  # file not laid out by this transform
+                    b = _transform_bounds(te, lo, hi)
+                    if b is None:
+                        continue  # transform can't bound this range
+                    blo, bhi = b
+                    # derived values are fixed-width strings (time
+                    # formats, truncate) or a single-bucket equality,
+                    # so string comparison is order-correct
+                    if (bhi is not None and raw > bhi) or (
+                        blo is not None and raw < blo
+                    ):
+                        keep = False
+                        break
+                if not keep:
                     break
             if keep:
                 out.append(f)
