@@ -82,6 +82,10 @@ def _parse_spec_entry(entry: str) -> dict:
             raise ValueError(
                 f"{kind}() needs a width, e.g. {kind}(16,{src})"
             )
+        if int(param) < 1:
+            raise ValueError(
+                f"{kind}() width must be >= 1, got {param}"
+            )
         return {
             "kind": kind,
             "src": src,
@@ -147,6 +151,13 @@ def _transform_bounds(e: dict, lo, hi):
                 v = datetime.datetime.fromisoformat(v)
             except ValueError:
                 return None
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            # write-side date_format renders in the session timezone,
+            # which session.py pins to UTC — normalize aware bounds
+            # to the same frame before taking the bucket string
+            v = v.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.strftime(_TIME_STRFTIME[e["kind"]])
         return None
@@ -160,11 +171,26 @@ def _transform_bounds(e: dict, lo, hi):
             return None
         return lo2, hi2
     if e["kind"] == "truncate":
-        if not isinstance(lo, str) or not isinstance(hi, str):
-            return None  # numeric truncate: keep conservatively
-        return lo[: e["param"]], hi[: e["param"]]
+        # one-sided ranges prune on their present bound; non-string
+        # values (numeric truncate) keep files conservatively
+        if (lo is not None and type(lo) is not str) or (
+            hi is not None and type(hi) is not str
+        ):
+            return None
+        if lo is None and hi is None:
+            return None
+        return (
+            lo[: e["param"]] if lo is not None else None,
+            hi[: e["param"]] if hi is not None else None,
+        )
     if e["kind"] == "bucket":
         if lo is None or hi is None or lo != hi:
+            return None
+        # only renderings guaranteed to match Spark's CAST(col AS
+        # STRING) may prune: str and int (exact types — bool is an
+        # int subclass but renders 'True' vs JVM 'true'; floats go
+        # scientific differently; anything else keeps the file)
+        if type(lo) is not str and type(lo) is not int:
             return None
         b = str(zlib.crc32(str(lo).encode("utf-8")) % e["param"])
         return b, b
@@ -392,6 +418,7 @@ class LakehouseTable:
                 entry["deletes"] = tail_deletes
             manifest["snapshots"].append(entry)
             if schema_json is not None:
+                self._guard_schema_transform_clash(manifest, schema_json)
                 manifest["schema"] = schema_json
             if txn is not None:
                 manifest.setdefault("txns", {})[txn[0]] = txn[1]
@@ -527,6 +554,23 @@ class LakehouseTable:
                 None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
             )
         return vals
+
+    @staticmethod
+    def _guard_schema_transform_clash(
+        manifest: dict, schema_json: str
+    ) -> None:
+        """A data column must never take a (possibly retired) derived
+        hive column's name: per-group schema reads would then fill it
+        from the PATH on old vintages — surfacing the hidden value
+        where the add-column contract promises NULL."""
+        clash = {
+            f["name"] for f in json.loads(schema_json)["fields"]
+        } & set(manifest.get("partition_transforms", {}))
+        if clash:
+            raise ValueError(
+                f"columns {clash} collide with hidden-partition "
+                "derived names (current or retired)"
+            )
 
     @staticmethod
     def _record_transforms(manifest: dict, spec) -> None:
@@ -2001,6 +2045,12 @@ class LakehouseTable:
             manifest.setdefault("file_rows", {}).update(
                 self._file_row_counts(files)
             )
+            # seed the spec + transform registry exactly like the main
+            # commit path: a table whose FIRST commits arrive via a
+            # branch must not lose transform pruning on publish
+            if self.partition_by and "partition_by" not in manifest:
+                manifest["partition_by"] = self.partition_by
+                self._record_transforms(manifest, self.partition_by)
             self._record_file_partitions(manifest, files)
             bid = len(br["snapshots"]) + 1
             br["snapshots"].append(
@@ -2095,6 +2145,9 @@ class LakehouseTable:
                     entry["deletes"] = base_deletes
                 manifest["snapshots"].append(entry)
             if br["snapshots"] and br.get("schema"):
+                self._guard_schema_transform_clash(
+                    manifest, br["schema"]
+                )
                 manifest["schema"] = br["schema"]
             del manifest["branches"][name]
             self._commit(manifest)
@@ -3035,6 +3088,17 @@ class LakehouseTable:
         by_src: dict[str, list] = {}
         for name, te in manifest.get("partition_transforms", {}).items():
             by_src.setdefault(te["src"], []).append((name, te))
+        # bound images depend only on (transform, lo, hi): compute
+        # once per range column, not once per file
+        timages: dict[str, list] = {}
+        for col, (lo, hi) in ranges.items():
+            imgs = []
+            for name, te in by_src.get(col, ()):
+                b = _transform_bounds(te, lo, hi)
+                if b is not None:
+                    imgs.append((name, b[0], b[1]))
+            if imgs:
+                timages[col] = imgs
         out = []
         for f in snap["files"]:
             fstats = dict(stats.get(f, {}))
@@ -3052,14 +3116,10 @@ class LakehouseTable:
                     ):
                         keep = False
                         break
-                for name, te in by_src.get(col, ()):
+                for name, blo, bhi in timages.get(col, ()):
                     raw = fp_f.get(name)
                     if raw is None:
                         continue  # file not laid out by this transform
-                    b = _transform_bounds(te, lo, hi)
-                    if b is None:
-                        continue  # transform can't bound this range
-                    blo, bhi = b
                     # derived values are fixed-width strings (time
                     # formats, truncate) or a single-bucket equality,
                     # so string comparison is order-correct

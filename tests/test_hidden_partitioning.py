@@ -161,6 +161,93 @@ def test_transform_guards(spark, tmp_path):
         t2.evolve_partition_spec(["days(ts)"])
 
 
+def test_bucket_pruning_skips_unreplicable_renderings(spark, tmp_path):
+    # str(v) in Python and CAST(v AS STRING) in Spark diverge for
+    # floats/bools — pruning must keep all files rather than hash a
+    # different rendering into the wrong bucket
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["bucket(4,v)"])
+    t.append(
+        spark.createDataFrame(
+            [(1, 1e-07), (2, 0.5), (3, 2.0)], "id long, v double"
+        )
+    )
+    # footer stats on v may legitimately prune; the regression was the
+    # bucket transform hashing Python's '1e-07' into the WRONG bucket
+    # and dropping the file that CONTAINS the row
+    assert t.scan(spark, ranges={"v": (1e-07, 1e-07)}).count() == 1
+    # int keys DO prune (rendering matches)
+    t2 = LakehouseTable(
+        str(tmp_path / "t2"), partition_by=["bucket(4,id)"]
+    )
+    t2.append(spark.createDataFrame([(i,) for i in range(20)], "id long"))
+    kept2 = t2.pruned_files({"id": (7, 7)})
+    assert len(kept2) < len(t2.snapshots[-1]["files"])
+    assert t2.scan(spark, ranges={"id": (7, 7)}).count() == 1
+
+
+def test_tz_aware_bounds_normalize_to_utc(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["days(ts)"])
+    t.append(_events(spark))
+    aware_lo = datetime.datetime(
+        2024, 1, 2, 14, 0, tzinfo=datetime.timezone(datetime.timedelta(hours=14))
+    )  # == 2024-01-02 00:00 UTC
+    aware_hi = datetime.datetime(
+        2024, 1, 3, 13, 59, tzinfo=datetime.timezone(datetime.timedelta(hours=14))
+    )  # == 2024-01-02 23:59 UTC
+    kept = t.pruned_files({"ts": (aware_lo, aware_hi)})
+    assert kept and all("p_ts_day=2024-01-02" in f for f in kept)
+
+
+def test_schema_cannot_reuse_retired_derived_name(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["days(ts)"])
+    t.append(_events(spark, n=4))
+    t.evolve_partition_spec(None)
+    bad = _events(spark, n=2, start_id=100).withColumn(
+        "p_ts_day", F.lit("x")
+    )
+    with pytest.raises(ValueError, match="derived names"):
+        t.append(bad)
+    # old rows must never surface the hidden path value
+    assert set(t.read(spark).columns) == {"id", "ts", "user", "v"}
+
+
+def test_zero_width_transform_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="width must be"):
+        _parse_spec_entry("bucket(0,user)")
+    with pytest.raises(ValueError, match="width must be"):
+        _parse_spec_entry("truncate(0,user)")
+
+
+def test_branch_first_commits_seed_transform_registry(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["days(ts)"])
+    t.create_branch("b")
+    t.append_to_branch("b", _events(spark))
+    t.fast_forward("b")
+    assert "p_ts_day" in t._read_manifest()["partition_transforms"]
+    lo = datetime.datetime(2024, 1, 2)
+    hi = datetime.datetime(2024, 1, 2, 23, 59)
+    kept = t.pruned_files({"ts": (lo, hi)})
+    assert kept and len(kept) < len(t.snapshots[-1]["files"])
+    assert t.scan(spark, ranges={"ts": (lo, hi)}).count() == 24
+
+
+def test_truncate_prunes_one_sided_ranges(spark, tmp_path):
+    t = LakehouseTable(
+        str(tmp_path / "t"), partition_by=["truncate(2,user)"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")],
+            "id long, user string",
+        )
+    )
+    all_files = t.snapshots[-1]["files"]
+    kept = t.pruned_files({"user": ("g", None)})
+    assert len(kept) < len(all_files)
+    assert all("p_user_truncate2=ga" in f for f in kept)
+    assert t.scan(spark, ranges={"user": ("g", None)}).count() == 1
+
+
 def test_compact_preserves_hidden_layout(spark, tmp_path):
     t = LakehouseTable(str(tmp_path / "t"), partition_by=["days(ts)"])
     t.append(_events(spark, n=24))
