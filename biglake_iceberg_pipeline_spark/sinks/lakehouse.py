@@ -3001,16 +3001,48 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ reads
 
+    def snapshot_as_of(self, ts: float) -> int:
+        """The snapshot current AT wall-clock time ``ts`` (unix
+        seconds): the last snapshot committed at or before it —
+        Iceberg/Delta's ``FOR SYSTEM_TIME AS OF`` resolution against
+        the commit timestamps the manifest already records. Raises
+        SnapshotNotFoundError when ``ts`` predates the table (or the
+        snapshot that covered it has been expired)."""
+        best = None
+        for s in self.snapshots:
+            if s["ts"] <= ts:
+                best = s["id"]
+        if best is None:
+            raise SnapshotNotFoundError(
+                f"no snapshot at or before ts={ts} (pre-creation, "
+                "or expired by maintenance)"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         tag: str | None = None,
         branch: str | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
-        """Read latest, time-travel to a snapshot id, resolve a named
-        tag, or read a BRANCH's staged state (``snapshot_id`` /
-        ``tag`` / ``branch`` are mutually exclusive)."""
+        """Read latest, time-travel to a snapshot id or a wall-clock
+        timestamp (``as_of_ts``, unix seconds — SYSTEM_TIME AS OF),
+        resolve a named tag, or read a BRANCH's staged state
+        (``snapshot_id`` / ``tag`` / ``branch`` / ``as_of_ts`` are
+        mutually exclusive)."""
+        if as_of_ts is not None:
+            if (
+                snapshot_id is not None
+                or tag is not None
+                or branch is not None
+            ):
+                raise ValueError(
+                    "pass snapshot_id, tag, branch, or as_of_ts — "
+                    "not several"
+                )
+            snapshot_id = self.snapshot_as_of(as_of_ts)
         manifest = self._read_manifest()  # ONE read: tag + snapshot
         if branch is not None:
             if snapshot_id is not None or tag is not None:

@@ -1819,3 +1819,26 @@ def test_ndv_sidecar_compaction_preserves_lost_blob_pointers(spark, tmp_path):
     # lost-blob files re-sketch on the next refresh; estimate heals
     assert t.refresh_ndv_sketches(spark) == len(victim_files)
     assert abs(t.ndv(spark)["id"] - 60) <= 3
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        SnapshotNotFoundError as _SNF,
+    )
+
+    t = LakehouseTable(str(tmp_path / "asof"))
+    t.append(spark.range(5).toDF("id"))
+    ts1 = t.snapshots[-1]["ts"]
+    t.append(spark.range(5, 9).toDF("id"))
+    ts2 = t.snapshots[-1]["ts"]
+    # at each commit's own timestamp, that commit's state reads
+    assert t.read(spark, as_of_ts=ts1).count() == 5
+    assert t.read(spark, as_of_ts=(ts1 + ts2) / 2).count() == 5
+    assert t.read(spark, as_of_ts=ts2).count() == 9
+    assert t.read(spark, as_of_ts=_time.time() + 60).count() == 9
+    with pytest.raises(_SNF, match="no snapshot at or before"):
+        t.read(spark, as_of_ts=ts1 - 1)
+    with pytest.raises(ValueError, match="not several"):
+        t.read(spark, snapshot_id=1, as_of_ts=ts1)
