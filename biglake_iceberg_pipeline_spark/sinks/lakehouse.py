@@ -413,6 +413,16 @@ class LakehouseTable:
                 "operation": operation,
                 "ts": time.time(),
                 "files": all_files,
+                # Iceberg snapshot summary: what this commit did, from
+                # metadata already in hand (footer counts) — history()
+                # answers "how big was that load" without any scan
+                "summary": {
+                    "added_files": len(files),
+                    "added_rows": sum(
+                        known_rows.get(f, 0) for f in files
+                    ),
+                    "total_files": len(all_files),
+                },
             }
             if tail_deletes:
                 entry["deletes"] = tail_deletes
@@ -600,6 +610,10 @@ class LakehouseTable:
             return
         fp = manifest.setdefault("file_partitions", {})
         for f in files:
+            if not self._owns(f):
+                # externally registered files (add_files): arbitrary
+                # '=' in their paths is not a trusted hive layout
+                continue
             vals = self._partition_values(f)
             if vals:
                 fp[f] = vals
@@ -708,7 +722,14 @@ class LakehouseTable:
         for f in files:
             d = f
             while not os.path.basename(d).startswith("snap-"):
-                d = os.path.dirname(d)
+                parent = os.path.dirname(d)
+                if parent == d or not parent:
+                    # externally registered file (add_files): no
+                    # snap-* staging ancestor — group by its own dir,
+                    # so no hive discovery climbs above it
+                    d = os.path.dirname(f)
+                    break
+                d = parent
             groups[d].append(f)
         # the overlay schema honors the same override as the
         # unpartitioned path (branch reads on a partitioned table —
@@ -883,6 +904,81 @@ class LakehouseTable:
         files = self._write_data(df)
         return self._publish_append_files(
             df.sparkSession, files, df.schema.json(), txn
+        )
+
+    def add_files(
+        self,
+        spark: SparkSession,
+        paths: list[str] | str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Register EXISTING parquet files into the table WITHOUT
+        copying or rewriting a byte (Iceberg's add_files procedure —
+        the migration path: onboarding 100 TB of already-written
+        parquet must be a metadata operation, not an ingest). Accepts
+        file paths or directories (recursed for ``*.parquet``).
+
+        The table records footer stats/row counts for the new files
+        (pruning and ``row_count()`` work like any append) and its
+        schema evolves to cover theirs (add/widen; incompatible types
+        raise) — reads overlay the committed schema, so files missing
+        a column surface NULL. Ownership is NOT taken: GC/expiry only
+        ever delete files under the table's own directory, so expiring
+        history never destroys the registered originals (``compact``
+        later materializes them into owned storage if wanted). Files
+        already referenced by the current snapshot are rejected —
+        re-registration would double-count rows."""
+        if isinstance(paths, str):
+            paths = [paths]
+        files: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, names in os.walk(p):
+                    files += [
+                        os.path.join(root, n)
+                        for n in names
+                        if n.endswith(".parquet")
+                    ]
+            else:
+                files.append(p)
+        files = sorted(set(os.path.abspath(f) for f in files))
+        if not files:
+            raise ValueError("no parquet files to register")
+        missing = [f for f in files if not os.path.isfile(f)]
+        if missing:
+            raise ValueError(f"not a file: {missing[:3]}")
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if txn is not None:
+            # pre-check the txn stamp BEFORE the duplicate guard: a
+            # replayed migration epoch re-offers the same paths, which
+            # must no-op, not error (the authoritative skip still runs
+            # under the commit lock)
+            seen = manifest.get("txns", {}).get(txn[0])
+            if seen is not None and seen >= txn[1]:
+                return snaps[-1]["id"] if snaps else 0
+        if snaps:
+            dup = set(files) & set(snaps[-1]["files"])
+            if dup:
+                raise ValueError(
+                    f"already registered: {sorted(dup)[:3]}"
+                )
+        incoming = spark.read.parquet(*files).schema
+        if manifest["schema"] is not None:
+            from pyspark.sql.types import StructType
+
+            current = StructType.fromJson(
+                json.loads(manifest["schema"])
+            )
+            evolved = evolve_schema(
+                spark.createDataFrame([], incoming),
+                spark.createDataFrame([], current),
+            )
+            schema_json = evolved.json()
+        else:
+            schema_json = incoming.json()
+        return self._publish_append_files(
+            spark, files, schema_json, txn
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -3232,6 +3328,13 @@ class LakehouseTable:
 
     def history(self) -> list[dict]:
         return [
-            {k: s[k] for k in ("id", "operation", "ts")}
+            {
+                **{k: s[k] for k in ("id", "operation", "ts")},
+                **(
+                    {"summary": s["summary"]}
+                    if "summary" in s
+                    else {}
+                ),
+            }
             for s in self.snapshots
         ]

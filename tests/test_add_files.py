@@ -1,0 +1,147 @@
+"""add_files (Iceberg's add_files procedure): register existing
+parquet into the table as a METADATA operation — the migration path
+for onboarding already-written data at 100 TB without an ingest. Plus
+snapshot summaries (Iceberg snapshot summary: added files/rows per
+commit from footer metadata).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+
+
+def _external(spark, tmp_path, name, n=20, start=0, cols="full"):
+    p = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(start, start + n)],
+        "id long, name string, v double",
+    )
+    if cols == "narrow":
+        df = df.select("id", "name")
+    df.coalesce(1).write.parquet(p)
+    return p
+
+
+def test_add_files_is_metadata_only(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1000, "a", 0.5)], "id long, name string, v double"
+        )
+    )
+    t.add_files(spark, ext)
+    assert t.read(spark).count() == 21
+    # no bytes copied: the table dir holds only its own append
+    ext_files = [
+        f for f in t.snapshots[-1]["files"] if f.startswith(ext)
+    ]
+    assert ext_files
+    assert not any(
+        f.startswith(ext)
+        for root, _d, names in os.walk(str(tmp_path / "t"))
+        for f in [os.path.join(root, n) for n in names]
+    )
+    # footer stats/rows recorded: metadata row_count and pruning work
+    assert t.row_count() == 21
+    kept = t.pruned_files({"id": (0, 5)})
+    assert ext_files[0] in kept
+
+
+def test_add_files_schema_evolves_and_overlays(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext", cols="narrow")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1000, "a", 0.5)], "id long, name string, v double"
+        )
+    )
+    t.add_files(spark, ext)
+    out = t.read(spark)
+    assert set(out.columns) == {"id", "name", "v"}
+    # external rows surface NULL for the column they lack
+    assert out.where("v is null").count() == 20
+
+
+def test_add_files_never_deleted_by_gc(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, ext)
+    t.overwrite(spark.range(3).toDF("id"))
+    t.expire_snapshots(keep_last=1)
+    t.sweep_orphans(older_than_s=0)
+    # ownership guard: the registered originals survive expiry
+    assert os.path.isdir(ext)
+    assert any(n.endswith(".parquet") for n in os.listdir(ext))
+
+
+def test_add_files_guards(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, ext)
+    with pytest.raises(ValueError, match="already registered"):
+        t.add_files(spark, ext)
+    with pytest.raises(ValueError, match="not a file"):
+        t.add_files(spark, str(tmp_path / "empty-nowhere"))
+    empty_dir = tmp_path / "empty-dir"
+    empty_dir.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        t.add_files(spark, str(empty_dir))
+    # incompatible type refuses
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([("x", "y", 1.0)], "id string, name string, v double").write.parquet(bad)
+    with pytest.raises(ValueError, match="incompatible"):
+        t.add_files(spark, bad)
+
+
+def test_add_files_txn_replay_noops(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    s1 = t.add_files(spark, ext, txn=("mig", 1))
+    # replay of the same epoch: second registration would normally be
+    # rejected as duplicate, but the txn stamp no-ops first
+    s2 = t.add_files(spark, str(tmp_path / "ext"), txn=("mig", 1))
+    assert s2 == s1
+    assert t.read(spark).count() == 20
+
+
+def test_add_files_then_compact_takes_ownership(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, ext)
+    t.compact(spark)
+    assert all(
+        f.startswith(str(tmp_path / "t")) for f in t.snapshots[-1]["files"]
+    )
+    assert t.read(spark).count() == 20
+
+
+def test_add_files_mor_delete_composes(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, ext)
+    t.delete_where(spark, "id < 5", mode="merge-on-read")
+    assert t.read(spark).count() == 15
+    assert t.row_count() == 15
+    t.materialize_deletes(spark)
+    assert t.read(spark).count() == 15
+    # materialization rewrote INTO the table; originals untouched
+    assert any(n.endswith(".parquet") for n in os.listdir(ext))
+
+
+def test_snapshot_summaries(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.range(5).toDF("id"))
+    t.append(spark.range(5, 12).toDF("id"))
+    h = t.history()
+    assert h[0]["summary"]["added_rows"] == 5
+    assert h[1]["summary"]["added_rows"] == 7
+    assert h[1]["summary"]["total_files"] > h[1]["summary"]["added_files"] or (
+        h[1]["summary"]["total_files"]
+        == h[0]["summary"]["total_files"] + h[1]["summary"]["added_files"]
+    )
