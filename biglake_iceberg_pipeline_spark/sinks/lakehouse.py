@@ -356,6 +356,16 @@ class LakehouseTable:
                     f"{expected_tail}); re-read and retry the {operation}"
                 )
             snap_id = self._next_id(manifest)
+            if inherit_prev_files and snaps:
+                # lock-authoritative duplicate guard: two racing
+                # add_files of the same external paths both pass the
+                # pre-lock check; the second would double-reference
+                # the files (2× row_count, duplicated reads)
+                dup = set(files) & set(snaps[-1]["files"])
+                if dup:
+                    raise ValueError(
+                        f"already registered: {sorted(dup)[:3]}"
+                    )
             all_files = (
                 (snaps[-1]["files"] if snaps else []) + files
                 if inherit_prev_files
@@ -415,13 +425,29 @@ class LakehouseTable:
                 "files": all_files,
                 # Iceberg snapshot summary: what this commit did, from
                 # metadata already in hand (footer counts) — history()
-                # answers "how big was that load" without any scan
+                # answers "how big was that load" without any scan.
+                # added_* only when files really are additions on top
+                # of the previous tail; full-set ops (overwrite/
+                # replace/rollback/CoW rewrites) report written_* —
+                # calling a compaction's whole file set "added" would
+                # make load-size audits wrong for every rewrite
                 "summary": {
-                    "added_files": len(files),
-                    "added_rows": sum(
-                        known_rows.get(f, 0) for f in files
-                    ),
                     "total_files": len(all_files),
+                    **(
+                        {
+                            "added_files": len(files),
+                            "added_rows": sum(
+                                known_rows.get(f, 0) for f in files
+                            ),
+                        }
+                        if inherit_prev_files
+                        else {
+                            "written_files": len(files),
+                            "written_rows": sum(
+                                known_rows.get(f, 0) for f in files
+                            ),
+                        }
+                    ),
                 },
             }
             if tail_deletes:
@@ -720,13 +746,18 @@ class LakehouseTable:
 
         groups: dict[str, list[str]] = defaultdict(list)
         for f in files:
+            if not self._owns(f):
+                # externally registered file (add_files): group by its
+                # own dir so hive discovery never climbs its path —
+                # ownership is the discriminator, not directory names
+                # (an external path may legitimately contain snap-*
+                # or col=value segments that are NOT table layout)
+                groups[os.path.dirname(f)].append(f)
+                continue
             d = f
             while not os.path.basename(d).startswith("snap-"):
                 parent = os.path.dirname(d)
                 if parent == d or not parent:
-                    # externally registered file (add_files): no
-                    # snap-* staging ancestor — group by its own dir,
-                    # so no hive discovery climbs above it
                     d = os.path.dirname(f)
                     break
                 d = parent
@@ -941,7 +972,10 @@ class LakehouseTable:
                     ]
             else:
                 files.append(p)
-        files = sorted(set(os.path.abspath(f) for f in files))
+        # realpath, not abspath: a symlink to an already-registered
+        # file must hit the duplicate guard (and _owns compares
+        # realpaths too)
+        files = sorted(set(os.path.realpath(f) for f in files))
         if not files:
             raise ValueError("no parquet files to register")
         missing = [f for f in files if not os.path.isfile(f)]
@@ -956,14 +990,24 @@ class LakehouseTable:
             # under the commit lock)
             seen = manifest.get("txns", {}).get(txn[0])
             if seen is not None and seen >= txn[1]:
-                return snaps[-1]["id"] if snaps else 0
+                return snaps[-1]["id"] if snaps else None
         if snaps:
+            # fast, friendly error; the RACE-authoritative re-check
+            # runs under the commit lock in _locked_commit
             dup = set(files) & set(snaps[-1]["files"])
             if dup:
                 raise ValueError(
                     f"already registered: {sorted(dup)[:3]}"
                 )
-        incoming = spark.read.parquet(*files).schema
+        # mergeSchema: migration directories routinely hold DRIFTED
+        # schemas across files — single-footer inference would drop
+        # columns silently (and later reads could hit unsafe casts);
+        # merging also fails fast here on truly incompatible files
+        incoming = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .schema
+        )
         if manifest["schema"] is not None:
             from pyspark.sql.types import StructType
 
@@ -2404,11 +2448,20 @@ class LakehouseTable:
         # txn-skipped replay must not index its orphaned files as
         # phantom rows.
         if committed and self._read_manifest().get("vector_indexes"):
+            from pyspark.sql.types import StructType
+
             from biglake_iceberg_pipeline_spark.operators.vector_index import (
                 maintain_lakehouse_indexes,
             )
 
-            maintain_lakehouse_indexes(self, spark.read.parquet(*files))
+            # overlay the committed schema, not the raw files:
+            # add_files-registered externals may lack columns the
+            # index needs (e.g. its id column) — they must surface
+            # NULL like any read, not crash maintenance post-commit
+            appended = spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*files)
+            maintain_lakehouse_indexes(self, appended)
         if committed:
             self._fire_commit_hooks("append", snap)
         return snap

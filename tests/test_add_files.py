@@ -141,7 +141,62 @@ def test_snapshot_summaries(spark, tmp_path):
     h = t.history()
     assert h[0]["summary"]["added_rows"] == 5
     assert h[1]["summary"]["added_rows"] == 7
-    assert h[1]["summary"]["total_files"] > h[1]["summary"]["added_files"] or (
+    assert (
         h[1]["summary"]["total_files"]
         == h[0]["summary"]["total_files"] + h[1]["summary"]["added_files"]
     )
+    # full-set ops report written_*, never "added" (a compaction adds
+    # nothing; calling its whole file set added breaks load audits)
+    t.compact(spark.range(1).sparkSession)
+    s = t.history()[-1]["summary"]
+    assert "added_files" not in s
+    assert s["written_rows"] == 12
+
+
+def test_add_files_merges_drifted_schemas(spark, tmp_path):
+    # migration dirs routinely hold files with drifted schemas: both
+    # columns must survive, with NULL where a file lacks one
+    d = tmp_path / "ext"
+    spark.createDataFrame([(1, "a")], "id long, name string").coalesce(
+        1
+    ).write.parquet(str(d / "a"))
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, extra double"
+    ).coalesce(1).write.parquet(str(d / "b"))
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, str(d))
+    out = t.read(spark)
+    assert set(out.columns) == {"id", "name", "extra"}
+    assert out.where("extra is null").count() == 1
+    assert out.where("extra = 9.5").count() == 1
+
+
+def test_add_files_symlink_duplicate_rejected(spark, tmp_path):
+    ext = _external(spark, tmp_path, "ext")
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, ext)
+    link = tmp_path / "ext-link"
+    os.symlink(ext, link)
+    with pytest.raises(ValueError, match="already registered"):
+        t.add_files(spark, str(link))
+    assert t.read(spark).count() == 20
+
+
+def test_external_snap_dir_names_are_not_table_layout(spark, tmp_path):
+    # an external path containing snap-*/col=value segments must not
+    # be parsed as hive layout (ownership, not names, decides)
+    t = LakehouseTable(str(tmp_path / "t"), partition_by=["grp"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "x", 0)], "id long, name string, grp long"
+        )
+    )
+    ext_dir = tmp_path / "backups" / "snap-2024" / "region=eu"
+    spark.createDataFrame(
+        [(2, "y", 1)], "id long, name string, grp long"
+    ).coalesce(1).write.parquet(str(ext_dir / "blob"))
+    t.add_files(spark, str(ext_dir))
+    out = t.read(spark)
+    assert out.count() == 2
+    assert set(out.columns) == {"id", "name", "grp"}
+    assert {r.grp for r in out.collect()} == {0, 1}
