@@ -105,6 +105,9 @@ def start_ingest_to_lakehouse(
     table=None,
     audit_rules: dict | None = None,
     on_reject=None,
+    merge_mode: str = "copy-on-write",
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Inbox → clean → snapshot-committed lakehouse table — the full
     reference flow (agent cleans, loader appends/upserts to Iceberg)
@@ -136,6 +139,16 @@ def start_ingest_to_lakehouse(
     is skipped under the table's commit lock — the window where
     checkpoint-only tracking would double-append. (MERGE batches are
     additionally idempotent on the keys.)
+
+    ``merge_mode="merge-on-read"``: each epoch's MERGE commits
+    O(batch) — new data files + an equality-delete file — instead of
+    rewriting the table (copy-on-write rewrites the WHOLE table every
+    epoch: the per-epoch scale killer on a large table). Readers pay
+    a broadcast anti-join until maintenance materializes the tail;
+    pair it with ``maintain_every=N`` to run ``table.maintain()``
+    after every Nth epoch (targeted delete materialization +
+    compaction + expiry), bounding both the delete tail and the
+    one-file-per-epoch fragmentation in one place.
     """
     import hashlib
 
@@ -167,6 +180,12 @@ def start_ingest_to_lakehouse(
         if on_reject is not None:
             on_reject(batch_id, metrics)
 
+    def _maintain(batch_id: int) -> None:
+        # after every Nth epoch; maintain_kwargs tunes the thresholds
+        # (e.g. max_delete_files) for the table's churn profile
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            table.maintain(spark, **(maintain_kwargs or {}))
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from biglake_iceberg_pipeline_spark.operators.expectations import (
             ExpectationsFailed,
@@ -195,18 +214,25 @@ def start_ingest_to_lakehouse(
             batch_df = batch_df.dropDuplicates(merge_keys)
             if table.current_snapshot_id() is not None:
                 table.merge(
-                    batch_df.sparkSession, batch_df, merge_keys, txn=txn
+                    batch_df.sparkSession,
+                    batch_df,
+                    merge_keys,
+                    txn=txn,
+                    mode=merge_mode,
                 )
-                return
-            table.append(batch_df, txn=txn)
+            else:
+                table.append(batch_df, txn=txn)
+            _maintain(batch_id)
             return
         if audit_rules:
             try:
                 table.write_audit_publish(batch_df, audit_rules, txn=txn)
+                _maintain(batch_id)
             except ExpectationsFailed as e:
                 _quarantine(batch_df, batch_id, e.metrics)
             return
         table.append(batch_df, txn=txn)
+        _maintain(batch_id)
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -520,3 +520,56 @@ def test_streaming_wap_merge_path_audits_before_dedup(spark, tmp_path):
     )
     # raw epoch preserved: BOTH versions of id=1 are inspectable
     assert quarantined.where("order_id = 1").count() == 2
+
+
+def test_streaming_mor_merge_with_maintenance_cadence(spark, tmp_path):
+    """merge_mode='merge-on-read': each epoch commits O(batch) (new
+    files + an equality-delete file) instead of rewriting the table;
+    maintain_every materializes the delete tail on a cadence so reads
+    stop paying the anti-join."""
+    import os
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = LakehouseTable(str(tmp_path / "t"))
+
+    def run():
+        q = ingest.start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            str(tmp_path / "t"),
+            str(tmp_path / "ckpt"),
+            schema="`Order ID` long, Amount double",
+            table=table,
+            merge_keys=["order_id"],
+            merge_mode="merge-on-read",
+            maintain_every=3,
+            maintain_kwargs={"max_delete_files": 0, "max_files": 4},
+        )
+        q.awaitTermination(120)
+
+    (inbox / "b1.csv").write_text("Order ID,Amount\n1,10.0\n2,20.0\n")
+    run()  # epoch 0: first commit is an append
+    files_after_load = list(table.snapshots[-1]["files"])
+    (inbox / "b2.csv").write_text("Order ID,Amount\n1,11.0\n3,30.0\n")
+    run()  # epoch 1: MoR merge — no rewrite of the loaded files
+    snap = table.snapshots[-1]
+    assert set(files_after_load) <= set(snap["files"])
+    assert snap.get("deletes")
+    rows = {r.order_id: r.amount for r in table.read(spark).collect()}
+    assert rows == {1: 11.0, 2: 20.0, 3: 30.0}
+    # epoch 2 hits the maintain_every=3 cadence ((2+1) % 3 == 0):
+    # the delete tail is materialized and fragmentation compacted
+    (inbox / "b3.csv").write_text("Order ID,Amount\n2,22.0\n")
+    run()
+    assert not table.snapshots[-1].get("deletes")
+    rows = {r.order_id: r.amount for r in table.read(spark).collect()}
+    assert rows == {1: 11.0, 2: 22.0, 3: 30.0}
+    # replay: no new files -> no epochs -> table untouched
+    snap_id = table.current_snapshot_id()
+    run()
+    assert table.current_snapshot_id() == snap_id
