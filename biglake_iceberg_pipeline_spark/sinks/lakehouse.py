@@ -40,6 +40,7 @@ import os
 import re
 import time
 import uuid
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3391,3 +3392,241 @@ class LakehouseTable:
             }
             for s in self.snapshots
         ]
+
+    # ---- metadata inspection tables (Iceberg metadata tables) ----
+    # Iceberg exposes table internals as queryable relations
+    # (`db.tbl.files`, `.snapshots`, `.partitions`, `.refs`); BigQuery
+    # has INFORMATION_SCHEMA equivalents. At 100 TB these are how an
+    # operator answers "how big is each partition", "what did that
+    # load add", "which files carry deletes" — from METADATA, never a
+    # data scan. Everything below is built from the driver-resident
+    # manifest (O(files) dicts) plus os.stat for byte sizes; no data
+    # page is ever opened, pinned by test against removed data files.
+
+    INSPECT_KINDS = (
+        "files", "delete_files", "snapshots", "partitions", "refs"
+    )
+
+    def _snapshot_entry(self, snapshot_id: int | None) -> dict | None:
+        snaps = self.snapshots
+        if not snaps:
+            return None
+        if snapshot_id is None:
+            return snaps[-1]
+        for s in snaps:
+            if s["id"] == snapshot_id:
+                return s
+        raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
+
+    @staticmethod
+    def _size_of(path: str) -> int | None:
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+
+    def inspect(
+        self,
+        spark: SparkSession,
+        kind: str,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """A table-internals relation as a DataFrame (Iceberg metadata
+        tables). ``kind``:
+
+        - ``files``: one row per data file in the (time-traveled)
+          snapshot — size, footer row count, add-order watermark,
+          recorded partition values, per-column min/max bounds
+          (stringified, the manifest's pruning stats), and whether the
+          table OWNS the file (False for add_files registrations).
+        - ``delete_files``: the snapshot's merge-on-read delete tail —
+          kind (position/equality), equality keys, applies_to
+          watermark, footer row count.
+        - ``snapshots``: the full commit log with Iceberg-style
+          summaries (added_/written_ files+rows, delete tail length).
+          ``snapshot_id`` is rejected here — the log is one relation.
+        - ``partitions``: per-partition rollup of ``files`` — file
+          count, metadata row count (NULL if any member file predates
+          row tracking), total bytes. Unpartitioned files group under
+          the empty map.
+        - ``refs``: named references — tags (type='tag', pinned
+          snapshot) and open branches (type='branch', base snapshot,
+          staged commit count).
+        """
+        from pyspark.sql import types as T
+
+        if kind not in self.INSPECT_KINDS:
+            raise ValueError(
+                f"unknown metadata table {kind!r}; one of "
+                f"{self.INSPECT_KINDS}"
+            )
+        manifest = self._read_manifest()
+        if kind == "snapshots":
+            if snapshot_id is not None:
+                raise ValueError(
+                    "snapshots is the full log; snapshot_id applies to "
+                    "files/delete_files/partitions"
+                )
+            schema = T.StructType([
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("committed_at", T.TimestampType(), True),
+                T.StructField("total_files", T.LongType(), True),
+                T.StructField("added_files", T.LongType(), True),
+                T.StructField("added_rows", T.LongType(), True),
+                T.StructField("written_files", T.LongType(), True),
+                T.StructField("written_rows", T.LongType(), True),
+                T.StructField("delete_file_count", T.LongType(), True),
+            ])
+            rows = []
+            for s in manifest["snapshots"]:
+                summ = s.get("summary", {})
+                rows.append((
+                    s["id"],
+                    s["operation"],
+                    datetime.fromtimestamp(s["ts"], tz=timezone.utc)
+                    .replace(tzinfo=None),
+                    summ.get("total_files", len(s["files"])),
+                    summ.get("added_files"),
+                    summ.get("added_rows"),
+                    summ.get("written_files"),
+                    summ.get("written_rows"),
+                    len(s.get("deletes", [])),
+                ))
+            return spark.createDataFrame(rows, schema)
+
+        if kind == "refs":
+            schema = T.StructType([
+                T.StructField("name", T.StringType(), False),
+                T.StructField("type", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), True),
+                T.StructField("staged_commits", T.LongType(), True),
+            ])
+            rows = [
+                (n, "tag", sid, None)
+                for n, sid in manifest.get("tags", {}).items()
+            ] + [
+                (n, "branch", b["base"], len(b["snapshots"]))
+                for n, b in manifest.get("branches", {}).items()
+            ]
+            return spark.createDataFrame(rows, schema)
+
+        snap = self._snapshot_entry(snapshot_id)
+        file_rows = manifest.get("file_rows", {})
+
+        if kind == "delete_files":
+            dmeta = manifest.get("delete_meta", {})
+            schema = T.StructType([
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("kind", T.StringType(), False),
+                T.StructField(
+                    "equality_keys",
+                    T.ArrayType(T.StringType(), False),
+                    True,
+                ),
+                T.StructField("applies_to", T.LongType(), True),
+                T.StructField("row_count", T.LongType(), True),
+                T.StructField("size_bytes", T.LongType(), True),
+            ])
+            rows = []
+            for d in (snap or {}).get("deletes", []):
+                m = dmeta.get(d, {})
+                rows.append((
+                    d,
+                    m.get("kind", "position"),
+                    m.get("keys"),
+                    m.get("applies_to"),
+                    file_rows.get(d),
+                    self._size_of(d),
+                ))
+            return spark.createDataFrame(rows, schema)
+
+        # files / partitions share the per-file metadata rows
+        fparts = manifest.get("file_partitions", {})
+        fstats = manifest.get("file_stats", {})
+        fadded = manifest.get("file_added_at", {})
+        per_file = []
+        for f in (snap or {}).get("files", []):
+            per_file.append({
+                "file_path": f,
+                "size_bytes": self._size_of(f),
+                "row_count": file_rows.get(f),
+                "added_at_snapshot": fadded.get(f),
+                "partition": dict(fparts.get(f, {})),
+                "owned": self._owns(f),
+                "lower_bounds": {
+                    c: str(b[0]) for c, b in fstats.get(f, {}).items()
+                },
+                "upper_bounds": {
+                    c: str(b[1]) for c, b in fstats.get(f, {}).items()
+                },
+            })
+
+        if kind == "files":
+            schema = T.StructType([
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("size_bytes", T.LongType(), True),
+                T.StructField("row_count", T.LongType(), True),
+                T.StructField("added_at_snapshot", T.LongType(), True),
+                T.StructField(
+                    "partition",
+                    T.MapType(T.StringType(), T.StringType(), True),
+                    False,
+                ),
+                T.StructField("owned", T.BooleanType(), False),
+                T.StructField(
+                    "lower_bounds",
+                    T.MapType(T.StringType(), T.StringType(), False),
+                    False,
+                ),
+                T.StructField(
+                    "upper_bounds",
+                    T.MapType(T.StringType(), T.StringType(), False),
+                    False,
+                ),
+            ])
+            rows = [
+                (
+                    r["file_path"], r["size_bytes"], r["row_count"],
+                    r["added_at_snapshot"], r["partition"], r["owned"],
+                    r["lower_bounds"], r["upper_bounds"],
+                )
+                for r in per_file
+            ]
+            return spark.createDataFrame(rows, schema)
+
+        # partitions: metadata rollup; rows NULL-poisoned if any
+        # member file predates row tracking (mirrors row_count())
+        groups: dict[tuple, dict] = {}
+        for r in per_file:
+            key = tuple(sorted(r["partition"].items()))
+            g = groups.setdefault(
+                key,
+                {"partition": r["partition"], "file_count": 0,
+                 "row_count": 0, "size_bytes": 0},
+            )
+            g["file_count"] += 1
+            if g["row_count"] is not None and r["row_count"] is not None:
+                g["row_count"] += r["row_count"]
+            else:
+                g["row_count"] = None
+            if g["size_bytes"] is not None and r["size_bytes"] is not None:
+                g["size_bytes"] += r["size_bytes"]
+            else:
+                g["size_bytes"] = None
+        schema = T.StructType([
+            T.StructField(
+                "partition",
+                T.MapType(T.StringType(), T.StringType(), True),
+                False,
+            ),
+            T.StructField("file_count", T.LongType(), False),
+            T.StructField("row_count", T.LongType(), True),
+            T.StructField("size_bytes", T.LongType(), True),
+        ])
+        rows = [
+            (g["partition"], g["file_count"], g["row_count"],
+             g["size_bytes"])
+            for g in groups.values()
+        ]
+        return spark.createDataFrame(rows, schema)
