@@ -113,6 +113,71 @@ def incremental_exact_dedup_vs_index(
     )
 
 
+def split_batch_vs_index(
+    idx_df: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The load-side split both the batch medallion flow and the
+    streaming ingest run per file/epoch: ``(keep, new_index_rows,
+    verdicts)``.
+
+    - ``keep``: the batch WITHOUT rows whose content is already in
+      the corpus index (within-batch duplicates are kept — bronze
+      keeps and flags them; only cross-load duplicates drop).
+    - ``new_index_rows``: one (content_hash, corpus_keep_id) row per
+      distinct newly-seen non-NULL content — the index extension the
+      caller appends transactionally. NULL content never joins and
+      never dedups, so it stays out of the index (it would otherwise
+      accumulate one junk row per load); the groupBy collapses fully
+      identical in-file rows (same id AND content — both verdict
+      'new') to ONE row per hash, since duplicate index entries
+      would fan out every later load's left join.
+    - ``verdicts``: the PERSISTED verdict frame (corpus_dup /
+      batch_dup / new per row) both outputs derive from — the index
+      join runs once per load; callers ``unpersist()`` it when done.
+    """
+    out = incremental_exact_dedup_vs_index(
+        idx_df, batch, id_col, content_col
+    ).persist()
+    dup_hashes = (
+        out.where(F.col("verdict") == "corpus_dup")
+        .select("content_hash")
+        .distinct()
+    )
+    keep = (
+        batch.withColumn("__ch", F.md5(F.col(content_col)))
+        .join(
+            dup_hashes,
+            F.col("__ch") == dup_hashes["content_hash"],
+            "left_anti",
+        )
+        .drop("__ch")
+    )
+    new_rows = (
+        out.where(
+            (F.col("verdict") == "new")
+            & F.col("content_hash").isNotNull()
+        )
+        .groupBy("content_hash")
+        .agg(F.min("keep_id").alias("corpus_keep_id"))
+    )
+    return keep, new_rows, out
+
+
+def empty_index_frame(
+    batch: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """A typed empty (content_hash, corpus_keep_id) index frame —
+    the shape the first append creates, for joins before any index
+    table exists."""
+    return batch.select(
+        F.md5(F.col(content_col)).alias("content_hash"),
+        F.col(id_col).alias("corpus_keep_id"),
+    ).limit(0)
+
+
 def incremental_minhash_candidates(
     corpus_sigs: DataFrame,
     batch: DataFrame,

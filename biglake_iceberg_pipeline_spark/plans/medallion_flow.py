@@ -372,50 +372,18 @@ def run_medallion_flow(
         materialized ONCE (persist) and both outputs derive from it,
         so the index join runs once per file."""
         from biglake_iceberg_pipeline_spark.operators.dedup import (
-            incremental_exact_dedup_vs_index,
+            empty_index_frame,
+            split_batch_vs_index,
         )
 
         idx_df = (
             dedup_index.read(spark)
             if dedup_index.current_snapshot_id() is not None
-            # typed empty index: same shape the first append creates
-            else df.select(
-                F.md5(F.col(dedup_content_col)).alias("content_hash"),
-                F.col(key_cols[0]).alias("corpus_keep_id"),
-            ).limit(0)
+            else empty_index_frame(df, key_cols[0], dedup_content_col)
         )
-        out = incremental_exact_dedup_vs_index(
+        return split_batch_vs_index(
             idx_df, df, key_cols[0], dedup_content_col
-        ).persist()
-        dup_hashes = (
-            out.where(F.col("verdict") == "corpus_dup")
-            .select("content_hash")
-            .distinct()
         )
-        keep = (
-            df.withColumn("__ch", F.md5(F.col(dedup_content_col)))
-            .join(
-                dup_hashes,
-                F.col("__ch") == dup_hashes["content_hash"],
-                "left_anti",
-            )
-            .drop("__ch")
-        )
-        # NULL content never joins and never dedups — keep it out of
-        # the index or it accumulates one junk row per file. The
-        # groupBy collapses fully identical in-file rows (same id AND
-        # content — both verdict 'new') to ONE index row per hash;
-        # duplicate index entries would fan out every later file's
-        # left join against the index.
-        new_rows = (
-            out.where(
-                (F.col("verdict") == "new")
-                & F.col("content_hash").isNotNull()
-            )
-            .groupBy("content_hash")
-            .agg(F.min("keep_id").alias("corpus_keep_id"))
-        )
-        return keep, new_rows, out
 
     def _heal_index(name: str, path: str) -> None:
         """A crash between a file's bronze commit and its index

@@ -108,6 +108,9 @@ def start_ingest_to_lakehouse(
     merge_mode: str = "copy-on-write",
     maintain_every: int | None = None,
     maintain_kwargs: dict | None = None,
+    dedup_content_col: str | None = None,
+    dedup_id_col: str | None = None,
+    dedup_index_path: str | None = None,
 ) -> StreamingQuery:
     """Inbox → clean → snapshot-committed lakehouse table — the full
     reference flow (agent cleans, loader appends/upserts to Iceberg)
@@ -149,6 +152,26 @@ def start_ingest_to_lakehouse(
     after every Nth epoch (targeted delete materialization +
     compaction + expiry), bounding both the delete tail and the
     one-file-per-epoch fragmentation in one place.
+
+    ``dedup_content_col`` + ``dedup_id_col`` + ``dedup_index_path``:
+    CROSS-EPOCH content dedup against the persisted hash index (the
+    batch medallion flow's ``dedup_content_col``, continuous form).
+    Each epoch joins against the (content_hash, corpus_keep_id)
+    index table — O(batch + index), never a rescan of committed
+    text — drops rows whose content an earlier epoch (or another
+    pipeline sharing the index) already loaded, and extends the
+    index transactionally with its newly-seen hashes. Within-epoch
+    duplicates are KEPT (bronze keeps and flags; only cross-load
+    content drops). Crash-window safe in the one order the sink
+    runs (table commit, then index append): a replayed epoch whose
+    table commit landed but index append didn't HEALS the index
+    before returning — both appends stamp the epoch's txn, so every
+    replay path no-ops or completes exactly the missing half.
+    Composes with ``audit_rules`` (the audit gates the RAW epoch
+    before dedup, so rejection never depends on what earlier epochs
+    loaded); not supported together with ``merge_keys`` (merge
+    already replaces by key — content-dedup-then-upsert has no
+    single sensible semantics).
     """
     import hashlib
 
@@ -156,6 +179,32 @@ def start_ingest_to_lakehouse(
         LakehouseTable,
     )
 
+    if dedup_content_col and merge_keys:
+        raise ValueError(
+            "dedup_content_col is append-path only; merge_keys "
+            "already dedups by key"
+        )
+    if dedup_content_col and not (dedup_id_col and dedup_index_path):
+        raise ValueError(
+            "dedup_content_col needs dedup_id_col and dedup_index_path"
+        )
+    if dedup_content_col:
+        import os
+
+        # the index must live OUTSIDE the ingest table's directory:
+        # the table's orphan sweep / expiry only ever delete under
+        # their own path, and a nested foreign table's files would
+        # look like unreferenced orphans to them
+        idx_real = os.path.realpath(dedup_index_path)
+        tbl_real = os.path.realpath(table_path)
+        if os.path.commonpath([idx_real, tbl_real]) == tbl_real:
+            raise ValueError(
+                "dedup_index_path must not be inside table_path "
+                "(the table's GC would sweep the index's files)"
+            )
+    dedup_index = (
+        LakehouseTable(dedup_index_path) if dedup_content_col else None
+    )
     if table is None:
         table = LakehouseTable(table_path)
     else:
@@ -186,6 +235,38 @@ def start_ingest_to_lakehouse(
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             table.maintain(spark, **(maintain_kwargs or {}))
 
+    idx_app = app_id + "-idx"
+
+    def _dedup_split(batch_df: DataFrame):
+        from biglake_iceberg_pipeline_spark.operators.dedup import (
+            empty_index_frame,
+            split_batch_vs_index,
+        )
+
+        idx_df = (
+            dedup_index.read(batch_df.sparkSession)
+            if dedup_index.current_snapshot_id() is not None
+            else empty_index_frame(
+                batch_df, dedup_id_col, dedup_content_col
+            )
+        )
+        return split_batch_vs_index(
+            idx_df, batch_df, dedup_id_col, dedup_content_col
+        )
+
+    def _extend_index(batch_df: DataFrame, batch_id: int) -> None:
+        """Append this epoch's newly-seen hashes (idempotent on the
+        index's own txn stamp) — also the HEAL for a crash between
+        the table commit and the index append: the replayed epoch
+        recomputes its verdicts against the exactly-pre-epoch index
+        state and finishes the missing half."""
+        seen = dedup_index.last_txn_version(idx_app)
+        if seen is not None and seen >= batch_id:
+            return
+        _, new_rows, out = _dedup_split(batch_df)
+        dedup_index.append(new_rows, txn=(idx_app, batch_id))
+        out.unpersist()
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from biglake_iceberg_pipeline_spark.operators.expectations import (
             ExpectationsFailed,
@@ -194,8 +275,27 @@ def start_ingest_to_lakehouse(
 
         seen = table.last_txn_version(app_id)
         if seen is not None and seen >= batch_id:
-            return  # replayed epoch, already in the table
+            # replayed epoch, already in the table — but the crash may
+            # have hit between its table commit and its index append
+            if dedup_index is not None:
+                _extend_index(batch_df, batch_id)
+            return
         txn = (app_id, batch_id)
+        if dedup_index is not None:
+            if audit_rules:
+                # audit the RAW epoch before dedup: rejection must not
+                # depend on what earlier epochs happened to load, and
+                # quarantine must hold the full epoch for inspection
+                _, metrics = check(batch_df, audit_rules, "warn")
+                if any(v > 0 for v in metrics.values()):
+                    _quarantine(batch_df, batch_id, metrics)
+                    return
+            keep, new_rows, out = _dedup_split(batch_df)
+            table.append(keep, txn=txn)
+            dedup_index.append(new_rows, txn=(idx_app, batch_id))
+            out.unpersist()
+            _maintain(batch_id)
+            return
         if merge_keys:
             if audit_rules:
                 # merge rewrites in place (no staged-append form), so

@@ -573,3 +573,132 @@ def test_streaming_mor_merge_with_maintenance_cadence(spark, tmp_path):
     snap_id = table.current_snapshot_id()
     run()
     assert table.current_snapshot_id() == snap_id
+
+
+def test_streaming_cross_epoch_dedup(spark, tmp_path):
+    """dedup_content_col on the streaming ingest: each epoch drops
+    rows whose content an earlier epoch loaded (checked against the
+    persisted hash index, O(batch + index)), keeps within-epoch
+    duplicates (bronze keeps and flags), and extends the index
+    transactionally; replays no-op end to end."""
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = LakehouseTable(str(tmp_path / "bronze"))
+    index = LakehouseTable(str(tmp_path / "dedup_index"))
+
+    def run():
+        q = ingest.start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            str(tmp_path / "bronze"),
+            str(tmp_path / "ckpt"),
+            schema="`Doc ID` long, Text string",
+            table=table,
+            dedup_content_col="text",
+            dedup_id_col="doc_id",
+            dedup_index_path=str(tmp_path / "dedup_index"),
+        )
+        q.awaitTermination(120)
+        _drain_query(q)
+
+    (inbox / "b1.csv").write_text("Doc ID,Text\n1,alpha\n2,beta\n")
+    run()
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {1, 2}
+    assert index.read(spark).count() == 2
+    # epoch 2: 3 repeats corpus content (drops), 4+5 share NEW content
+    # (within-epoch dup — both kept, ONE index row for the hash)
+    (inbox / "b2.csv").write_text("Doc ID,Text\n3,alpha\n4,gamma\n5,gamma\n")
+    run()
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {1, 2, 4, 5}
+    idx = {
+        r["corpus_keep_id"] for r in index.read(spark).collect()
+    }
+    assert index.read(spark).count() == 3 and idx == {1, 2, 4}
+    # epoch 3: cross-epoch dup of epoch-2 content drops, new content lands
+    (inbox / "b3.csv").write_text("Doc ID,Text\n6,gamma\n7,delta\n")
+    run()
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {1, 2, 4, 5, 7}
+    assert index.read(spark).count() == 4
+    # replay on the same checkpoint, no new files: nothing moves
+    tsnap, isnap = table.current_snapshot_id(), index.current_snapshot_id()
+    run()
+    assert table.current_snapshot_id() == tsnap
+    assert index.current_snapshot_id() == isnap
+    # guards
+    with pytest.raises(ValueError, match="append-path only"):
+        ingest.start_ingest_to_lakehouse(
+            spark, str(inbox), str(tmp_path / "bronze"),
+            str(tmp_path / "ckpt2"), schema="`Doc ID` long, Text string",
+            merge_keys=["doc_id"], dedup_content_col="text",
+            dedup_id_col="doc_id",
+            dedup_index_path=str(tmp_path / "dedup_index"),
+        )
+    with pytest.raises(ValueError, match="needs dedup_id_col"):
+        ingest.start_ingest_to_lakehouse(
+            spark, str(inbox), str(tmp_path / "bronze"),
+            str(tmp_path / "ckpt2"), schema="`Doc ID` long, Text string",
+            dedup_content_col="text",
+        )
+    with pytest.raises(ValueError, match="inside table_path"):
+        ingest.start_ingest_to_lakehouse(
+            spark, str(inbox), str(tmp_path / "bronze"),
+            str(tmp_path / "ckpt2"), schema="`Doc ID` long, Text string",
+            dedup_content_col="text", dedup_id_col="doc_id",
+            dedup_index_path=str(tmp_path / "bronze" / "_dedup_index"),
+        )
+
+
+def test_streaming_dedup_crash_window_heals_index(spark, tmp_path):
+    """Crash between an epoch's table commit and its index append:
+    the replayed epoch finds its table txn stamped but not the
+    index's, recomputes its verdicts against the exactly-pre-epoch
+    index state, and finishes the missing half — later epochs then
+    dedup correctly against the healed index."""
+    import hashlib
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = LakehouseTable(str(tmp_path / "bronze"))
+    index = LakehouseTable(str(tmp_path / "dedup_index"))
+    # simulate the crash window: epoch 0's TABLE commit landed (txn
+    # stamped with the checkpoint-scoped app id) but the index append
+    # never ran
+    app_id = "ingest-" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+    pre = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).withColumn("processed_at", F.current_timestamp())
+    table.append(pre, txn=(app_id, 0))
+    assert index.current_snapshot_id() is None
+    (inbox / "b1.csv").write_text("Doc ID,Text\n1,alpha\n2,beta\n")
+
+    def run():
+        q = ingest.start_ingest_to_lakehouse(
+            spark, str(inbox), str(tmp_path / "bronze"), ckpt,
+            schema="`Doc ID` long, Text string",
+            table=table,
+            dedup_content_col="text", dedup_id_col="doc_id",
+            dedup_index_path=str(tmp_path / "dedup_index"),
+        )
+        q.awaitTermination(120)
+        _drain_query(q)
+
+    run()
+    # table did NOT double-append; index healed with epoch 0's hashes
+    assert table.read(spark).count() == 2
+    assert index.read(spark).count() == 2
+    # a later epoch dedups against the healed index
+    (inbox / "b2.csv").write_text("Doc ID,Text\n3,alpha\n4,delta\n")
+    run()
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {1, 2, 4}
+    assert index.read(spark).count() == 3
