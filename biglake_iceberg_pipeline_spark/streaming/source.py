@@ -1,0 +1,303 @@
+"""Lakehouse table as a Structured Streaming SOURCE.
+
+The missing half of the continuous medallion: ``start_ingest_to_
+lakehouse`` streams INTO a table; this streams OUT of one — every
+append commit (writer appends, published WAP epochs, branch
+fast-forwards, ``add_files`` registrations all commit as
+``operation="append"``) becomes a micro-batch for downstream
+consumers, the Delta/Iceberg ``spark.readStream.format(...)`` analog
+on our JSON-manifest tables. Reference-scope parity: the reference's
+Eventarc→loader chain notifies downstream services per loaded file
+(specs/data_agent_changes.md); this is that notification surface as a
+first-class Spark source instead of event plumbing.
+
+Built on the public Python Data Source API (pyspark.sql.datasource,
+Spark 4): offsets are snapshot ids, ``partitions(start, end]`` is the
+manifest-side file diff of ``LakehouseTable.incremental_scan`` (one
+``InputPartition`` per data file — no Spark jobs, no data scan on the
+driver), and each partition is read executor-side with pyarrow,
+yielding RecordBatches aligned to the committed schema (missing
+columns NULL-filled, widened columns upcast, hive-path partition
+values restored from the manifest's per-file record — the same
+overlay contract as ``LakehouseTable.read``).
+
+Scale: offset planning is O(manifest); each micro-batch reads exactly
+the newly committed files, distributed one file per task; a 100 TB
+table costs the stream only its new data. Replays are deterministic
+because snapshots are immutable — the same (start, end] always yields
+the same files, so checkpoint recovery re-reads exactly the pending
+batch. Non-append commits (merge/delete/update/overwrite/rollback)
+redistribute existing rows across new files; a file diff would replay
+old rows as new, so the stream raises ``LineageBrokenError`` at such
+a snapshot (same rule as ``incremental_scan``) — re-baseline
+downstream from a full read, exactly as Iceberg's streaming read
+refuses overwrite snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file: str
+    # raw hive-path values for columns the file does NOT store
+    # (identity-partitioned columns live only in the path)
+    part_values: dict
+
+
+def _read_manifest(path: str) -> dict:
+    mp = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mp):
+        return {"snapshots": [], "schema": None}
+    with open(mp) as f:
+        return json.load(f)
+
+
+class LakehouseStreamSource(DataSource):
+    """``spark.readStream.format("lakehouse").option("path", p)``.
+
+    Options:
+
+    - ``path`` (required): the table directory.
+    - ``startingSnapshotId``: consume commits strictly AFTER this
+      snapshot (the ``incremental_scan`` baseline). Default ``0`` —
+      the table's full history: the first micro-batch replays every
+      live append from the beginning, then the stream tails new
+      commits (Delta's readStream default).
+    - ``maxFilesPerTrigger``: soft cap on data files per micro-batch.
+      Offsets advance whole snapshots (a snapshot is the atomic unit
+      of exactly-once), accumulating snapshots until the cap is
+      reached — always at least one. After a checkpoint restart the
+      FIRST batch may exceed the cap (the engine replans it from its
+      checkpointed offsets, not from this reader). Meant for
+      continuous triggers: ``Trigger.AvailableNow`` snapshots the
+      first rate-limited offset as its drain target, so an
+      availableNow run processes one capped batch per start (still
+      exactly-once — the next start continues).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "lakehouse source requires .option('path', <table dir>)"
+            )
+        return path
+
+    def schema(self) -> StructType:
+        m = _read_manifest(self._path())
+        if not m.get("schema"):
+            raise ValueError(
+                f"lakehouse table at {self._path()} has no committed "
+                "schema yet (no snapshots) — pass .schema(...) "
+                "explicitly to stream a table created later"
+            )
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
+        return LakehouseStreamReader(self._path(), schema, self.options)
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType, options):
+        self._path = path
+        self._schema = schema
+        self._starting = int(options.get("startingSnapshotId", 0))
+        mft = options.get("maxFilesPerTrigger")
+        self._max_files = int(mft) if mft is not None else None
+        # last offset this reader instance has handed out/committed —
+        # the rate-limit cursor. None after a restart until the first
+        # commit() (the engine replans pending batches from its own
+        # checkpoint, so the cursor conservatively restarts from
+        # `starting`; only batch SIZING is affected, never contents).
+        self._last_end: int | None = None
+        self._arrow_schema = None  # executor-side cache
+
+    # ------------------------------------------------------ offsets
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._starting}
+
+    def _snaps(self) -> list[dict]:
+        return _read_manifest(self._path)["snapshots"]
+
+    @staticmethod
+    def _added_per_snapshot(
+        snaps: list[dict], lo_idx: int, hi_idx: int
+    ) -> list[tuple[dict, list[str]]]:
+        """(snapshot, files-new-in-it) for snaps[lo_idx+1 .. hi_idx],
+        diffing each snapshot's cumulative file list against its
+        predecessor's (append snapshots re-list earlier files)."""
+        out = []
+        prev = set(snaps[lo_idx]["files"]) if lo_idx >= 0 else set()
+        for s in snaps[lo_idx + 1 : hi_idx + 1]:
+            cur = list(dict.fromkeys(s["files"]))
+            out.append((s, [f for f in cur if f not in prev]))
+            prev = set(cur)
+        return out
+
+    def _resolve_range(
+        self, snaps: list[dict], s0: int, s1: int
+    ) -> tuple[int, int]:
+        """Indices (lo, hi) for the (s0, s1] snapshot range, with the
+        same lineage guards as ``incremental_scan``: every id in
+        [s0, s1] must survive contiguously (an expiry gap could hide
+        a rewrite) and every snapshot in the range must be an append."""
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LineageBrokenError,
+            SnapshotNotFoundError,
+        )
+
+        ids = [s["id"] for s in snaps]
+        if s0 > 0 and s0 not in ids:
+            raise LineageBrokenError(
+                f"stream baseline snapshot {s0} expired from "
+                f"{self._path}; re-baseline downstream from a full read"
+            )
+        if s1 not in ids:
+            raise SnapshotNotFoundError(
+                f"snapshot {s1} not found in {self._path}"
+            )
+        lo = ids.index(s0) if s0 > 0 else -1
+        hi = ids.index(s1)
+        expect = list(range(s0 if s0 > 0 else ids[0], s1 + 1))
+        got = ids[max(lo, 0) : hi + 1]
+        if got != expect:
+            raise LineageBrokenError(
+                "stream range has expired intermediate snapshots "
+                "(history gap); re-baseline downstream from a full read"
+            )
+        non_append = [
+            s["id"]
+            for s in snaps[lo + 1 : hi + 1]
+            if s["operation"] != "append"
+        ]
+        if non_append:
+            raise LineageBrokenError(
+                f"stream crosses rewrite snapshots {non_append} "
+                "(merge/delete/update/overwrite/rollback redistribute "
+                "existing rows); re-baseline downstream from a full read"
+            )
+        return lo, hi
+
+    def latestOffset(self) -> dict:
+        snaps = self._snaps()
+        if not snaps:
+            return {"snapshot_id": self._starting}
+        tail = snaps[-1]["id"]
+        cursor = (
+            self._last_end if self._last_end is not None else self._starting
+        )
+        if tail <= cursor:
+            end = cursor
+        elif self._max_files is None:
+            # validate eagerly so the failure carries the lineage
+            # message instead of surfacing later inside planning
+            lo, hi = self._resolve_range(snaps, cursor, tail)
+            end = tail
+        else:
+            lo, hi = self._resolve_range(snaps, cursor, tail)
+            taken = 0
+            end = cursor
+            for s, added in self._added_per_snapshot(snaps, lo, hi):
+                if end > cursor and taken + len(added) > self._max_files:
+                    break
+                taken += len(added)
+                end = s["id"]
+        self._last_end = end
+        return {"snapshot_id": end}
+
+    def commit(self, end: dict) -> None:
+        self._last_end = max(self._last_end or 0, end["snapshot_id"])
+
+    # --------------------------------------------------- partitions
+
+    def partitions(self, start: dict, end: dict):
+        s0, s1 = start["snapshot_id"], end["snapshot_id"]
+        if s1 <= s0:
+            return []
+        m = _read_manifest(self._path)
+        snaps = m["snapshots"]
+        lo, hi = self._resolve_range(snaps, s0, s1)
+        fparts = m.get("file_partitions", {})
+        declared = {f.name for f in self._schema.fields}
+        parts = []
+        for _, added in self._added_per_snapshot(snaps, lo, hi):
+            for f in added:
+                pv = {
+                    k: v
+                    for k, v in fparts.get(f, {}).items()
+                    if k in declared
+                }
+                parts.append(_FilePartition(file=f, part_values=pv))
+        return parts
+
+    # --------------------------------------------------------- read
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if self._arrow_schema is None:
+            self._arrow_schema = to_arrow_schema(self._schema)
+        target = self._arrow_schema
+        pf = pq.ParquetFile(partition.file)
+        have = set(pf.schema_arrow.names)
+        want = [n for n in target.names if n in have]
+        tbl = pf.read(columns=want)
+        n = tbl.num_rows
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arrays.append(tbl.column(field.name).cast(field.type))
+            elif field.name in partition.part_values:
+                raw = partition.part_values[field.name]
+                col = pa.array([raw] * n, type=pa.string())
+                arrays.append(col.cast(field.type))
+            else:
+                # pre-evolution file: added column surfaces NULL,
+                # same as the batch read overlay
+                arrays.append(pa.nulls(n, type=field.type))
+        yield from pa.Table.from_arrays(
+            arrays, schema=target
+        ).to_batches()
+
+
+def read_lakehouse_stream(
+    spark: SparkSession,
+    path: str,
+    starting_snapshot_id: int | None = None,
+    max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Register the source (idempotent) and open the stream."""
+    spark.dataSource.register(LakehouseStreamSource)
+    reader = spark.readStream.format("lakehouse").option("path", path)
+    if starting_snapshot_id is not None:
+        reader = reader.option(
+            "startingSnapshotId", str(starting_snapshot_id)
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load()

@@ -1,0 +1,236 @@
+"""Lakehouse table as a Structured Streaming source (streaming/
+source.py): snapshot-id offsets, per-file partitions, committed-schema
+overlay, rate limiting, lineage guards, and the continuous
+bronze→silver composition with exactly-once restarts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.streaming.source import (
+    read_lakehouse_stream,
+)
+
+
+def _drain(q, timeout_s: float = 20.0):
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    assert not q.isActive
+
+
+def _run_to(spark, src_df, ckpt, sink_fn, max_wait=120):
+    q = (
+        src_df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(max_wait)
+    _drain(q)
+
+
+def test_stream_source_tails_appends_exactly_once(spark, tmp_path):
+    """Full history on first start, only new commits on restart, and
+    a restart with no new commits moves nothing — the continuous
+    bronze→silver medallion with txn-stamped exactly-once."""
+    bronze = LakehouseTable(str(tmp_path / "bronze"))
+    bronze.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    bronze.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    silver = LakehouseTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ck")
+
+    def sink(bdf, bid):
+        silver.append(bdf.withColumn("v", F.upper("v")), txn=("s", bid))
+
+    def run():
+        _run_to(
+            spark, read_lakehouse_stream(spark, bronze.path), ckpt, sink
+        )
+
+    run()
+    assert sorted(
+        (r["id"], r["v"]) for r in silver.read(spark).collect()
+    ) == [(1, "A"), (2, "B"), (3, "C")]
+    bronze.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    run()
+    assert sorted(r["id"] for r in silver.read(spark).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
+    snap = silver.current_snapshot_id()
+    run()  # nothing new: no silver commit
+    assert silver.current_snapshot_id() == snap
+
+
+def test_stream_source_starting_snapshot_id(spark, tmp_path):
+    """startingSnapshotId consumes strictly AFTER the baseline —
+    the incremental_scan contract as a stream."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    base = tbl.append(spark.createDataFrame([(2,)], "id long"))
+    tbl.append(spark.createDataFrame([(3,)], "id long"))
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path, starting_snapshot_id=base),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(got) == [3]
+
+
+def test_stream_source_rate_limit_splits_batches(spark, tmp_path):
+    """maxFilesPerTrigger advances whole snapshots until the file cap
+    is hit: three single-file appends under cap=1 surface as three
+    micro-batches on a continuous trigger, covering all rows exactly
+    once in commit order."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(spark.createDataFrame([(i,)], "id long"))
+    batches: list[list[int]] = []
+
+    def sink(bdf, bid):
+        rows = [r["id"] for r in bdf.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    q = (
+        read_lakehouse_stream(spark, tbl.path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and len(batches) < 3:
+        time.sleep(0.2)
+    q.stop()
+    _drain(q)
+    assert batches == [[0], [1], [2]]
+
+
+def test_stream_source_partitioned_and_evolved(spark, tmp_path):
+    """Identity-partitioned columns are restored from the hive path
+    with the committed type, and files written before an add-column
+    commit surface NULL for the added column — the batch read's
+    overlay contract, on the stream."""
+    tbl = LakehouseTable(str(tmp_path / "t"), partition_by=["region"])
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "id long, region string"
+        )
+    )
+    # schema evolution: add a column; the earlier file lacks it
+    tbl.append(
+        spark.createDataFrame(
+            [(3, "eu", 9.5)], "id long, region string, score double"
+        )
+    )
+    got = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[r["id"]] = (r["region"], r["score"])
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert got == {
+        1: ("eu", None),
+        2: ("us", None),
+        3: ("eu", 9.5),
+    }
+
+
+def test_stream_source_rejects_rewrite_snapshots(spark, tmp_path):
+    """A delete (rewrite) commit breaks append lineage: the stream
+    fails with the LineageBrokenError message instead of replaying
+    redistributed rows as inserts."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    ckpt = str(tmp_path / "ck")
+
+    def sink(bdf, bid):
+        bdf.collect()
+
+    _run_to(spark, read_lakehouse_stream(spark, tbl.path), ckpt, sink)
+    tbl.delete_where(spark, F.col("id") == 1)
+    tbl.append(spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(Exception, match="rewrite snapshots"):
+        _run_to(
+            spark, read_lakehouse_stream(spark, tbl.path), ckpt, sink
+        )
+
+
+def test_stream_source_empty_table_needs_schema(spark, tmp_path):
+    """No committed schema yet: inference raises with guidance; an
+    explicit .schema() opens the stream and tails the first commits."""
+    path = str(tmp_path / "t")
+    with pytest.raises(Exception, match="no committed schema"):
+        read_lakehouse_stream(spark, path)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    src = read_lakehouse_stream(spark, path, schema=schema)
+    tbl = LakehouseTable(path)
+    tbl.append(spark.createDataFrame([(7,)], "id long"))
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    _run_to(spark, src, str(tmp_path / "ck"), sink)
+    assert got == [7]
+
+
+def test_stream_source_consumes_published_wap_epochs(spark, tmp_path):
+    """write_audit_publish commits as an append: published epochs
+    flow to the stream, rejected ones never appear."""
+    from biglake_iceberg_pipeline_spark.operators.expectations import (
+        ExpectationsFailed,
+    )
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    rules = {"id_not_null": F.col("id").isNotNull()}
+    tbl.write_audit_publish(
+        spark.createDataFrame([(1,)], "id long"), rules
+    )
+    with pytest.raises(ExpectationsFailed):
+        tbl.write_audit_publish(
+            spark.createDataFrame([(None,)], "id long"), rules
+        )
+    tbl.write_audit_publish(
+        spark.createDataFrame([(2,)], "id long"), rules
+    )
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(got) == [1, 2]
