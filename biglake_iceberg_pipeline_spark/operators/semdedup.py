@@ -57,6 +57,7 @@ def cell_near_dup_pairs(
     vec_col: str,
     cell_col: str,
     threshold: float,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Within-cell pairs with cosine ≥ threshold — the dedup
     candidate edge list. Same shape as
@@ -70,6 +71,11 @@ def cell_near_dup_pairs(
     )
     a, b = g.alias("a"), g.alias("b")
     cos = cosine_pandas(F.col("a.__v"), F.col("b.__v"))
+    if round_digits is not None:
+        # oracle-parity mode: the kernel is bit-identical to DuckDB's
+        # list_reduce fold, so a rounded threshold compare makes the
+        # pair SET engine-exact (the dedup_embedding convention)
+        cos = F.round(cos, round_digits)
     return (
         a.join(
             b,
@@ -94,6 +100,7 @@ def semantic_dedup(
     seed: int = 7,
     sample_fraction: float | None = None,
     centroids: list[list[float]] | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """All input rows, annotated with the SemDeDup verdict:
 
@@ -136,6 +143,7 @@ def semantic_dedup(
         vec_col,
         "sem_cell",
         threshold,
+        round_digits=round_digits,
     )
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("__cid"),

@@ -205,6 +205,91 @@ ORDER BY id_a, id_b
 """
 
 
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/semdedup.py)
+    with DETERMINISTIC cells: the quantizer is pinned to the
+    embeddings of vec_id 0..3 instead of a k-means fit, so the oracle
+    can replicate the assignment (nearest centroid by squared
+    distance, ties to the lower cell id) and the whole verdict —
+    cells, transitive near-dup groups, keep flags — hash-checks
+    against a recursive-CTE closure in DuckDB, an independent
+    algorithm from the iterative min-label propagation used here."""
+    from biglake_iceberg_pipeline_spark.operators import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(r[0])
+        for r in emb.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = semdedup.semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids=cents,
+        threshold=0.4,
+        round_digits=4,
+    )
+    return out.select(
+        "vec_id",
+        F.col("sem_cell").cast("int").alias("sem_cell"),
+        F.col("sem_group").cast("bigint").alias("sem_group"),
+        "keep",
+    ).orderBy("vec_id")
+
+
+_CDIST = (
+    "list_reduce(list_prepend(0.0, "
+    "[(e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) "
+    "* (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) "
+    "for i in generate_series(1, len(e.embedding))]), (x, y) -> x + y)"
+)
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
+),
+assigned AS (
+    SELECT vec_id, cid AS sem_cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_CDIST}, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.embedding IS NOT NULL
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN assigned ca ON a.vec_id = ca.vec_id
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN assigned cb ON b.vec_id = cb.vec_id AND ca.sem_cell = cb.sem_cell
+    WHERE ROUND({_DOT} / ({_NA} * {_NB}), 4) >= 0.4
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e2.b, r.comp FROM reach r JOIN edges e2 ON e2.a = r.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(a.sem_cell, -1)::INTEGER AS sem_cell,
+       c.component::BIGINT AS sem_group,
+       (c.component IS NULL OR c.component = e.vec_id) AS keep
+FROM embeddings e
+LEFT JOIN assigned a ON e.vec_id = a.vec_id
+LEFT JOIN comps c ON e.vec_id = c.id
+ORDER BY e.vec_id
+"""
+
+
 _QUERY_VEC_CACHE: dict[str, list[float]] = {}
 
 
@@ -812,6 +897,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
+    "semantic_dedup": semantic_dedup_q,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
     "ann_ivf_int8": ann_ivf_int8,
@@ -834,6 +920,7 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_int8": ANN_IVF_INT8_SQL,

@@ -34,6 +34,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY_KEYS = (
     "ann_ivf_pq",
     "pack_training_sequences",
+    "semantic_dedup",
     "ann_topk",
     "compare_schemas",
 )
@@ -99,6 +100,8 @@ DEMOTED_KEYS = frozenset({
     "embedding_stats",
     "ngram_contamination",
     "span_boilerplate",
+    # displaced when semantic_dedup entered the r6 window — r7
+    "drop_empty_rows",
 })
 
 
