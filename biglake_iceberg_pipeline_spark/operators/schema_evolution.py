@@ -92,9 +92,22 @@ def widening_plan(df_incoming: DataFrame, df_target: DataFrame) -> list[dict]:
     table shaped like ``df_target``: 'ok' | 'widen' | 'add_column' |
     'incompatible'. The loader applies 'widen'/'add_column'
     automatically and rejects 'incompatible' (type_widening.sql)."""
-    target = {c: normalize_type(t) for c, t in df_target.dtypes}
+    return widening_plan_types(df_incoming.schema, df_target.schema)
+
+
+def _schema_dtypes(schema) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def widening_plan_types(incoming, target_schema) -> list[dict]:
+    """``widening_plan`` on StructTypes directly — no DataFrames, no
+    SparkSession: callable from driver-side commit workers (e.g. the
+    streaming sink's ``commit``) that must not boot a session."""
+    target = {
+        c: normalize_type(t) for c, t in _schema_dtypes(target_schema)
+    }
     plan = []
-    for c, t in df_incoming.dtypes:
+    for c, t in _schema_dtypes(incoming):
         t_in = normalize_type(t)
         if c not in target:
             plan.append({"column": c, "action": "add_column", "to": t_in})
@@ -117,15 +130,23 @@ def evolve_schema(df_incoming: DataFrame, df_target: DataFrame):
     safely-wider one, and (b) incoming-only columns APPENDED — never
     dropped (reference loader adds missing columns on append). Raises
     on any 'incompatible' column. Returns a StructType."""
+    return evolve_schema_types(df_incoming.schema, df_target.schema)
+
+
+def evolve_schema_types(incoming_schema, target_schema):
+    """``evolve_schema`` on StructTypes directly (session-free)."""
     from pyspark.sql.types import StructField, StructType
 
-    plan = {p["column"]: p for p in widening_plan(df_incoming, df_target)}
+    plan = {
+        p["column"]: p
+        for p in widening_plan_types(incoming_schema, target_schema)
+    }
     bad = [p for p in plan.values() if p["action"] == "incompatible"]
     if bad:
         raise ValueError(f"incompatible append: {bad}")
-    incoming = {f.name: f for f in df_incoming.schema.fields}
+    incoming = {f.name: f for f in incoming_schema.fields}
     fields = []
-    for f in df_target.schema.fields:
+    for f in target_schema.fields:
         p = plan.get(f.name)
         if p is not None and p["action"] == "widen":
             fields.append(
@@ -133,8 +154,8 @@ def evolve_schema(df_incoming: DataFrame, df_target: DataFrame):
             )
         else:
             fields.append(StructField(f.name, f.dataType, True))
-    target_names = {f.name for f in df_target.schema.fields}
-    for f in df_incoming.schema.fields:
+    target_names = {f.name for f in target_schema.fields}
+    for f in incoming_schema.fields:
         if f.name not in target_names:
             fields.append(StructField(f.name, f.dataType, True))
     return StructType(fields)

@@ -1,7 +1,8 @@
-"""Lakehouse table as a Structured Streaming SOURCE.
+"""Lakehouse tables as a native Structured Streaming connector
+(``format("lakehouse")``): SOURCE and SINK.
 
 The missing half of the continuous medallion: ``start_ingest_to_
-lakehouse`` streams INTO a table; this streams OUT of one — every
+lakehouse`` streams INTO a table; the source streams OUT of one — every
 append commit (writer appends, published WAP epochs, branch
 fast-forwards, ``add_files`` registrations all commit as
 ``operation="append"``) becomes a micro-batch for downstream
@@ -32,6 +33,20 @@ old rows as new, so the stream raises ``LineageBrokenError`` at such
 a snapshot (same rule as ``incremental_scan``) — re-baseline
 downstream from a full read, exactly as Iceberg's streaming read
 refuses overwrite snapshots.
+
+The SINK half (``df.writeStream.format("lakehouse")``) is the same
+connector in reverse: executors stream Arrow RecordBatches straight
+into staged parquet files under the table (one file per task, no
+driver data movement), and the driver-side ``commit(messages,
+batchId)`` registers exactly the successful tasks' files as ONE
+append snapshot stamped ``txn=(txnAppId, batchId)`` — the
+transactional-sink pattern the ``foreachBatch`` ingests use, but as a
+declarative format: a replayed epoch's commit no-ops (its re-staged
+files are deleted on the spot), a failed epoch's staged files are
+removed by ``abort``, and loader-style schema evolution (add/widen,
+incompatible rejected) runs against the committed schema at each
+commit. Requires ``txnAppId`` — exactly-once is the contract, not an
+option.
 """
 
 from __future__ import annotations
@@ -43,8 +58,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -112,6 +129,16 @@ class LakehouseStreamSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
         return LakehouseStreamReader(self._path(), schema, self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "LakehouseStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "lakehouse streaming sink is append-only (outputMode "
+                "'append'); complete/update modes rewrite state"
+            )
+        return LakehouseStreamWriter(self._path(), schema, self.options)
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
@@ -278,6 +305,168 @@ class LakehouseStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(
             arrays, schema=target
         ).to_batches()
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    files: list
+    rows: int
+
+
+class LakehouseStreamWriter(DataSourceStreamArrowWriter):
+    """Executor tasks stage parquet; the driver commit is one atomic,
+    txn-stamped manifest append per micro-batch."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        self._path = path
+        self._schema = schema
+        app = options.get("txnappid") or options.get("txnAppId")
+        if not app:
+            raise ValueError(
+                "lakehouse streaming sink requires .option('txnAppId', "
+                "<stable id>): exactly-once epoch stamps need an "
+                "identity that survives restarts"
+            )
+        self._app = app
+        m = _read_manifest(path)
+        if m.get("partition_by"):
+            raise ValueError(
+                "lakehouse streaming sink writes unpartitioned "
+                "layouts; compact(sort_by=...) or evolve the spec "
+                "after ingest for clustering"
+            )
+        import re
+
+        # DETERMINISTIC staging root per txnAppId (not per instance):
+        # the engine builds a fresh writer object for every
+        # write/commit/abort worker, and a failed epoch's abort
+        # receives only None messages — so cleanup must be able to
+        # find the epoch's files from configuration alone. One query
+        # per txnAppId is already the exactly-once contract, so the
+        # only unreferenced files under this root at abort time are
+        # the failed epoch's own.
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)
+        self._stage = os.path.join(path, f"snap-stream-{safe}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        rows = 0
+        fp = os.path.join(
+            self._stage, f"part-{uuid.uuid4().hex}.parquet"
+        )
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(self._stage, exist_ok=True)
+                writer = pq.ParquetWriter(fp, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _StagedFiles(files=[], rows=0)
+        writer.close()
+        return _StagedFiles(files=[fp], rows=rows)
+
+    def _evolved_schema_json(self, table) -> str:
+        m = table._read_manifest()
+        if not m.get("schema"):
+            return self._schema.json()
+        # session-free on purpose: commit runs in a driver-side
+        # python worker where getOrCreate would boot a SECOND Spark
+        from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
+            evolve_schema_types,
+        )
+
+        current = StructType.fromJson(json.loads(m["schema"]))
+        return evolve_schema_types(self._schema, current).json()
+
+    def commit(self, messages, batchId: int) -> None:
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        files = [f for msg in messages if msg for f in msg.files]
+        if not files:
+            return  # empty epoch: no snapshot noise, no txn stamp
+        table = LakehouseTable(self._path)
+        schema_json = self._evolved_schema_json(table)
+        table._guard_schema_transform_clash(
+            table._read_manifest(), schema_json
+        )
+        _, committed = table._locked_commit(
+            "append",
+            files,
+            table._file_stats(files),
+            schema_json,
+            inherit_prev_files=True,
+            txn=(self._app, batchId),
+        )
+        if not committed:
+            # replayed epoch: the txn guard skipped the commit, so
+            # this replay's re-staged files are provably unreferenced
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        # The engine nulls ALL commit messages when any task of the
+        # epoch failed (observed on 4.1: abort receives [None, ...]),
+        # so per-message deletion can't clean the successful tasks'
+        # staged files. Reconcile the deterministic staging root
+        # against the manifest instead: anything there that no
+        # snapshot / branch / clone references is this failed epoch's
+        # staging (prior epochs committed their files).
+        for msg in messages:
+            if msg:
+                for f in msg.files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+        if not os.path.isdir(self._stage):
+            return
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        table = LakehouseTable(self._path)
+        m = table._read_manifest()
+        protected: set[str] = set()
+        for s in m.get("snapshots", []):
+            protected.update(s["files"])
+        protected |= table._branch_protected_files(m)
+        protected |= table._clone_protected_files(m)
+        for name in os.listdir(self._stage):
+            p = os.path.join(self._stage, name)
+            if name.endswith(".parquet") and p not in protected:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+def write_lakehouse_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    txn_app_id: str,
+):
+    """Open the sink on a streaming DataFrame — caller picks the
+    trigger and starts: ``write_lakehouse_stream(df, ...)
+    .trigger(availableNow=True).start()``."""
+    df.sparkSession.dataSource.register(LakehouseStreamSource)
+    return (
+        df.writeStream.format("lakehouse")
+        .option("path", path)
+        .option("txnAppId", txn_app_id)
+        .option("checkpointLocation", checkpoint_dir)
+    )
 
 
 def read_lakehouse_stream(

@@ -1,0 +1,205 @@
+"""Lakehouse streaming SINK (format("lakehouse") writer): txn-stamped
+atomic epoch commits, replay no-ops, schema evolution at commit,
+abort cleanup, and the fully declarative lakehouse→lakehouse
+composition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.streaming.source import (
+    read_lakehouse_stream,
+    write_lakehouse_stream,
+)
+
+
+def _drain(q, timeout_s: float = 20.0):
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.2)
+    assert not q.isActive
+
+
+def _run(writer):
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    _drain(q)
+
+
+def test_declarative_lakehouse_to_lakehouse(spark, tmp_path):
+    """Source format + sink format, no foreachBatch anywhere: bronze
+    commits replicate into silver exactly once across restarts, and
+    a run with nothing new commits nothing."""
+    bronze = LakehouseTable(str(tmp_path / "bronze"))
+    bronze.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    bronze.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    silver_path = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        _run(
+            write_lakehouse_stream(
+                read_lakehouse_stream(spark, bronze.path).withColumn(
+                    "v", F.upper("v")
+                ),
+                silver_path,
+                ckpt,
+                "rep-1",
+            )
+        )
+
+    run()
+    silver = LakehouseTable(silver_path)
+    assert sorted(
+        (r["id"], r["v"]) for r in silver.read(spark).collect()
+    ) == [(1, "A"), (2, "B"), (3, "C")]
+    bronze.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    run()
+    assert sorted(r["id"] for r in silver.read(spark).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
+    assert all(s["operation"] == "append" for s in silver.snapshots)
+    snap = silver.current_snapshot_id()
+    run()  # no new bronze commits: silver untouched
+    assert silver.current_snapshot_id() == snap
+
+
+def test_sink_requires_txn_app_id(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    src = spark.readStream.format("rate").load()
+    with pytest.raises(Exception, match="txnAppId"):
+        q = (
+            src.writeStream.format("lakehouse")
+            .option("path", str(tmp_path / "t"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        raise RuntimeError(q.exception() or "no failure surfaced")
+
+
+def test_sink_rejects_partitioned_tables(spark, tmp_path):
+    tbl = LakehouseTable(str(tmp_path / "t"), partition_by=["region"])
+    tbl.append(
+        spark.createDataFrame([(1, "eu")], "id long, region string")
+    )
+    src = spark.readStream.format("rate").load()
+    with pytest.raises(Exception, match="unpartitioned"):
+        q = (
+            write_lakehouse_stream(
+                src, tbl.path, str(tmp_path / "ck"), "app"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        raise RuntimeError(q.exception() or "no failure surfaced")
+
+
+def test_sink_evolves_schema_on_commit(spark, tmp_path):
+    """Loader-style create-or-append through the sink: a stream with
+    an extra column ADDS it to the committed schema; pre-evolution
+    rows surface NULL on read."""
+    bronze = LakehouseTable(str(tmp_path / "bronze"))
+    bronze.append(
+        spark.createDataFrame([(1, "a", 1.5)], "id long, v string, s double")
+    )
+    dest_path = str(tmp_path / "dest")
+    dest = LakehouseTable(dest_path)
+    dest.append(spark.createDataFrame([(0, "z")], "id long, v string"))
+    _run(
+        write_lakehouse_stream(
+            read_lakehouse_stream(spark, bronze.path),
+            dest_path,
+            str(tmp_path / "ck"),
+            "evo",
+        )
+    )
+    rows = {r["id"]: r["s"] for r in dest.read(spark).collect()}
+    assert rows == {0: None, 1: 1.5}
+
+
+def test_sink_abort_removes_staged_files(spark, tmp_path):
+    """A poisoned epoch (one task raises) must leave the table
+    exactly as before: manifest unchanged and the successful tasks'
+    staged parquet removed by abort."""
+    from pyspark.sql.types import LongType
+
+    dest_path = str(tmp_path / "dest")
+    dest = LakehouseTable(dest_path)
+    dest.append(spark.createDataFrame([(0,)], "id long"))
+    snap = dest.current_snapshot_id()
+    bronze = LakehouseTable(str(tmp_path / "bronze"))
+    bronze.append(
+        spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    )
+
+    @F.udf(LongType())
+    def poison(x):
+        if x == 5:
+            raise RuntimeError("poisoned row")
+        return x
+
+    with pytest.raises(Exception, match="poisoned|StreamingQuery"):
+        q = (
+            write_lakehouse_stream(
+                read_lakehouse_stream(spark, bronze.path).repartition(
+                    4, "id"
+                ).withColumn("id", poison("id")),
+                dest_path,
+                str(tmp_path / "ck"),
+                "ab",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "no failure surfaced")
+    assert dest.current_snapshot_id() == snap
+    referenced = set(dest.snapshots[-1]["files"])
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(dest_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # abort reconciles the deterministic staging root against the
+    # manifest, so even the failed task's partial file is gone
+    leftovers = on_disk - referenced
+    assert leftovers == set()
+
+
+def test_sink_from_file_source(spark, tmp_path):
+    """Plain file source → lakehouse sink: the declarative form of
+    the foreachBatch ingest."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "a.json").write_text('{"id": 1}\n{"id": 2}\n')
+    src = (
+        spark.readStream.schema("id long")
+        .json(str(inbox))
+    )
+    dest_path = str(tmp_path / "dest")
+    _run(
+        write_lakehouse_stream(
+            src, dest_path, str(tmp_path / "ck"), "files"
+        )
+    )
+    dest = LakehouseTable(dest_path)
+    assert sorted(r["id"] for r in dest.read(spark).collect()) == [1, 2]
