@@ -63,6 +63,9 @@ def get_spark(app_name: str = "biglake-iceberg-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python data sources (the lakehouse connector) receive
+        # Catalyst's pushed filters for manifest-stats file skipping
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spill-awareness: input-split size is the other half of the
         # partitions-fit-in-memory equation (shuffle.partitions covers

@@ -58,9 +58,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -72,6 +79,36 @@ class _FilePartition(InputPartition):
     # raw hive-path values for columns the file does NOT store
     # (identity-partitioned columns live only in the path)
     part_values: dict
+
+
+def _overlay_batches(partition: _FilePartition, target):
+    """One data file → RecordBatches aligned to the declared Arrow
+    schema: project to declared columns, upcast widened ones,
+    NULL-fill columns added after the file was written, restore
+    hive-path partition values with committed types. Shared by the
+    streaming source and the batch reader — the executor-side half of
+    ``LakehouseTable._read_files``'s overlay contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(partition.file)
+    have = set(pf.schema_arrow.names)
+    want = [n for n in target.names if n in have]
+    tbl = pf.read(columns=want)
+    n = tbl.num_rows
+    arrays = []
+    for field in target:
+        if field.name in have:
+            arrays.append(tbl.column(field.name).cast(field.type))
+        elif field.name in partition.part_values:
+            raw = partition.part_values[field.name]
+            col = pa.array([raw] * n, type=pa.string())
+            arrays.append(col.cast(field.type))
+        else:
+            # pre-evolution file: added column surfaces NULL,
+            # same as the batch read overlay
+            arrays.append(pa.nulls(n, type=field.type))
+    yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
 def _read_manifest(path: str) -> dict:
@@ -129,6 +166,16 @@ class LakehouseStreamSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
         return LakehouseStreamReader(self._path(), schema, self.options)
+
+    def reader(self, schema: StructType) -> "LakehouseBatchReader":
+        return LakehouseBatchReader(self._path(), schema, self.options)
+
+    def writer(
+        self, schema: StructType, overwrite: bool
+    ) -> "LakehouseBatchWriter":
+        return LakehouseBatchWriter(
+            self._path(), schema, self.options, overwrite
+        )
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
@@ -278,33 +325,136 @@ class LakehouseStreamReader(DataSourceStreamReader):
     # --------------------------------------------------------- read
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._arrow_schema is None:
             self._arrow_schema = to_arrow_schema(self._schema)
-        target = self._arrow_schema
-        pf = pq.ParquetFile(partition.file)
-        have = set(pf.schema_arrow.names)
-        want = [n for n in target.names if n in have]
-        tbl = pf.read(columns=want)
-        n = tbl.num_rows
-        arrays = []
-        for field in target:
-            if field.name in have:
-                arrays.append(tbl.column(field.name).cast(field.type))
-            elif field.name in partition.part_values:
-                raw = partition.part_values[field.name]
-                col = pa.array([raw] * n, type=pa.string())
-                arrays.append(col.cast(field.type))
-            else:
-                # pre-evolution file: added column surfaces NULL,
-                # same as the batch read overlay
-                arrays.append(pa.nulls(n, type=field.type))
-        yield from pa.Table.from_arrays(
-            arrays, schema=target
-        ).to_batches()
+        yield from _overlay_batches(partition, self._arrow_schema)
+
+
+class LakehouseBatchReader(DataSourceReader):
+    """Batch half of the connector: ``spark.read.format("lakehouse")``
+    with time travel as plain options (``snapshotId`` / ``tag`` /
+    ``asOfTimestamp`` unix seconds) and manifest-stats FILE SKIPPING
+    driven by Catalyst's pushed filters: comparison predicates on
+    top-level columns become min/max ranges for
+    ``LakehouseTable.pruned_files`` (footer stats + exact hive-path
+    partition values + hidden-partition transform images), so a point
+    lookup on a sort-compacted table plans ~1 file. All filters are
+    returned to Spark for re-evaluation — pruning only ever SKIPS
+    whole files, never rows.
+
+    The native ``LakehouseTable.read`` stays the featureful path
+    (branch reads, merge-on-read delete overlay, column pruning into
+    the parquet scan); this reader REFUSES snapshots with an
+    unmaterialized delete tail rather than resurrect deleted rows."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        self._path = path
+        self._schema = schema
+        self._arrow_schema = None
+        table = LakehouseTable(path)
+        snap_opt = options.get("snapshotid")
+        tag = options.get("tag")
+        as_of = options.get("asoftimestamp")
+        if sum(x is not None for x in (snap_opt, tag, as_of)) > 1:
+            raise ValueError(
+                "pass one of snapshotId / tag / asOfTimestamp"
+            )
+        if as_of is not None:
+            snapshot_id = table.snapshot_as_of(float(as_of))
+        elif tag is not None:
+            tags = table.tags()
+            if tag not in tags:
+                raise ValueError(f"tag {tag!r} not found")
+            snapshot_id = tags[tag]
+        elif snap_opt is not None:
+            snapshot_id = int(snap_opt)
+        else:
+            snapshot_id = table.current_snapshot_id()
+            if snapshot_id is None:
+                raise ValueError(f"no snapshots in {path}")
+        m = _read_manifest(path)
+        matches = [
+            s for s in m["snapshots"] if s["id"] == snapshot_id
+        ]
+        if not matches:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        snap = matches[0]
+        if snap.get("deletes"):
+            raise ValueError(
+                "snapshot has an unmaterialized merge-on-read delete "
+                "tail; use LakehouseTable.read (delete overlay) or "
+                "materialize_deletes() first"
+            )
+        self._snapshot_id = snapshot_id
+        self._files = list(snap["files"])
+        self._fparts = m.get("file_partitions", {})
+        self._ranges: dict[str, tuple] = {}
+
+    def pushFilters(self, filters):
+        ranges = self._ranges
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue
+            col = attr[0]
+            v = getattr(f, "value", None)
+            # only types the footer stats store and compare cleanly
+            if isinstance(v, bool) or not isinstance(
+                v, (int, float, str)
+            ):
+                continue
+            lo, hi = ranges.get(col, (None, None))
+            try:
+                if isinstance(f, EqualTo):
+                    lo = v if lo is None else max(lo, v)
+                    hi = v if hi is None else min(hi, v)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = v if lo is None else max(lo, v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    hi = v if hi is None else min(hi, v)
+                else:
+                    continue
+            except TypeError:
+                continue  # mixed-type bounds: skip, stay conservative
+            ranges[col] = (lo, hi)
+        # Spark re-applies every filter row-wise; ranges only skip files
+        return filters
+
+    def partitions(self):
+        files = self._files
+        if self._ranges:
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+                LakehouseTable,
+            )
+
+            files = LakehouseTable(self._path).pruned_files(
+                self._ranges, self._snapshot_id
+            )
+        declared = {f.name for f in self._schema.fields}
+        return [
+            _FilePartition(
+                file=f,
+                part_values={
+                    k: v
+                    for k, v in self._fparts.get(f, {}).items()
+                    if k in declared
+                },
+            )
+            for f in files
+        ]
+
+    def read(self, partition: _FilePartition):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if self._arrow_schema is None:
+            self._arrow_schema = to_arrow_schema(self._schema)
+        yield from _overlay_batches(partition, self._arrow_schema)
 
 
 @dataclass
@@ -313,40 +463,23 @@ class _StagedFiles(WriterCommitMessage):
     rows: int
 
 
-class LakehouseStreamWriter(DataSourceStreamArrowWriter):
-    """Executor tasks stage parquet; the driver commit is one atomic,
-    txn-stamped manifest append per micro-batch."""
+class _StagingWriterCore:
+    """Shared executor-side staging + schema evolution for the
+    streaming and batch writers (both Arrow-batched)."""
 
-    def __init__(self, path: str, schema: StructType, options):
+    def _init_staging(
+        self, path: str, schema: StructType, stage: str
+    ) -> None:
         self._path = path
         self._schema = schema
-        app = options.get("txnappid") or options.get("txnAppId")
-        if not app:
-            raise ValueError(
-                "lakehouse streaming sink requires .option('txnAppId', "
-                "<stable id>): exactly-once epoch stamps need an "
-                "identity that survives restarts"
-            )
-        self._app = app
         m = _read_manifest(path)
         if m.get("partition_by"):
             raise ValueError(
-                "lakehouse streaming sink writes unpartitioned "
+                "lakehouse sink writes unpartitioned "
                 "layouts; compact(sort_by=...) or evolve the spec "
                 "after ingest for clustering"
             )
-        import re
-
-        # DETERMINISTIC staging root per txnAppId (not per instance):
-        # the engine builds a fresh writer object for every
-        # write/commit/abort worker, and a failed epoch's abort
-        # receives only None messages — so cleanup must be able to
-        # find the epoch's files from configuration alone. One query
-        # per txnAppId is already the exactly-once contract, so the
-        # only unreferenced files under this root at abort time are
-        # the failed epoch's own.
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)
-        self._stage = os.path.join(path, f"snap-stream-{safe}")
+        self._stage = os.path.join(path, stage)
 
     def write(self, iterator):
         import uuid
@@ -384,14 +517,16 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         current = StructType.fromJson(json.loads(m["schema"]))
         return evolve_schema_types(self._schema, current).json()
 
-    def commit(self, messages, batchId: int) -> None:
+    def _commit_append(
+        self, files: list[str], txn: tuple[str, int] | None
+    ) -> bool:
+        """Atomic manifest append of staged files with loader-style
+        schema evolution; returns the lock-authoritative committed
+        flag (False = txn-skipped replay)."""
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
             LakehouseTable,
         )
 
-        files = [f for msg in messages if msg for f in msg.files]
-        if not files:
-            return  # empty epoch: no snapshot noise, no txn stamp
         table = LakehouseTable(self._path)
         schema_json = self._evolved_schema_json(table)
         table._guard_schema_transform_clash(
@@ -403,25 +538,19 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             table._file_stats(files),
             schema_json,
             inherit_prev_files=True,
-            txn=(self._app, batchId),
+            txn=txn,
         )
-        if not committed:
-            # replayed epoch: the txn guard skipped the commit, so
-            # this replay's re-staged files are provably unreferenced
-            for f in files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+        return committed
 
-    def abort(self, messages, batchId: int) -> None:
-        # The engine nulls ALL commit messages when any task of the
-        # epoch failed (observed on 4.1: abort receives [None, ...]),
-        # so per-message deletion can't clean the successful tasks'
-        # staged files. Reconcile the deterministic staging root
-        # against the manifest instead: anything there that no
-        # snapshot / branch / clone references is this failed epoch's
-        # staging (prior epochs committed their files).
+    def _reconcile_stage(self, messages) -> None:
+        """Failure cleanup. The engine nulls ALL commit messages when
+        any task of an epoch failed (observed on 4.1: abort receives
+        [None, ...]), so per-message deletion can't clean the
+        successful tasks' staged files. Remove what messages do name,
+        then reconcile the staging root against the manifest:
+        anything there that no snapshot / branch / clone references
+        is the failed write's staging (prior commits' files are all
+        referenced)."""
         for msg in messages:
             if msg:
                 for f in msg.files:
@@ -449,6 +578,91 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(p)
                 except OSError:
                     pass
+
+
+class LakehouseStreamWriter(_StagingWriterCore, DataSourceStreamArrowWriter):
+    """Executor tasks stage parquet; the driver commit is one atomic,
+    txn-stamped manifest append per micro-batch."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        app = options.get("txnappid") or options.get("txnAppId")
+        if not app:
+            raise ValueError(
+                "lakehouse streaming sink requires .option('txnAppId', "
+                "<stable id>): exactly-once epoch stamps need an "
+                "identity that survives restarts"
+            )
+        self._app = app
+        import re
+
+        # DETERMINISTIC staging root per txnAppId (not per instance):
+        # the engine builds a fresh writer object for every
+        # write/commit/abort worker, so abort-time cleanup must find
+        # the epoch's files from configuration alone. One query per
+        # txnAppId is already the exactly-once contract, so the only
+        # unreferenced files under this root at abort time are the
+        # failed epoch's own.
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)
+        self._init_staging(path, schema, f"snap-stream-{safe}")
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [f for msg in messages if msg for f in msg.files]
+        if not files:
+            return  # empty epoch: no snapshot noise, no txn stamp
+        committed = self._commit_append(files, (self._app, batchId))
+        if not committed:
+            # replayed epoch: the txn guard skipped the commit, so
+            # this replay's re-staged files are provably unreferenced
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        self._reconcile_stage(messages)
+
+
+class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
+    """``df.write.format("lakehouse")``: mode("append") is the
+    loader-style append (schema evolution at commit), mode
+    ("overwrite") replaces the table tail, both as ONE atomic
+    manifest commit of the staged files. No txn stamp — batch writes
+    have no epoch identity; idempotence is the caller's concern
+    (exactly-once belongs to the streaming sink)."""
+
+    def __init__(
+        self, path: str, schema: StructType, options, overwrite: bool
+    ):
+        self._overwrite = overwrite
+        import uuid
+
+        self._init_staging(
+            path, schema, f"snap-batch-{uuid.uuid4().hex}"
+        )
+
+    def commit(self, messages) -> None:
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        files = [f for msg in messages if msg for f in msg.files]
+        if self._overwrite:
+            # zero-row overwrite still commits: truncation semantics
+            table = LakehouseTable(self._path)
+            table._locked_commit(
+                "overwrite",
+                files,
+                table._file_stats(files),
+                self._schema.json(),
+            )
+            return
+        if not files:
+            return
+        self._commit_append(files, None)
+
+    def abort(self, messages) -> None:
+        self._reconcile_stage(messages)
 
 
 def write_lakehouse_stream(

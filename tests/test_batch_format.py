@@ -1,0 +1,133 @@
+"""Batch half of the lakehouse connector: spark.read/write.format
+("lakehouse") — append/overwrite commits, time-travel options, pushed-
+filter file skipping, and the delete-tail guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import LakehouseTable
+from biglake_iceberg_pipeline_spark.streaming.source import (
+    LakehouseBatchReader,
+    LakehouseStreamSource,
+)
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakehouseStreamSource)
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.format("lakehouse").option(
+        "path", path
+    ).mode("append").save()
+    spark.range(10, 15).write.format("lakehouse").option(
+        "path", path
+    ).mode("append").save()
+    tbl = LakehouseTable(path)
+    assert tbl.read(spark).count() == 15
+    assert [s["operation"] for s in tbl.snapshots] == [
+        "append",
+        "append",
+    ]
+    spark.range(0, 3).write.format("lakehouse").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert tbl.read(spark).count() == 3
+    assert tbl.snapshots[-1]["operation"] == "overwrite"
+    # time travel still sees the pre-overwrite state
+    assert tbl.read(spark, snapshot_id=2).count() == 15
+
+
+def test_batch_write_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "lakehouse"
+    ).option("path", path).mode("append").save()
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, s double"
+    ).write.format("lakehouse").option("path", path).mode(
+        "append"
+    ).save()
+    rows = {
+        r["id"]: r["s"]
+        for r in LakehouseTable(path).read(spark).collect()
+    }
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_batch_read_matches_native_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 50).withColumn("v", F.col("id") * 2))
+    tbl.tag("v1")
+    tbl.append(spark.range(50, 80).withColumn("v", F.col("id") * 2))
+
+    def fmt(**opts):
+        r = spark.read.format("lakehouse").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    assert fmt().count() == 80
+    assert fmt(tag="v1").count() == 50
+    assert fmt(snapshotId=1).count() == 50
+    import time
+
+    assert fmt(asOfTimestamp=time.time()).count() == 80
+    native = sorted(
+        tuple(r) for r in tbl.read(spark).where("id < 7").collect()
+    )
+    via_fmt = sorted(
+        tuple(r) for r in fmt().where("id < 7").collect()
+    )
+    assert native == via_fmt
+    with pytest.raises(Exception, match="one of"):
+        fmt(tag="v1", snapshotId=1).count()
+
+
+def test_pushed_filters_skip_files(spark, tmp_path):
+    """Point lookup on a sort-compacted table plans ~1 file: pushed
+    EqualTo becomes a manifest-stats range; results stay exact
+    because Spark re-applies every filter row-wise."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 1000).withColumn("v", F.col("id") * 2))
+    tbl.compact(spark, target_files=8, sort_by=["id"])
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    assert len(r.partitions()) == 8
+    r.pushFilters([EqualTo(("id",), 500)])
+    assert len(r.partitions()) == 1
+    r2 = LakehouseBatchReader(path, schema, {})
+    r2.pushFilters([GreaterThan(("id",), 990)])
+    assert len(r2.partitions()) == 1
+    # end-to-end: filtered rows identical to the native path
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .where("id > 995")
+        .collect()
+    )
+    assert got == [996, 997, 998, 999]
+
+
+def test_batch_read_refuses_mor_delete_tail(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 20))
+    tbl.delete_where_mor(spark, F.col("id") < 5)
+    with pytest.raises(Exception, match="delete tail"):
+        spark.read.format("lakehouse").option("path", path).load().count()
+    tbl.materialize_deletes(spark)
+    assert (
+        spark.read.format("lakehouse").option("path", path).load().count()
+        == 15
+    )
