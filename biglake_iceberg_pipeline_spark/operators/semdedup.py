@@ -134,9 +134,14 @@ def semantic_dedup(
                 seed=seed,
                 sample_fraction=sample_fraction,
             )
+    # persist: the assignment kernel is a full-corpus scan and the
+    # frame feeds BOTH sides of the cell self-join plus the final
+    # verdict join — without the cache it would re-run 3+ times
+    # (connected_components' checkpoint materializes the join, and
+    # every downstream action replays the lineage)
     assigned = df.withColumn(
         "sem_cell", assign_centroid(F.col(vec_col), centroids)
-    )
+    ).persist()
     pairs = cell_near_dup_pairs(
         assigned.where(F.col("sem_cell") >= 0),
         id_col,

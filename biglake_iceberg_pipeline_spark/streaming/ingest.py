@@ -281,15 +281,25 @@ def start_ingest_to_lakehouse(
                 _extend_index(batch_df, batch_id)
             return
         txn = (app_id, batch_id)
+
+        def _audit_rejects() -> bool:
+            """Pre-write audit of the RAW epoch — shared by the dedup
+            and merge paths (both depend on prior state or rewrite in
+            place, so the staged-WAP form doesn't apply). Auditing
+            BEFORE dedup/key-collapse keeps rejection independent of
+            what earlier epochs loaded or how rows happened to batch,
+            and quarantine holds the full epoch for inspection."""
+            if not audit_rules:
+                return False
+            _, metrics = check(batch_df, audit_rules, "warn")
+            if any(v > 0 for v in metrics.values()):
+                _quarantine(batch_df, batch_id, metrics)
+                return True
+            return False
+
         if dedup_index is not None:
-            if audit_rules:
-                # audit the RAW epoch before dedup: rejection must not
-                # depend on what earlier epochs happened to load, and
-                # quarantine must hold the full epoch for inspection
-                _, metrics = check(batch_df, audit_rules, "warn")
-                if any(v > 0 for v in metrics.values()):
-                    _quarantine(batch_df, batch_id, metrics)
-                    return
+            if _audit_rejects():
+                return
             keep, new_rows, out = _dedup_split(batch_df)
             table.append(keep, txn=txn)
             dedup_index.append(new_rows, txn=(idx_app, batch_id))
@@ -297,18 +307,8 @@ def start_ingest_to_lakehouse(
             _maintain(batch_id)
             return
         if merge_keys:
-            if audit_rules:
-                # merge rewrites in place (no staged-append form), so
-                # the audit gates the batch BEFORE any table write —
-                # and BEFORE within-batch dedup: a poisoned row
-                # shadowed by a clean same-key row must still reject
-                # the epoch (otherwise rejection depends on how rows
-                # happened to batch), and quarantine must hold the
-                # RAW epoch for inspection
-                _, metrics = check(batch_df, audit_rules, "warn")
-                if any(v > 0 for v in metrics.values()):
-                    _quarantine(batch_df, batch_id, metrics)
-                    return
+            if _audit_rejects():
+                return
             # a batch may carry several versions of a key (e.g. two
             # files landed); last-writer-wins within the batch
             batch_df = batch_df.dropDuplicates(merge_keys)

@@ -196,16 +196,22 @@ class LakehouseStreamReader(DataSourceStreamReader):
         mft = options.get("maxFilesPerTrigger")
         self._max_files = int(mft) if mft is not None else None
         # last offset this reader instance has handed out/committed —
-        # the rate-limit cursor. None after a restart until the first
-        # commit() (the engine replans pending batches from its own
-        # checkpoint, so the cursor conservatively restarts from
-        # `starting`; only batch SIZING is affected, never contents).
+        # the rate-limit cursor. Set by initialOffset (fresh stream)
+        # or the first latestOffset after a restart (→ tail,
+        # unbounded: the engine replans pending batches from its own
+        # checkpoint and the cursor must never guess LOW — a
+        # too-low offset re-emits consumed snapshots as duplicates).
         self._last_end: int | None = None
         self._arrow_schema = None  # executor-side cache
 
     # ------------------------------------------------------ offsets
 
     def initialOffset(self) -> dict:
+        # only FRESH streams get this call — it doubles as the signal
+        # that the rate-limit cursor may safely start at `starting`.
+        # A restarted reader never sees it and must not assume a
+        # cursor (see latestOffset).
+        self._last_end = self._starting
         return {"snapshot_id": self._starting}
 
     def _snaps(self) -> list[dict]:
@@ -275,9 +281,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if not snaps:
             return {"snapshot_id": self._starting}
         tail = snaps[-1]["id"]
-        cursor = (
-            self._last_end if self._last_end is not None else self._starting
-        )
+        if self._last_end is None:
+            # RESTARTED reader (no initialOffset call): the engine
+            # replans its pending batch from its own checkpoint, and
+            # we cannot see that committed offset — so the cursor
+            # must NEVER guess low. Falling back to `starting` would
+            # (a) hand out an offset BEHIND the committed one, which
+            # re-emits already-processed snapshots under new batchIds
+            # (duplicate rows), and (b) eagerly re-validate lineage
+            # over the already-consumed prefix, killing a healthy
+            # stream whose early snapshots have since expired.
+            # Return the tail unbounded instead (the documented
+            # first-batch-may-exceed-the-cap case); partitions()
+            # validates exactly the (committed, tail] range the
+            # engine actually asks for.
+            self._last_end = max(tail, self._starting)
+            return {"snapshot_id": self._last_end}
+        cursor = self._last_end
         if tail <= cursor:
             end = cursor
         elif self._max_files is None:
@@ -479,7 +499,12 @@ class _StagingWriterCore:
                 "layouts; compact(sort_by=...) or evolve the spec "
                 "after ingest for clustering"
             )
-        self._stage = os.path.join(path, stage)
+        # staging lives under data/ — inside sweep_orphans' walk — so
+        # files stranded by a hard crash (driver killed between
+        # executor staging and commit/abort, or a retried task's first
+        # attempt) are reclaimed by the normal grace-window sweep
+        # instead of leaking forever
+        self._stage = os.path.join(path, "data", stage)
 
     def write(self, iterator):
         import uuid
@@ -529,9 +554,8 @@ class _StagingWriterCore:
 
         table = LakehouseTable(self._path)
         schema_json = self._evolved_schema_json(table)
-        table._guard_schema_transform_clash(
-            table._read_manifest(), schema_json
-        )
+        # schema/transform clash is guarded inside _locked_commit
+        # (under the lock, the only authoritative place)
         _, committed = table._locked_commit(
             "append",
             files,
@@ -593,6 +617,7 @@ class LakehouseStreamWriter(_StagingWriterCore, DataSourceStreamArrowWriter):
                 "identity that survives restarts"
             )
         self._app = app
+        import hashlib
         import re
 
         # DETERMINISTIC staging root per txnAppId (not per instance):
@@ -601,9 +626,13 @@ class LakehouseStreamWriter(_StagingWriterCore, DataSourceStreamArrowWriter):
         # the epoch's files from configuration alone. One query per
         # txnAppId is already the exactly-once contract, so the only
         # unreferenced files under this root at abort time are the
-        # failed epoch's own.
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)
-        self._init_staging(path, schema, f"snap-stream-{safe}")
+        # failed epoch's own. The raw-id digest keeps DISTINCT app
+        # ids from colliding after sanitization ('app:1' vs 'app/1'
+        # must not share a root — a shared root would let one query's
+        # abort delete the other's staged-but-uncommitted files).
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)[:40]
+        digest = hashlib.sha1(app.encode()).hexdigest()[:8]
+        self._init_staging(path, schema, f"snap-stream-{safe}-{digest}")
 
     def commit(self, messages, batchId: int) -> None:
         files = [f for msg in messages if msg for f in msg.files]

@@ -126,6 +126,49 @@ def test_stream_source_rate_limit_splits_batches(spark, tmp_path):
     assert batches == [[0], [1], [2]]
 
 
+def test_stream_source_rate_limited_restart_no_duplicates(
+    spark, tmp_path
+):
+    """Restarting a rate-limited stream must not re-emit consumed
+    snapshots: a restarted reader has no cursor and must return the
+    TAIL (unbounded first batch) rather than guess low — a too-low
+    latestOffset re-plans already-committed snapshots under new
+    batchIds, i.e. duplicate rows."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(spark.createDataFrame([(i,)], "id long"))
+    got: list[int] = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    q = (
+        read_lakehouse_stream(spark, tbl.path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and len(got) < 3:
+        time.sleep(0.2)
+    q.stop()
+    _drain(q)
+    assert sorted(got) == [0, 1, 2]
+    tbl.append(spark.createDataFrame([(3,), (4,)], "id long"))
+    _run_to(
+        spark,
+        read_lakehouse_stream(
+            spark, tbl.path, max_files_per_trigger=1
+        ),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+
 def test_stream_source_partitioned_and_evolved(spark, tmp_path):
     """Identity-partitioned columns are restored from the hive path
     with the committed type, and files written before an add-column
