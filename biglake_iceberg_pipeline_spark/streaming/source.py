@@ -111,6 +111,15 @@ def _overlay_batches(partition: _FilePartition, target):
     yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
+def _dbg(msg: str) -> None:
+    p = os.environ.get("SPARK_GRAFT_STREAM_DEBUG")
+    if p:
+        import time
+
+        with open(p, "a") as f:
+            f.write(f"{os.getpid()} {time.monotonic():.3f} {msg}\n")
+
+
 def _read_manifest(path: str) -> dict:
     mp = os.path.join(path, "_manifest.json")
     if not os.path.exists(mp):
@@ -133,13 +142,30 @@ class LakehouseStreamSource(DataSource):
     - ``maxFilesPerTrigger``: soft cap on data files per micro-batch.
       Offsets advance whole snapshots (a snapshot is the atomic unit
       of exactly-once), accumulating snapshots until the cap is
-      reached — always at least one. After a checkpoint restart the
-      FIRST batch may exceed the cap (the engine replans it from its
-      checkpointed offsets, not from this reader). Meant for
-      continuous triggers: ``Trigger.AvailableNow`` snapshots the
-      first rate-limited offset as its drain target, so an
-      availableNow run processes one capped batch per start (still
-      exactly-once — the next start continues).
+      reached — always at least one. The rate-limit cursor (the last
+      offset handed to the engine) is DURABLE: it lives under the
+      table at ``_streams/<key>.json`` and is advanced monotonically
+      under a lock, because Spark instantiates the Python stream
+      reader more than once per query (planning vs. restart vs.
+      schema paths) and an instance-memory cursor lets two instances
+      hand out non-monotonic offsets — the offset log then walks
+      backwards and re-advancing replays committed snapshots as
+      duplicates. The cursor is seeded from ``startingSnapshotId``
+      on first contact and healed from engine-passed ranges after
+      restarts; a cursor regression (file removed under a live
+      checkpoint) fails the query loudly rather than re-delivering.
+      Meant for continuous triggers:
+      ``Trigger.AvailableNow`` snapshots the first rate-limited
+      offset as its drain target, so an availableNow run processes
+      one capped batch per start (still exactly-once — the next
+      start continues).
+    - ``streamId``: optional stable identity for the rate-limit
+      cursor file. Defaults to a digest of (startingSnapshotId,
+      maxFilesPerTrigger) — two CONCURRENT rate-limited queries on
+      one table with identical options should pass distinct
+      streamIds; sharing a cursor never breaks exactly-once (the
+      engine's own offset log bounds every batch) but weakens the
+      per-query file cap.
     """
 
     @classmethod
@@ -195,23 +221,98 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._starting = int(options.get("startingSnapshotId", 0))
         mft = options.get("maxFilesPerTrigger")
         self._max_files = int(mft) if mft is not None else None
-        # last offset this reader instance has handed out/committed —
-        # the rate-limit cursor. Set by initialOffset (fresh stream)
-        # or the first latestOffset after a restart (→ tail,
-        # unbounded: the engine replans pending batches from its own
-        # checkpoint and the cursor must never guess LOW — a
-        # too-low offset re-emits consumed snapshots as duplicates).
-        self._last_end: int | None = None
+        stream_id = options.get("streamid") or options.get("streamId")
+        if stream_id is None:
+            stream_id = f"start={self._starting}:mft={self._max_files}"
+        import hashlib
+
+        self._cursor_key = hashlib.sha1(stream_id.encode()).hexdigest()[
+            :16
+        ]
         self._arrow_schema = None  # executor-side cache
+
+    # ------------------------------------------------- cursor state
+    #
+    # The rate-limit cursor = the highest offset any reader instance
+    # has handed to the engine (or seen committed). It must survive
+    # reader re-instantiation: Spark builds more than one
+    # DataSourceStreamReader per query, and if the offset-serving
+    # instance misses initialOffset its private cursor starts None —
+    # it then either returns the tail unbounded on a stream another
+    # instance already capped, or hands out an offset BEHIND one
+    # already logged, and the engine replans overlapping snapshot
+    # ranges under new batchIds (duplicate rows). Durable +
+    # monotonic-max fixes both: every instance reads the same
+    # cursor, and offsets never move backwards.
+
+    def _cursor_paths(self) -> tuple[str, str]:
+        d = os.path.join(self._path, "_streams")
+        return (
+            os.path.join(d, f"{self._cursor_key}.json"),
+            os.path.join(d, f"{self._cursor_key}.lock"),
+        )
+
+    def _read_cursor(self) -> int | None:
+        cpath, _ = self._cursor_paths()
+        try:
+            with open(cpath) as f:
+                return int(json.load(f)["cursor"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _advance_cursor(self, end: int) -> None:
+        """Raise the durable cursor to ``end`` (never lower it).
+        O_EXCL lock file around the read-max-write so two runner
+        processes can't interleave and lose the max; short stale
+        window — holders do one tiny JSON swap."""
+        import time as _time
+        import uuid as _uuid
+
+        cpath, lpath = self._cursor_paths()
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        deadline = _time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(
+                    lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lpath) > 10.0:
+                        os.remove(lpath)
+                        continue
+                except OSError:
+                    continue
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        f"stream cursor lock busy: {lpath}"
+                    )
+                _time.sleep(0.01)
+        try:
+            cur = self._read_cursor()
+            if cur is None or end > cur:
+                tmp = cpath + f".tmp-{_uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump({"cursor": end}, f)
+                os.replace(tmp, cpath)
+        finally:
+            try:
+                os.remove(lpath)
+            except OSError:
+                pass
 
     # ------------------------------------------------------ offsets
 
     def initialOffset(self) -> dict:
-        # only FRESH streams get this call — it doubles as the signal
-        # that the rate-limit cursor may safely start at `starting`.
-        # A restarted reader never sees it and must not assume a
-        # cursor (see latestOffset).
-        self._last_end = self._starting
+        # fresh stream: seed the durable cursor at `starting` (max-
+        # merge — a concurrent query sharing the key is never pulled
+        # backwards). The engine's own checkpoint owns the start
+        # offset from here on.
+        if self._max_files is not None:
+            self._advance_cursor(self._starting)
+        _dbg(f"initialOffset -> {self._starting}")
         return {"snapshot_id": self._starting}
 
     def _snaps(self) -> list[dict]:
@@ -277,55 +378,82 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return lo, hi
 
     def latestOffset(self) -> dict:
+        _dbg(f"latestOffset cursor={self._read_cursor()}")
         snaps = self._snaps()
         if not snaps:
             return {"snapshot_id": self._starting}
         tail = snaps[-1]["id"]
-        if self._last_end is None:
-            # RESTARTED reader (no initialOffset call): the engine
-            # replans its pending batch from its own checkpoint, and
-            # we cannot see that committed offset — so the cursor
-            # must NEVER guess low. Falling back to `starting` would
-            # (a) hand out an offset BEHIND the committed one, which
-            # re-emits already-processed snapshots under new batchIds
-            # (duplicate rows), and (b) eagerly re-validate lineage
-            # over the already-consumed prefix, killing a healthy
-            # stream whose early snapshots have since expired.
-            # Return the tail unbounded instead (the documented
-            # first-batch-may-exceed-the-cap case); partitions()
-            # validates exactly the (committed, tail] range the
-            # engine actually asks for.
-            self._last_end = max(tail, self._starting)
-            return {"snapshot_id": self._last_end}
-        cursor = self._last_end
+        if self._max_files is None:
+            # un-rate-limited: always the tail (monotonic by
+            # construction — snapshot ids only grow). Validate
+            # eagerly so the failure carries the lineage message
+            # instead of surfacing later inside planning.
+            base = max(self._read_cursor() or 0, self._starting)
+            if tail > base:
+                self._resolve_range(snaps, base, tail)
+            end = max(tail, self._starting)
+            self._advance_cursor(end)
+            return {"snapshot_id": end}
+        cursor = self._read_cursor()
+        if cursor is None:
+            # no durable cursor. The observed engine behavior (Spark
+            # 4.1) is latestOffset BEFORE initialOffset on a fresh
+            # stream, so this is the normal first call: cap from
+            # `starting` (the offset initialOffset will hand the
+            # engine). The one unsafe shape — a RESTART whose cursor
+            # file was manually removed — would make this offset
+            # lower than the engine's committed one; partitions()
+            # detects that regression and fails loudly instead of
+            # letting the offset log walk backwards into duplicate
+            # delivery.
+            cursor = self._starting
         if tail <= cursor:
-            end = cursor
-        elif self._max_files is None:
-            # validate eagerly so the failure carries the lineage
-            # message instead of surfacing later inside planning
-            lo, hi = self._resolve_range(snaps, cursor, tail)
-            end = tail
-        else:
-            lo, hi = self._resolve_range(snaps, cursor, tail)
-            taken = 0
-            end = cursor
-            for s, added in self._added_per_snapshot(snaps, lo, hi):
-                if end > cursor and taken + len(added) > self._max_files:
-                    break
-                taken += len(added)
-                end = s["id"]
-        self._last_end = end
+            return {"snapshot_id": cursor}
+        lo, hi = self._resolve_range(snaps, cursor, tail)
+        taken = 0
+        end = cursor
+        for s, added in self._added_per_snapshot(snaps, lo, hi):
+            if end > cursor and taken + len(added) > self._max_files:
+                break
+            taken += len(added)
+            end = s["id"]
+        self._advance_cursor(end)
         return {"snapshot_id": end}
 
     def commit(self, end: dict) -> None:
-        self._last_end = max(self._last_end or 0, end["snapshot_id"])
+        _dbg(f"commit {end}")
+        if self._max_files is not None:
+            self._advance_cursor(end["snapshot_id"])
 
     # --------------------------------------------------- partitions
 
     def partitions(self, start: dict, end: dict):
+        _dbg(f"partitions {start} {end}")
         s0, s1 = start["snapshot_id"], end["snapshot_id"]
-        if s1 <= s0:
+        if s1 < s0:
+            # the engine's durable start is AHEAD of the end we
+            # handed out — the rate-limit cursor regressed (cursor
+            # file removed under a live checkpoint). Planning this
+            # range as empty would commit a backwards offset and the
+            # next advance would re-deliver consumed snapshots; fail
+            # loudly and re-seed the cursor from the engine's start
+            # so a restarted query continues exactly-once.
+            if self._max_files is not None:
+                self._advance_cursor(s0)
+            raise RuntimeError(
+                f"lakehouse stream offset regressed: engine start "
+                f"{s0} > planned end {s1} (rate-limit cursor under "
+                f"{self._path}/_streams was removed?); cursor "
+                "re-seeded — restart the query"
+            )
+        if s1 == s0:
             return []
+        if self._max_files is not None:
+            # heal the cursor from the engine's authoritative range
+            # (covers replanned pending batches after a restart)
+            cur = self._read_cursor()
+            if cur is None or s1 > cur:
+                self._advance_cursor(s1)
         m = _read_manifest(self._path)
         snaps = m["snapshots"]
         lo, hi = self._resolve_range(snaps, s0, s1)

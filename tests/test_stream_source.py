@@ -277,3 +277,118 @@ def test_stream_source_consumes_published_wap_epochs(spark, tmp_path):
         sink,
     )
     assert sorted(got) == [1, 2]
+
+
+def test_stream_source_rate_limit_five_snapshots_exact_batches(
+    spark, tmp_path
+):
+    """Regression for the durable rate-limit cursor (r6: the
+    instance-memory cursor broke under reader re-instantiation —
+    unbounded first batch + duplicate delivery). Five single-file
+    appends under maxFilesPerTrigger=1 on a processingTime trigger
+    must surface as five exact micro-batches, every id exactly once,
+    in commit order."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(5):
+        tbl.append(spark.createDataFrame([(i,)], "id long"))
+    batches: list[list[int]] = []
+
+    def sink(bdf, bid):
+        rows = [r["id"] for r in bdf.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    q = (
+        read_lakehouse_stream(spark, tbl.path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 90
+    while time.monotonic() < deadline and len(batches) < 5:
+        time.sleep(0.2)
+    q.stop()
+    _drain(q)
+    assert batches == [[0], [1], [2], [3], [4]]
+    # the cursor survived every reader instantiation: durable under
+    # the table, monotonic
+    import glob
+    import json as _json
+
+    cursors = glob.glob(os.path.join(tbl.path, "_streams", "*.json"))
+    assert len(cursors) == 1
+    with open(cursors[0]) as f:
+        assert _json.load(f)["cursor"] == 5
+
+
+def test_stream_source_rate_limit_resumes_after_mid_stream_appends(
+    spark, tmp_path
+):
+    """Appends landing while a rate-limited stream is live are
+    drained one snapshot at a time; a restart (new reader instances,
+    same checkpoint + cursor) continues where it stopped with no
+    duplicates and no skips."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(2):
+        tbl.append(spark.createDataFrame([(i,)], "id long"))
+    got: list[int] = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    def run_until(n, timeout=60):
+        q = (
+            read_lakehouse_stream(
+                spark, tbl.path, max_files_per_trigger=1
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline and len(got) < n:
+            time.sleep(0.2)
+        q.stop()
+        _drain(q)
+
+    run_until(2)
+    assert sorted(got) == [0, 1]
+    tbl.append(spark.createDataFrame([(2,)], "id long"))
+    tbl.append(spark.createDataFrame([(3,)], "id long"))
+    run_until(4)
+    assert sorted(got) == [0, 1, 2, 3]
+
+
+def test_stream_source_rejects_mor_delete_snapshots(spark, tmp_path):
+    """Merge-on-read deletes commit operation='delete' WITHOUT
+    rewriting data files — a naive file diff would see no new files
+    and silently keep streaming rows that batch reads now overlay
+    away. The source must raise the lineage error instead; the
+    re-baseline path (a fresh full read) agrees with table.read."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    ckpt = str(tmp_path / "ck")
+    got: list[int] = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    _run_to(spark, read_lakehouse_stream(spark, tbl.path), ckpt, sink)
+    assert sorted(got) == [1, 2]
+    tbl.delete_where_mor(spark, F.col("id") == 1)
+    tbl.append(spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(Exception, match="rewrite snapshots"):
+        _run_to(
+            spark, read_lakehouse_stream(spark, tbl.path), ckpt, sink
+        )
+    # re-baseline: a fresh full stream read of the current snapshot
+    # is delete-aware only through table.read — assert they agree
+    assert sorted(
+        r["id"] for r in tbl.read(spark).collect()
+    ) == [2, 3]
