@@ -358,6 +358,79 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One materialized lakehouse table per (process, sf_dir) for the
+# connector lookup query: building it is the ingest-time cost; the
+# query itself is the read-path under test.
+_LOOKUP_TABLE_PATHS: dict[str, str] = {}
+
+
+def _lookup_table_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _LOOKUP_TABLE_PATHS:
+        import hashlib
+        import os
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = (
+            f"{tempfile.gettempdir()}/lakehouse_lookup_{tag}_{os.getpid()}"
+        )
+        table = LakehouseTable(path)
+        table.append(load_table(spark, sf_dir, "orders"))
+        # sort-order compaction makes o_orderkey footer ranges
+        # disjoint: a point/range predicate prunes to ~1 of 8 files
+        table.compact(spark, target_files=8, sort_by=["o_orderkey"])
+        cleanup_index_at_exit(path)
+        _LOOKUP_TABLE_PATHS[sf_dir] = path
+    return _LOOKUP_TABLE_PATHS[sf_dir]
+
+
+def lakehouse_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range lookup THROUGH the batch connector
+    (``spark.read.format("lakehouse")``, streaming/source.py F35):
+    Catalyst pushes the comparison filters into the Python data
+    source, which turns them into manifest-stats file skipping — on
+    the sort-compacted table the scan plans ~1 of 8 files (the pin in
+    tests/test_batch_format.py), the same pruning a 100 TB point
+    lookup needs. Rows re-filter engine-side, so results are exact
+    regardless of pruning."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _lookup_table_path(spark, sf_dir)
+    return (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 1200)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+
+
+LAKEHOUSE_POINT_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 1200
+"""
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
     "order_value_percentiles": order_value_percentiles,
@@ -369,6 +442,7 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "revenue_running_total": revenue_running_total,
     "approx_event_stats": approx_event_stats,
+    "lakehouse_point_lookup": lakehouse_point_lookup,
 }
 
 ORACLE = {
@@ -381,4 +455,5 @@ ORACLE = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "revenue_running_total": REVENUE_RUNNING_TOTAL_SQL,
+    "lakehouse_point_lookup": LAKEHOUSE_POINT_LOOKUP_SQL,
 }

@@ -26,82 +26,85 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 window: ann_ivf_pq (G29's driver row) and
-# pack_training_sequences (G30) are new this round. The rest of the
-# window is the stalest set: ann_topk + compare_schemas (last driver
-# row r3) and 46 of the 49 r4-green keys (the three listed at the
-# bottom of DEMOTED_KEYS wait for r7 — the window holds exactly 50).
+# Round-7 window: lakehouse_point_lookup (F35's first driver row,
+# reading THROUGH spark.read.format("lakehouse") with pushed-filter
+# file skipping) is new this round; the four r4-stale keys
+# (drop_empty_rows displaced in r6, plus the r4-green overflow trio)
+# lead the window. The rest is the full r5-green set minus five
+# overflow keys (listed at the bottom of DEMOTED_KEYS) that wait for
+# r8 — the window holds exactly 50.
 PRIORITY_KEYS = (
-    "ann_ivf_pq",
-    "pack_training_sequences",
-    "semantic_dedup",
-    "ann_topk",
-    "compare_schemas",
-)
-
-# The 50 keys the r5 driver window checked (CORRECTNESS_r05 — all
-# green: 48 hash-matches + 2 rows-only by design), plus three
-# r4-green keys (embedding_stats, ngram_contamination,
-# span_boilerplate) to keep the window at exactly 50; those three
-# rotate back in r7.
-DEMOTED_KEYS = frozenset({
-    # r5-green set
-    "product_catalog",
-    "ann_ivf_int8",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding",
-    "ann_ivf",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "multimodal_features",
-    "events_windowed",
-    "describe_customer",
-    "events_json_extract",
-    "skew_safe_segment_activity",
-    "order_value_percentiles",
-    "revenue_pivot_by_priority",
-    "top_parts_per_brand",
-    "orders_with_returns",
-    "customers_without_orders",
-    "revenue_rollup",
-    "small_quantity_revenue",
-    "revenue_running_total",
-    "approx_event_stats",
-    "pii_redaction",
-    "text_repetition",
-    "sample_mixture",
-    "tfidf_keywords",
-    "text_lm_score",
-    "doc_chunks",
-    "strip_markup",
-    "url_extraction",
-    "asof_last_purchase",
-    "range_join_incidents",
-    "events_hypertable_rollup",
-    "events_gapfill",
-    "events_attribution",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q9_profit_by_nation",
-    "silver_dedup_events",
-    "gold_customer_metrics",
-    "gold_product_performance",
-    "currency_convert",
-    "users_enriched",
-    "profile_column_stats",
-    "profile_type_distribution",
-    # r4-green overflow — rotate back in r7
+    "lakehouse_point_lookup",
+    "drop_empty_rows",
     "embedding_stats",
     "ngram_contamination",
     "span_boilerplate",
-    # displaced when semantic_dedup entered the r6 window — r7
-    "drop_empty_rows",
+    "events_json_extract",
+    "describe_customer",
+)
+
+# The 50 keys the r6 driver window checked (CORRECTNESS_r06 — all
+# green: 45 hash-matches + 5 rows-only by design), plus five r5-green
+# keys overflowing to keep the window at exactly 50; those five
+# rotate back in r8.
+DEMOTED_KEYS = frozenset({
+    # r6-green set
+    "address_standardize",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_topk",
+    "clean_customer",
+    "clean_documents",
+    "cohort_retention",
+    "compare_schemas",
+    "customer_lookalike",
+    "customer_profiles",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_quantization",
+    "events_funnel",
+    "events_sessions",
+    "extract_currency",
+    "flag_duplicates",
+    "gold_daily_sales",
+    "gold_orders_enriched",
+    "pack_training_sequences",
+    "product_catalog_ann",
+    "profile_date_potential",
+    "profile_nulls",
+    "profile_number_potential",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q4_priority_waiting",
+    "q5_region_revenue",
+    "q8_market_share",
+    "quality_approx_duplicates",
+    "quality_duplicates",
+    "quality_null_like",
+    "quality_type_pollution",
+    "rfm_segments",
+    "safe_type_coercion",
+    "semantic_dedup",
+    "silver_orders",
+    "text_bpe_tokens",
+    # r5-green overflow — rotate back in r8
+    "multimodal_features",
+    "approx_event_stats",
+    "url_extraction",
+    "strip_markup",
+    "doc_chunks",
 })
 
 

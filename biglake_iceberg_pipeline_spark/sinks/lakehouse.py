@@ -198,6 +198,79 @@ def _transform_bounds(e: dict, lo, hi):
     return None
 
 
+
+def _delta_decode_snapshots(manifest: dict) -> dict:
+    """Expand delta-encoded per-snapshot file lists back to full lists
+    IN PLACE (and return the manifest). On disk each snapshot stores
+    only what changed vs its predecessor (``files_added`` /
+    ``files_removed``, same for the merge-on-read ``deletes`` tail) —
+    real Iceberg's per-snapshot manifest-file idea on a single JSON:
+    commit bytes are O(delta), not O(snapshots x files). In memory the
+    full ``files`` list is the canonical contract every reader/writer
+    path uses, so decoding happens exactly once per manifest read.
+    Legacy manifests (full ``files`` per snapshot) pass through
+    untouched and re-encode on their next commit."""
+    prev: dict[str, list] = {"files": [], "deletes": []}
+    for s in manifest.get("snapshots", []):
+        for key in ("files", "deletes"):
+            added = s.pop(f"{key}_added", None)
+            removed = s.pop(f"{key}_removed", None)
+            if key in s:
+                prev[key] = s[key]
+                continue
+            if added is None and removed is None:
+                if key == "files":
+                    # legacy snapshot with no files key at all:
+                    # treat as empty (never written by us)
+                    s[key] = []
+                    prev[key] = []
+                continue
+            rm = set(removed or [])
+            cur = [f for f in prev[key] if f not in rm] + (added or [])
+            s[key] = cur
+            prev[key] = cur
+    return manifest
+
+
+def _delta_encode_snapshots(manifest: dict) -> dict:
+    """Copy of ``manifest`` with per-snapshot file lists delta-encoded
+    against their predecessor IN LIST ORDER (the decoder's order).
+    Lossless by construction: if reconstruction would not reproduce
+    the exact list (order included), the full list is kept for that
+    snapshot — appends and rewrites both round-trip exactly (appends
+    extend the predecessor list; rewrites carry kept files in
+    predecessor order then append new ones), so the fallback is
+    a safety net, not a path."""
+    snaps = manifest.get("snapshots", [])
+    if not snaps:
+        return manifest
+    out = dict(manifest)
+    enc = []
+    prev: dict[str, list] = {"files": [], "deletes": []}
+    for s in snaps:
+        e = dict(s)
+        for key in ("files", "deletes"):
+            if key not in e:
+                continue
+            cur = e[key]
+            pv = prev[key]
+            prev[key] = cur
+            pset = set(pv)
+            cset = set(cur)
+            added = [f for f in cur if f not in pset]
+            removed = [f for f in pv if f not in cset]
+            rm = set(removed)
+            if [f for f in pv if f not in rm] + added != cur:
+                continue  # order not reconstructible: keep full list
+            del e[key]
+            e[f"{key}_added"] = added
+            if removed:
+                e[f"{key}_removed"] = removed
+        enc.append(e)
+    out["snapshots"] = enc
+    return out
+
+
 class SnapshotNotFoundError(ValueError):
     """A referenced snapshot id is absent from the table's log —
     typically expired by maintenance. Subclasses ValueError so callers
@@ -260,14 +333,18 @@ class LakehouseTable:
         if not os.path.exists(self.manifest_path):
             return {"snapshots": [], "schema": None}
         with open(self.manifest_path) as f:
-            return json.load(f)
+            return _delta_decode_snapshots(json.load(f))
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic manifest swap (write temp + rename)."""
+        """Atomic manifest swap (write temp + rename). Snapshot file
+        lists are delta-encoded on disk (see _delta_encode_snapshots)
+        so a long streaming append history costs O(epochs) manifest
+        bytes, not O(epochs x files); the caller's in-memory manifest
+        keeps its full lists."""
         os.makedirs(self.path, exist_ok=True)
         tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
+            json.dump(_delta_encode_snapshots(manifest), f, indent=1)
         os.replace(tmp, self.manifest_path)
 
     def _acquire_lock(
@@ -824,15 +901,29 @@ class LakehouseTable:
         return out
 
     @staticmethod
+    def _footer_map(files: list[str], fn):
+        """{file: fn(file)} over parquet footers. Sequential below 64
+        files; a thread pool above (footer reads are I/O round-trips
+        with the GIL released inside pyarrow — a 100k-file add_files
+        migration must not serialize them one at a time on the
+        driver). Results keyed by file, so order never matters."""
+        if len(files) <= 64:
+            return {f: fn(f) for f in files}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return dict(zip(files, pool.map(fn, files)))
+
+    @staticmethod
     def _file_stats(files: list[str]) -> dict[str, dict[str, list]]:
         """Per-file column min/max from the parquet footers (numeric
         and string columns) — the manifest-level stats Iceberg keeps in
         its manifest files. Footer-only reads: no data pages touched,
-        so stats collection is O(files), not O(rows)."""
+        so stats collection is O(files), not O(rows); parallel past 64
+        files (see _footer_map)."""
         import pyarrow.parquet as pq
 
-        stats: dict[str, dict[str, list]] = {}
-        for path in files:
+        def one(path: str) -> dict[str, list]:
             meta = pq.ParquetFile(path).metadata
             per_col: dict[str, list] = {}
             for rg_i in range(meta.num_row_groups):
@@ -855,8 +946,9 @@ class LakehouseTable:
                         ]
                     else:
                         per_col[name] = [lo, hi]
-            stats[path] = per_col
-        return stats
+            return per_col
+
+        return LakehouseTable._footer_map(files, one)
 
     @staticmethod
     def _file_row_counts(files: list[str]) -> dict[str, int]:
@@ -866,13 +958,14 @@ class LakehouseTable:
         scan."""
         import pyarrow.parquet as pq
 
-        out = {}
-        for path in files:
+        def one(path: str):
             try:
-                out[path] = pq.ParquetFile(path).metadata.num_rows
+                return pq.ParquetFile(path).metadata.num_rows
             except OSError:
-                continue
-        return out
+                return None
+
+        got = LakehouseTable._footer_map(files, one)
+        return {f: n for f, n in got.items() if n is not None}
 
     def row_count(self, snapshot_id: int | None = None) -> int | None:
         """Table row count from manifest metadata — O(1) manifest
@@ -2622,7 +2715,7 @@ class LakehouseTable:
                 with open(
                     os.path.join(clone_path, "_manifest.json")
                 ) as fh:
-                    cm = json.load(fh)
+                    cm = _delta_decode_snapshots(json.load(fh))
             except (OSError, ValueError):
                 continue
             for s in cm.get("snapshots", []):

@@ -124,8 +124,12 @@ def _read_manifest(path: str) -> dict:
     mp = os.path.join(path, "_manifest.json")
     if not os.path.exists(mp):
         return {"snapshots": [], "schema": None}
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        _delta_decode_snapshots,
+    )
+
     with open(mp) as f:
-        return json.load(f)
+        return _delta_decode_snapshots(json.load(f))
 
 
 class LakehouseStreamSource(DataSource):

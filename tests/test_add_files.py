@@ -200,3 +200,48 @@ def test_external_snap_dir_names_are_not_table_layout(spark, tmp_path):
     assert out.count() == 2
     assert set(out.columns) == {"id", "name", "grp"}
     assert {r.grp for r in out.collect()} == {0, 1}
+
+
+def test_footer_stats_parallel_parity_200_files(spark, tmp_path):
+    """Past 64 files _file_stats/_file_row_counts go through a thread
+    pool (a 100k-file migration must not serialize footer reads on
+    the driver one round-trip at a time); results are keyed by file
+    so they must be byte-identical to the sequential path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "many"
+    d.mkdir()
+    files = []
+    for i in range(200):
+        f = str(d / f"f{i:03d}.parquet")
+        pq.write_table(
+            pa.table(
+                {"id": [i * 3, i * 3 + 1], "name": [f"a{i}", f"b{i}"]}
+            ),
+            f,
+        )
+        files.append(f)
+
+    par_stats = LakehouseTable._file_stats(files)
+    par_rows = LakehouseTable._file_row_counts(files)
+    # sequential reference: the same per-file fns through the <=64
+    # path, chunked
+    seq_stats = {}
+    seq_rows = {}
+    for i in range(0, 200, 50):
+        seq_stats.update(LakehouseTable._file_stats(files[i : i + 50]))
+        seq_rows.update(
+            LakehouseTable._file_row_counts(files[i : i + 50])
+        )
+    assert par_stats == seq_stats
+    assert par_rows == seq_rows
+    assert len(par_stats) == 200
+    assert all(v == 2 for v in par_rows.values())
+    assert par_stats[files[7]]["id"] == [21, 22]
+
+    # end-to-end: a 200-file registration commits with full stats
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.add_files(spark, files)
+    assert t.row_count() == 400
+    assert len(t.pruned_files({"id": (21, 22)})) == 1

@@ -1842,3 +1842,98 @@ def test_read_as_of_timestamp(spark, tmp_path):
         t.read(spark, as_of_ts=ts1 - 1)
     with pytest.raises(ValueError, match="not several"):
         t.read(spark, snapshot_id=1, as_of_ts=ts1)
+
+
+def test_manifest_delta_encoding_growth_and_roundtrip(spark, tmp_path):
+    """_manifest.json stores per-snapshot file lists as deltas vs the
+    predecessor, so a streaming-style append history costs O(epochs)
+    manifest bytes, not O(epochs x files) — the r6 verdict's manifest
+    scale item. Pins ~linear growth and that decode reconstructs every
+    historical file list exactly (reads + time travel unchanged)."""
+    import json as _json
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    sizes = {}
+    for i in range(100):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+        if i + 1 in (50, 100):
+            sizes[i + 1] = os.path.getsize(t.manifest_path)
+    # quadratic full-list encoding would make 100 epochs ~4x the 50-
+    # epoch bytes; linear delta encoding is ~2x (plus flat overhead)
+    assert sizes[100] < 2.5 * sizes[50], sizes
+    # on disk: snapshots carry deltas, not full lists
+    with open(t.manifest_path) as f:
+        raw = _json.load(f)
+    tail_raw = raw["snapshots"][-1]
+    assert "files" not in tail_raw
+    assert len(tail_raw["files_added"]) >= 1
+    # in memory: full lists reconstruct exactly, history included
+    snaps = t.snapshots
+    per_append = len(snaps[0]["files"])
+    assert len(snaps[-1]["files"]) == 100 * per_append
+    assert snaps[49]["files"] == snaps[-1]["files"][: len(snaps[49]["files"])]
+    # reads + time travel see every row
+    assert t.read(spark).count() == 100
+    mid = snaps[49]["id"]
+    assert t.read(spark, snapshot_id=mid).count() == 50
+    assert t.row_count() == 100
+
+
+def test_manifest_delta_encoding_survives_rewrites(spark, tmp_path):
+    """Delta encoding round-trips non-append history too: compaction
+    (full rewrite), copy-on-write delete, and merge-on-read deletes
+    (the `deletes` tail is delta-encoded the same way)."""
+    from pyspark.sql import functions as F
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, i * 10)], "id long, v long"))
+    t.compact(spark, target_files=2)
+    assert t.read(spark).count() == 6
+    t.delete_where(spark, F.col("id") == 0)
+    assert t.read(spark).count() == 5
+    t.delete_where_mor(spark, F.col("id") == 1)
+    assert t.read(spark).count() == 4
+    t.append(spark.createDataFrame([(9, 90)], "id long, v long"))
+    assert sorted(
+        r["id"] for r in t.read(spark).collect()
+    ) == [2, 3, 4, 5, 9]
+    # time travel across the rewrite boundary still reconstructs
+    pre_compact = t.snapshots[5]["id"]
+    assert t.read(spark, snapshot_id=pre_compact).count() == 6
+    # deletes tail is delta-encoded on disk once MoR deletes exist
+    import json as _json
+
+    with open(t.manifest_path) as f:
+        raw = _json.load(f)
+    assert any(
+        "deletes_added" in s or "deletes" in s for s in raw["snapshots"]
+    )
+
+
+def test_manifest_legacy_full_lists_still_read(spark, tmp_path):
+    """A manifest written before delta encoding (full `files` list per
+    snapshot) reads unchanged and migrates to deltas on its next
+    commit."""
+    import json as _json
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    # rewrite the manifest in legacy full-list form
+    with open(t.manifest_path) as f:
+        raw = _json.load(f)
+    prev: list = []
+    for s in raw["snapshots"]:
+        rm = set(s.pop("files_removed", []))
+        prev = [f for f in prev if f not in rm] + s.pop("files_added", [])
+        s["files"] = list(prev)
+    with open(t.manifest_path, "w") as f:
+        _json.dump(raw, f)
+    t2 = LakehouseTable(t.path)
+    assert t2.read(spark).count() == 2
+    t2.append(spark.createDataFrame([(3,)], "id long"))
+    with open(t2.manifest_path) as f:
+        migrated = _json.load(f)
+    assert "files_added" in migrated["snapshots"][-1]
+    assert t2.read(spark).count() == 3
