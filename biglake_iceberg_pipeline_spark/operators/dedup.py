@@ -852,3 +852,86 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact substring dedup at word granularity (the ExactSubstr
+    recipe of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): REMOVE every k-word span that occurs in
+    ``min_doc_freq``-or-more distinct documents, rather than dropping
+    whole near-duplicate documents — the boilerplate cut (licenses,
+    headers, navboxes) that document-level dedup can't express. A word
+    survives iff no cross-document duplicated k-gram covers it; output
+    is the rebuilt text (whitespace-normalized, lowercased — the same
+    token stream the span statistics see) plus word accounting.
+
+    Spark-first instead of a suffix array: grams come from one
+    pass over the token arrays (posexplode of the sliding slice),
+    duplication is a gram-keyed groupBy over per-doc-distinct grams
+    (partial aggs map-side), coverage expands ONLY duplicated hits
+    (k rows per hit, a small corpus fraction), survivors are a
+    (doc, pos) anti-join, and the rebuild is one ordered groupBy.
+    Every shuffle is key-hash partitioned; nothing is quadratic in
+    corpus size, so the plan scales like the other gram operators
+    (shared_span_stats) rather than like pairwise dedup."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), ws.alias("__ws"))
+    words = base.select(
+        id_col, F.posexplode("__ws").alias("__pos", "__word")
+    )
+    gram_exprs = F.transform(
+        F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("__ws", i, k)),
+    )
+    grams = (
+        base.where(F.size("__ws") >= k)
+        .select(id_col, F.posexplode(gram_exprs).alias("__start", "__gram"))
+    )
+    dup = (
+        grams.select(id_col, "__gram")
+        .distinct()
+        .groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+        .select("__gram")
+    )
+    covered = (
+        grams.join(dup, "__gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__word"))
+                ),
+                lambda x: x["__word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = base.select(
+        id_col, F.size("__ws").alias("n_words")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_words").cast("long").alias("n_words"),
+        (
+            F.col("n_words") - F.coalesce("__n_kept", F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )

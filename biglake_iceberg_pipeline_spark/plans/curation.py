@@ -483,6 +483,66 @@ ORDER BY doc_id
 """
 
 
+
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr): excise
+    every 5-word span shared by >=2 distinct documents; returns the
+    rebuilt text + word accounting per document."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return excise_duplicate_spans(docs, "doc_id", "text", k=5).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_EXACT_SUBSTRINGS_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, i - 1 AS pos, ws[i] AS word
+    FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+),
+g AS (
+    SELECT doc_id, i - 1 AS start0,
+        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+            || ' ' || ws[i+4] AS gram
+    FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+    WHERE len(ws) >= 5
+),
+dup AS (
+    SELECT gram
+    FROM (SELECT DISTINCT doc_id, gram FROM g)
+    GROUP BY gram HAVING COUNT(*) >= 2
+),
+cov AS (
+    SELECT DISTINCT g.doc_id, t.pos
+    FROM g JOIN dup USING (gram),
+        unnest(generate_series(g.start0, g.start0 + 4)) AS t(pos)
+),
+kept AS (
+    SELECT words.doc_id, words.pos, words.word
+    FROM words ANTI JOIN cov USING (doc_id, pos)
+),
+rebuilt AS (
+    SELECT doc_id,
+        string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id AS doc_id,
+    COALESCE(clean_text, '') AS clean_text,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(len(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM w LEFT JOIN rebuilt USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
@@ -494,6 +554,7 @@ QUERIES = {
     "url_extraction": url_extraction,
     "ngram_contamination": ngram_contamination,
     "span_boilerplate": span_boilerplate,
+    "dedup_exact_substrings": dedup_exact_substrings,
 }
 
 ORACLE = {
@@ -507,4 +568,5 @@ ORACLE = {
     "url_extraction": URL_EXTRACTION_SQL,
     "ngram_contamination": NGRAM_CONTAMINATION_SQL,
     "span_boilerplate": SPAN_BOILERPLATE_SQL,
+    "dedup_exact_substrings": DEDUP_EXACT_SUBSTRINGS_SQL,
 }

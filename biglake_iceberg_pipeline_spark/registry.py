@@ -35,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r8 — the window holds exactly 50.
 PRIORITY_KEYS = (
     "lakehouse_point_lookup",
+    "dedup_exact_substrings",
     "drop_empty_rows",
     "embedding_stats",
     "ngram_contamination",
@@ -44,8 +45,8 @@ PRIORITY_KEYS = (
 )
 
 # The 50 keys the r6 driver window checked (CORRECTNESS_r06 — all
-# green: 45 hash-matches + 5 rows-only by design), plus five r5-green
-# keys overflowing to keep the window at exactly 50; those five
+# green: 45 hash-matches + 5 rows-only by design), plus six r5-green
+# keys overflowing to keep the window at exactly 50; those six
 # rotate back in r8.
 DEMOTED_KEYS = frozenset({
     # r6-green set
@@ -100,6 +101,7 @@ DEMOTED_KEYS = frozenset({
     "silver_orders",
     "text_bpe_tokens",
     # r5-green overflow — rotate back in r8
+    "sample_mixture",
     "multimodal_features",
     "approx_event_stats",
     "url_extraction",

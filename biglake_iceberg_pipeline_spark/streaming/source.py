@@ -163,6 +163,15 @@ class LakehouseStreamSource(DataSource):
       offset as its drain target, so an availableNow run processes
       one capped batch per start (still exactly-once — the next
       start continues).
+    - ``maxRowsPerTrigger``: soft cap on ROWS per micro-batch, from
+      the manifest's parquet-footer row counts (no scan) — snapshot-
+      granular like the file cap, always at least one snapshot;
+      files predating row-count tracking never share a batch.
+      Composes with ``maxFilesPerTrigger`` (both caps apply).
+    - ``endingSnapshotId``: bounded backfill — the stream never
+      advances past this snapshot (inclusive); pair with
+      ``startingSnapshotId`` to replay an exact commit range through
+      the streaming pipeline, then the stream idles at the bound.
     - ``streamId``: optional stable identity for the rate-limit
       cursor file. Defaults to a digest of (startingSnapshotId,
       maxFilesPerTrigger) — two CONCURRENT rate-limited queries on
@@ -223,16 +232,26 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._path = path
         self._schema = schema
         self._starting = int(options.get("startingSnapshotId", 0))
+        ending = options.get("endingSnapshotId")
+        self._ending = int(ending) if ending is not None else None
         mft = options.get("maxFilesPerTrigger")
         self._max_files = int(mft) if mft is not None else None
+        mrt = options.get("maxRowsPerTrigger")
+        self._max_rows = int(mrt) if mrt is not None else None
         stream_id = options.get("streamid") or options.get("streamId")
         if stream_id is None:
-            stream_id = f"start={self._starting}:mft={self._max_files}"
+            stream_id = (
+                f"start={self._starting}:mft={self._max_files}"
+                f":mrt={self._max_rows}"
+            )
         import hashlib
 
         self._cursor_key = hashlib.sha1(stream_id.encode()).hexdigest()[
             :16
         ]
+        self._rate_limited = (
+            self._max_files is not None or self._max_rows is not None
+        )
         self._arrow_schema = None  # executor-side cache
 
     # ------------------------------------------------- cursor state
@@ -314,7 +333,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         # merge — a concurrent query sharing the key is never pulled
         # backwards). The engine's own checkpoint owns the start
         # offset from here on.
-        if self._max_files is not None:
+        if self._rate_limited:
             self._advance_cursor(self._starting)
         _dbg(f"initialOffset -> {self._starting}")
         return {"snapshot_id": self._starting}
@@ -383,11 +402,19 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         _dbg(f"latestOffset cursor={self._read_cursor()}")
-        snaps = self._snaps()
+        m = _read_manifest(self._path)
+        snaps = m["snapshots"]
         if not snaps:
             return {"snapshot_id": self._starting}
         tail = snaps[-1]["id"]
-        if self._max_files is None:
+        if self._ending is not None:
+            # bounded backfill: never hand out past the ending
+            # snapshot; the stream idles there (stop it with
+            # availableNow, or let a monitor see zero progress)
+            tail = min(tail, self._ending)
+            if tail < self._starting:
+                return {"snapshot_id": self._starting}
+        if not self._rate_limited:
             # un-rate-limited: always the tail (monotonic by
             # construction — snapshot ids only grow). Validate
             # eagerly so the failure carries the lineage message
@@ -414,19 +441,38 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if tail <= cursor:
             return {"snapshot_id": cursor}
         lo, hi = self._resolve_range(snaps, cursor, tail)
-        taken = 0
+        file_rows = m.get("file_rows", {})
+        inf = float("inf")
+        taken_files = 0
+        taken_rows = 0.0
         end = cursor
-        for s, added in self._added_per_snapshot(snaps, lo, hi):
-            if end > cursor and taken + len(added) > self._max_files:
+        for snap, added in self._added_per_snapshot(snaps, lo, hi):
+            # a file missing a footer row count (pre-tracking history)
+            # counts as infinite: that snapshot still advances alone
+            # (always at least one), but never shares a batch
+            rows = sum(
+                file_rows.get(f, inf) for f in added
+            ) if self._max_rows is not None else 0.0
+            if end > cursor and (
+                (
+                    self._max_files is not None
+                    and taken_files + len(added) > self._max_files
+                )
+                or (
+                    self._max_rows is not None
+                    and taken_rows + rows > self._max_rows
+                )
+            ):
                 break
-            taken += len(added)
-            end = s["id"]
+            taken_files += len(added)
+            taken_rows += rows
+            end = snap["id"]
         self._advance_cursor(end)
         return {"snapshot_id": end}
 
     def commit(self, end: dict) -> None:
         _dbg(f"commit {end}")
-        if self._max_files is not None:
+        if self._rate_limited:
             self._advance_cursor(end["snapshot_id"])
 
     # --------------------------------------------------- partitions
@@ -442,7 +488,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # next advance would re-deliver consumed snapshots; fail
             # loudly and re-seed the cursor from the engine's start
             # so a restarted query continues exactly-once.
-            if self._max_files is not None:
+            if self._rate_limited:
                 self._advance_cursor(s0)
             raise RuntimeError(
                 f"lakehouse stream offset regressed: engine start "
@@ -452,7 +498,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             )
         if s1 == s0:
             return []
-        if self._max_files is not None:
+        if self._rate_limited:
             # heal the cursor from the engine's authoritative range
             # (covers replanned pending batches after a restart)
             cur = self._read_cursor()
@@ -850,6 +896,8 @@ def read_lakehouse_stream(
     starting_snapshot_id: int | None = None,
     max_files_per_trigger: int | None = None,
     schema: StructType | None = None,
+    ending_snapshot_id: int | None = None,
+    max_rows_per_trigger: int | None = None,
 ) -> DataFrame:
     """Register the source (idempotent) and open the stream."""
     spark.dataSource.register(LakehouseStreamSource)
@@ -858,9 +906,17 @@ def read_lakehouse_stream(
         reader = reader.option(
             "startingSnapshotId", str(starting_snapshot_id)
         )
+    if ending_snapshot_id is not None:
+        reader = reader.option(
+            "endingSnapshotId", str(ending_snapshot_id)
+        )
     if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    if max_rows_per_trigger is not None:
+        reader = reader.option(
+            "maxRowsPerTrigger", str(max_rows_per_trigger)
         )
     if schema is not None:
         reader = reader.schema(schema)

@@ -191,3 +191,72 @@ def test_ngram_jaccard_array_path_equals_bitmap_path(spark, monkeypatch):
         )
     )
     assert got == want and want  # non-trivial and identical
+
+
+def test_excise_duplicate_spans_semantics(spark):
+    """Exact substring dedup: a 5-word span shared by two docs is cut
+    from BOTH (every occurrence, including a repeat within one doc);
+    unique text survives; docs shorter than k are untouched; a doc
+    that is entirely boilerplate comes back empty."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    boiler = "all rights reserved by the publisher"  # 6 words
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota"),
+        (3, "totally unique words nothing shared here at all"),
+        (4, "tiny doc"),  # < k words
+        (5, boiler),  # pure boilerplate
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            k=5,
+        ).collect()
+    }
+    # every word of the shared 6-word span is covered by one of its
+    # two 5-gram windows -> fully excised from all three docs
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "epsilon zeta eta theta iota"
+    assert out[2]["n_removed"] == 6
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_removed"] == 6
+    assert all(
+        r["n_words"]
+        == len(r["clean_text"].split()) + r["n_removed"]
+        for r in out.values()
+        if r["clean_text"]
+    )
+
+
+def test_excise_duplicate_spans_within_doc_repeat_not_cut_alone(spark):
+    """min_doc_freq counts DISTINCT documents: a span repeated inside
+    one doc but appearing nowhere else is NOT boilerplate (document-
+    internal repetition is text_repetition's job)."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    span = "one two three four five"
+    rows = [(1, f"{span} filler words {span}"), (2, "other doc entirely")]
+    out = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            k=5,
+        ).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == rows[0][1]

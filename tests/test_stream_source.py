@@ -392,3 +392,66 @@ def test_stream_source_rejects_mor_delete_snapshots(spark, tmp_path):
     assert sorted(
         r["id"] for r in tbl.read(spark).collect()
     ) == [2, 3]
+
+
+def test_stream_source_ending_snapshot_id_bounds_backfill(
+    spark, tmp_path
+):
+    """startingSnapshotId + endingSnapshotId replay an exact commit
+    range: commits after the bound never reach the stream."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    ids = []
+    for i in range(4):
+        ids.append(tbl.append(spark.createDataFrame([(i,)], "id long")))
+    got: list[int] = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(
+            spark,
+            tbl.path,
+            starting_snapshot_id=ids[0],
+            ending_snapshot_id=ids[2],
+        ),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(got) == [1, 2]
+
+
+def test_stream_source_max_rows_per_trigger(spark, tmp_path):
+    """maxRowsPerTrigger groups whole snapshots by manifest footer
+    row counts: three 2-row appends under a 4-row cap surface as
+    [4 rows, 2 rows] batches — no scan, no split snapshots."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(
+            spark.createDataFrame(
+                [(i * 2,), (i * 2 + 1,)], "id long"
+            ).coalesce(1)
+        )
+    batches: list[list[int]] = []
+
+    def sink(bdf, bid):
+        rows = sorted(r["id"] for r in bdf.collect())
+        if rows:
+            batches.append(rows)
+
+    q = (
+        read_lakehouse_stream(spark, tbl.path, max_rows_per_trigger=4)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and sum(map(len, batches)) < 6:
+        time.sleep(0.2)
+    q.stop()
+    _drain(q)
+    assert batches == [[0, 1, 2, 3], [4, 5]]
