@@ -2410,6 +2410,156 @@ class LakehouseTable:
             except OSError:
                 pass
 
+
+    # ---- per-file Bloom filters (point-lookup file skipping) -------
+    # Footer min/max prunes ranges; a point lookup on a column that
+    # is NOT the clustering key intersects nearly every file's range.
+    # Per-file blooms (operators/bloom.py — Iceberg puffin blooms /
+    # parquet column bloom filters) answer "definitely not here" for
+    # exact values. Same lifecycle as the NDV sketches: keyed by
+    # immutable data file, sidecar blobs under stats/, refresh is
+    # O(files lacking coverage), rewrites re-bloom on the next
+    # refresh, expiry prunes pointers and GC reaps dead blobs, clones
+    # carry referenced blobs.
+
+    def _write_bloom_sidecar(self, blooms: dict[str, dict]) -> str:
+        stats_dir = os.path.join(self.path, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        rel = os.path.join("stats", f"bloom-{uuid.uuid4().hex}.json")
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(blooms, fh)
+        os.replace(tmp, os.path.join(self.path, rel))
+        return rel
+
+    def refresh_bloom_filters(
+        self,
+        spark: SparkSession,
+        columns: list[str],
+        fpp: float = 0.01,
+        files: list[str] | None = None,
+    ) -> int:
+        """Build per-file Bloom filters for ``columns`` over every
+        current-snapshot data file not yet covering them (or the
+        explicit ``files``); returns the number of files bloomed.
+        O(new data) after an append — already-covered files are never
+        re-read. Only integer/string columns are bloomable (their
+        canonical rendering is engine-stable); others raise.
+
+        The scan is DISTRIBUTED: file paths fan out over executors
+        and each task reads only its file's requested columns with
+        pyarrow (the streaming source's executor-read pattern) — the
+        driver sees one (file, col, filter) row per bloom, never the
+        data. A file re-bloomed for new columns keeps its old
+        columns too (the union is rebuilt, one blob read per file).
+        """
+        from biglake_iceberg_pipeline_spark.operators.bloom import (
+            BLOOMABLE_PREFIXES,
+        )
+
+        manifest = self._read_manifest()
+        schema_json = manifest.get("schema")
+        if schema_json:
+            declared = {
+                f["name"]: f["type"]
+                for f in json.loads(schema_json)["fields"]
+                if isinstance(f.get("type"), str)
+            }
+            for c in columns:
+                t = declared.get(c)
+                if t is not None and not t.startswith(
+                    BLOOMABLE_PREFIXES
+                ):
+                    raise ValueError(
+                        f"column {c!r} has type {t}: only integer and "
+                        "string columns are bloomable (canonical "
+                        "str() rendering must be engine-stable)"
+                    )
+        snaps = manifest["snapshots"]
+        live = snaps[-1]["files"] if snaps else []
+        targets = list(files) if files is not None else list(live)
+        ptr = manifest.get("bloom_sidecars", {})
+        want: dict[str, list[str]] = {}
+        for f in targets:
+            entry = ptr.get(f)
+            have = set(entry["cols"]) if entry else set()
+            if not set(columns) <= have:
+                want[f] = sorted(set(columns) | have)
+        if not want:
+            return 0
+
+        import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+        cols_by_file = dict(want)
+        the_fpp = fpp
+
+        def gen(batches):
+            import json as _json
+
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            from biglake_iceberg_pipeline_spark.operators.bloom import (
+                build_bloom,
+            )
+
+            for b in batches:
+                rows = []
+                for path in b["path"]:
+                    pf = _pq.ParquetFile(path)
+                    names = set(pf.schema_arrow.names)
+                    n = pf.metadata.num_rows
+                    for c in cols_by_file[path]:
+                        if c not in names:
+                            continue  # pre-evolution file: no column
+                        vals = [
+                            v
+                            for v in pf.read(columns=[c])
+                            .column(c)
+                            .to_pylist()
+                            if v is not None
+                        ]
+                        rows.append(
+                            (
+                                path,
+                                c,
+                                _json.dumps(
+                                    build_bloom(
+                                        vals, n_hint=n, fpp=the_fpp
+                                    )
+                                ),
+                            )
+                        )
+                yield _pd.DataFrame(
+                    rows, columns=["path", "col", "bloom"]
+                )
+
+        paths_df = spark.createDataFrame(
+            [(f,) for f in want], "path string"
+        ).repartition(min(len(want), 64))
+        got = paths_df.mapInPandas(
+            gen, "path string, col string, bloom string"
+        ).collect()
+        blob: dict[str, dict] = {}
+        for r in got:
+            blob.setdefault(r["path"], {})[r["col"]] = json.loads(
+                r["bloom"]
+            )
+        rel = self._write_bloom_sidecar(blob)
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            bp = manifest.setdefault("bloom_sidecars", {})
+            for f, cols in want.items():
+                bp[f] = {"blob": rel, "cols": cols}
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        return len(want)
+
     def compact_ndv_sidecars(self, max_blobs: int = 8) -> int:
         """Merge the stats sidecar blobs into one when refresh churn
         has scattered them (each refresh batch writes its own blob, so
@@ -2482,10 +2632,16 @@ class LakehouseTable:
         if not os.path.isdir(stats_dir):
             return
         referenced = set(manifest.get("ndv_sidecars", {}).values())
+        referenced |= {
+            e["blob"]
+            for e in manifest.get("bloom_sidecars", {}).values()
+        }
         now = time.time()
         for name in os.listdir(stats_dir):
             rel = os.path.join("stats", name)
-            if rel not in referenced and name.startswith("ndv-"):
+            if rel not in referenced and name.startswith(
+                ("ndv-", "bloom-")
+            ):
                 path = os.path.join(stats_dir, name)
                 try:
                     if now - os.path.getmtime(path) > 300:
@@ -2667,7 +2823,12 @@ class LakehouseTable:
             # referenced stats blobs (KBs — metadata, not data) into
             # the clone so its ndv()/advisor stay scan-free and the
             # source's expiry can never reap a blob the clone reads
-            for rel in set(cloned.get("ndv_sidecars", {}).values()):
+            carried_blobs = set(cloned.get("ndv_sidecars", {}).values())
+            carried_blobs |= {
+                e["blob"]
+                for e in cloned.get("bloom_sidecars", {}).values()
+            }
+            for rel in carried_blobs:
                 src_blob = os.path.join(self.path, rel)
                 dst_blob = os.path.join(dest.path, rel)
                 try:
@@ -2850,6 +3011,7 @@ class LakehouseTable:
                 "file_rows",
                 "file_ndv",
                 "ndv_sidecars",
+                "bloom_sidecars",
                 "file_added_at",
                 "delete_meta",
             ):
@@ -3356,6 +3518,45 @@ class LakehouseTable:
         )
         stats = manifest.get("file_stats", {})
         fparts = manifest.get("file_partitions", {})
+        # bloom probes apply to EQUALITY points (lo == hi) on int/str
+        # values — the lookup shape min/max can't prune when the
+        # column isn't the sort key. Blob contents are lazy-loaded and
+        # memoized per call; a missing/lost blob keeps conservatively.
+        bloom_ptr = manifest.get("bloom_sidecars", {})
+        points = {
+            col: lo
+            for col, (lo, hi) in ranges.items()
+            if lo is not None
+            and lo == hi
+            and isinstance(lo, (int, str))
+            and not isinstance(lo, bool)
+        }
+        blob_cache: dict[str, dict | None] = {}
+
+        def _bloom_rejects(f: str) -> bool:
+            entry = bloom_ptr.get(f)
+            if not entry or not points:
+                return False
+            from biglake_iceberg_pipeline_spark.operators.bloom import (
+                might_contain,
+            )
+
+            rel = entry["blob"]
+            if rel not in blob_cache:
+                try:
+                    with open(os.path.join(self.path, rel)) as fh:
+                        blob_cache[rel] = json.load(fh)
+                except (OSError, ValueError):
+                    blob_cache[rel] = None  # lost blob: keep files
+            blob = blob_cache[rel]
+            if blob is None:
+                return False
+            per_col = blob.get(f, {})
+            for col, v in points.items():
+                b = per_col.get(col)
+                if b is not None and not might_contain(b, v):
+                    return True  # definitely absent from this file
+            return False
         # hidden-partitioning: map source-column predicates onto the
         # derived hive values recorded per file (src → [(derived
         # name, descriptor)]) — this is how a predicate on ts prunes
@@ -3405,6 +3606,8 @@ class LakehouseTable:
                         break
                 if not keep:
                     break
+            if keep and _bloom_rejects(f):
+                keep = False
             if keep:
                 out.append(f)
         return out
