@@ -2552,6 +2552,13 @@ class LakehouseTable:
             bp = manifest.setdefault("bloom_sidecars", {})
             for f, cols in want.items():
                 bp[f] = {"blob": rel, "cols": cols}
+            # durable opt-in record: maintain() re-blooms rewrites
+            # from this column set even after expiry pruned every
+            # per-file pointer (the pointers die with their files;
+            # the table's bloom intent must not)
+            manifest["bloom_columns"] = sorted(
+                set(manifest.get("bloom_columns", [])) | set(columns)
+            )
             self._commit(manifest)
         finally:
             try:
@@ -2607,6 +2614,59 @@ class LakehouseTable:
             # reader holding the PRE-compaction manifest must get the
             # full window to finish its blob opens — an hours-old
             # blob would otherwise be reaped by the very next expiry
+            now = time.time()
+            for rel in readable:
+                try:
+                    os.utime(os.path.join(self.path, rel), (now, now))
+                except OSError:
+                    pass
+            self._commit(manifest)
+            return len(readable)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+
+    def compact_bloom_sidecars(self, max_blobs: int = 8) -> int:
+        """Merge scattered bloom sidecar blobs into one (the NDV
+        compaction's twin — every refresh batch writes its own blob,
+        so steady appends accumulate O(refreshes) small files).
+        Same contracts: each file's filters come from its
+        AUTHORITATIVE blob, pointers at unreadable blobs are left to
+        self-heal, superseded blobs get a fresh GC grace clock."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            ptr = manifest.get("bloom_sidecars", {})
+            blobs = {e["blob"] for e in ptr.values()}
+            if len(blobs) <= max_blobs:
+                return 0
+            contents: dict[str, dict] = {}
+            for rel in sorted(blobs):
+                try:
+                    with open(os.path.join(self.path, rel)) as fh:
+                        contents[rel] = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+            merged = {
+                f: contents[e["blob"]][f]
+                for f, e in ptr.items()
+                if e["blob"] in contents and f in contents[e["blob"]]
+            }
+            readable = set(contents)
+            if len(readable) <= 1 or not merged:
+                return 0
+            new_rel = self._write_bloom_sidecar(merged)
+            manifest["bloom_sidecars"] = {
+                f: (
+                    {"blob": new_rel, "cols": e["cols"]}
+                    if f in merged
+                    else e
+                )
+                for f, e in ptr.items()
+            }
             now = time.time()
             for rel in readable:
                 try:
@@ -3108,6 +3168,25 @@ class LakehouseTable:
         if "ndv_sidecars" in manifest or "file_ndv" in manifest:
             report["ndv_files_sketched"] = self.refresh_ndv_sketches(spark)
             report["ndv_sidecars_compacted"] = self.compact_ndv_sidecars()
+        if "bloom_sidecars" in manifest:
+            # bloom opt-in: re-bloom rewrite output for the recorded
+            # column set, so a compaction doesn't silently retire
+            # point-lookup pruning (the per-file pointers die with
+            # their files in expiry; bloom_columns records intent)
+            cols = manifest.get("bloom_columns") or sorted(
+                {
+                    c
+                    for e in manifest["bloom_sidecars"].values()
+                    for c in e["cols"]
+                }
+            )
+            if cols:
+                report["bloom_files_refreshed"] = (
+                    self.refresh_bloom_filters(spark, cols)
+                )
+                report["bloom_sidecars_compacted"] = (
+                    self.compact_bloom_sidecars()
+                )
         return report
 
     # ---- merge-on-read row-level deletes (Iceberg v2 delete files) --

@@ -179,3 +179,29 @@ def test_bloom_lights_up_connector_equalto(spark, tmp_path):
         .collect()
     )
     assert [row["id"] for row in got] == [1003]
+
+
+def test_bloom_maintain_rebloooms_rewrites_and_compacts_blobs(
+    spark, tmp_path
+):
+    """maintain() keeps bloom coverage alive across compaction for
+    opted-in tables (pointer map present) and merges scattered
+    blobs, exactly like the NDV sketches."""
+    t = _interleaved_table(spark, str(tmp_path / "t"), nfiles=12)
+    # one blob per refresh: 12 refreshes -> 12 blobs
+    for f in list(t.snapshots[-1]["files"]):
+        t.refresh_bloom_filters(spark, ["id"], files=[f])
+    m = t._read_manifest()
+    assert len({e["blob"] for e in m["bloom_sidecars"].values()}) == 12
+    rep = t.maintain(spark, max_files=4, keep_snapshots=1)
+    assert rep["compacted_from"] == 12
+    # rewrite output re-bloomed...
+    assert rep["bloom_files_refreshed"] >= 1
+    # ...and pruning still works on the compacted layout
+    assert len(t.pruned_files({"id": (1003, 1003)})) >= 1
+    assert len(t.pruned_files({"id": (987654, 987654)})) <= 1
+    # blob count collapsed under the compaction threshold
+    m2 = t._read_manifest()
+    assert (
+        len({e["blob"] for e in m2["bloom_sidecars"].values()}) <= 8
+    )
