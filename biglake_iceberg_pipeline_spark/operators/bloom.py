@@ -32,9 +32,11 @@ import math
 
 import numpy as np
 
-#: column type prefixes that may carry a bloom (canonical str())
-BLOOMABLE_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long",
-                      "string", "varchar")
+#: Spark schema.json() type names that may carry a bloom — every
+#: integer width plus string (their canonical str() rendering is
+#: engine-stable). schema.json() emits "long"/"integer"/"short"/
+#: "byte"/"string", never the SQL DDL spellings.
+BLOOMABLE_PREFIXES = ("long", "integer", "short", "byte", "string")
 
 
 def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:

@@ -381,6 +381,13 @@ def _lookup_table_path(spark: SparkSession, sf_dir: str) -> str:
         path = (
             f"{tempfile.gettempdir()}/lakehouse_lookup_{tag}_{os.getpid()}"
         )
+        # a crashed prior build (append landed, compact didn't) left
+        # a half-built table at this pid-scoped path — a second
+        # append would double every row; rebuild from scratch
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         table = LakehouseTable(path)
         table.append(load_table(spark, sf_dir, "orders"))
         # sort-order compaction makes o_orderkey footer ranges

@@ -111,12 +111,17 @@ def _overlay_batches(partition: _FilePartition, target):
     yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
+_DBG_PATH = os.environ.get("SPARK_GRAFT_STREAM_DEBUG")
+
+
 def _dbg(msg: str) -> None:
-    p = os.environ.get("SPARK_GRAFT_STREAM_DEBUG")
-    if p:
+    """Offset-protocol tracer (set SPARK_GRAFT_STREAM_DEBUG=<file>):
+    the engine's call order across reader instances is the whole
+    correctness story here (see the cursor notes) — keep the probe."""
+    if _DBG_PATH:
         import time
 
-        with open(p, "a") as f:
+        with open(_DBG_PATH, "a") as f:
             f.write(f"{os.getpid()} {time.monotonic():.3f} {msg}\n")
 
 
@@ -240,9 +245,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._max_rows = int(mrt) if mrt is not None else None
         stream_id = options.get("streamid") or options.get("streamId")
         if stream_id is None:
+            # every option that shapes offsets is part of the key — a
+            # bounded backfill must never read an unbounded run's
+            # cursor (it would idle past its own ending bound)
             stream_id = (
                 f"start={self._starting}:mft={self._max_files}"
-                f":mrt={self._max_rows}"
+                f":mrt={self._max_rows}:end={self._ending}"
             )
         import hashlib
 
@@ -267,64 +275,63 @@ class LakehouseStreamReader(DataSourceStreamReader):
     # ranges under new batchIds (duplicate rows). Durable +
     # monotonic-max fixes both: every instance reads the same
     # cursor, and offsets never move backwards.
+    #
+    # NOTE the cursor outlives the query: a brand-new query (fresh
+    # checkpoint) on a previously-streamed table reads the old
+    # cursor and takes its whole backlog as ONE uncapped first batch
+    # (safe, but heavy). Pass a per-query streamId (e.g. the
+    # checkpoint path) to scope the cursor when that matters.
 
-    def _cursor_paths(self) -> tuple[str, str]:
-        d = os.path.join(self._path, "_streams")
-        return (
-            os.path.join(d, f"{self._cursor_key}.json"),
-            os.path.join(d, f"{self._cursor_key}.lock"),
-        )
+    def _cursor_dir(self) -> str:
+        return os.path.join(self._path, "_streams")
 
     def _read_cursor(self) -> int | None:
-        cpath, _ = self._cursor_paths()
+        """Max over ``<key>.cursor-<n>`` marker files — LOCK-FREE.
+        The cursor value lives in the FILENAME: an advance creates a
+        new marker and (best-effort) unlinks lower ones, so no file
+        is ever rewritten and two racing writers cannot regress the
+        max — the monotonic invariant holds without any lock, and an
+        idle trigger costs one directory listing."""
         try:
-            with open(cpath) as f:
-                return int(json.load(f)["cursor"])
-        except (OSError, ValueError, KeyError):
+            names = os.listdir(self._cursor_dir())
+        except OSError:
             return None
+        prefix = f"{self._cursor_key}.cursor-"
+        best = None
+        for n in names:
+            if n.startswith(prefix):
+                try:
+                    v = int(n[len(prefix):])
+                except ValueError:
+                    continue
+                if best is None or v > best:
+                    best = v
+        return best
 
     def _advance_cursor(self, end: int) -> None:
-        """Raise the durable cursor to ``end`` (never lower it).
-        O_EXCL lock file around the read-max-write so two runner
-        processes can't interleave and lose the max; short stale
-        window — holders do one tiny JSON swap."""
-        import time as _time
-        import uuid as _uuid
-
-        cpath, lpath = self._cursor_paths()
-        os.makedirs(os.path.dirname(cpath), exist_ok=True)
-        deadline = _time.time() + 10.0
-        while True:
-            try:
-                fd = os.open(
-                    lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if _time.time() - os.path.getmtime(lpath) > 10.0:
-                        os.remove(lpath)
-                        continue
-                except OSError:
-                    continue
-                if _time.time() > deadline:
-                    raise TimeoutError(
-                        f"stream cursor lock busy: {lpath}"
-                    )
-                _time.sleep(0.01)
+        cur = self._read_cursor()
+        if cur is not None and end <= cur:
+            return
+        d = self._cursor_dir()
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, f"{self._cursor_key}.cursor-{end}")
         try:
-            cur = self._read_cursor()
-            if cur is None or end > cur:
-                tmp = cpath + f".tmp-{_uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    json.dump({"cursor": end}, f)
-                os.replace(tmp, cpath)
-        finally:
-            try:
-                os.remove(lpath)
-            except OSError:
-                pass
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            pass  # another instance placed the same marker: same max
+        # reap superseded markers (best-effort; steady state is one)
+        prefix = f"{self._cursor_key}.cursor-"
+        try:
+            for n in os.listdir(d):
+                if n.startswith(prefix):
+                    try:
+                        if int(n[len(prefix):]) < end:
+                            os.remove(os.path.join(d, n))
+                    except (ValueError, OSError):
+                        pass
+        except OSError:
+            pass
 
     # ------------------------------------------------------ offsets
 

@@ -100,6 +100,22 @@ def test_bloom_rejects_unbloomable_types(spark, tmp_path):
         t.refresh_bloom_filters(spark, ["v"])
 
 
+def test_bloom_accepts_every_integer_width(spark, tmp_path):
+    """schema.json() type names are 'short'/'byte'/'integer'/'long' —
+    all bloomable (regression: the gate once used SQL DDL spellings
+    and wrongly refused short/byte columns)."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 2, 3, 4)],
+            "a byte, b short, c int, d long",
+        ).coalesce(1)
+    )
+    assert t.refresh_bloom_filters(spark, ["a", "b", "c", "d"]) == 1
+    assert len(t.pruned_files({"b": (2, 2)})) == 1
+    assert len(t.pruned_files({"b": (99, 99)})) == 0
+
+
 def test_bloom_lost_blob_keeps_conservatively(spark, tmp_path):
     t = _interleaved_table(spark, str(tmp_path / "t"), nfiles=3)
     t.refresh_bloom_filters(spark, ["id"])

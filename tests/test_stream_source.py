@@ -314,14 +314,13 @@ def test_stream_source_rate_limit_five_snapshots_exact_batches(
     _drain(q)
     assert batches == [[0], [1], [2], [3], [4]]
     # the cursor survived every reader instantiation: durable under
-    # the table, monotonic
+    # the table as a lock-free marker file whose NAME is the value
+    # (superseded markers reaped — steady state is exactly one)
     import glob
-    import json as _json
 
-    cursors = glob.glob(os.path.join(tbl.path, "_streams", "*.json"))
-    assert len(cursors) == 1
-    with open(cursors[0]) as f:
-        assert _json.load(f)["cursor"] == 5
+    markers = glob.glob(os.path.join(tbl.path, "_streams", "*.cursor-*"))
+    assert len(markers) == 1
+    assert markers[0].endswith(".cursor-5")
 
 
 def test_stream_source_rate_limit_resumes_after_mid_stream_appends(
