@@ -46,7 +46,11 @@ files are deleted on the spot), a failed epoch's staged files are
 removed by ``abort``, and loader-style schema evolution (add/widen,
 incompatible rejected) runs against the committed schema at each
 commit. Requires ``txnAppId`` — exactly-once is the contract, not an
-option.
+option. Identity-partitioned tables write hive-style from the sink
+(value in the path, column dropped from the file — append()'s exact
+layout); declare the spec for a brand-new table with
+``.option("partitionBy", "col1,col2")``. Hidden-transform specs stay
+refused — evolve/compact after ingest.
 """
 
 from __future__ import annotations
@@ -673,17 +677,52 @@ class _StagingWriterCore:
     streaming and batch writers (both Arrow-batched)."""
 
     def _init_staging(
-        self, path: str, schema: StructType, stage: str
+        self,
+        path: str,
+        schema: StructType,
+        stage: str,
+        partition_opt: str | None = None,
     ) -> None:
         self._path = path
         self._schema = schema
         m = _read_manifest(path)
-        if m.get("partition_by"):
+        spec = m.get("partition_by") or []
+        opt = (
+            [c.strip() for c in partition_opt.split(",") if c.strip()]
+            if partition_opt
+            else []
+        )
+        if spec and opt and opt != spec:
             raise ValueError(
-                "lakehouse sink writes unpartitioned "
-                "layouts; compact(sort_by=...) or evolve the spec "
-                "after ingest for clustering"
+                f"table is partitioned by {spec}, sink option "
+                f"partitionBy={opt} disagrees"
             )
+        if not spec:
+            # brand-new table: the sink option declares the spec;
+            # the first commit records it in the manifest
+            spec = opt
+        # IDENTITY partition columns are written hive-style by the
+        # sink (value in the path, column dropped from the file —
+        # the same layout append() produces, so reads/pruning are
+        # indistinguishable). Hidden-transform specs stay refused:
+        # their derived values come from Spark-side expressions the
+        # Arrow writer can't replicate bit-for-bit — evolve/compact
+        # after ingest for those.
+        names = {f.name for f in schema.fields}
+        self._part_cols: list[str] = []
+        for entry in spec:
+            if "(" in entry:
+                raise ValueError(
+                    "lakehouse sink supports identity partition "
+                    f"specs only (got transform {entry!r}); "
+                    "compact() or evolve the spec after ingest"
+                )
+            if entry not in names:
+                raise ValueError(
+                    f"partition column {entry!r} missing from the "
+                    "stream schema"
+                )
+            self._part_cols.append(entry)
         # staging lives under data/ — inside sweep_orphans' walk — so
         # files stranded by a hard crash (driver killed between
         # executor staging and commit/abort, or a retried task's first
@@ -691,28 +730,74 @@ class _StagingWriterCore:
         # instead of leaking forever
         self._stage = os.path.join(path, "data", stage)
 
+    @staticmethod
+    def _hive_value(v) -> str:
+        from urllib.parse import quote
+
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return quote(str(v), safe="")
+
     def write(self, iterator):
         import uuid
 
         import pyarrow.parquet as pq
 
-        writer = None
+        # one open writer per distinct partition-dir this task sees
+        # (unpartitioned: exactly one, at the staging root)
+        writers: dict[str, pq.ParquetWriter] = {}
+        paths: dict[str, str] = {}
         rows = 0
-        fp = os.path.join(
-            self._stage, f"part-{uuid.uuid4().hex}.parquet"
-        )
+        part_cols = self._part_cols
+
+        def sink_for(subdir: str, schema):
+            if subdir not in writers:
+                d = (
+                    os.path.join(self._stage, subdir)
+                    if subdir
+                    else self._stage
+                )
+                os.makedirs(d, exist_ok=True)
+                fp = os.path.join(
+                    d, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                writers[subdir] = pq.ParquetWriter(fp, schema)
+                paths[subdir] = fp
+            return writers[subdir]
+
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            if writer is None:
-                os.makedirs(self._stage, exist_ok=True)
-                writer = pq.ParquetWriter(fp, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _StagedFiles(files=[], rows=0)
-        writer.close()
-        return _StagedFiles(files=[fp], rows=rows)
+            if not part_cols:
+                sink_for("", batch.schema).write_batch(batch)
+                rows += batch.num_rows
+                continue
+            # split the batch by partition tuple; store the batch
+            # minus the partition columns (hive layout)
+            import pyarrow as pa
+
+            tbl = pa.Table.from_batches([batch])
+            keep = [
+                n for n in tbl.column_names if n not in part_cols
+            ]
+            cols = [tbl.column(c).to_pylist() for c in part_cols]
+            groups: dict[tuple, list[int]] = {}
+            for i in range(tbl.num_rows):
+                groups.setdefault(
+                    tuple(col[i] for col in cols), []
+                ).append(i)
+            for key_vals, idxs in groups.items():
+                subdir = os.sep.join(
+                    f"{c}={self._hive_value(v)}"
+                    for c, v in zip(part_cols, key_vals)
+                )
+                sub = tbl.take(idxs).select(keep)
+                w = sink_for(subdir, sub.schema)
+                w.write_table(sub)
+                rows += len(idxs)
+        for w in writers.values():
+            w.close()
+        return _StagedFiles(files=sorted(paths.values()), rows=rows)
 
     def _evolved_schema_json(self, table) -> str:
         m = table._read_manifest()
@@ -737,7 +822,9 @@ class _StagingWriterCore:
             LakehouseTable,
         )
 
-        table = LakehouseTable(self._path)
+        table = LakehouseTable(
+            self._path, partition_by=self._part_cols or None
+        )
         schema_json = self._evolved_schema_json(table)
         # schema/transform clash is guarded inside _locked_commit
         # (under the lock, the only authoritative place)
@@ -780,13 +867,14 @@ class _StagingWriterCore:
             protected.update(s["files"])
         protected |= table._branch_protected_files(m)
         protected |= table._clone_protected_files(m)
-        for name in os.listdir(self._stage):
-            p = os.path.join(self._stage, name)
-            if name.endswith(".parquet") and p not in protected:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+        for root, _dirs, names in os.walk(self._stage):
+            for name in names:
+                p = os.path.join(root, name)
+                if name.endswith(".parquet") and p not in protected:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
 
 class LakehouseStreamWriter(_StagingWriterCore, DataSourceStreamArrowWriter):
@@ -817,7 +905,12 @@ class LakehouseStreamWriter(_StagingWriterCore, DataSourceStreamArrowWriter):
         # abort delete the other's staged-but-uncommitted files).
         safe = re.sub(r"[^A-Za-z0-9_.-]", "-", app)[:40]
         digest = hashlib.sha1(app.encode()).hexdigest()[:8]
-        self._init_staging(path, schema, f"snap-stream-{safe}-{digest}")
+        self._init_staging(
+            path,
+            schema,
+            f"snap-stream-{safe}-{digest}",
+            options.get("partitionby"),
+        )
 
     def commit(self, messages, batchId: int) -> None:
         files = [f for msg in messages if msg for f in msg.files]
@@ -852,7 +945,10 @@ class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
         import uuid
 
         self._init_staging(
-            path, schema, f"snap-batch-{uuid.uuid4().hex}"
+            path,
+            schema,
+            f"snap-batch-{uuid.uuid4().hex}",
+            options.get("partitionby"),
         )
 
     def commit(self, messages) -> None:
@@ -863,7 +959,9 @@ class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
         files = [f for msg in messages if msg for f in msg.files]
         if self._overwrite:
             # zero-row overwrite still commits: truncation semantics
-            table = LakehouseTable(self._path)
+            table = LakehouseTable(
+                self._path, partition_by=self._part_cols or None
+            )
             table._locked_commit(
                 "overwrite",
                 files,

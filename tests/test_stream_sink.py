@@ -94,13 +94,95 @@ def test_sink_requires_txn_app_id(spark, tmp_path):
         raise RuntimeError(q.exception() or "no failure surfaced")
 
 
-def test_sink_rejects_partitioned_tables(spark, tmp_path):
+def test_sink_writes_identity_partitioned_layout(spark, tmp_path):
+    """The sink writes identity-partitioned tables hive-style —
+    value in the path, column dropped from the file, exactly
+    append()'s layout — so reads restore values and partition
+    pruning is exact on sink-written files."""
     tbl = LakehouseTable(str(tmp_path / "t"), partition_by=["region"])
     tbl.append(
         spark.createDataFrame([(1, "eu")], "id long, region string")
     )
-    src = spark.readStream.format("rate").load()
-    with pytest.raises(Exception, match="unpartitioned"):
+    bronze = LakehouseTable(str(tmp_path / "b"))
+    bronze.append(
+        spark.createDataFrame(
+            [(2, "us"), (3, "eu"), (4, None)],
+            "id long, region string",
+        )
+    )
+    _run(
+        write_lakehouse_stream(
+            read_lakehouse_stream(spark, bronze.path),
+            tbl.path,
+            str(tmp_path / "ck"),
+            "part-app",
+        )
+    )
+    got = {
+        r["id"]: r["region"] for r in tbl.read(spark).collect()
+    }
+    assert got == {1: "eu", 2: "us", 3: "eu", 4: None}
+    # hive layout on disk + per-file values recorded for pruning
+    m = tbl._read_manifest()
+    sink_files = [
+        f for f in m["snapshots"][-1]["files"] if "region=" in f
+    ]
+    assert any("region=us" in f for f in sink_files)
+    assert any(
+        "__HIVE_DEFAULT_PARTITION__" in f for f in sink_files
+    )
+    pruned = tbl.pruned_files({"region": ("us", "us")})
+    # eu files pruned; the NULL-partition file is conservatively
+    # kept (NULL partition values never prune — table contract)
+    assert any("region=us" in f for f in pruned)
+    assert not any("region=eu" in f for f in pruned)
+    # the column is NOT stored in the data files (path-only)
+    import pyarrow.parquet as pq
+
+    us_file = next(f for f in pruned if "region=us" in f)
+    assert "region" not in pq.ParquetFile(us_file).schema_arrow.names
+
+
+def test_sink_partition_by_option_creates_spec(spark, tmp_path):
+    """A brand-new table gets its identity spec from the sink's
+    partitionBy option; the first commit records it."""
+    bronze = LakehouseTable(str(tmp_path / "b"))
+    bronze.append(
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "id long, region string"
+        )
+    )
+    dest_path = str(tmp_path / "dest")
+    q = (
+        write_lakehouse_stream(
+            read_lakehouse_stream(spark, bronze.path),
+            dest_path,
+            str(tmp_path / "ck"),
+            "newpart",
+        )
+        .option("partitionBy", "region")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _drain(q)
+    dest = LakehouseTable(dest_path)
+    assert dest.partition_by == ["region"]
+    assert sorted(
+        (r["id"], r["region"]) for r in dest.read(spark).collect()
+    ) == [(1, "eu"), (2, "us")]
+    assert len(dest.pruned_files({"region": ("eu", "eu")})) == 1
+
+
+def test_sink_still_rejects_transform_specs(spark, tmp_path):
+    tbl = LakehouseTable(
+        str(tmp_path / "t"), partition_by=["bucket(4, id)"]
+    )
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    src = spark.readStream.format("rate").load().selectExpr(
+        "value as id"
+    )
+    with pytest.raises(Exception, match="identity"):
         q = (
             write_lakehouse_stream(
                 src, tbl.path, str(tmp_path / "ck"), "app"
