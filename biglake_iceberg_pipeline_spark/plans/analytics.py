@@ -381,9 +381,9 @@ def _lookup_table_path(spark: SparkSession, sf_dir: str) -> str:
         path = (
             f"{tempfile.gettempdir()}/lakehouse_lookup_{tag}_{os.getpid()}"
         )
-        # a crashed prior build (append landed, compact didn't) left
-        # a half-built table at this pid-scoped path — a second
-        # append would double every row; rebuild from scratch
+        # a leftover table at this pid-scoped path (crashed prior
+        # build, or a recycled pid) would be double-appended —
+        # rebuild from scratch
         if os.path.exists(path):
             import shutil
 

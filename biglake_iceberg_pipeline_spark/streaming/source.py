@@ -697,9 +697,26 @@ class _StagingWriterCore:
                 f"table is partitioned by {spec}, sink option "
                 f"partitionBy={opt} disagrees"
             )
-        if not spec:
-            # brand-new table: the sink option declares the spec;
-            # the first commit records it in the manifest
+        if not spec and opt:
+            # the option may only DECLARE a spec for a genuinely new
+            # table. An existing unpartitioned table must go through
+            # evolve_partition_spec (history, guards, per-file layout
+            # records) — silently converting it here would be a
+            # retroactive spec change no reader opted into. A table
+            # explicitly evolved TO unpartitioned (key present,
+            # None) is refused upfront too, not at epoch commit.
+            if "partition_by" in m:
+                raise ValueError(
+                    "table was evolved to unpartitioned; "
+                    "evolve_partition_spec before using the sink's "
+                    "partitionBy option"
+                )
+            if m.get("snapshots"):
+                raise ValueError(
+                    "existing unpartitioned table: use "
+                    "evolve_partition_spec to add a spec instead of "
+                    "the sink's partitionBy option"
+                )
             spec = opt
         # IDENTITY partition columns are written hive-style by the
         # sink (value in the path, column dropped from the file —
@@ -772,29 +789,48 @@ class _StagingWriterCore:
                 sink_for("", batch.schema).write_batch(batch)
                 rows += batch.num_rows
                 continue
-            # split the batch by partition tuple; store the batch
-            # minus the partition columns (hive layout)
+            # split the batch by partition tuple VECTORIZED (this
+            # is the executor hot path: a per-row python loop would
+            # dominate sink throughput on large epochs): dictionary-
+            # encode a combined string key, filter per code, and
+            # store the batch minus the partition columns (hive
+            # layout). Directory values come from the group's first
+            # row's ORIGINAL values, not the grouping key — the key
+            # only needs distinct-values-stay-distinct.
             import pyarrow as pa
+            import pyarrow.compute as pc
 
             tbl = pa.Table.from_batches([batch])
             keep = [
                 n for n in tbl.column_names if n not in part_cols
             ]
-            cols = [tbl.column(c).to_pylist() for c in part_cols]
-            groups: dict[tuple, list[int]] = {}
-            for i in range(tbl.num_rows):
-                groups.setdefault(
-                    tuple(col[i] for col in cols), []
-                ).append(i)
-            for key_vals, idxs in groups.items():
+            key_parts = []
+            for c in part_cols:
+                col = pc.cast(tbl.column(c), pa.string())
+                key_parts.append(pc.fill_null(col, "\x00__NULL__"))
+            key = (
+                key_parts[0]
+                if len(key_parts) == 1
+                else pc.binary_join_element_wise(*key_parts, "\x1f")
+            )
+            codes = pc.dictionary_encode(
+                key.combine_chunks()
+            ).indices
+            n_groups = pc.max(codes).as_py() + 1
+            for code in range(n_groups):
+                mask = pc.equal(codes, code)
+                first = pc.index(mask, pa.scalar(True)).as_py()
+                vals = [
+                    tbl.column(c)[first].as_py() for c in part_cols
+                ]
                 subdir = os.sep.join(
                     f"{c}={self._hive_value(v)}"
-                    for c, v in zip(part_cols, key_vals)
+                    for c, v in zip(part_cols, vals)
                 )
-                sub = tbl.take(idxs).select(keep)
+                sub = tbl.filter(mask).select(keep)
                 w = sink_for(subdir, sub.schema)
                 w.write_table(sub)
-                rows += len(idxs)
+                rows += sub.num_rows
         for w in writers.values():
             w.close()
         return _StagedFiles(files=sorted(paths.values()), rows=rows)

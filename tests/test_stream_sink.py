@@ -285,3 +285,49 @@ def test_sink_from_file_source(spark, tmp_path):
     )
     dest = LakehouseTable(dest_path)
     assert sorted(r["id"] for r in dest.read(spark).collect()) == [1, 2]
+
+
+def test_sink_partition_by_option_refuses_existing_tables(
+    spark, tmp_path
+):
+    """partitionBy may only DECLARE a spec for a genuinely new table:
+    an existing populated unpartitioned table must evolve its spec
+    explicitly, and a table evolved TO unpartitioned is refused
+    upfront (not at epoch commit)."""
+    bronze = LakehouseTable(str(tmp_path / "b"))
+    bronze.append(
+        spark.createDataFrame([(1, "eu")], "id long, region string")
+    )
+
+    def start(dest):
+        return (
+            write_lakehouse_stream(
+                read_lakehouse_stream(spark, bronze.path),
+                dest,
+                str(tmp_path / f"ck-{os.path.basename(dest)}"),
+                "app",
+            )
+            .option("partitionBy", "region")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # populated unpartitioned table: refused
+    t1 = LakehouseTable(str(tmp_path / "t1"))
+    t1.append(
+        spark.createDataFrame([(0, "us")], "id long, region string")
+    )
+    with pytest.raises(Exception, match="evolve_partition_spec"):
+        q = start(t1.path)
+        q.awaitTermination(60)
+        raise RuntimeError(q.exception() or "no failure surfaced")
+    # evolved-to-unpartitioned (spec key present, None): refused
+    t2 = LakehouseTable(str(tmp_path / "t2"), partition_by=["region"])
+    t2.append(
+        spark.createDataFrame([(0, "us")], "id long, region string")
+    )
+    t2.evolve_partition_spec(None)
+    with pytest.raises(Exception, match="evolved to unpartitioned"):
+        q = start(t2.path)
+        q.awaitTermination(60)
+        raise RuntimeError(q.exception() or "no failure surfaced")

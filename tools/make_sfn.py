@@ -7,9 +7,12 @@ so the universes never join across copies (region/nation are shared
 dims — tiny and genuinely global). Document text is salted with a
 per-copy token suffix on EVERY word so shingles are disjoint across
 copies: duplicate-cluster sizes stay constant and LSH/gram pair
-counts scale Nx, not N^2x. Embedding vec_ids offset; vectors get a
-copy-specific jitter on one dimension so cosine near-dup pair counts
-also scale Nx.
+counts scale Nx, not N^2x. Embedding vec_ids offset; vectors are
+ROLLED by i dimensions per copy — a permutation preserves every
+within-copy dot product exactly (pair structure identical per copy)
+while cross-copy cosines collapse to noise, so cosine near-dup pair
+counts scale Nx, not N^2x (a small additive jitter would leave
+cross-copy cosines at ~1 and quadratically inflate pair counts).
 
 Usage: python tools/make_sfn.py <base_sf_dir> <out_dir> <copies>
 e.g.   python tools/make_sfn.py /root/testdata/sf0.1 /tmp/sf1 10
@@ -30,7 +33,10 @@ KEY_COLS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # label is offset too: it buckets similarity work
+    # (dedup_embedding), and shared labels across copies would grow
+    # buckets Nx -> within-bucket pairs N^2x
+    "embeddings": ["vec_id", "label"],
 }
 SHARED = ["region", "nation"]
 
@@ -71,16 +77,20 @@ def main() -> None:
                         " ",
                     ),
                 )
-            if t == "embeddings":
-                # one-dimension jitter: copies are near but not
-                # identical, so cosine pair counts scale Nx
+            if t == "embeddings" and i > 0:
+                # roll the vector by i dims: within-copy geometry is
+                # EXACTLY preserved (permutation), cross-copy cosine
+                # is noise -> pair counts scale Nx
+                roll = i % 64
                 df = df.withColumn(
                     "embedding",
-                    F.transform(
-                        F.col("embedding"),
-                        lambda v, j: F.when(
-                            j == 0, v + F.lit(float(i)) * F.lit(0.01)
-                        ).otherwise(v),
+                    F.concat(
+                        F.slice(
+                            F.col("embedding"),
+                            roll + 1,
+                            F.size("embedding") - roll,
+                        ),
+                        F.slice(F.col("embedding"), 1, roll),
                     ).cast("array<float>"),
                 )
             parts.append(df)
