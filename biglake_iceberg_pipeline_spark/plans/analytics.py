@@ -444,6 +444,95 @@ WHERE o_orderkey BETWEEN 1000 AND 1200
 """
 
 
+
+_BLOOM_TABLE_PATHS: dict[str, str] = {}
+
+
+def _bloom_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders hash-distributed across 8 files (every file's
+    o_orderkey [min, max] spans the whole key range — min/max stats
+    cannot skip anything) with Bloom filters refreshed on
+    o_orderkey: the point-lookup shape blooms exist for."""
+    if sf_dir not in _BLOOM_TABLE_PATHS:
+        import hashlib
+        import os
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = (
+            f"{tempfile.gettempdir()}/lakehouse_bloom_{tag}_{os.getpid()}"
+        )
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        table = LakehouseTable(path)
+        table.append(
+            load_table(spark, sf_dir, "orders").repartition(
+                8, "o_custkey"
+            )
+        )
+        table.refresh_bloom_filters(spark, ["o_orderkey"])
+        cleanup_index_at_exit(path)
+        _BLOOM_TABLE_PATHS[sf_dir] = path
+    return _BLOOM_TABLE_PATHS[sf_dir]
+
+
+def lakehouse_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup THROUGH the connector on an UNSORTED column:
+    every file's footer range contains the probed key, so min/max
+    skipping keeps all 8 files — the per-file Bloom filters
+    (operators/bloom.py, F36) are what prune the scan. The probed key
+    is the corpus minimum (deterministic at every SF); results
+    re-filter engine-side, so they are exact regardless of pruning."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _bloom_table_path(spark, sf_dir)
+    # deterministic MID-RANGE existing key: an extreme key (min/max)
+    # would be prunable by footer stats alone; a middle key sits
+    # inside every file's [min, max], so only the bloom skips files
+    orders = load_table(spark, sf_dir, "orders")
+    mn, mx = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    key = (
+        orders.where(F.col("o_orderkey") * 2 >= mn + mx)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    return (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .filter(F.col("o_orderkey") == F.lit(key))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+LAKEHOUSE_BLOOM_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey = (
+    SELECT min(o_orderkey) FROM orders
+    WHERE o_orderkey * 2 >=
+        (SELECT min(o_orderkey) + max(o_orderkey) FROM orders)
+)
+"""
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
     "order_value_percentiles": order_value_percentiles,
@@ -456,6 +545,7 @@ QUERIES = {
     "revenue_running_total": revenue_running_total,
     "approx_event_stats": approx_event_stats,
     "lakehouse_point_lookup": lakehouse_point_lookup,
+    "lakehouse_bloom_lookup": lakehouse_bloom_lookup,
 }
 
 ORACLE = {
@@ -469,4 +559,5 @@ ORACLE = {
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "revenue_running_total": REVENUE_RUNNING_TOTAL_SQL,
     "lakehouse_point_lookup": LAKEHOUSE_POINT_LOOKUP_SQL,
+    "lakehouse_bloom_lookup": LAKEHOUSE_BLOOM_LOOKUP_SQL,
 }

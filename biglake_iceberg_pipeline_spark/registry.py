@@ -36,6 +36,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY_KEYS = (
     "lakehouse_point_lookup",
     "dedup_exact_substrings",
+    "lakehouse_bloom_lookup",
     "drop_empty_rows",
     "embedding_stats",
     "ngram_contamination",
@@ -45,8 +46,8 @@ PRIORITY_KEYS = (
 )
 
 # The 50 keys the r6 driver window checked (CORRECTNESS_r06 — all
-# green: 45 hash-matches + 5 rows-only by design), plus six r5-green
-# keys overflowing to keep the window at exactly 50; those six
+# green: 45 hash-matches + 5 rows-only by design), plus seven r5-green
+# keys overflowing to keep the window at exactly 50; those seven
 # rotate back in r8.
 DEMOTED_KEYS = frozenset({
     # r6-green set
@@ -102,6 +103,7 @@ DEMOTED_KEYS = frozenset({
     "text_bpe_tokens",
     # r5-green overflow — rotate back in r8
     "sample_mixture",
+    "pii_redaction",
     "multimodal_features",
     "approx_event_stats",
     "url_extraction",
