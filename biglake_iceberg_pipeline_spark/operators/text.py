@@ -299,6 +299,43 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_frac: float = 0.1,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The decontamination ACTION on top of ``ngram_contamination``'s
+    score: training rows are dropped when their eval-overlap passes
+    EITHER gate — ``contamination_frac > max_frac`` (relative) or,
+    for short documents where one shared gram swamps the fraction,
+    ``n_contaminated >= min_hits`` with ``max_frac`` effectively
+    disabling the relative gate if set to 1.0. Returns the surviving
+    training rows with their score columns attached (drop the three
+    ``n_ngrams``/``n_contaminated``/``contamination_frac`` columns
+    for the clean corpus). Same scale shape as the scorer: eval
+    grams broadcast, one doc-id shuffle."""
+    scores = ngram_contamination(train, eval_df, id_col, text_col, n)
+    return (
+        train.join(scores, id_col)
+        .where(
+            # NULL-safe: a doc shorter than n words has
+            # contamination_frac NULL (0/0) — it is clean, and
+            # three-valued logic must not silently drop it
+            ~(
+                (
+                    F.coalesce("contamination_frac", F.lit(0.0))
+                    > F.lit(max_frac)
+                )
+                | (F.col("n_contaminated") >= F.lit(min_hits))
+            )
+        )
+    )
+
+
 def shared_span_stats(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:

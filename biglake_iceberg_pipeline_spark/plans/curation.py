@@ -543,6 +543,48 @@ ORDER BY doc_id
 """
 
 
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs surviving decontamination against the held-out
+    eval slice (doc_id % 97 == 0): any eval 3-gram hit drops the doc
+    (min_hits=1, the strict gate real pipelines run before
+    training)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        text.decontaminate(
+            train, eval_df, "doc_id", "text", n=3, min_hits=1
+        )
+        .select("doc_id", "n_ngrams", "n_contaminated")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_CORPUS_SQL = rf"""
+WITH {_grams_cte(3)},
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+per AS (
+    SELECT t.doc_id, COUNT(*) AS n_ngrams,
+        SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS n_contaminated
+    FROM g t LEFT JOIN eval_g e ON t.gram = e.gram
+    WHERE t.doc_id % {_EVAL_MOD} != 0
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id AS doc_id,
+    COALESCE(n_ngrams, 0) AS n_ngrams,
+    CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} != 0) d
+LEFT JOIN per USING (doc_id)
+WHERE COALESCE(n_contaminated, 0) < 1
+  AND NOT (COALESCE(
+        COALESCE(n_contaminated, 0)
+            / NULLIF(CAST(n_ngrams AS DOUBLE), 0), 0) > 0.1)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
@@ -555,6 +597,7 @@ QUERIES = {
     "ngram_contamination": ngram_contamination,
     "span_boilerplate": span_boilerplate,
     "dedup_exact_substrings": dedup_exact_substrings,
+    "decontaminate_corpus": decontaminate_corpus,
 }
 
 ORACLE = {
@@ -569,4 +612,5 @@ ORACLE = {
     "ngram_contamination": NGRAM_CONTAMINATION_SQL,
     "span_boilerplate": SPAN_BOILERPLATE_SQL,
     "dedup_exact_substrings": DEDUP_EXACT_SUBSTRINGS_SQL,
+    "decontaminate_corpus": DECONTAMINATE_CORPUS_SQL,
 }

@@ -37,6 +37,7 @@ PRIORITY_KEYS = (
     "lakehouse_point_lookup",
     "dedup_exact_substrings",
     "lakehouse_bloom_lookup",
+    "decontaminate_corpus",
     "drop_empty_rows",
     "embedding_stats",
     "ngram_contamination",
@@ -46,8 +47,8 @@ PRIORITY_KEYS = (
 )
 
 # The 50 keys the r6 driver window checked (CORRECTNESS_r06 — all
-# green: 45 hash-matches + 5 rows-only by design), plus seven r5-green
-# keys overflowing to keep the window at exactly 50; those seven
+# green: 45 hash-matches + 5 rows-only by design), plus eight r5-green
+# keys overflowing to keep the window at exactly 50; those eight
 # rotate back in r8.
 DEMOTED_KEYS = frozenset({
     # r6-green set
@@ -104,6 +105,7 @@ DEMOTED_KEYS = frozenset({
     # r5-green overflow — rotate back in r8
     "sample_mixture",
     "pii_redaction",
+    "text_repetition",
     "multimodal_features",
     "approx_event_stats",
     "url_extraction",

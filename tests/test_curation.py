@@ -140,3 +140,29 @@ def test_corpus_vocabulary_top_tokens(spark):
     cov = [r["cum_coverage"] for r in out]
     assert cov == sorted(cov)
     assert abs(cov[-1] - 9 / 12) < 1e-9
+
+
+def test_decontaminate_drops_eval_overlap_keeps_short_docs(spark):
+    """decontaminate drops a training doc sharing any eval 3-gram
+    (min_hits=1) and NULL-safely KEEPS docs too short to have grams
+    (0/0 contamination is clean, not three-valued-logic-dropped)."""
+    from biglake_iceberg_pipeline_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "something with the quick brown fox inside it"),
+            (2, "completely different words appear here"),
+            (3, "tiny"),  # < n words: zero grams, must survive
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "doc_id", "text", n=3, min_hits=1
+        ).collect()
+    )
+    assert kept == [2, 3]
