@@ -465,6 +465,16 @@ class LakehouseTable:
                     [f for f in files if f not in known_rows]
                 )
             )
+            # byte size per file (Iceberg manifests record
+            # file_size_in_bytes): drives the streaming source's
+            # maxBytesPerTrigger and size-aware maintenance without
+            # any filesystem round-trip at plan time
+            known_sizes = manifest.setdefault("file_sizes", {})
+            known_sizes.update(
+                self._file_sizes(
+                    [f for f in files if f not in known_sizes]
+                )
+            )
             prev_delete_set = set(prev_deletes)
             new_deletes = [
                 d for d in tail_deletes if d not in prev_delete_set
@@ -961,6 +971,20 @@ class LakehouseTable:
         def one(path: str):
             try:
                 return pq.ParquetFile(path).metadata.num_rows
+            except OSError:
+                return None
+
+        got = LakehouseTable._footer_map(files, one)
+        return {f: n for f, n in got.items() if n is not None}
+
+    @staticmethod
+    def _file_sizes(files: list[str]) -> dict[str, int]:
+        """Byte size per file (stat only; parallel past 64 files like
+        the footer reads)."""
+
+        def one(path: str):
+            try:
+                return os.path.getsize(path)
             except OSError:
                 return None
 
@@ -3069,6 +3093,7 @@ class LakehouseTable:
                 "file_stats",
                 "file_partitions",
                 "file_rows",
+                "file_sizes",
                 "file_ndv",
                 "ndv_sidecars",
                 "bloom_sidecars",

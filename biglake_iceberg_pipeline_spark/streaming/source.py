@@ -177,6 +177,11 @@ class LakehouseStreamSource(DataSource):
       granular like the file cap, always at least one snapshot;
       files predating row-count tracking never share a batch.
       Composes with ``maxFilesPerTrigger`` (both caps apply).
+    - ``maxBytesPerTrigger``: soft cap on BYTES per micro-batch from
+      the manifest's recorded file sizes (Iceberg's
+      file_size_in_bytes) — the cap that actually bounds executor
+      memory when row width varies; same snapshot-granular
+      semantics, composes with the other caps.
     - ``endingSnapshotId``: bounded backfill — the stream never
       advances past this snapshot (inclusive); pair with
       ``startingSnapshotId`` to replay an exact commit range through
@@ -247,6 +252,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._max_files = int(mft) if mft is not None else None
         mrt = options.get("maxRowsPerTrigger")
         self._max_rows = int(mrt) if mrt is not None else None
+        mbt = options.get("maxBytesPerTrigger")
+        self._max_bytes = int(mbt) if mbt is not None else None
         stream_id = options.get("streamid") or options.get("streamId")
         if stream_id is None:
             # every option that shapes offsets is part of the key — a
@@ -254,7 +261,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # cursor (it would idle past its own ending bound)
             stream_id = (
                 f"start={self._starting}:mft={self._max_files}"
-                f":mrt={self._max_rows}:end={self._ending}"
+                f":mrt={self._max_rows}:mbt={self._max_bytes}"
+                f":end={self._ending}"
             )
         import hashlib
 
@@ -262,7 +270,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
             :16
         ]
         self._rate_limited = (
-            self._max_files is not None or self._max_rows is not None
+            self._max_files is not None
+            or self._max_rows is not None
+            or self._max_bytes is not None
         )
         self._arrow_schema = None  # executor-side cache
 
@@ -453,17 +463,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return {"snapshot_id": cursor}
         lo, hi = self._resolve_range(snaps, cursor, tail)
         file_rows = m.get("file_rows", {})
+        file_sizes = m.get("file_sizes", {})
         inf = float("inf")
         taken_files = 0
         taken_rows = 0.0
+        taken_bytes = 0.0
         end = cursor
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
-            # a file missing a footer row count (pre-tracking history)
-            # counts as infinite: that snapshot still advances alone
-            # (always at least one), but never shares a batch
+            # a file missing a footer row count / byte size
+            # (pre-tracking history) counts as infinite: that
+            # snapshot still advances alone (always at least one),
+            # but never shares a batch
             rows = sum(
                 file_rows.get(f, inf) for f in added
             ) if self._max_rows is not None else 0.0
+            nbytes = sum(
+                file_sizes.get(f, inf) for f in added
+            ) if self._max_bytes is not None else 0.0
             if end > cursor and (
                 (
                     self._max_files is not None
@@ -473,10 +489,15 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     self._max_rows is not None
                     and taken_rows + rows > self._max_rows
                 )
+                or (
+                    self._max_bytes is not None
+                    and taken_bytes + nbytes > self._max_bytes
+                )
             ):
                 break
             taken_files += len(added)
             taken_rows += rows
+            taken_bytes += nbytes
             end = snap["id"]
         self._advance_cursor(end)
         return {"snapshot_id": end}
@@ -1039,6 +1060,7 @@ def read_lakehouse_stream(
     schema: StructType | None = None,
     ending_snapshot_id: int | None = None,
     max_rows_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Register the source (idempotent) and open the stream."""
     spark.dataSource.register(LakehouseStreamSource)
@@ -1058,6 +1080,10 @@ def read_lakehouse_stream(
     if max_rows_per_trigger is not None:
         reader = reader.option(
             "maxRowsPerTrigger", str(max_rows_per_trigger)
+        )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option(
+            "maxBytesPerTrigger", str(max_bytes_per_trigger)
         )
     if schema is not None:
         reader = reader.schema(schema)

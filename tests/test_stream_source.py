@@ -454,3 +454,47 @@ def test_stream_source_max_rows_per_trigger(spark, tmp_path):
     q.stop()
     _drain(q)
     assert batches == [[0, 1, 2, 3], [4, 5]]
+
+
+def test_stream_source_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger groups whole snapshots by the manifest's
+    recorded file sizes: with the cap set to ~1.5 files' bytes, three
+    single-file appends surface as [1 file, 1 file, 1 file] or
+    [2, 1] batches depending on exact sizes — never all three at
+    once, and always at least one snapshot per batch."""
+    import time
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(
+            spark.createDataFrame([(i, "x" * 50)], "id long, v string")
+            .coalesce(1)
+        )
+    m = tbl._read_manifest()
+    sizes = [m["file_sizes"][f] for f in m["snapshots"][-1]["files"]]
+    assert all(s > 0 for s in sizes)
+    cap = int(sizes[0] * 1.5)
+    batches: list[list[int]] = []
+
+    def sink(bdf, bid):
+        rows = sorted(r["id"] for r in bdf.collect())
+        if rows:
+            batches.append(rows)
+
+    q = (
+        read_lakehouse_stream(
+            spark, tbl.path, max_bytes_per_trigger=cap
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and sum(map(len, batches)) < 3:
+        time.sleep(0.2)
+    q.stop()
+    _drain(q)
+    assert sum(map(len, batches)) == 3
+    assert len(batches) == 3  # each file > half the cap: one each
+    assert batches == [[0], [1], [2]]
