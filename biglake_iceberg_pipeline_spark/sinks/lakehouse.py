@@ -3818,8 +3818,15 @@ class LakehouseTable:
                 return s
         raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
 
-    @staticmethod
-    def _size_of(path: str) -> int | None:
+    def _size_of(self, path: str, manifest: dict | None = None) -> int | None:
+        """Byte size from the manifest's recorded file_sizes when
+        present (keeps inspection manifest-only — no filesystem
+        round-trip per file), falling back to a stat for files that
+        predate size tracking."""
+        if manifest is not None:
+            n = manifest.get("file_sizes", {}).get(path)
+            if n is not None:
+                return n
         try:
             return os.path.getsize(path)
         except OSError:
@@ -3937,7 +3944,7 @@ class LakehouseTable:
                     m.get("keys"),
                     m.get("applies_to"),
                     file_rows.get(d),
-                    self._size_of(d),
+                    self._size_of(d, manifest),
                 ))
             return spark.createDataFrame(rows, schema)
 
@@ -3949,7 +3956,7 @@ class LakehouseTable:
         for f in (snap or {}).get("files", []):
             per_file.append({
                 "file_path": f,
-                "size_bytes": self._size_of(f),
+                "size_bytes": self._size_of(f, manifest),
                 "row_count": file_rows.get(f),
                 "added_at_snapshot": fadded.get(f),
                 "partition": dict(fparts.get(f, {})),

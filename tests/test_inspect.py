@@ -48,16 +48,22 @@ def test_inspect_time_travel_and_no_data_scan(spark, tmp_path):
     old = t.inspect(spark, "files", snapshot_id=s1).collect()
     assert {r.file_path for r in old} == set(t.snapshots[0]["files"])
     # metadata-only pin: move every data file away; inspect still
-    # answers (sizes go NULL, counts/bounds come from the manifest)
+    # answers fully — sizes, counts, and bounds all come from the
+    # manifest (r7: file_sizes recorded at commit, so not even a
+    # stat touches storage — the stronger Iceberg-manifest contract)
+    recorded = t._read_manifest()["file_sizes"]
     moved = str(tmp_path / "moved")
     shutil.move(os.path.join(t.path, "data"), moved)
     rows = t.inspect(spark, "files").collect()
     assert len(rows) == len(t.snapshots[-1]["files"])
-    assert all(r.size_bytes is None for r in rows)
+    assert all(
+        r.size_bytes == recorded[r.file_path] and r.size_bytes > 0
+        for r in rows
+    )
     assert sum(r.row_count for r in rows) == 8
     parts = t.inspect(spark, "partitions").collect()
     assert len(parts) == 1 and parts[0].row_count == 8
-    assert parts[0].size_bytes is None
+    assert parts[0].size_bytes == sum(recorded.values())
 
 
 def test_inspect_snapshots_log(spark, tmp_path):
