@@ -3124,6 +3124,7 @@ class LakehouseTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         max_delete_files: int = 4,
+        target_file_bytes: int | None = None,
     ) -> dict:
         """The nightly maintenance job (Iceberg's rewrite_data_files +
         expire_snapshots + remove_orphan_files as one call): compact
@@ -3144,7 +3145,38 @@ class LakehouseTable:
             "deletes_materialized": 0,
         }
         snaps = self.snapshots
+        compact_target = max_files
         files_over = snaps and len(snaps[-1]["files"]) > max_files
+        # size-aware trigger (Iceberg rewrite_data_files sizing): a
+        # table can sit under the FILE-COUNT threshold while every
+        # file is tiny (steady small appends with aggressive expiry)
+        # — if the manifest-recorded sizes say the live set averages
+        # under half the target, rewrite even at a low file count,
+        # and target the file count the BYTES imply (40 KB of data
+        # at a 1 MB target becomes 1 file, not max_files tiny ones).
+        # Metadata-only decision: no stat, no scan.
+        if (
+            not files_over
+            and target_file_bytes is not None
+            and snaps
+            and len(snaps[-1]["files"]) > 1
+        ):
+            sizes = self._read_manifest().get("file_sizes", {})
+            live = snaps[-1]["files"]
+            known = [sizes[f] for f in live if f in sizes]
+            if len(known) == len(live) and known and (
+                sum(known) / len(known) < target_file_bytes / 2
+            ):
+                files_over = True
+                import math as _math
+
+                compact_target = max(
+                    1,
+                    min(
+                        max_files,
+                        _math.ceil(sum(known) / target_file_bytes),
+                    ),
+                )
         dels_over = (
             snaps
             and len(snaps[-1].get("deletes", [])) > max_delete_files
@@ -3153,7 +3185,7 @@ class LakehouseTable:
             try:
                 self.compact(
                     spark,
-                    target_files=max_files,
+                    target_files=compact_target,
                     sort_by=sort_by,
                     zorder_by=zorder_by,
                 )

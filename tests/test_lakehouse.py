@@ -1937,3 +1937,39 @@ def test_manifest_legacy_full_lists_still_read(spark, tmp_path):
         migrated = _json.load(f)
     assert "files_added" in migrated["snapshots"][-1]
     assert t2.read(spark).count() == 3
+
+
+def test_maintain_size_aware_compaction(spark, tmp_path):
+    """target_file_bytes triggers a rewrite when the live files
+    average under half the target even though the COUNT is under
+    max_files, and the rewrite targets the file count the bytes
+    imply (tiny table -> 1 file, not max_files tiny ones). Purely
+    manifest-driven: no stat, no scan for the decision."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    for i in range(4):  # 4 tiny files, under max_files=8
+        t.append(spark.createDataFrame([(i,)], "id long").coalesce(1))
+    m = t._read_manifest()
+    total = sum(
+        m["file_sizes"][f] for f in m["snapshots"][-1]["files"]
+    )
+    # count-based maintain alone would not compact (4 <= 8)
+    rep0 = t.maintain(spark, max_files=8, keep_snapshots=10)
+    assert rep0["compacted_from"] is None
+    # size-aware: average file is far below half a big target
+    rep = t.maintain(
+        spark,
+        max_files=8,
+        keep_snapshots=10,
+        target_file_bytes=total * 10,
+    )
+    assert rep["compacted_from"] == 4
+    assert len(t.snapshots[-1]["files"]) == 1  # bytes imply 1 file
+    assert t.read(spark).count() == 4
+    # healthy table (single adequately-sized file): no re-trigger
+    rep2 = t.maintain(
+        spark,
+        max_files=8,
+        keep_snapshots=10,
+        target_file_bytes=total * 10,
+    )
+    assert rep2["compacted_from"] is None
