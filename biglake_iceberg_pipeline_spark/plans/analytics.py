@@ -412,11 +412,22 @@ def lakehouse_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort-compacted table the scan plans ~1 of 8 files (the pin in
     tests/test_batch_format.py), the same pruning a 100 TB point
     lookup needs. Rows re-filter engine-side, so results are exact
-    regardless of pruning."""
+    regardless of pruning.
+
+    The reader implements ``pushFilters``, which Spark REFUSES to
+    silently ignore when ``spark.sql.python.filterPushdown.enabled``
+    is off (plan_data_source_read.py raises
+    DATA_SOURCE_PUSHDOWN_DISABLED) — and a vanilla session (the
+    driver's environment) defaults it off. The conf is
+    runtime-settable, so enable it here, NOT only in the session
+    builder: the returned DataFrame is collected lazily by the
+    caller, so the conf must remain set (no set-and-restore). Pinned
+    by the bare-session gate in tests/test_vanilla_session.py."""
     from biglake_iceberg_pipeline_spark.streaming.source import (
         LakehouseStreamSource,
     )
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakehouseStreamSource)
     path = _lookup_table_path(spark, sf_dir)
     return (
@@ -491,11 +502,18 @@ def lakehouse_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping keeps all 8 files — the per-file Bloom filters
     (operators/bloom.py, F36) are what prune the scan. The probed key
     is the corpus minimum (deterministic at every SF); results
-    re-filter engine-side, so they are exact regardless of pruning."""
+    re-filter engine-side, so they are exact regardless of pruning.
+
+    Enables ``spark.sql.python.filterPushdown.enabled`` at runtime —
+    see lakehouse_point_lookup's docstring: the driver's vanilla
+    session defaults it off and Spark raises rather than ignore a
+    pushFilters implementation; lazy collection means it must stay
+    set."""
     from biglake_iceberg_pipeline_spark.streaming.source import (
         LakehouseStreamSource,
     )
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakehouseStreamSource)
     path = _bloom_table_path(spark, sf_dir)
     # deterministic MID-RANGE existing key: an extreme key (min/max)

@@ -825,9 +825,21 @@ class _StagingWriterCore:
             keep = [
                 n for n in tbl.column_names if n not in part_cols
             ]
+            # ESCAPE before joining: a raw value containing the
+            # separator (\x1f) or equal to the NULL sentinel would
+            # merge distinct partition tuples into one group and
+            # write rows under the wrong hive directory (restored
+            # from the path on read — silent corruption). Percent-
+            # escape '%', the separator, and '\x00' vectorized, so
+            # escaped values can never contain either marker; the
+            # sentinel keeps its raw '\x00', which no escaped value
+            # retains.
             key_parts = []
             for c in part_cols:
                 col = pc.cast(tbl.column(c), pa.string())
+                col = pc.replace_substring(col, "%", "%25")
+                col = pc.replace_substring(col, "\x1f", "%1F")
+                col = pc.replace_substring(col, "\x00", "%00")
                 key_parts.append(pc.fill_null(col, "\x00__NULL__"))
             key = (
                 key_parts[0]

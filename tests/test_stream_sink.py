@@ -143,6 +143,64 @@ def test_sink_writes_identity_partitioned_layout(spark, tmp_path):
     assert "region" not in pq.ParquetFile(us_file).schema_arrow.names
 
 
+def test_sink_partition_values_with_separator_and_sentinel(
+    spark, tmp_path
+):
+    """Adversarial partition values must not merge groups: the
+    executor-side batch split joins per-column keys with \\x1f and
+    marks NULL with a \\x00 sentinel — a raw value containing the
+    separator (multi-col spec) or equal to the sentinel used to
+    collapse distinct partition tuples into one group, writing rows
+    under the WRONG hive directory (and since the column is restored
+    from the path on read, silently flipping their partition
+    values). Keys are now percent-escaped before joining."""
+    tbl = LakehouseTable(
+        str(tmp_path / "t"), partition_by=["a", "b"]
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(0, "seed", "seed")], "id long, a string, b string"
+        )
+    )
+    rows = [
+        # both join to 'x<SEP>y<SEP>z' under the unescaped key
+        (1, "x\x1fy", "z"),
+        (2, "x", "y\x1fz"),
+        # a real value equal to the NULL sentinel vs an actual NULL
+        (3, "\x00__NULL__", "w"),
+        (4, None, "w"),
+        # '%' must survive its own escaping round-trip
+        (5, "50%off", "w"),
+    ]
+    bronze = LakehouseTable(str(tmp_path / "b"))
+    bronze.append(
+        spark.createDataFrame(rows, "id long, a string, b string")
+    )
+    _run(
+        write_lakehouse_stream(
+            read_lakehouse_stream(spark, bronze.path),
+            tbl.path,
+            str(tmp_path / "ck"),
+            "adv-part",
+        )
+    )
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in tbl.read(spark).collect()
+        if r["id"] > 0
+    }
+    assert got == {i: (a, b) for i, a, b in rows}
+    # the four distinct (a, b) tuples with id 1-4 landed in four
+    # distinct files (one group each), not a merged one
+    m = tbl._read_manifest()
+    sink_files = [
+        f
+        for f in m["snapshots"][-1]["files"]
+        if "stream-adv-part" in f
+    ]
+    assert len(sink_files) == len(rows)
+
+
 def test_sink_partition_by_option_creates_spec(spark, tmp_path):
     """A brand-new table gets its identity spec from the sink's
     partitionBy option; the first commit records it."""
