@@ -306,34 +306,35 @@ def decontaminate(
     text_col: str,
     n: int = 3,
     max_frac: float = 0.1,
-    min_hits: int = 1,
+    min_hits: int | None = None,
 ) -> DataFrame:
     """The decontamination ACTION on top of ``ngram_contamination``'s
     score: training rows are dropped when their eval-overlap passes
-    EITHER gate — ``contamination_frac > max_frac`` (relative) or,
-    for short documents where one shared gram swamps the fraction,
-    ``n_contaminated >= min_hits`` with ``max_frac`` effectively
-    disabling the relative gate if set to 1.0. Returns the surviving
-    training rows with their score columns attached (drop the three
+    a gate — ``contamination_frac > max_frac`` (relative, the
+    default-governing gate), plus optionally ``n_contaminated >=
+    min_hits`` (absolute — the strict mode for short documents where
+    one shared gram swamps the fraction, or for zero-tolerance
+    pipelines with ``min_hits=1``). ``min_hits`` defaults to
+    DISABLED: with any value ≤ the typical hit count it would
+    subsume the relative gate entirely (every doc with
+    ``contamination_frac > 0`` has at least one hit), making
+    ``max_frac`` tuning a no-op. Returns the surviving training rows
+    with their score columns attached (drop the three
     ``n_ngrams``/``n_contaminated``/``contamination_frac`` columns
     for the clean corpus). Same scale shape as the scorer: eval
     grams broadcast, one doc-id shuffle."""
     scores = ngram_contamination(train, eval_df, id_col, text_col, n)
-    return (
-        train.join(scores, id_col)
-        .where(
-            # NULL-safe: a doc shorter than n words has
-            # contamination_frac NULL (0/0) — it is clean, and
-            # three-valued logic must not silently drop it
-            ~(
-                (
-                    F.coalesce("contamination_frac", F.lit(0.0))
-                    > F.lit(max_frac)
-                )
-                | (F.col("n_contaminated") >= F.lit(min_hits))
-            )
-        )
+    # NULL-safe: a doc shorter than n words has contamination_frac
+    # NULL (0/0) — it is clean, and three-valued logic must not
+    # silently drop it
+    dropped = (
+        F.coalesce("contamination_frac", F.lit(0.0)) > F.lit(max_frac)
     )
+    if min_hits is not None:
+        dropped = dropped | (
+            F.col("n_contaminated") >= F.lit(min_hits)
+        )
+    return train.join(scores, id_col).where(~dropped)
 
 
 def shared_span_stats(

@@ -220,10 +220,14 @@ def _delta_decode_snapshots(manifest: dict) -> dict:
                 continue
             if added is None and removed is None:
                 if key == "files":
-                    # legacy snapshot with no files key at all:
-                    # treat as empty (never written by us)
+                    # snapshot with no files key at all (hand-edited
+                    # or foreign writer — never written by us): read
+                    # as empty, but leave prev UNCHANGED to mirror
+                    # the encoder, which skips keyless snapshots
+                    # without updating its prev — resetting here
+                    # would silently truncate every later
+                    # delta-decoded snapshot's file list
                     s[key] = []
-                    prev[key] = []
                 continue
             rm = set(removed or [])
             cur = [f for f in prev[key] if f not in rm] + (added or [])

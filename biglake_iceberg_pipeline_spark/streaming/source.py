@@ -157,8 +157,9 @@ class LakehouseStreamSource(DataSource):
       of exactly-once), accumulating snapshots until the cap is
       reached — always at least one. The rate-limit cursor (the last
       offset handed to the engine) is DURABLE: it lives under the
-      table at ``_streams/<key>.json`` and is advanced monotonically
-      under a lock, because Spark instantiates the Python stream
+      table as lock-free ``_streams/<key>.cursor-<n>`` marker files
+      (the value IS the filename; advances create a new marker, so
+      the max never regresses), because Spark instantiates the Python stream
       reader more than once per query (planning vs. restart vs.
       schema paths) and an instance-memory cursor lets two instances
       hand out non-monotonic offsets — the offset log then walks
@@ -187,12 +188,21 @@ class LakehouseStreamSource(DataSource):
       ``startingSnapshotId`` to replay an exact commit range through
       the streaming pipeline, then the stream idles at the bound.
     - ``streamId``: optional stable identity for the rate-limit
-      cursor file. Defaults to a digest of (startingSnapshotId,
-      maxFilesPerTrigger) — two CONCURRENT rate-limited queries on
-      one table with identical options should pass distinct
-      streamIds; sharing a cursor never breaks exactly-once (the
-      engine's own offset log bounds every batch) but weakens the
-      per-query file cap.
+      cursor file. Defaults to a digest of the offset-shaping
+      options (startingSnapshotId/caps/endingSnapshotId) — two
+      CONCURRENT rate-limited queries on one table with identical
+      options should pass distinct streamIds; sharing a cursor never
+      breaks exactly-once (the engine's own offset log bounds every
+      batch) but weakens the per-query file cap. NOTE the durable
+      cursor OUTLIVES the query: a brand-new query (fresh
+      checkpoint, same options) on a previously-streamed table reads
+      the old cursor, so its first batch spans from its own start
+      offset to the old cursor in ONE batch — bypassing the rate
+      caps exactly when the backlog is largest (safe for
+      correctness, heavy on memory). Pass a per-QUERY streamId
+      (e.g. the checkpoint path) to scope the cursor; a warning is
+      logged when a rate-limited stream first reads a pre-existing
+      cursor ahead of its start.
     """
 
     @classmethod
@@ -447,6 +457,32 @@ class LakehouseStreamReader(DataSourceStreamReader):
             self._advance_cursor(end)
             return {"snapshot_id": end}
         cursor = self._read_cursor()
+        if (
+            cursor is not None
+            and cursor > self._starting
+            and not getattr(self, "_cursor_preexist_checked", False)
+        ):
+            # first contact of THIS reader instance with a cursor
+            # already ahead of its start: on a query RESTART that is
+            # normal (the checkpoint owns the start offset), but on
+            # a brand-new query (fresh checkpoint, same derived
+            # streamId) it means the first batch will span
+            # (starting, cursor] in ONE uncapped batch — surface it
+            self._cursor_preexist_checked = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lakehouse stream %s: durable rate-limit cursor is "
+                "already at snapshot %d (start %d). If this is a NEW "
+                "query rather than a restart, its first batch covers "
+                "that whole range at once, bypassing maxFiles/Rows/"
+                "BytesPerTrigger — pass a per-query "
+                ".option('streamId', ...) (e.g. the checkpoint path) "
+                "to scope the cursor to the query.",
+                self._path,
+                cursor,
+                self._starting,
+            )
         if cursor is None:
             # no durable cursor. The observed engine behavior (Spark
             # 4.1) is latestOffset BEFORE initialOffset on a fresh

@@ -166,3 +166,33 @@ def test_decontaminate_drops_eval_overlap_keeps_short_docs(spark):
         ).collect()
     )
     assert kept == [2, 3]
+
+
+def test_decontaminate_default_is_governed_by_max_frac(spark):
+    """At defaults min_hits is DISABLED, so max_frac actually
+    governs: a long doc sharing one eval 3-gram out of many survives
+    max_frac=0.5 (frac ≈ 0.08) even though n_contaminated >= 1 —
+    the old min_hits=1 default dropped every such doc, making
+    max_frac tuning a no-op."""
+    from biglake_iceberg_pipeline_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    long_doc = (
+        "many unrelated filler words continue onward across this "
+        "sentence while the quick brown appears exactly once here"
+    )
+    train = spark.createDataFrame(
+        [(1, long_doc), (2, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "doc_id", "text", n=3, max_frac=0.5
+        ).collect()
+    )
+    # doc 1: 1 contaminated gram / ~16 grams ≈ 0.06 < 0.5 → kept;
+    # doc 2: 3/4 grams contaminated = 0.75 > 0.5 → dropped
+    assert kept == [1]

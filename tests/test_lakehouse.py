@@ -1939,6 +1939,40 @@ def test_manifest_legacy_full_lists_still_read(spark, tmp_path):
     assert t2.read(spark).count() == 3
 
 
+def test_manifest_keyless_snapshot_does_not_truncate_decode():
+    """A mid-history snapshot with NO files key (hand-edited or a
+    foreign writer variant) must not reset the decoder's running
+    list: the encoder skips such snapshots without updating its prev,
+    so the decoder must too — otherwise every later delta-encoded
+    snapshot silently decodes to a truncated file list."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        _delta_decode_snapshots,
+        _delta_encode_snapshots,
+    )
+
+    manifest = {
+        "snapshots": [
+            {"id": 1, "files": ["a.parquet", "b.parquet"]},
+            {"id": 2},  # keyless interloper
+            {"id": 3, "files": ["a.parquet", "b.parquet", "c.parquet"]},
+        ]
+    }
+    import copy
+
+    enc = _delta_encode_snapshots(copy.deepcopy(manifest))
+    # snapshot 3 delta-encodes vs snapshot 1's list...
+    assert enc["snapshots"][2].get("files_added") == ["c.parquet"]
+    dec = _delta_decode_snapshots(copy.deepcopy(enc))
+    # ...so the decoder must expand it vs the same baseline
+    assert dec["snapshots"][2]["files"] == [
+        "a.parquet",
+        "b.parquet",
+        "c.parquet",
+    ]
+    assert dec["snapshots"][1]["files"] == []
+    assert dec["snapshots"][0]["files"] == ["a.parquet", "b.parquet"]
+
+
 def test_maintain_size_aware_compaction(spark, tmp_path):
     """target_file_bytes triggers a rewrite when the live files
     average under half the target even though the COUNT is under

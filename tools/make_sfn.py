@@ -60,6 +60,20 @@ def main() -> None:
         print(f"{t}: shared copy")
     for t, keys in KEY_COLS.items():
         src = spark.read.parquet(f"{base}/{t}.parquet")
+        if t == "embeddings":
+            # roll modulo the ACTUAL dimension: a hardcoded 64 makes
+            # copy i=64 (and multiples) an unrolled duplicate, and a
+            # dim below 64 aliases the roll mod the dim — cross-copy
+            # cosines return to ~1 and pair counts inflate
+            # quadratically for those copies
+            first = src.select("embedding").first()
+            dim = len(first[0]) if first and first[0] else 0
+            if copies > max(dim, 1):
+                raise SystemExit(
+                    f"copies={copies} >= embedding dim {dim}: rolls "
+                    "would alias and cross-copy near-dup pair counts "
+                    "go quadratic — use a larger base or fewer copies"
+                )
         parts = []
         for i in range(copies):
             df = src
@@ -81,7 +95,7 @@ def main() -> None:
                 # roll the vector by i dims: within-copy geometry is
                 # EXACTLY preserved (permutation), cross-copy cosine
                 # is noise -> pair counts scale Nx
-                roll = i % 64
+                roll = i % dim
                 df = df.withColumn(
                     "embedding",
                     F.concat(
