@@ -207,20 +207,30 @@ ORDER BY id_a, id_b
 
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table (operators/semdedup.py)
-    with DETERMINISTIC cells: the quantizer is pinned to the
-    embeddings of vec_id 0..3 instead of a k-means fit, so the oracle
-    can replicate the assignment (nearest centroid by squared
-    distance, ties to the lower cell id) and the whole verdict —
-    cells, transitive near-dup groups, keep flags — hash-checks
-    against a recursive-CTE closure in DuckDB, an independent
-    algorithm from the iterative min-label propagation used here."""
+    with DETERMINISTIC cells that SCALE WITH THE CORPUS: the
+    quantizer is pinned to the embeddings of the k lowest vec_ids
+    (k = max(4, n // 150), cells of ~150 vectors) instead of a
+    k-means fit, so the oracle can replicate both the cell count and
+    the assignment (nearest centroid by squared distance, ties to
+    the lower cell index) and the whole verdict — cells, transitive
+    near-dup groups, keep flags — hash-checks against a
+    recursive-CTE closure in DuckDB, an independent algorithm from
+    the iterative min-label propagation used here.
+
+    Scaling k is the operator's own 100 TB contract (a fixed k makes
+    the within-cell pair step quadratic in the corpus: 4 cells cost
+    81 s at sf1 where 128 cost 9.2 s — SURVEY §6); deterministic
+    data-derived centroids keep the full-oracle hash check that a
+    k-means fit would forfeit."""
     from biglake_iceberg_pipeline_spark.operators import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = max(4, emb.count() // 150)
     cents = [
         list(r[0])
-        for r in emb.where(F.col("vec_id") < 4)
+        for r in emb.where(F.col("embedding").isNotNull())
         .orderBy("vec_id")
+        .limit(k)
         .select("embedding")
         .collect()
     ]
@@ -248,7 +258,17 @@ _CDIST = (
 )
 SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE cents AS (
-    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
+    -- same k as the Spark query: max(4, n // 150) lowest-vec_id
+    -- non-NULL embeddings; cid is the LIST INDEX (row number), the
+    -- cell id assign_centroid emits
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding AS cvec
+    FROM (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+        ORDER BY vec_id
+        LIMIT GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 150)
+    )
 ),
 assigned AS (
     SELECT vec_id, cid AS sem_cell FROM (

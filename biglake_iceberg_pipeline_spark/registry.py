@@ -26,83 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 window: lakehouse_point_lookup (F35's first driver row,
-# reading THROUGH spark.read.format("lakehouse") with pushed-filter
-# file skipping) is new this round; the four r4-stale keys
-# (drop_empty_rows displaced in r6, plus the r4-green overflow trio)
-# lead the window. The rest is the full r5-green set minus five
-# overflow keys (listed at the bottom of DEMOTED_KEYS) that wait for
-# r8 — the window holds exactly 50.
+# Round-8 window: the two r7-red connector queries lead (fixed: the
+# queries now enable spark.sql.python.filterPushdown.enabled at
+# runtime — the driver's vanilla session lacks it), then
+# semantic_dedup (re-shaped this round: k scales with the corpus,
+# max(4, n // 150) deterministic data-derived centroids — needs a
+# fresh row on the new shape), then the eight r5-stale overflow keys.
+# The rest is the r6-green set minus ten TPC-H overflow keys (listed
+# at the bottom of DEMOTED_KEYS) that wait for r9 — the window holds
+# exactly 50.
 PRIORITY_KEYS = (
     "lakehouse_point_lookup",
-    "dedup_exact_substrings",
     "lakehouse_bloom_lookup",
-    "decontaminate_corpus",
-    "drop_empty_rows",
-    "embedding_stats",
-    "ngram_contamination",
-    "span_boilerplate",
-    "events_json_extract",
-    "describe_customer",
-)
-
-# The 50 keys the r6 driver window checked (CORRECTNESS_r06 — all
-# green: 45 hash-matches + 5 rows-only by design), plus eight r5-green
-# keys overflowing to keep the window at exactly 50; those eight
-# rotate back in r8.
-DEMOTED_KEYS = frozenset({
-    # r6-green set
-    "address_standardize",
-    "ann_ivf_kmeans",
-    "ann_ivf_pq",
-    "ann_topk",
-    "clean_customer",
-    "clean_documents",
-    "cohort_retention",
-    "compare_schemas",
-    "customer_lookalike",
-    "customer_profiles",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "embedding_quantization",
-    "events_funnel",
-    "events_sessions",
-    "extract_currency",
-    "flag_duplicates",
-    "gold_daily_sales",
-    "gold_orders_enriched",
-    "pack_training_sequences",
-    "product_catalog_ann",
-    "profile_date_potential",
-    "profile_nulls",
-    "profile_number_potential",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_top_orders",
-    "q4_priority_waiting",
-    "q5_region_revenue",
-    "q8_market_share",
-    "quality_approx_duplicates",
-    "quality_duplicates",
-    "quality_null_like",
-    "quality_type_pollution",
-    "rfm_segments",
-    "safe_type_coercion",
     "semantic_dedup",
-    "silver_orders",
-    "text_bpe_tokens",
-    # r5-green overflow — rotate back in r8
     "sample_mixture",
     "pii_redaction",
     "text_repetition",
@@ -111,6 +47,72 @@ DEMOTED_KEYS = frozenset({
     "url_extraction",
     "strip_markup",
     "doc_chunks",
+)
+
+# The 48 keys green in CORRECTNESS_r07 (their status is on record),
+# plus ten r6-green TPC-H keys overflowing to keep the window at
+# exactly 50; those ten lead the r9 rotation.
+DEMOTED_KEYS = frozenset({
+    # r7-green set
+    "dedup_exact_substrings",
+    "decontaminate_corpus",
+    "drop_empty_rows",
+    "embedding_stats",
+    "ngram_contamination",
+    "span_boilerplate",
+    "events_json_extract",
+    "describe_customer",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding",
+    "ann_ivf",
+    "ann_ivf_int8",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "events_windowed",
+    "skew_safe_segment_activity",
+    "order_value_percentiles",
+    "revenue_pivot_by_priority",
+    "top_parts_per_brand",
+    "orders_with_returns",
+    "customers_without_orders",
+    "revenue_rollup",
+    "small_quantity_revenue",
+    "revenue_running_total",
+    "tfidf_keywords",
+    "text_lm_score",
+    "asof_last_purchase",
+    "range_join_incidents",
+    "events_hypertable_rollup",
+    "events_gapfill",
+    "events_attribution",
+    "product_catalog",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q9_profit_by_nation",
+    "silver_dedup_events",
+    "gold_customer_metrics",
+    "gold_product_performance",
+    "currency_convert",
+    "users_enriched",
+    "profile_column_stats",
+    "profile_type_distribution",
+    # r6-green overflow — rotate back in r9
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q2_min_cost_supplier",
+    "q4_priority_waiting",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q16_supplier_variety",
+    "q20_excess_suppliers",
+    "q22_idle_customers",
 })
 
 
