@@ -33,6 +33,87 @@ HEADLINE = [
 ]
 
 
+def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    """Fixed op set over a generated 8-file orders table — the
+    lakehouse/connector hot paths the query set never exercises
+    (VERDICT r7 item 5: regressions there were invisible). Each rep
+    builds a FRESH table (the ops are stateful), timings are
+    best-of-reps per op:
+
+    - lh_append: 8-file repartitioned append (staging + footer stats
+      + manifest commit).
+    - lh_mor_delete: merge-on-read DELETE of ~1% of rows (position-
+      delete file; O(matched), no rewrite).
+    - lh_connector_read: point lookup THROUGH
+      spark.read.format("lakehouse") with pushed-filter file skipping
+      on the delete-materialized table.
+    - lh_materialize: targeted delete materialization (rewrites only
+      delete-affected files).
+    - lh_maintain: compaction + expiry + orphan sweep on the
+      fragmented result.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders8 = orders.repartition(8, "o_custkey")
+    orders8.count()  # materialize the shuffle read path once (warm)
+    best: dict[str, float] = {}
+
+    def clock(name: str, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        if name not in best or dt < best[name]:
+            best[name] = dt
+
+    for rep in range(reps):
+        root = tempfile.mkdtemp(prefix="bench_lh_")
+        try:
+            t = LakehouseTable(os.path.join(root, "t"))
+            clock("lh_append", lambda: t.append(orders8))
+            clock(
+                "lh_mor_delete",
+                lambda: t.delete_where(
+                    spark,
+                    F.col("o_orderkey") % 97 == 0,
+                    mode="merge-on-read",
+                ),
+            )
+            clock(
+                "lh_materialize", lambda: t.materialize_deletes(spark)
+            )
+            key = orders.agg(F.max("o_orderkey")).first()[0]
+            clock(
+                "lh_connector_read",
+                lambda: spark.read.format("lakehouse")
+                .option("path", t.path)
+                .load()
+                .filter(F.col("o_orderkey") == key)
+                .collect(),
+            )
+            clock(
+                "lh_maintain",
+                lambda: t.maintain(
+                    spark, max_files=4, keep_snapshots=1
+                ),
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -70,6 +151,14 @@ def main() -> None:
             _ = n
         timings[key] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # second section: lakehouse/connector op latencies (not part of
+    # the headline total — "value" stays comparable across rounds)
+    try:
+        lakehouse_ops = bench_lakehouse_ops(
+            spark, sf_dir, min(reps, 2)
+        )
+    except Exception as exc:  # never fail the query bench over this
+        lakehouse_ops = {"error": str(exc)[:200]}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -78,6 +167,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "lakehouse_ops": lakehouse_ops,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
