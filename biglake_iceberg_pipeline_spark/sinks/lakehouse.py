@@ -199,40 +199,188 @@ def _transform_bounds(e: dict, lo, hi):
 
 
 
+class _SnapshotChain:
+    """Forward-replay decoder for delta-encoded snapshot lists with a
+    memoized cursor: sequential access over history costs one linear
+    walk total, and accessing only the CURRENT snapshot materializes
+    O(current files) entries — never O(snapshots x files). Random
+    backward access (time travel to an older snapshot after reading a
+    newer one) restarts the walk from the beginning: rare, and still
+    O(history deltas) work with O(1) full lists held.
+
+    ``deltas[i][key]`` is ``("full", list)`` for a snapshot that
+    stored the full list, ``("delta", added, removed)`` for a
+    delta-encoded one, or absent — which, mirroring the encoder,
+    leaves the running state untouched."""
+
+    __slots__ = ("_deltas", "_pos", "_state")
+
+    def __init__(self, deltas: list[dict]):
+        self._deltas = deltas
+        self._pos = {"files": -1, "deletes": -1}
+        self._state: dict[str, list] = {"files": [], "deletes": []}
+
+    def decode(self, idx: int, key: str) -> list:
+        pos = self._pos[key]
+        state = self._state[key]
+        if idx < pos:
+            pos, state = -1, []
+        for i in range(pos + 1, idx + 1):
+            d = self._deltas[i].get(key)
+            if d is None:
+                continue
+            if d[0] == "full":
+                state = d[1]
+            else:
+                rm = set(d[2])
+                state = [f for f in state if f not in rm] + d[1]
+        self._pos[key] = idx
+        self._state[key] = state
+        if self._deltas[idx].get(key) is None:
+            # keyless snapshot: reads as empty without disturbing
+            # the running state (the ADVICE r7 truncation fix)
+            return []
+        return list(state)
+
+
+class _LazySnapshot(dict):
+    """Snapshot dict whose delta-encoded ``files`` / ``deletes``
+    lists decode on first access. Every other key is a real dict
+    entry; the in-memory contract (``s["files"]`` is the full list)
+    is unchanged for callers — only the WORK moves to the access.
+    Assigning ``s["files"] = ...`` shadows the lazy value; later
+    snapshots still decode from the on-disk deltas (exactly the
+    eager behavior, where each snapshot's list was independent data
+    after the upfront decode).
+
+    CAUTION for new code: C fast paths that read raw dict storage —
+    ``dict(s)``, ``{**s}``, ``json.dump(s)`` — bypass lazy keys; use
+    ``to_plain()`` (the encoder and clone already do)."""
+
+    __slots__ = ("_chain", "_idx", "_lazy")
+
+    def __init__(
+        self,
+        data: dict,
+        chain: _SnapshotChain,
+        idx: int,
+        lazy: frozenset,
+    ):
+        super().__init__(data)
+        self._chain = chain
+        self._idx = idx
+        self._lazy = lazy
+
+    def _force(self, key):
+        if key in self._lazy and not dict.__contains__(self, key):
+            dict.__setitem__(
+                self, key, self._chain.decode(self._idx, key)
+            )
+
+    def materialize(self) -> "_LazySnapshot":
+        for key in self._lazy:
+            self._force(key)
+        return self
+
+    def to_plain(self) -> dict:
+        """Plain-dict copy with lazy keys resolved WITHOUT caching
+        them here — the encoder's path: a full re-encode walks every
+        snapshot sequentially, and peeking keeps memory at O(1) full
+        lists instead of retaining every decoded list."""
+        out = dict(self)  # raw storage only — lazy keys absent
+        for key in self._lazy:
+            if key not in out:
+                out[key] = self._chain.decode(self._idx, key)
+        return out
+
+    def __getitem__(self, key):
+        self._force(key)
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        if key in self._lazy:
+            self._force(key)
+        return dict.get(self, key, default)
+
+    def __contains__(self, key):
+        return key in self._lazy or dict.__contains__(self, key)
+
+    def pop(self, key, *default):
+        if key in self._lazy:
+            self._force(key)
+        return dict.pop(self, key, *default)
+
+    def setdefault(self, key, default=None):
+        if key in self._lazy:
+            self._force(key)
+        return dict.setdefault(self, key, default)
+
+    def keys(self):
+        self.materialize()
+        return dict.keys(self)
+
+    def values(self):
+        self.materialize()
+        return dict.values(self)
+
+    def items(self):
+        self.materialize()
+        return dict.items(self)
+
+    def __iter__(self):
+        self.materialize()
+        return dict.__iter__(self)
+
+    def copy(self):
+        return self.to_plain()
+
+    def __reduce__(self):
+        # pickling (e.g. into a Spark task closure) ships a plain
+        # dict — the chain is driver-side state
+        return (dict, (self.to_plain(),))
+
+
 def _delta_decode_snapshots(manifest: dict) -> dict:
-    """Expand delta-encoded per-snapshot file lists back to full lists
+    """Wrap delta-encoded per-snapshot file lists for LAZY expansion
     IN PLACE (and return the manifest). On disk each snapshot stores
     only what changed vs its predecessor (``files_added`` /
     ``files_removed``, same for the merge-on-read ``deletes`` tail) —
     real Iceberg's per-snapshot manifest-file idea on a single JSON:
     commit bytes are O(delta), not O(snapshots x files). In memory the
-    full ``files`` list is the canonical contract every reader/writer
-    path uses, so decoding happens exactly once per manifest read.
-    Legacy manifests (full ``files`` per snapshot) pass through
-    untouched and re-encode on their next commit."""
-    prev: dict[str, list] = {"files": [], "deletes": []}
-    for s in manifest.get("snapshots", []):
+    full ``files`` list is still the canonical contract every
+    reader/writer path uses, but since round 8 it materializes ON
+    ACCESS (``_LazySnapshot`` + ``_SnapshotChain``): reading a table
+    with 10^4 retained snapshots and touching only the current one
+    decodes O(current files), not 10^8 list entries. Legacy manifests
+    (full ``files`` per snapshot) pass through untouched and
+    re-encode on their next commit."""
+    snaps = manifest.get("snapshots", [])
+    if not snaps:
+        return manifest
+    deltas: list[dict] = []
+    out: list[dict] = []
+    chain = _SnapshotChain(deltas)
+    for idx, s in enumerate(snaps):
+        d: dict[str, tuple] = {}
+        lazy = set()
         for key in ("files", "deletes"):
             added = s.pop(f"{key}_added", None)
             removed = s.pop(f"{key}_removed", None)
             if key in s:
-                prev[key] = s[key]
-                continue
-            if added is None and removed is None:
-                if key == "files":
-                    # snapshot with no files key at all (hand-edited
-                    # or foreign writer — never written by us): read
-                    # as empty, but leave prev UNCHANGED to mirror
-                    # the encoder, which skips keyless snapshots
-                    # without updating its prev — resetting here
-                    # would silently truncate every later
-                    # delta-decoded snapshot's file list
-                    s[key] = []
-                continue
-            rm = set(removed or [])
-            cur = [f for f in prev[key] if f not in rm] + (added or [])
-            s[key] = cur
-            prev[key] = cur
+                d[key] = ("full", s[key])
+            elif added is not None or removed is not None:
+                d[key] = ("delta", added or [], removed or [])
+                lazy.add(key)
+            elif key == "files":
+                # keyless snapshot (hand-edited / foreign writer):
+                # reads as empty; the chain leaves its running state
+                # untouched, mirroring the encoder (ADVICE r7)
+                lazy.add(key)
+        deltas.append(d)
+        out.append(
+            _LazySnapshot(s, chain, idx, frozenset(lazy)) if lazy else s
+        )
+    manifest["snapshots"] = out
     return manifest
 
 
@@ -252,7 +400,11 @@ def _delta_encode_snapshots(manifest: dict) -> dict:
     enc = []
     prev: dict[str, list] = {"files": [], "deletes": []}
     for s in snaps:
-        e = dict(s)
+        # dict(s) reads raw storage and would drop a _LazySnapshot's
+        # unmaterialized lists — to_plain() resolves them via the
+        # chain's sequential cursor (O(1) full lists held, no
+        # caching back into the snapshot)
+        e = s.to_plain() if isinstance(s, _LazySnapshot) else dict(s)
         for key in ("files", "deletes"):
             if key not in e:
                 continue
@@ -1156,6 +1308,95 @@ class LakehouseTable:
         )[0]
         self._fire_commit_hooks("overwrite", snap)
         return snap
+
+    def overwrite_where(
+        self,
+        spark: SparkSession,
+        condition,
+        df: DataFrame,
+        ranges: dict[str, tuple] | None = None,
+    ) -> int:
+        """Atomic predicate-scoped overwrite (Delta ``replaceWhere``
+        / Iceberg's overwrite-by-filter; the reference delegates this
+        shape to BigQuery MERGE over a partition): delete every
+        current row matching ``condition`` and insert ``df``'s rows,
+        as ONE 'replace' snapshot — the daily partition-reload shape
+        with no delete-then-append window where readers see neither
+        the old day nor the new one.
+
+        Scale shape: ``ranges`` (same form as ``scan``; must be
+        IMPLIED by ``condition`` — rows matching the condition in
+        files the ranges exclude are NOT replaced) prunes the files
+        scanned for matches via manifest stats + partition values;
+        non-intersecting files CARRY OVER untouched, so replacing one
+        partition costs O(that partition), never O(table). Rows where
+        the condition is NULL are kept (three-valued logic never
+        deletes).
+
+        Validation (the Delta replaceWhere rule): every incoming row
+        must satisfy ``condition`` — a violating row would land
+        OUTSIDE the replaced region, where a replayed reload could
+        not replace it back out; violators raise before anything is
+        written.
+
+        Merge-on-read delete tails compose: candidate files scan
+        delete-APPLIED (a deleted row can't survive into the
+        rewrite), and the tail carries for the untouched files —
+        rewritten files get fresh paths and add-watermarks, so stale
+        position entries match nothing and equality entries stay
+        scoped to genuinely-old files. Conflict-checked like every
+        rewrite (CommitConflict on a concurrent tail advance)."""
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError("empty table — use append()")
+        snap = snaps[-1]
+        base = snap["id"]
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        matched = F.coalesce(condition, F.lit(False))
+        if df.where(~matched).limit(1).count() > 0:
+            raise ValueError(
+                "overwrite_where: every incoming row must satisfy "
+                "the replace condition (Delta replaceWhere "
+                "validation) — a row outside it could never be "
+                "replaced back out by a re-run"
+            )
+        current = set(snap["files"])
+        cand = (
+            [f for f in self.pruned_files(ranges, base) if f in current]
+            if ranges is not None
+            else list(snap["files"])
+        )
+        cand_set = set(cand)
+        carried = [f for f in snap["files"] if f not in cand_set]
+        spec = manifest.get("partition_by", self.partition_by)
+        surv_files: list[str] = []
+        if cand:
+            cur = self._read_files(spark, cand, with_meta=True)
+            cur = self._apply_deletes(
+                spark, cur, manifest, snap.get("deletes", [])
+            )
+            survivors = cur.where(~matched).drop("__file", "__pos")
+            surv_files = self._write_data(survivors, spec=spec)
+        # loader-style schema evolution, like append: incoming-only
+        # columns ADD, wider types WIDEN; carried/survivor files
+        # surface NULL via the committed-schema read overlay
+        if manifest["schema"] is not None:
+            target = self._read_files(spark, snap["files"])
+            df = align_for_append(df, target)
+        new_files = self._write_data(df, spec=spec)
+        all_new = surv_files + new_files
+        snap_id = self._locked_commit(
+            "replace",
+            carried + all_new,
+            self._file_stats(all_new),
+            df.schema.json(),
+            expected_tail=base,
+            delete_files=snap.get("deletes", []),
+        )[0]
+        self._fire_commit_hooks("replace", snap_id)
+        return snap_id
 
     def compact(
         self,
@@ -2897,7 +3138,15 @@ class LakehouseTable:
             manifest = self._read_manifest()
             if not manifest["snapshots"]:
                 raise ValueError("cannot clone an empty table")
-            cloned = json.loads(json.dumps(manifest))  # deep copy
+            # deep copy — via to_plain(): json's C encoder reads raw
+            # dict storage and would silently drop a _LazySnapshot's
+            # unmaterialized file lists
+            plain = dict(manifest)
+            plain["snapshots"] = [
+                s.to_plain() if isinstance(s, _LazySnapshot) else s
+                for s in manifest["snapshots"]
+            ]
+            cloned = json.loads(json.dumps(plain))
             cloned["cloned_from"] = self.path
             cloned.pop("clones", None)  # clones don't inherit clones
             # vector-index meta points at SOURCE-owned paths; if the

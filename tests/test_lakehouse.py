@@ -1973,6 +1973,247 @@ def test_manifest_keyless_snapshot_does_not_truncate_decode():
     assert dec["snapshots"][0]["files"] == ["a.parquet", "b.parquet"]
 
 
+def test_overwrite_where_replaces_only_matching_rows(spark, tmp_path):
+    """replaceWhere basics: matching rows are swapped for the incoming
+    set in ONE 'replace' snapshot, everything else survives, and time
+    travel still sees the pre-replace state."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "eu", 10.0), (2, "us", 20.0), (3, "eu", 30.0)],
+            "id long, region string, v double",
+        )
+    )
+    pre = t.current_snapshot_id()
+    snap = t.overwrite_where(
+        spark,
+        F.col("region") == "eu",
+        spark.createDataFrame(
+            [(7, "eu", 70.0)], "id long, region string, v double"
+        ),
+    )
+    got = sorted(
+        (r["id"], r["region"], r["v"]) for r in t.read(spark).collect()
+    )
+    assert got == [(2, "us", 20.0), (7, "eu", 70.0)]
+    assert t.snapshots[-1]["operation"] == "replace"
+    old = sorted(r["id"] for r in t.read(spark, pre).collect())
+    assert old == [1, 2, 3]
+    assert snap == t.current_snapshot_id()
+
+
+def test_overwrite_where_validates_incoming(spark, tmp_path):
+    """The Delta replaceWhere rule: an incoming row that does NOT
+    satisfy the condition raises — it would land outside the replaced
+    region where a replayed reload could never replace it out. NULL
+    condition counts as a violation for incoming rows, but existing
+    NULL-condition rows are KEPT (never deleted by three-valued
+    logic)."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "eu"), (2, None)], "id long, region string"
+        )
+    )
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            spark,
+            F.col("region") == "eu",
+            spark.createDataFrame([(9, "us")], "id long, region string"),
+        )
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            spark,
+            F.col("region") == "eu",
+            spark.createDataFrame(
+                [(9, None)], "id long, region string"
+            ),
+        )
+    # nothing committed by the failed attempts
+    assert len(t.snapshots) == 1
+    t.overwrite_where(
+        spark,
+        F.col("region") == "eu",
+        spark.createDataFrame([(9, "eu")], "id long, region string"),
+    )
+    got = sorted(
+        (r["id"], r["region"]) for r in t.read(spark).collect()
+    )
+    # the NULL-region row survived the replace
+    assert got == [(2, None), (9, "eu")]
+
+
+def test_overwrite_where_ranges_carry_files_untouched(spark, tmp_path):
+    """With ranges implied by the condition, files the manifest stats
+    exclude CARRY OVER by path — replacing one key range costs
+    O(affected files), the partition-reload shape at 100 TB."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 800)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    before = list(t.snapshots[-1]["files"])
+    t.overwrite_where(
+        spark,
+        (F.col("id") >= 0) & (F.col("id") < 100),
+        spark.createDataFrame([(5, 555.0)], "id long, v double"),
+        ranges={"id": (0, 99)},
+    )
+    after = list(t.snapshots[-1]["files"])
+    carried = set(before) & set(after)
+    # 8 range-sorted files: only ~1 intersects [0, 100) — the rest
+    # carry by identity
+    assert len(carried) >= 6
+    rows = t.read(spark)
+    assert rows.where(F.col("id") < 100).count() == 1
+    assert rows.count() == 701  # 700 survivors + 1 replacement
+
+
+def test_overwrite_where_composes_with_mor_deletes(spark, tmp_path):
+    """Candidates scan delete-APPLIED (a MoR-deleted row can't
+    resurrect through the rewrite) and the tail carries for
+    untouched files."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b")],
+            "id long, grp string",
+        )
+    )
+    t.delete_where(spark, F.col("id") == 2, mode="merge-on-read")
+    t.delete_where(spark, F.col("id") == 4, mode="merge-on-read")
+    t.overwrite_where(
+        spark,
+        F.col("grp") == "a",
+        spark.createDataFrame([(9, "a")], "id long, grp string"),
+    )
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    # 1,2 replaced by 9 (2 was already deleted — stays gone);
+    # 3 survives; 4's delete still applies through the carried tail
+    assert got == [3, 9]
+
+
+def test_overwrite_where_evolves_schema(spark, tmp_path):
+    """Incoming-only columns ADD like append: survivors and carried
+    files read NULL via the committed-schema overlay."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "eu"), (2, "us")], "id long, region string")
+    )
+    t.overwrite_where(
+        spark,
+        F.col("region") == "eu",
+        spark.createDataFrame(
+            [(7, "eu", "x")], "id long, region string, extra string"
+        ),
+    )
+    got = {
+        r["id"]: (r["region"], r["extra"])
+        for r in t.read(spark).collect()
+    }
+    assert got == {2: ("us", None), 7: ("eu", "x")}
+
+
+def test_manifest_decode_is_lazy_o_current(tmp_path):
+    """Reading a long-history table and touching only the CURRENT
+    snapshot's file list must materialize O(current files) entries,
+    never O(snapshots x files) — the r7 verdict's remaining manifest
+    scale item. 100 delta-encoded epochs: accessing the last
+    snapshot's list leaves every other snapshot's list undecoded
+    (raw-storage check, which bypasses the lazy resolver)."""
+    import json as _json
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        _delta_decode_snapshots,
+        _delta_encode_snapshots,
+        _LazySnapshot,
+    )
+
+    epochs = 100
+    manifest = {"snapshots": []}
+    files: list[str] = []
+    for i in range(epochs):
+        files = files + [f"f{i}.parquet"]
+        manifest["snapshots"].append(
+            {"id": i + 1, "operation": "append", "files": list(files)}
+        )
+    enc = _delta_encode_snapshots(manifest)
+    # sanity: the on-disk form really is delta-encoded
+    assert all("files_added" in s for s in enc["snapshots"])
+    dec = _delta_decode_snapshots(_json.loads(_json.dumps(enc)))
+    snaps = dec["snapshots"]
+    current = snaps[-1]["files"]
+    assert current == [f"f{i}.parquet" for i in range(epochs)]
+
+    def materialized_entries():
+        total = 0
+        for s in snaps:
+            if isinstance(s, _LazySnapshot):
+                raw = dict.get(s, "files")
+                total += len(raw) if raw is not None else 0
+            else:
+                total += len(s.get("files", []))
+        return total
+
+    # only the accessed (current) snapshot holds a decoded list
+    assert materialized_entries() == epochs
+    # the eager world held sum(1..100) = 5050 entries
+    # full materialization still works and agrees with eager decode
+    for idx, s in enumerate(snaps):
+        assert s["files"] == [f"f{i}.parquet" for i in range(idx + 1)]
+    assert materialized_entries() == epochs * (epochs + 1) // 2
+    # re-encode after lazy decode round-trips losslessly
+    enc2 = _delta_encode_snapshots(
+        _delta_decode_snapshots(_json.loads(_json.dumps(enc)))
+    )
+    dec2 = _delta_decode_snapshots(enc2)
+    for idx, s in enumerate(dec2["snapshots"]):
+        assert s["files"] == [f"f{i}.parquet" for i in range(idx + 1)]
+
+
+def test_lazy_snapshot_mapping_protocol(tmp_path):
+    """The lazy snapshot honors the dict protocol callers rely on:
+    get/contains/items/iteration/pop see the decoded lists, copy()
+    and pickling produce plain dicts with lists resolved."""
+    import json as _json
+    import pickle
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        _delta_decode_snapshots,
+        _delta_encode_snapshots,
+    )
+
+    manifest = {
+        "snapshots": [
+            {"id": 1, "operation": "append", "files": ["a"]},
+            {
+                "id": 2,
+                "operation": "append",
+                "files": ["a", "b"],
+                "deletes": ["d1.parquet"],
+            },
+        ]
+    }
+    enc = _delta_encode_snapshots(manifest)
+    dec = _delta_decode_snapshots(_json.loads(_json.dumps(enc)))
+    s = dec["snapshots"][1]
+    assert "files" in s and "deletes" in s
+    assert s.get("files") == ["a", "b"]
+    assert dict(s.items())["files"] == ["a", "b"]
+    assert set(iter(s)) >= {"id", "operation", "files", "deletes"}
+    c = s.copy()
+    assert type(c) is dict and c["files"] == ["a", "b"]
+    p = pickle.loads(pickle.dumps(s))
+    assert type(p) is dict and p["files"] == ["a", "b"]
+    assert p["deletes"] == ["d1.parquet"]
+    # assignment shadows the lazy value
+    s2 = dec["snapshots"][0]
+    s2["files"] = ["x"]
+    assert s2["files"] == ["x"]
+
+
 def test_maintain_size_aware_compaction(spark, tmp_path):
     """target_file_bytes triggers a rewrite when the live files
     average under half the target even though the COUNT is under
