@@ -83,19 +83,45 @@ class _FilePartition(InputPartition):
     # raw hive-path values for columns the file does NOT store
     # (identity-partitioned columns live only in the path)
     part_values: dict
+    # change-feed label ('insert' / 'update_postimage'); None when
+    # the stream is not in CDF mode (no _change_type column emitted)
+    ctype: str | None = None
 
 
-def _overlay_batches(partition: _FilePartition, target):
-    """One data file → RecordBatches aligned to the declared Arrow
+@dataclass
+class _DeleteFilePartition(InputPartition):
+    """CDF partition for ONE position-delete file: the executor reads
+    the (file_path, pos) pairs, then fetches the named rows from the
+    still-referenced immutable data files — O(deleted rows) work,
+    never a table scan."""
+
+    delete_file: str
+    # per referenced data file: hive-path values (overlay contract)
+    part_values_by_file: dict
+    ctype: str
+
+
+def _opt_flag(options, name: str) -> bool:
+    v = options.get(name.lower())
+    if v is None:
+        v = options.get(name)
+    return str(v).lower() in ("true", "1") if v is not None else False
+
+
+def _overlay_table(file: str, part_values: dict, target):
+    """One data file → a pyarrow Table aligned to the declared Arrow
     schema: project to declared columns, upcast widened ones,
     NULL-fill columns added after the file was written, restore
-    hive-path partition values with committed types. Shared by the
-    streaming source and the batch reader — the executor-side half of
-    ``LakehouseTable._read_files``'s overlay contract."""
+    hive-path partition values with committed types. Row order is the
+    file's physical order, so positions index into it directly (the
+    merge-on-read coordinate contract). Shared by the streaming
+    source, the CDF delete reader, and the batch reader — the
+    executor-side half of ``LakehouseTable._read_files``'s overlay
+    contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(partition.file)
+    pf = pq.ParquetFile(file)
     have = set(pf.schema_arrow.names)
     want = [n for n in target.names if n in have]
     tbl = pf.read(columns=want)
@@ -104,15 +130,57 @@ def _overlay_batches(partition: _FilePartition, target):
     for field in target:
         if field.name in have:
             arrays.append(tbl.column(field.name).cast(field.type))
-        elif field.name in partition.part_values:
-            raw = partition.part_values[field.name]
+        elif field.name in part_values:
+            raw = part_values[field.name]
             col = pa.array([raw] * n, type=pa.string())
             arrays.append(col.cast(field.type))
         else:
             # pre-evolution file: added column surfaces NULL,
             # same as the batch read overlay
             arrays.append(pa.nulls(n, type=field.type))
-    yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+def _overlay_batches(partition: _FilePartition, target):
+    yield from _overlay_table(
+        partition.file, partition.part_values, target
+    ).to_batches()
+
+
+def _with_ctype(tbl, ctype: str):
+    """Append the CDF label column to an aligned table."""
+    import pyarrow as pa
+
+    return tbl.append_column(
+        "_change_type",
+        pa.array([ctype] * tbl.num_rows, type=pa.string()),
+    )
+
+
+def _delete_preimage_batches(
+    partition: _DeleteFilePartition, target
+):
+    """Rows a position-delete file voided, read back from their
+    still-referenced immutable data files — the CDF 'delete' /
+    'update_preimage' stream. Work is O(deleted rows) + one overlay
+    read per REFERENCED file; untouched files are never opened."""
+    import pyarrow.parquet as pq
+
+    dels = pq.read_table(
+        partition.delete_file, columns=["file_path", "pos"]
+    )
+    by_file: dict[str, list[int]] = {}
+    for fp, pos in zip(
+        dels.column("file_path").to_pylist(),
+        dels.column("pos").to_pylist(),
+    ):
+        by_file.setdefault(fp, []).append(pos)
+    for fp in sorted(by_file):
+        aligned = _overlay_table(
+            fp, partition.part_values_by_file.get(fp, {}), target
+        )
+        taken = aligned.take(sorted(by_file[fp]))
+        yield from _with_ctype(taken, partition.ctype).to_batches()
 
 
 _DBG_PATH = os.environ.get("SPARK_GRAFT_STREAM_DEBUG")
@@ -187,6 +255,24 @@ class LakehouseStreamSource(DataSource):
       advances past this snapshot (inclusive); pair with
       ``startingSnapshotId`` to replay an exact commit range through
       the streaming pipeline, then the stream idles at the bound.
+    - ``readChangeFeed``: ``"true"`` streams CLASSIFIED row changes
+      instead of raw appended rows (Delta CDF readStream / Iceberg
+      changelog scan — the batch ``change_feed``'s continuous form):
+      the output schema gains a ``_change_type`` string column and
+      merge-on-read POSITION-delete commits stream through instead
+      of raising — appends emit ``insert`` rows, ``delete_where
+      (mode="merge-on-read")`` commits emit ``delete`` rows (the
+      pre-images read back from the immutable data files at the
+      positions the delete files name — O(deleted rows), no scan),
+      and MoR UPDATE commits emit ``update_preimage`` /
+      ``update_postimage``. Commits that REDISTRIBUTE rows — CoW
+      rewrites, compaction, overwrite, rollback — still raise
+      ``LineageBrokenError`` (a file diff cannot attribute moved
+      rows), and EQUALITY-delete commits (MoR merge) raise too: their
+      pre-images require re-matching old files against the key set;
+      use the keyed batch ``change_feed`` or MoR position paths when
+      CDF streaming matters. Snapshot-granular offsets, rate caps,
+      and exactly-once semantics are unchanged.
     - ``streamId``: optional stable identity for the rate-limit
       cursor file. Defaults to a digest of the offset-shaping
       options (startingSnapshotId/caps/endingSnapshotId) — two
@@ -225,12 +311,26 @@ class LakehouseStreamSource(DataSource):
                 "schema yet (no snapshots) — pass .schema(...) "
                 "explicitly to stream a table created later"
             )
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if _opt_flag(self.options, "readChangeFeed"):
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                schema.fields
+                + [StructField("_change_type", StringType(), False)]
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
         return LakehouseStreamReader(self._path(), schema, self.options)
 
     def reader(self, schema: StructType) -> "LakehouseBatchReader":
+        if _opt_flag(self.options, "readChangeFeed"):
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream); for a batch change feed use "
+                "LakehouseTable.change_feed(spark, from, to)"
+            )
         return LakehouseBatchReader(self._path(), schema, self.options)
 
     def writer(
@@ -264,6 +364,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self._max_rows = int(mrt) if mrt is not None else None
         mbt = options.get("maxBytesPerTrigger")
         self._max_bytes = int(mbt) if mbt is not None else None
+        self._cdf = _opt_flag(options, "readChangeFeed")
         stream_id = options.get("streamid") or options.get("streamId")
         if stream_id is None:
             # every option that shapes offsets is part of the key — a
@@ -272,7 +373,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             stream_id = (
                 f"start={self._starting}:mft={self._max_files}"
                 f":mrt={self._max_rows}:mbt={self._max_bytes}"
-                f":end={self._ending}"
+                f":end={self._ending}:cdf={self._cdf}"
             )
         import hashlib
 
@@ -388,12 +489,18 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return out
 
     def _resolve_range(
-        self, snaps: list[dict], s0: int, s1: int
+        self, snaps: list[dict], s0: int, s1: int, m: dict | None = None
     ) -> tuple[int, int]:
         """Indices (lo, hi) for the (s0, s1] snapshot range, with the
         same lineage guards as ``incremental_scan``: every id in
         [s0, s1] must survive contiguously (an expiry gap could hide
-        a rewrite) and every snapshot in the range must be an append."""
+        a rewrite) and every snapshot in the range must be an append —
+        or, in change-feed mode, a CDF-STREAMABLE commit: an append,
+        or a merge-on-read delete/update whose file set only GROWS and
+        whose new delete-tail entries are all position deletes (their
+        pre-images are readable by coordinate from immutable files; a
+        CoW rewrite or an equality delete redistributes/re-matches
+        rows, which a file-level diff cannot attribute)."""
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
             LineageBrokenError,
             SnapshotNotFoundError,
@@ -418,17 +525,55 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 "stream range has expired intermediate snapshots "
                 "(history gap); re-baseline downstream from a full read"
             )
-        non_append = [
-            s["id"]
-            for s in snaps[lo + 1 : hi + 1]
-            if s["operation"] != "append"
-        ]
-        if non_append:
-            raise LineageBrokenError(
-                f"stream crosses rewrite snapshots {non_append} "
-                "(merge/delete/update/overwrite/rollback redistribute "
-                "existing rows); re-baseline downstream from a full read"
-            )
+        if not self._cdf:
+            non_append = [
+                s["id"]
+                for s in snaps[lo + 1 : hi + 1]
+                if s["operation"] != "append"
+            ]
+            if non_append:
+                raise LineageBrokenError(
+                    f"stream crosses rewrite snapshots {non_append} "
+                    "(merge/delete/update/overwrite/rollback "
+                    "redistribute existing rows); re-baseline "
+                    "downstream from a full read, or stream with "
+                    ".option('readChangeFeed', 'true') if the "
+                    "rewrites are merge-on-read position deletes"
+                )
+            return lo, hi
+        dmeta = (m or {}).get("delete_meta", {})
+        for idx in range(lo + 1, hi + 1):
+            s = snaps[idx]
+            prev = snaps[idx - 1] if idx > 0 else {"files": []}
+            bad = None
+            if s["operation"] not in ("append", "delete", "update"):
+                bad = f"operation {s['operation']!r}"
+            elif not set(prev["files"]) <= set(s["files"]):
+                bad = "files were removed (copy-on-write rewrite)"
+            else:
+                prev_tail = set(prev.get("deletes", []))
+                new_dels = [
+                    d
+                    for d in s.get("deletes", [])
+                    if d not in prev_tail
+                ]
+                non_pos = [
+                    d
+                    for d in new_dels
+                    if dmeta.get(d, {}).get("kind", "position")
+                    != "position"
+                ]
+                if non_pos:
+                    bad = (
+                        "equality delete files (MoR merge) — their "
+                        "pre-images need key re-matching"
+                    )
+            if bad:
+                raise LineageBrokenError(
+                    f"change feed cannot stream snapshot {s['id']}: "
+                    f"{bad}; re-baseline downstream from a full read "
+                    "(or use the keyed batch change_feed)"
+                )
         return lo, hi
 
     def latestOffset(self) -> dict:
@@ -452,7 +597,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # instead of surfacing later inside planning.
             base = max(self._read_cursor() or 0, self._starting)
             if tail > base:
-                self._resolve_range(snaps, base, tail)
+                self._resolve_range(snaps, base, tail, m)
             end = max(tail, self._starting)
             self._advance_cursor(end)
             return {"snapshot_id": end}
@@ -497,7 +642,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             cursor = self._starting
         if tail <= cursor:
             return {"snapshot_id": cursor}
-        lo, hi = self._resolve_range(snaps, cursor, tail)
+        lo, hi = self._resolve_range(snaps, cursor, tail, m)
         file_rows = m.get("file_rows", {})
         file_sizes = m.get("file_sizes", {})
         inf = float("inf")
@@ -574,27 +719,101 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 self._advance_cursor(s1)
         m = _read_manifest(self._path)
         snaps = m["snapshots"]
-        lo, hi = self._resolve_range(snaps, s0, s1)
+        lo, hi = self._resolve_range(snaps, s0, s1, m)
         fparts = m.get("file_partitions", {})
-        declared = {f.name for f in self._schema.fields}
-        parts = []
-        for _, added in self._added_per_snapshot(snaps, lo, hi):
+        declared = {
+            f.name
+            for f in self._schema.fields
+            if f.name != "_change_type"
+        }
+
+        def pv_for(f):
+            return {
+                k: v
+                for k, v in fparts.get(f, {}).items()
+                if k in declared
+            }
+
+        parts: list = []
+        prev_tail: set = (
+            set(snaps[lo].get("deletes", [])) if lo >= 0 else set()
+        )
+        for snap, added in self._added_per_snapshot(snaps, lo, hi):
+            is_update = snap["operation"] == "update"
+            ins_label = (
+                ("update_postimage" if is_update else "insert")
+                if self._cdf
+                else None
+            )
             for f in added:
-                pv = {
-                    k: v
-                    for k, v in fparts.get(f, {}).items()
-                    if k in declared
-                }
-                parts.append(_FilePartition(file=f, part_values=pv))
+                parts.append(
+                    _FilePartition(
+                        file=f, part_values=pv_for(f), ctype=ins_label
+                    )
+                )
+            if self._cdf:
+                import pyarrow.parquet as pq
+
+                cur_tail = snap.get("deletes", [])
+                for d in cur_tail:
+                    if d in prev_tail:
+                        continue
+                    # position-delete file (resolve_range already
+                    # refused anything else): learn the referenced
+                    # data files driver-side — delete files are
+                    # metadata-sized — so only their partition
+                    # values ship to the executor
+                    refs = (
+                        pq.read_table(d, columns=["file_path"])
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                    parts.append(
+                        _DeleteFilePartition(
+                            delete_file=d,
+                            part_values_by_file={
+                                fp: pv_for(fp) for fp in set(refs)
+                            },
+                            ctype=(
+                                "update_preimage"
+                                if is_update
+                                else "delete"
+                            ),
+                        )
+                    )
+                prev_tail = set(cur_tail)
         return parts
 
     # --------------------------------------------------------- read
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._arrow_schema is None:
-            self._arrow_schema = to_arrow_schema(self._schema)
+            if self._cdf:
+                # overlay target excludes the label column: data
+                # files never store it; it's appended per batch
+                data_schema = StructType(
+                    [
+                        f
+                        for f in self._schema.fields
+                        if f.name != "_change_type"
+                    ]
+                )
+                self._arrow_schema = to_arrow_schema(data_schema)
+            else:
+                self._arrow_schema = to_arrow_schema(self._schema)
+        if isinstance(partition, _DeleteFilePartition):
+            yield from _delete_preimage_batches(
+                partition, self._arrow_schema
+            )
+            return
+        if partition.ctype is not None:
+            tbl = _overlay_table(
+                partition.file, partition.part_values, self._arrow_schema
+            )
+            yield from _with_ctype(tbl, partition.ctype).to_batches()
+            return
         yield from _overlay_batches(partition, self._arrow_schema)
 
 
@@ -1109,6 +1328,7 @@ def read_lakehouse_stream(
     ending_snapshot_id: int | None = None,
     max_rows_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
+    read_change_feed: bool = False,
 ) -> DataFrame:
     """Register the source (idempotent) and open the stream."""
     spark.dataSource.register(LakehouseStreamSource)
@@ -1133,6 +1353,8 @@ def read_lakehouse_stream(
         reader = reader.option(
             "maxBytesPerTrigger", str(max_bytes_per_trigger)
         )
+    if read_change_feed:
+        reader = reader.option("readChangeFeed", "true")
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load()

@@ -498,3 +498,155 @@ def test_stream_source_max_bytes_per_trigger(spark, tmp_path):
     assert sum(map(len, batches)) == 3
     assert len(batches) == 3  # each file > half the cap: one each
     assert batches == [[0], [1], [2]]
+
+
+def test_cdf_stream_appends_and_mor_deletes(spark, tmp_path):
+    """readChangeFeed: appends stream as 'insert' rows, merge-on-read
+    position deletes stream their PRE-IMAGES as 'delete' rows (read
+    back by coordinate from the immutable data files — O(deleted
+    rows)), and the offset/exactly-once machinery is unchanged."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    tbl.delete_where(spark, F.col("id") == 2, mode="merge-on-read")
+    tbl.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    rows = []
+
+    def sink(bdf, bid):
+        rows.extend(
+            (r["id"], r["v"], r["_change_type"]) for r in bdf.collect()
+        )
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(rows) == [
+        (1, "a", "insert"),
+        (2, "b", "delete"),
+        (2, "b", "insert"),
+        (3, "c", "insert"),
+        (4, "d", "insert"),
+    ]
+
+
+def test_cdf_stream_update_pre_and_postimage(spark, tmp_path):
+    """A merge-on-read UPDATE commit streams as update_preimage (the
+    voided rows) + update_postimage (their rewritten versions) — the
+    Delta CDF labeling."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    )
+    base = tbl.current_snapshot_id()
+    tbl.update_where(
+        spark,
+        F.col("id") == 2,
+        {"v": F.col("v") + 1},
+        mode="merge-on-read",
+    )
+    rows = []
+
+    def sink(bdf, bid):
+        rows.extend(
+            (r["id"], r["v"], r["_change_type"]) for r in bdf.collect()
+        )
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(
+            spark,
+            tbl.path,
+            starting_snapshot_id=base,
+            read_change_feed=True,
+        ),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(rows) == [
+        (2, 20.0, "update_preimage"),
+        (2, 21.0, "update_postimage"),
+    ]
+
+
+def test_cdf_stream_refuses_cow_and_equality_deletes(spark, tmp_path):
+    """CDF streaming still re-baselines on commits a file diff cannot
+    attribute: copy-on-write rewrites (files removed) and equality
+    deletes (MoR merge) both fail the stream with the lineage error."""
+    cow = LakehouseTable(str(tmp_path / "cow"))
+    cow.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    base = cow.current_snapshot_id()
+    cow.delete_where(spark, F.col("id") == 1)  # CoW rewrite
+
+    def run(path, start):
+        got = []
+
+        def sink(bdf, bid):
+            got.extend(bdf.collect())
+
+        q = (
+            read_lakehouse_stream(
+                spark,
+                path,
+                starting_snapshot_id=start,
+                read_change_feed=True,
+            )
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck-{os.path.basename(path)}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        _drain(q)
+
+    with pytest.raises(Exception, match="change feed cannot stream"):
+        try:
+            run(cow.path, base)
+        except Exception as e:
+            raise RuntimeError(str(e)) from e
+
+    mor = LakehouseTable(str(tmp_path / "mor"))
+    mor.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    base2 = mor.current_snapshot_id()
+    mor.merge(
+        spark,
+        spark.createDataFrame([(2, "B")], "id long, v string"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    with pytest.raises(Exception, match="change feed cannot stream"):
+        try:
+            run(mor.path, base2)
+        except Exception as e:
+            raise RuntimeError(str(e)) from e
+
+
+def test_cdf_option_refused_on_batch_read(spark, tmp_path):
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", tbl.path)
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )
