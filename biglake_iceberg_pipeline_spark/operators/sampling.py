@@ -76,3 +76,51 @@ def mixture_sample(
         known = F.col(source_col).isin(*fractions.keys())
         gate = gate | (~known & hash_gate(key, default_fraction))
     return df.where(gate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen DETERMINISTICALLY by
+    md5-hash rank — the per-domain cap every web-scale curation
+    pipeline runs (C4 / RefinedWeb "at most N pages per domain"):
+    reproducible run-to-run, independent of partitioning and row
+    order, engine-portable (the DuckDB oracle replays the same
+    expression). Returns the surviving rows plus ``sel_rank``
+    (1-based rank within the group).
+
+    Selection = the ``quota`` smallest ``md5(key)`` values per group
+    (ties by key). Because the selector is the HASH ORDER, a
+    hash-threshold pre-gate composes consistently: every rank-k
+    survivor has one of the k smallest hashes, so gating to
+    ``hash < t`` first can only drop rows the rank would drop anyway
+    — provided at least ``quota`` rows pass the gate.
+
+    Scale shape: ONE hash shuffle on ``group_col`` + a per-group
+    window sort. For billion-row groups (the skewed-domain case) the
+    sort dominates: pass ``prefilter_fraction`` to hash-gate the
+    group down BEFORE ranking (e.g. 1e-3 when quota/n_g ~ 1e-5); the
+    selection is unchanged as long as the expected survivor count
+    comfortably exceeds ``quota`` — size it with margin, it is a
+    performance knob, not a correctness one, and the composition
+    property above makes under-gating the only failure mode."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    h = F.md5(key.cast("binary"))
+    out = df
+    if prefilter_fraction is not None:
+        out = out.where(hash_gate(F.col(key_col), prefilter_fraction))
+    w = (
+        Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    )
+    return (
+        out.withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= F.lit(quota))
+    )

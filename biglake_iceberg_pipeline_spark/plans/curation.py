@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.operators import text
 from biglake_iceberg_pipeline_spark.operators.sampling import (
+    cap_per_group,
     hash_threshold,
     mixture_sample,
 )
@@ -135,6 +136,42 @@ WHERE (source = 'src0' AND {_gate_sql(_MIX["src0"])})
    OR (source NOT IN ('src0', 'src1', 'src2') AND {_gate_sql(_DEFAULT_FRAC)})
 GROUP BY source
 ORDER BY source
+"""
+
+
+_QUOTA = 10
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators/sampling.py::cap_per_group —
+    the C4/RefinedWeb 'at most N pages per domain' rule): keep the
+    10 deterministically hash-ranked docs per source. One shuffle on
+    the source column; selection is md5-rank so it is order- and
+    partition-stable and the oracle replays it as a SQL window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        cap_per_group(docs, "source", "doc_id", _QUOTA)
+        .select(
+            "doc_id",
+            "source",
+            F.col("sel_rank").cast("bigint").alias("sel_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SOURCE_QUOTA_SAMPLE_SQL = f"""
+SELECT doc_id, source, sel_rank FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS sel_rank
+    FROM documents
+) WHERE sel_rank <= {_QUOTA}
+ORDER BY doc_id
 """
 
 
@@ -589,6 +626,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
+    "source_quota_sample": source_quota_sample,
     "tfidf_keywords": tfidf_keywords,
     "text_lm_score": text_lm_score,
     "doc_chunks": doc_chunks,
@@ -604,6 +642,7 @@ ORACLE = {
     "pii_redaction": PII_REDACTION_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
+    "source_quota_sample": SOURCE_QUOTA_SAMPLE_SQL,
     "tfidf_keywords": TFIDF_KEYWORDS_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,

@@ -39,6 +39,7 @@ PRIORITY_KEYS = (
     "lakehouse_point_lookup",
     "lakehouse_bloom_lookup",
     "semantic_dedup",
+    "source_quota_sample",
     "sample_mixture",
     "pii_redaction",
     "text_repetition",
@@ -103,6 +104,7 @@ DEMOTED_KEYS = frozenset({
     "profile_column_stats",
     "profile_type_distribution",
     # r6-green overflow — rotate back in r9
+    "q13_order_distribution",
     "q14_promo_effect",
     "q18_large_orders",
     "q19_bracket_revenue",

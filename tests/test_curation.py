@@ -196,3 +196,42 @@ def test_decontaminate_default_is_governed_by_max_frac(spark):
     # doc 1: 1 contaminated gram / ~16 grams ≈ 0.06 < 0.5 → kept;
     # doc 2: 3/4 grams contaminated = 0.75 > 0.5 → dropped
     assert kept == [1]
+
+
+def test_cap_per_group_deterministic_and_prefilter_consistent(spark):
+    """cap_per_group: exactly min(quota, n_g) rows per group, selection
+    invariant to physical partitioning, and the hash-gate prefilter
+    keeps the SAME selection when it retains at least quota rows (the
+    composition property: rank order is hash order)."""
+    from biglake_iceberg_pipeline_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)] + [(1000, "tiny")],
+        "id long, grp string",
+    )
+    a = cap_per_group(df, "grp", "id", 5)
+    sel_a = sorted((r["grp"], r["id"], r["sel_rank"]) for r in a.collect())
+    counts = {}
+    for g, _i, _r in sel_a:
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    # partitioning invariance
+    b = cap_per_group(df.repartition(7), "grp", "id", 5)
+    assert sel_a == sorted(
+        (r["grp"], r["id"], r["sel_rank"]) for r in b.collect()
+    )
+    # generous prefilter (keeps ~half of each 30-row group >= quota
+    # 5): identical selection for those groups. The 1-row 'tiny'
+    # group is the documented under-gating mode (its row may fall
+    # above the gate) — excluded from the equality.
+    c = cap_per_group(df, "grp", "id", 5, prefilter_fraction=0.5)
+    big = lambda sel: [t for t in sel if t[0] != "tiny"]  # noqa: E731
+    assert big(sel_a) == big(
+        sorted((r["grp"], r["id"], r["sel_rank"]) for r in c.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        cap_per_group(df, "grp", "id", 0)
