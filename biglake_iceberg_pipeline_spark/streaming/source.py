@@ -69,6 +69,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -880,6 +881,13 @@ class LakehouseBatchReader(DataSourceReader):
         self._files = list(snap["files"])
         self._fparts = m.get("file_partitions", {})
         self._ranges: dict[str, tuple] = {}
+        self._in_lists: dict[str, list] = {}
+
+    # IN-lists longer than this skip file pruning (row-wise
+    # re-evaluation still applies them): each value probes the
+    # manifest stats/blooms as a point range, and an unbounded list
+    # would turn planning into a scan of its own
+    _MAX_IN_PRUNE = 16
 
     def pushFilters(self, filters):
         ranges = self._ranges
@@ -888,6 +896,21 @@ class LakehouseBatchReader(DataSourceReader):
             if attr is None or len(attr) != 1:
                 continue
             col = attr[0]
+            if isinstance(f, In):
+                vals = [
+                    v
+                    for v in f.value
+                    if not isinstance(v, bool)
+                    and isinstance(v, (int, float, str))
+                ]
+                # only prune when EVERY value is probe-able — a
+                # skipped value could live in a pruned file
+                if (
+                    len(vals) == len(f.value)
+                    and 0 < len(vals) <= self._MAX_IN_PRUNE
+                ):
+                    self._in_lists[col] = vals
+                continue
             v = getattr(f, "value", None)
             # only types the footer stats store and compare cleanly
             if isinstance(v, bool) or not isinstance(
@@ -913,14 +936,28 @@ class LakehouseBatchReader(DataSourceReader):
 
     def partitions(self):
         files = self._files
-        if self._ranges:
+        if self._ranges or self._in_lists:
             from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
                 LakehouseTable,
             )
 
-            files = LakehouseTable(self._path).pruned_files(
-                self._ranges, self._snapshot_id
-            )
+            table = LakehouseTable(self._path)
+            if self._ranges:
+                files = table.pruned_files(
+                    self._ranges, self._snapshot_id
+                )
+            for col, vals in self._in_lists.items():
+                # a file survives iff SOME value's point probe keeps
+                # it — per-value stats/bloom pruning unioned, the
+                # IN-list analog of the EqualTo path
+                keep: set = set()
+                for v in vals:
+                    keep.update(
+                        table.pruned_files(
+                            {col: (v, v)}, self._snapshot_id
+                        )
+                    )
+                files = [f for f in files if f in keep]
         declared = {f.name for f in self._schema.fields}
         return [
             _FilePartition(

@@ -131,3 +131,66 @@ def test_batch_read_refuses_mor_delete_tail(spark, tmp_path):
         spark.read.format("lakehouse").option("path", path).load().count()
         == 15
     )
+
+
+def test_pushed_in_list_skips_files(spark, tmp_path):
+    """A pushed IN-list prunes to the union of its values' point
+    probes (manifest stats — and blooms where registered); an
+    over-long or partly-unprobeable list skips pruning but stays
+    correct via row-wise re-evaluation."""
+    from pyspark.sql.datasource import In
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 1000).withColumn("v", F.col("id") * 2))
+    tbl.compact(spark, target_files=8, sort_by=["id"])
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    # two values in the same 125-row range bucket -> 1 file;
+    # values at the two extremes -> 2 files
+    r.pushFilters([In(("id",), (500, 501))])
+    assert len(r.partitions()) == 1
+    r2 = LakehouseBatchReader(path, schema, {})
+    r2.pushFilters([In(("id",), (3, 997))])
+    assert len(r2.partitions()) == 2
+    # over-long list: no pruning, all 8 files planned
+    r3 = LakehouseBatchReader(path, schema, {})
+    r3.pushFilters([In(("id",), tuple(range(100)))])
+    assert len(r3.partitions()) == 8
+    # end-to-end equality with the native read
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .where(F.col("id").isin(3, 500, 997))
+        .collect()
+    )
+    assert got == [3, 500, 997]
+
+
+def test_pushed_in_list_uses_blooms(spark, tmp_path):
+    """On a hash-distributed table where every file's footer range
+    contains every key, the IN-list's per-value bloom probes are what
+    prune: 2 values -> at most 2 of 6 files."""
+    from pyspark.sql.datasource import In
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.range(0, 600)
+        .withColumn("k", F.col("id"))
+        .repartition(6, "k")
+    )
+    tbl.refresh_bloom_filters(spark, ["k"])
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    assert len(r.partitions()) == 6
+    r.pushFilters([In(("k",), (17, 401))])
+    assert 1 <= len(r.partitions()) <= 2
