@@ -102,6 +102,112 @@ class _DeleteFilePartition(InputPartition):
     ctype: str
 
 
+@dataclass
+class _EqDeletePartition(InputPartition):
+    """CDF partition for ONE watermark-scoped candidate data file of
+    an equality-delete commit (MoR merge): the executor re-matches the
+    file's rows against the commit's (metadata-sized) key sets and
+    emits the matches as delete pre-images — O(candidate file) work,
+    with candidates pruned at planning by added_at watermark and
+    footer key-range intersection."""
+
+    data_file: str
+    part_values: dict
+    # [(delete_file, [key_col, ...]), ...] — this commit's new
+    # equality delete files; a row matching ANY of them emits once
+    eq_deletes: list
+    ctype: str
+    # rows of this file ALREADY voided by the tail as of the
+    # PREDECESSOR snapshot — they must not re-emit a delete
+    # pre-image when a later merge matches the same key:
+    prior_pos: tuple = ()  # row indices from earlier position deletes
+    prior_eq: tuple = ()  # earlier ((delete_file, keys), ...) in scope
+
+
+def _eq_key_strings(tbl, keys: list[str]):
+    """NULL-safe composite key rendering for vectorized is_in
+    matching: per-column percent-escape of '%', the \\x1f separator,
+    and \\x00, NULL as a raw-\\x00 sentinel (the streaming sink's
+    grouping-key convention — no real value can collide), joined with
+    \\x1f. Both the data side and the delete side render identically,
+    so tuple equality (eqNullSafe semantics, NULL == NULL) becomes
+    string equality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    for k in keys:
+        col = pc.cast(tbl.column(k), pa.string())
+        col = pc.replace_substring(col, "%", "%25")
+        col = pc.replace_substring(col, "\x1f", "%1F")
+        col = pc.replace_substring(col, "\x00", "%00")
+        parts.append(
+            pc.fill_null(col, "\x00__NULL__").combine_chunks()
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def _eq_match_mask(aligned, eq_deletes):
+    """OR of vectorized is_in matches against each delete file's
+    NULL-safe composite key rendering (False-filled)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    mask = None
+    for del_file, keys in eq_deletes:
+        dels = pq.read_table(del_file, columns=list(keys))
+        if dels.num_rows == 0:
+            continue
+        data_keys = _eq_key_strings(aligned, list(keys))
+        del_keys = _eq_key_strings(dels, list(keys))
+        m = pc.is_in(data_keys, value_set=del_keys.unique())
+        mask = m if mask is None else pc.or_(mask, m)
+    if mask is None:
+        return None
+    return pc.fill_null(mask, False)
+
+
+def _eq_preimage_batches(partition: _EqDeletePartition, target):
+    """Rows of one candidate data file voided by an equality-delete
+    commit, emitted as delete pre-images. The delete files are
+    metadata-sized; the match is a vectorized is_in on the NULL-safe
+    composite key rendering. Rows ALREADY voided by the tail as of
+    the predecessor snapshot (prior position/equality entries) are
+    masked out first — a later merge matching the same key must not
+    double-emit their deletion."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    aligned = _overlay_table(
+        partition.data_file, partition.part_values, target
+    )
+    n = aligned.num_rows
+    alive = np.ones(n, dtype=bool)
+    for pos in partition.prior_pos:
+        if 0 <= pos < n:
+            alive[pos] = False
+    if partition.prior_eq:
+        prior = _eq_match_mask(aligned, list(partition.prior_eq))
+        if prior is not None:
+            alive &= ~np.asarray(
+                prior.combine_chunks()
+                if isinstance(prior, pa.ChunkedArray)
+                else prior
+            )
+    mask = _eq_match_mask(aligned, partition.eq_deletes)
+    if mask is None:
+        return
+    final = pc.and_(pa.array(alive), mask)
+    matched = aligned.filter(final)
+    if matched.num_rows:
+        yield from _with_ctype(
+            matched, partition.ctype
+        ).to_batches()
+
+
 def _opt_flag(options, name: str) -> bool:
     v = options.get(name.lower())
     if v is None:
@@ -260,20 +366,27 @@ class LakehouseStreamSource(DataSource):
       instead of raw appended rows (Delta CDF readStream / Iceberg
       changelog scan — the batch ``change_feed``'s continuous form):
       the output schema gains a ``_change_type`` string column and
-      merge-on-read POSITION-delete commits stream through instead
-      of raising — appends emit ``insert`` rows, ``delete_where
+      merge-on-read commits stream through instead of raising —
+      appends emit ``insert`` rows; ``delete_where
       (mode="merge-on-read")`` commits emit ``delete`` rows (the
       pre-images read back from the immutable data files at the
-      positions the delete files name — O(deleted rows), no scan),
-      and MoR UPDATE commits emit ``update_preimage`` /
-      ``update_postimage``. Commits that REDISTRIBUTE rows — CoW
-      rewrites, compaction, overwrite, rollback — still raise
-      ``LineageBrokenError`` (a file diff cannot attribute moved
-      rows), and EQUALITY-delete commits (MoR merge) raise too: their
-      pre-images require re-matching old files against the key set;
-      use the keyed batch ``change_feed`` or MoR position paths when
-      CDF streaming matters. Snapshot-granular offsets, rate caps,
-      and exactly-once semantics are unchanged.
+      positions the delete files name — O(deleted rows), no scan);
+      MoR UPDATE commits emit ``update_preimage`` /
+      ``update_postimage``; MoR MERGE commits (equality deletes)
+      emit the incoming rows as ``insert`` plus the voided old rows
+      as ``delete`` — candidates pruned at planning by the added_at
+      watermark and footer key-range intersection, matched
+      executor-side with a vectorized NULL-safe key ``is_in``
+      against the metadata-sized delete files, with rows already
+      voided by the earlier tail masked out so repeated merges on
+      one key never double-emit. (A merge upsert streams as
+      delete+insert, not update_pre/postimage: the commit does not
+      record which incoming rows matched.) Commits that REDISTRIBUTE
+      rows — CoW rewrites, compaction, overwrite, rollback — still
+      raise ``LineageBrokenError`` (a file diff cannot attribute
+      moved rows); use the keyed batch ``change_feed`` there.
+      Snapshot-granular offsets, rate caps, and exactly-once
+      semantics are unchanged.
     - ``streamId``: optional stable identity for the rate-limit
       cursor file. Defaults to a digest of the offset-shaping
       options (startingSnapshotId/caps/endingSnapshotId) — two
@@ -497,11 +610,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
         [s0, s1] must survive contiguously (an expiry gap could hide
         a rewrite) and every snapshot in the range must be an append —
         or, in change-feed mode, a CDF-STREAMABLE commit: an append,
-        or a merge-on-read delete/update whose file set only GROWS and
-        whose new delete-tail entries are all position deletes (their
-        pre-images are readable by coordinate from immutable files; a
-        CoW rewrite or an equality delete redistributes/re-matches
-        rows, which a file-level diff cannot attribute)."""
+        or a merge-on-read delete/update/merge whose file set only
+        GROWS — position-delete pre-images read back by coordinate,
+        equality-delete pre-images by re-matching the watermark-scoped
+        candidate files against the (metadata-sized) key set. A CoW
+        rewrite REDISTRIBUTES rows, which a file-level diff cannot
+        attribute — still a lineage break."""
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
             LineageBrokenError,
             SnapshotNotFoundError,
@@ -547,27 +661,28 @@ class LakehouseStreamReader(DataSourceStreamReader):
             s = snaps[idx]
             prev = snaps[idx - 1] if idx > 0 else {"files": []}
             bad = None
-            if s["operation"] not in ("append", "delete", "update"):
+            if s["operation"] not in (
+                "append",
+                "delete",
+                "update",
+                "merge",
+            ):
                 bad = f"operation {s['operation']!r}"
             elif not set(prev["files"]) <= set(s["files"]):
                 bad = "files were removed (copy-on-write rewrite)"
             else:
                 prev_tail = set(prev.get("deletes", []))
-                new_dels = [
+                unknown = [
                     d
                     for d in s.get("deletes", [])
                     if d not in prev_tail
+                    and dmeta.get(d, {}).get("kind", "position")
+                    not in ("position", "equality")
                 ]
-                non_pos = [
-                    d
-                    for d in new_dels
-                    if dmeta.get(d, {}).get("kind", "position")
-                    != "position"
-                ]
-                if non_pos:
+                if unknown:
                     bad = (
-                        "equality delete files (MoR merge) — their "
-                        "pre-images need key re-matching"
+                        "delete files of unknown kind "
+                        f"{[dmeta.get(d, {}).get('kind') for d in unknown]}"
                     )
             if bad:
                 raise LineageBrokenError(
@@ -736,9 +851,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
             }
 
         parts: list = []
-        prev_tail: set = (
-            set(snaps[lo].get("deletes", [])) if lo >= 0 else set()
-        )
+        prev: dict = snaps[lo] if lo >= 0 else {"files": []}
+        prev_tail: set = set(prev.get("deletes", []))
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
             is_update = snap["operation"] == "update"
             ins_label = (
@@ -755,34 +869,151 @@ class LakehouseStreamReader(DataSourceStreamReader):
             if self._cdf:
                 import pyarrow.parquet as pq
 
+                dmeta = m.get("delete_meta", {})
+                added_at = m.get("file_added_at", {})
+                fstats = m.get("file_stats", {})
+                del_label = (
+                    "update_preimage" if is_update else "delete"
+                )
                 cur_tail = snap.get("deletes", [])
+                # equality deletes of THIS commit, grouped so each
+                # candidate data file gets ONE partition (a row
+                # matching two delete files must emit once)
+                eq_new: list = []
                 for d in cur_tail:
                     if d in prev_tail:
                         continue
-                    # position-delete file (resolve_range already
-                    # refused anything else): learn the referenced
-                    # data files driver-side — delete files are
-                    # metadata-sized — so only their partition
-                    # values ship to the executor
-                    refs = (
-                        pq.read_table(d, columns=["file_path"])
-                        .column("file_path")
-                        .to_pylist()
-                    )
-                    parts.append(
-                        _DeleteFilePartition(
-                            delete_file=d,
-                            part_values_by_file={
-                                fp: pv_for(fp) for fp in set(refs)
-                            },
-                            ctype=(
-                                "update_preimage"
-                                if is_update
-                                else "delete"
-                            ),
+                    meta = dmeta.get(d, {})
+                    if meta.get("kind", "position") == "position":
+                        # learn the referenced data files driver-side
+                        # — delete files are metadata-sized — so only
+                        # their partition values ship to the executor
+                        refs = (
+                            pq.read_table(d, columns=["file_path"])
+                            .column("file_path")
+                            .to_pylist()
                         )
-                    )
-                prev_tail = set(cur_tail)
+                        parts.append(
+                            _DeleteFilePartition(
+                                delete_file=d,
+                                part_values_by_file={
+                                    fp: pv_for(fp)
+                                    for fp in set(refs)
+                                },
+                                ctype=del_label,
+                            )
+                        )
+                    else:
+                        eq_new.append((d, meta))
+                if eq_new:
+                    # prior tail state (as of the PREDECESSOR): rows
+                    # already voided must not re-emit as deletes
+                    prior_pos_by_file: dict[str, list] = {}
+                    prior_eq_entries: list = []
+                    for p in prev.get("deletes", []):
+                        pmeta = dmeta.get(p, {})
+                        if (
+                            pmeta.get("kind", "position")
+                            == "position"
+                        ):
+                            pt = pq.read_table(
+                                p, columns=["file_path", "pos"]
+                            )
+                            for fp, pos in zip(
+                                pt.column("file_path").to_pylist(),
+                                pt.column("pos").to_pylist(),
+                            ):
+                                prior_pos_by_file.setdefault(
+                                    fp, []
+                                ).append(pos)
+                        else:
+                            prior_eq_entries.append(
+                                (
+                                    p,
+                                    list(pmeta.get("keys", [])),
+                                    pmeta.get("applies_to"),
+                                )
+                            )
+                    # candidates: predecessor files within every
+                    # delete's added_at watermark, pruned by footer
+                    # key ranges vs the delete file's key ranges
+                    # (NULL/unknown conservative) — the
+                    # materialize_deletes pruning, at planning time
+                    cand: dict[str, list] = {}
+                    for d, meta in eq_new:
+                        keys = list(meta.get("keys", []))
+                        applies = meta.get("applies_to")
+                        dk = pq.read_table(d, columns=keys)
+                        dranges = {}
+                        dnulls = {}
+                        for k in keys:
+                            vals = [
+                                v
+                                for v in dk.column(k).to_pylist()
+                                if v is not None
+                            ]
+                            dnulls[k] = dk.column(
+                                k
+                            ).null_count > 0
+                            dranges[k] = (
+                                (min(vals), max(vals))
+                                if vals
+                                else None
+                            )
+                        for f in prev["files"]:
+                            fa = added_at.get(f)
+                            if (
+                                applies is not None
+                                and fa is not None
+                                and fa > applies
+                            ):
+                                continue  # appended after the delete
+                            per = fstats.get(f, {})
+                            hit = True
+                            for k in keys:
+                                if dnulls[k]:
+                                    continue  # NULL key: keep file
+                                dr = dranges[k]
+                                fr = per.get(k)
+                                if dr is None or fr is None:
+                                    continue  # unknown: keep
+                                try:
+                                    if (
+                                        dr[1] < fr[0]
+                                        or dr[0] > fr[1]
+                                    ):
+                                        hit = False
+                                        break
+                                except TypeError:
+                                    continue  # mixed types: keep
+                            if hit:
+                                cand.setdefault(f, []).append(
+                                    (d, keys)
+                                )
+                    for f, dels in sorted(cand.items()):
+                        fa = added_at.get(f)
+                        parts.append(
+                            _EqDeletePartition(
+                                data_file=f,
+                                part_values=pv_for(f),
+                                eq_deletes=dels,
+                                ctype=del_label,
+                                prior_pos=tuple(
+                                    prior_pos_by_file.get(f, ())
+                                ),
+                                prior_eq=tuple(
+                                    (p, keys)
+                                    for p, keys, applies in (
+                                        prior_eq_entries
+                                    )
+                                    if applies is None
+                                    or fa is None
+                                    or fa <= applies
+                                ),
+                            )
+                        )
+            prev = snap
+            prev_tail = set(snap.get("deletes", []))
         return parts
 
     # --------------------------------------------------------- read
@@ -806,6 +1037,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 self._arrow_schema = to_arrow_schema(self._schema)
         if isinstance(partition, _DeleteFilePartition):
             yield from _delete_preimage_batches(
+                partition, self._arrow_schema
+            )
+            return
+        if isinstance(partition, _EqDeletePartition):
+            yield from _eq_preimage_batches(
                 partition, self._arrow_schema
             )
             return

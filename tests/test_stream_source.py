@@ -574,10 +574,10 @@ def test_cdf_stream_update_pre_and_postimage(spark, tmp_path):
     ]
 
 
-def test_cdf_stream_refuses_cow_and_equality_deletes(spark, tmp_path):
+def test_cdf_stream_refuses_cow_rewrites(spark, tmp_path):
     """CDF streaming still re-baselines on commits a file diff cannot
-    attribute: copy-on-write rewrites (files removed) and equality
-    deletes (MoR merge) both fail the stream with the lineage error."""
+    attribute: a copy-on-write rewrite (files removed) fails the
+    stream with the lineage error."""
     cow = LakehouseTable(str(tmp_path / "cow"))
     cow.append(
         spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
@@ -585,52 +585,88 @@ def test_cdf_stream_refuses_cow_and_equality_deletes(spark, tmp_path):
     base = cow.current_snapshot_id()
     cow.delete_where(spark, F.col("id") == 1)  # CoW rewrite
 
-    def run(path, start):
-        got = []
+    got = []
 
-        def sink(bdf, bid):
-            got.extend(bdf.collect())
+    def sink(bdf, bid):
+        got.extend(bdf.collect())
 
-        q = (
-            read_lakehouse_stream(
-                spark,
-                path,
-                starting_snapshot_id=start,
-                read_change_feed=True,
-            )
-            .writeStream.foreachBatch(sink)
-            .option(
-                "checkpointLocation",
-                str(tmp_path / f"ck-{os.path.basename(path)}"),
-            )
-            .trigger(availableNow=True)
-            .start()
+    q = (
+        read_lakehouse_stream(
+            spark,
+            cow.path,
+            starting_snapshot_id=base,
+            read_change_feed=True,
         )
-        q.awaitTermination(120)
-        _drain(q)
-
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck-cow"))
+        .trigger(availableNow=True)
+        .start()
+    )
     with pytest.raises(Exception, match="change feed cannot stream"):
         try:
-            run(cow.path, base)
+            q.awaitTermination(120)
+            _drain(q)
         except Exception as e:
             raise RuntimeError(str(e)) from e
+        raise RuntimeError(q.exception() or "stream did not fail")
 
-    mor = LakehouseTable(str(tmp_path / "mor"))
-    mor.append(
-        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+def test_cdf_stream_mor_merge_delete_plus_insert(spark, tmp_path):
+    """A merge-on-read MERGE commit streams as delete pre-images (the
+    voided old rows, matched executor-side against the equality
+    delete's key set) plus inserts (the incoming rows); a SECOND
+    merge on the same key emits the EPOCH-1 version's delete exactly
+    once — rows already voided by the earlier tail never double-emit."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
     )
-    base2 = mor.current_snapshot_id()
-    mor.merge(
+    tbl.merge(
         spark,
-        spark.createDataFrame([(2, "B")], "id long, v string"),
+        spark.createDataFrame([(2, "B1"), (4, "d")], "id long, v string"),
         ["id"],
         mode="merge-on-read",
     )
-    with pytest.raises(Exception, match="change feed cannot stream"):
-        try:
-            run(mor.path, base2)
-        except Exception as e:
-            raise RuntimeError(str(e)) from e
+    tbl.merge(
+        spark,
+        spark.createDataFrame([(2, "B2")], "id long, v string"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    rows = []
+
+    def sink(bdf, bid):
+        rows.extend(
+            (r["id"], r["v"], r["_change_type"]) for r in bdf.collect()
+        )
+
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    assert sorted(rows) == [
+        (1, "a", "insert"),
+        (2, "B1", "delete"),  # merge 2 voids merge 1's version
+        (2, "B1", "insert"),
+        (2, "B2", "insert"),
+        (2, "b", "delete"),  # merge 1 voids the original — ONCE
+        (2, "b", "insert"),
+        (3, "c", "insert"),
+        (4, "d", "insert"),
+    ]
+    # the CDF ledger replays to the table's current state:
+    # each (id, v) inserted and never deleted == the current read
+    inserted = {(i, v) for i, v, ct in rows if ct == "insert"}
+    deleted = {(i, v) for i, v, ct in rows if ct == "delete"}
+    current = sorted(
+        (r["id"], r["v"]) for r in tbl.read(spark).collect()
+    )
+    assert sorted(inserted - deleted) == current
+    assert current == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
 
 
 def test_cdf_option_refused_on_batch_read(spark, tmp_path):
