@@ -199,6 +199,44 @@ def _transform_bounds(e: dict, lo, hi):
 
 
 
+def eq_delete_may_hit(
+    keys: list[str],
+    d_has_null: dict,
+    dranges: dict,
+    file_stats: dict,
+    file_nulls_fn=None,
+) -> bool:
+    """Equality-delete candidate test shared by
+    ``materialize_deletes`` and the CDF stream planner (one
+    implementation so the two can never drift): True iff the data
+    file MAY contain a row matching some delete key tuple.
+
+    ``d_has_null[k]`` — the delete file may carry a NULL for key k
+    (missing → True, conservative). ``dranges[k]`` — the delete
+    values' [min, max] over non-NULL entries (None → unknown).
+    ``file_stats`` — the data file's footer ranges.
+    ``file_nulls_fn`` — optional lazy getter for the data file's
+    footer null counts; when the delete carries a NULL key, a file
+    PROVABLY without NULLs in that key can still prune by range,
+    otherwise it is kept (the read overlay matches NULL keys via
+    eqNullSafe). Mixed-type comparisons keep the file."""
+    for k in keys:
+        if d_has_null.get(k, True):
+            fn = file_nulls_fn() if file_nulls_fn is not None else None
+            if fn is None or fn.get(k, 1) or fn.get(k) is None:
+                continue  # NULL↔NULL possible: keep the file
+        dr = dranges.get(k)
+        fr = file_stats.get(k)
+        if dr is None or fr is None:
+            continue  # unknown range: keep (conservative)
+        try:
+            if dr[1] < fr[0] or dr[0] > fr[1]:
+                return False
+        except TypeError:
+            continue  # mixed types: keep
+    return True
+
+
 class _SnapshotChain:
     """Forward-replay decoder for delta-encoded snapshot lists with a
     memoized cursor: sequential access over history costs one linear
@@ -1346,6 +1384,8 @@ class LakehouseTable:
         position entries match nothing and equality entries stay
         scoped to genuinely-old files. Conflict-checked like every
         rewrite (CommitConflict on a concurrent tail advance)."""
+        import shutil
+
         manifest = self._read_manifest()
         snaps = manifest["snapshots"]
         if not snaps:
@@ -1355,37 +1395,60 @@ class LakehouseTable:
         if isinstance(condition, str):
             condition = F.expr(condition)
         matched = F.coalesce(condition, F.lit(False))
-        if df.where(~matched).limit(1).count() > 0:
-            raise ValueError(
-                "overwrite_where: every incoming row must satisfy "
-                "the replace condition (Delta replaceWhere "
-                "validation) — a row outside it could never be "
-                "replaced back out by a re-run"
-            )
-        current = set(snap["files"])
-        cand = (
-            [f for f in self.pruned_files(ranges, base) if f in current]
-            if ranges is not None
-            else list(snap["files"])
-        )
-        cand_set = set(cand)
-        carried = [f for f in snap["files"] if f not in cand_set]
-        spec = manifest.get("partition_by", self.partition_by)
-        surv_files: list[str] = []
-        if cand:
-            cur = self._read_files(spark, cand, with_meta=True)
-            cur = self._apply_deletes(
-                spark, cur, manifest, snap.get("deletes", [])
-            )
-            survivors = cur.where(~matched).drop("__file", "__pos")
-            surv_files = self._write_data(survivors, spec=spec)
         # loader-style schema evolution, like append: incoming-only
         # columns ADD, wider types WIDEN; carried/survivor files
         # surface NULL via the committed-schema read overlay
         if manifest["schema"] is not None:
             target = self._read_files(spark, snap["files"])
             df = align_for_append(df, target)
-        new_files = self._write_data(df, spec=spec)
+        # Stage the incoming rows ONCE, flat, then validate the
+        # STAGED bytes (the _update_mor pattern): validating the live
+        # DataFrame would evaluate an arbitrarily expensive reload
+        # pipeline twice — and a nondeterministic source could pass
+        # the validation action yet write condition-violating rows in
+        # the second evaluation, landing them outside the replaced
+        # region where a re-run could never replace them out. A crash
+        # leaves an unreferenced staging dir the orphan sweep
+        # reclaims.
+        stage = os.path.join(
+            self.path, "data", f"snap-{uuid.uuid4().hex[:12]}-rw"
+        )
+        df.write.mode("overwrite").parquet(stage)
+        spec = manifest.get("partition_by", self.partition_by)
+        try:
+            staged = spark.read.schema(df.schema).parquet(stage)
+            if staged.where(~matched).limit(1).count() > 0:
+                raise ValueError(
+                    "overwrite_where: every incoming row must "
+                    "satisfy the replace condition (Delta "
+                    "replaceWhere validation) — a row outside it "
+                    "could never be replaced back out by a re-run"
+                )
+            current = set(snap["files"])
+            cand = (
+                [
+                    f
+                    for f in self.pruned_files(ranges, base)
+                    if f in current
+                ]
+                if ranges is not None
+                else list(snap["files"])
+            )
+            cand_set = set(cand)
+            carried = [f for f in snap["files"] if f not in cand_set]
+            surv_files: list[str] = []
+            if cand:
+                cur = self._read_files(spark, cand, with_meta=True)
+                cur = self._apply_deletes(
+                    spark, cur, manifest, snap.get("deletes", [])
+                )
+                survivors = cur.where(~matched).drop(
+                    "__file", "__pos"
+                )
+                surv_files = self._write_data(survivors, spec=spec)
+            new_files = self._write_data(staged, spec=spec)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         all_new = surv_files + new_files
         snap_id = self._locked_commit(
             "replace",
@@ -3745,30 +3808,29 @@ class LakehouseTable:
             # range pruning must not skip files that also hold NULLs
             dstats = self._file_stats([p]).get(p, {})
             dnulls = self._file_null_counts([p]).get(p, {})
+            d_has_null = {
+                k: bool(dnulls.get(k, 1)) or dnulls.get(k) is None
+                for k in keys
+            }
             for f in snap["files"]:
                 if f in affected:
                     continue
                 if added.get(f, 0) > applies:
                     continue  # appended after the delete: out of scope
                 per = fstats.get(f, {})
-                fnulls = None  # lazily-read footer null counts
-                hit = True
-                for k in keys:
-                    if dnulls.get(k, 1) or dnulls.get(k) is None:
-                        # delete may carry a NULL key: does the file?
-                        if fnulls is None:
-                            fnulls = self._file_null_counts([f]).get(
-                                f, {}
-                            )
-                        if fnulls.get(k, 1) or fnulls.get(k) is None:
-                            continue  # NULL↔NULL possible: keep file
-                    dr, fr = dstats.get(k), per.get(k)
-                    if dr is None or fr is None:
-                        continue  # unknown range: keep (conservative)
-                    if dr[1] < fr[0] or dr[0] > fr[1]:
-                        hit = False
-                        break
-                if hit:
+                fnulls_memo: list = []
+
+                def fnulls_fn(f=f, memo=fnulls_memo):
+                    # lazily-read footer null counts, once per file
+                    if not memo:
+                        memo.append(
+                            self._file_null_counts([f]).get(f, {})
+                        )
+                    return memo[0]
+
+                if eq_delete_may_hit(
+                    keys, d_has_null, dstats, per, fnulls_fn
+                ):
                     affected.add(f)
         affected &= set(snap["files"])
         carried = [f for f in snap["files"] if f not in affected]
@@ -3897,14 +3959,48 @@ class LakehouseTable:
         partition pruning runs first, then footer stats skip within
         the surviving partitions."""
         manifest = self._read_manifest()
+        snap = self._prune_snapshot(manifest, snapshot_id)
+        return self._pruned_files_for(manifest, snap, ranges, {})
+
+    def pruned_files_any(
+        self,
+        probes: list[dict],
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """Union of ``pruned_files`` over several range dicts with ONE
+        manifest read and a SHARED bloom-blob cache — the IN-list
+        planning shape (the batch connector probes each value as a
+        point range; per-probe manifest parses would turn planning
+        into a scan of its own). File order follows the snapshot."""
+        manifest = self._read_manifest()
+        snap = self._prune_snapshot(manifest, snapshot_id)
+        blob_cache: dict[str, dict | None] = {}
+        keep: set = set()
+        for ranges in probes:
+            keep.update(
+                self._pruned_files_for(
+                    manifest, snap, ranges, blob_cache
+                )
+            )
+        return [f for f in snap["files"] if f in keep]
+
+    def _prune_snapshot(self, manifest: dict, snapshot_id: int | None):
         snaps = manifest["snapshots"]
         if not snaps:
             raise ValueError(f"no snapshots in {self.path}")
-        snap = (
+        return (
             snaps[-1]
             if snapshot_id is None
             else next(s for s in snaps if s["id"] == snapshot_id)
         )
+
+    def _pruned_files_for(
+        self,
+        manifest: dict,
+        snap: dict,
+        ranges: dict[str, tuple],
+        blob_cache: dict,
+    ) -> list[str]:
         stats = manifest.get("file_stats", {})
         fparts = manifest.get("file_partitions", {})
         # bloom probes apply to EQUALITY points (lo == hi) on int/str
@@ -3920,7 +4016,6 @@ class LakehouseTable:
             and isinstance(lo, (int, str))
             and not isinstance(lo, bool)
         }
-        blob_cache: dict[str, dict | None] = {}
 
         def _bloom_rejects(f: str) -> bool:
             entry = bloom_ptr.get(f)

@@ -487,8 +487,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
             stream_id = (
                 f"start={self._starting}:mft={self._max_files}"
                 f":mrt={self._max_rows}:mbt={self._max_bytes}"
-                f":end={self._ending}:cdf={self._cdf}"
+                f":end={self._ending}"
             )
+            if self._cdf:
+                # appended only when ON: a pre-r8 rate-limited
+                # stream's durable cursor keeps its derived key — a
+                # key change would orphan the marker and fail the
+                # first restart with 'offset regressed'
+                stream_id += ":cdf=True"
         import hashlib
 
         self._cursor_key = hashlib.sha1(stream_id.encode()).hexdigest()[
@@ -853,6 +859,19 @@ class LakehouseStreamReader(DataSourceStreamReader):
         parts: list = []
         prev: dict = snaps[lo] if lo >= 0 else {"files": []}
         prev_tail: set = set(prev.get("deletes", []))
+        # per-call cache: a batch spanning k MoR snapshots walks the
+        # (monotonically growing) prior tail per snapshot — without
+        # this, planning re-parses every delete parquet k times
+        _del_cache: dict = {}
+
+        def _read_del(path, columns):
+            key = (path, tuple(columns))
+            if key not in _del_cache:
+                import pyarrow.parquet as pq
+
+                _del_cache[key] = pq.read_table(path, columns=columns)
+            return _del_cache[key]
+
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
             is_update = snap["operation"] == "update"
             ins_label = (
@@ -889,7 +908,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         # — delete files are metadata-sized — so only
                         # their partition values ship to the executor
                         refs = (
-                            pq.read_table(d, columns=["file_path"])
+                            _read_del(d, ["file_path"])
                             .column("file_path")
                             .to_pylist()
                         )
@@ -916,8 +935,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
                             pmeta.get("kind", "position")
                             == "position"
                         ):
-                            pt = pq.read_table(
-                                p, columns=["file_path", "pos"]
+                            pt = _read_del(
+                                p, ["file_path", "pos"]
                             )
                             for fp, pos in zip(
                                 pt.column("file_path").to_pylist(),
@@ -943,7 +962,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     for d, meta in eq_new:
                         keys = list(meta.get("keys", []))
                         applies = meta.get("applies_to")
-                        dk = pq.read_table(d, columns=keys)
+                        dk = _read_del(d, keys)
                         dranges = {}
                         dnulls = {}
                         for k in keys:
@@ -960,6 +979,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 if vals
                                 else None
                             )
+                        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                            eq_delete_may_hit,
+                        )
+
                         for f in prev["files"]:
                             fa = added_at.get(f)
                             if (
@@ -968,25 +991,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 and fa > applies
                             ):
                                 continue  # appended after the delete
-                            per = fstats.get(f, {})
-                            hit = True
-                            for k in keys:
-                                if dnulls[k]:
-                                    continue  # NULL key: keep file
-                                dr = dranges[k]
-                                fr = per.get(k)
-                                if dr is None or fr is None:
-                                    continue  # unknown: keep
-                                try:
-                                    if (
-                                        dr[1] < fr[0]
-                                        or dr[0] > fr[1]
-                                    ):
-                                        hit = False
-                                        break
-                                except TypeError:
-                                    continue  # mixed types: keep
-                            if hit:
+                            # shared with materialize_deletes so the
+                            # stream and the materializer can never
+                            # disagree about which files a delete
+                            # may touch (no lazy file-null getter
+                            # here: NULL delete keys keep the file)
+                            if eq_delete_may_hit(
+                                keys,
+                                dnulls,
+                                dranges,
+                                fstats.get(f, {}),
+                            ):
                                 cand.setdefault(f, []).append(
                                     (d, keys)
                                 )
@@ -1185,14 +1200,15 @@ class LakehouseBatchReader(DataSourceReader):
             for col, vals in self._in_lists.items():
                 # a file survives iff SOME value's point probe keeps
                 # it — per-value stats/bloom pruning unioned, the
-                # IN-list analog of the EqualTo path
-                keep: set = set()
-                for v in vals:
-                    keep.update(
-                        table.pruned_files(
-                            {col: (v, v)}, self._snapshot_id
-                        )
+                # IN-list analog of the EqualTo path; pruned_files_any
+                # shares one manifest read + bloom-blob cache across
+                # the probes
+                keep = set(
+                    table.pruned_files_any(
+                        [{col: (v, v)} for v in vals],
+                        self._snapshot_id,
                     )
+                )
                 files = [f for f in files if f in keep]
         declared = {f.name for f in self._schema.fields}
         return [
