@@ -1244,6 +1244,20 @@ class LakehouseTable:
                 spark, manifest["snapshots"][-1]["files"]
             )
             df = align_for_append(df, target)
+        order = manifest.get("sort_order")
+        if order:
+            cols = [c for c in order if c in df.columns]
+            if cols:
+                # declared write sort order (set_sort_order): range-
+                # distribute + local sort so each new file covers a
+                # narrow key range and footer stats prune reads —
+                # clustering paid at write time, once, instead of a
+                # compact(sort_by=) rewrite later. Output file count
+                # follows spark.sql.shuffle.partitions; maintain()'s
+                # size-aware trigger re-bins small appends.
+                df = df.repartitionByRange(
+                    *cols
+                ).sortWithinPartitions(*cols)
         files = self._write_data(df)
         return self._publish_append_files(
             df.sparkSession, files, df.schema.json(), txn
@@ -2358,6 +2372,57 @@ class LakehouseTable:
         )[0]
         self._fire_commit_hooks("rollback", snap)
         return snap
+
+    def set_sort_order(self, columns: list[str] | None) -> None:
+        """Declare a table WRITE SORT ORDER (Iceberg's
+        write.sort-order): every subsequent ``append()``
+        range-distributes and locally sorts its rows on these columns
+        before writing, so each new file covers a narrow key range
+        and the manifest footer stats prune point/range reads —
+        clustering paid once at write time instead of a
+        ``compact(sort_by=...)`` rewrite later. At 100 TB this is how
+        a continuously-appended table stays scan-prunable without
+        periodic whole-table rewrites.
+
+        Metadata-only, under the commit lock; ``None`` (or ``[]``)
+        clears it. Files already written keep their layout —
+        ``compact(sort_by=...)`` re-clusters the history. Each sorted
+        append costs one range shuffle; output file count follows
+        ``spark.sql.shuffle.partitions`` (maintain()'s size-aware
+        trigger re-bins small appends). Columns must exist in the
+        committed schema when one exists; incoming appends lacking a
+        sort column skip the reshape for the missing columns."""
+        new_order = list(columns) if columns else None
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            schema_json = manifest.get("schema")
+            if new_order and schema_json:
+                from pyspark.sql.types import StructType
+
+                known = {
+                    f.name
+                    for f in StructType.fromJson(
+                        json.loads(schema_json)
+                    ).fields
+                }
+                missing = set(new_order) - known
+                if missing:
+                    raise ValueError(
+                        f"sort columns not in schema: {missing}"
+                    )
+            if (manifest.get("sort_order") or None) == new_order:
+                return  # no-op
+            manifest["sort_order"] = new_order
+            self._commit(manifest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def sort_order(self) -> list[str] | None:
+        return self._read_manifest().get("sort_order")
 
     def evolve_partition_spec(
         self, new_partition_by: list[str] | None

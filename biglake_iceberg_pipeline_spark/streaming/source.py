@@ -73,6 +73,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -1167,6 +1168,22 @@ class LakehouseBatchReader(DataSourceReader):
             if isinstance(v, bool) or not isinstance(
                 v, (int, float, str)
             ):
+                continue
+            if isinstance(f, StringStartsWith):
+                # prefix predicate as a closed string range: every
+                # string with this prefix sorts in [prefix,
+                # prefix + U+10FFFF] — footer min/max (and truncate-
+                # transform images) prune it like any range
+                if not isinstance(v, str):
+                    continue
+                lo0, hi0 = ranges.get(col, (None, None))
+                plo, phi = v, v + "\U0010ffff"
+                try:
+                    lo0 = plo if lo0 is None else max(lo0, plo)
+                    hi0 = phi if hi0 is None else min(hi0, phi)
+                except TypeError:
+                    continue
+                ranges[col] = (lo0, hi0)
                 continue
             lo, hi = ranges.get(col, (None, None))
             try:

@@ -194,3 +194,39 @@ def test_pushed_in_list_uses_blooms(spark, tmp_path):
     assert len(r.partitions()) == 6
     r.pushFilters([In(("k",), (17, 401))])
     assert 1 <= len(r.partitions()) <= 2
+
+
+def test_pushed_startswith_skips_files(spark, tmp_path):
+    """StringStartsWith pushes as the closed string range [prefix,
+    prefix+U+10FFFF], so a prefix lookup on a string-sorted table
+    prunes by footer min/max like any range."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.range(0, 800).selectExpr(
+            "id", "printf('key%04d', id) AS k"
+        )
+    )
+    tbl.compact(spark, target_files=8, sort_by=["k"])
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    r.pushFilters([StringStartsWith(("k",), "key00")])
+    # key0000..key0099: one 100-key slice of 800 sorted into 8 files
+    assert len(r.partitions()) <= 2
+    # end-to-end equality with row-wise re-evaluation
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    got = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .where(F.col("k").startswith("key00"))
+        .count()
+    )
+    assert got == 100

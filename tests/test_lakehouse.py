@@ -2248,3 +2248,41 @@ def test_maintain_size_aware_compaction(spark, tmp_path):
         target_file_bytes=total * 10,
     )
     assert rep2["compacted_from"] is None
+
+
+def test_sort_order_clusters_appends(spark, tmp_path):
+    """A declared write sort order (set_sort_order) range-distributes
+    and locally sorts every subsequent append, so footer stats prune
+    a point range to ~1 of the new files — clustering at write time
+    instead of compact(sort_by=...) afterward."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        t.append(
+            spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+        )
+        t.set_sort_order(["id"])
+        assert t.sort_order() == ["id"]
+        # unsorted incoming rows; the append reshapes them
+        import random
+
+        ids = list(range(10, 1010))
+        random.Random(7).shuffle(ids)
+        t.append(
+            spark.createDataFrame(
+                [(i, i * 2) for i in ids], "id long, v long"
+            )
+        )
+        pruned = t.pruned_files({"id": (500, 505)})
+        # the sorted append's files have disjoint ranges: the probe
+        # keeps the 1 covering file + the small unsorted first file
+        assert len(pruned) <= 2
+        assert t.read(spark).count() == 1010
+        # idempotent + clear
+        t.set_sort_order(["id"])
+        t.set_sort_order(None)
+        assert t.sort_order() is None
+        with pytest.raises(ValueError, match="sort columns"):
+            t.set_sort_order(["nope"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
