@@ -23,6 +23,12 @@ from __future__ import annotations
 import os
 import sys
 
+# runnable from anywhere: python puts the SCRIPT's dir on sys.path,
+# not the repo root
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 OFFSET = 10_000_000
 
 KEY_COLS = {
