@@ -1505,6 +1505,14 @@ class LakehouseTable:
         if not manifest["snapshots"]:
             raise ValueError("empty table")
         base = manifest["snapshots"][-1]["id"]
+        if sort_by is None and zorder_by is None:
+            # honor the declared write sort order (Iceberg's rewrite
+            # does by default): a plain coalesce would merge the
+            # disjoint-range files sorted appends produced into
+            # full-range files, silently destroying the clustering
+            # set_sort_order exists to create — exactly on the
+            # maintenance path its docs point at
+            sort_by = manifest.get("sort_order")
         # delete-applied read: compaction MATERIALIZES outstanding
         # merge-on-read deletes — the rewritten files exclude deleted
         # rows and the new snapshot carries an empty delete tail, so

@@ -887,7 +887,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     )
                 )
             if self._cdf:
-                import pyarrow.parquet as pq
+                from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                    eq_delete_may_hit,
+                )
 
                 dmeta = m.get("delete_meta", {})
                 added_at = m.get("file_added_at", {})
@@ -980,10 +982,6 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 if vals
                                 else None
                             )
-                        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
-                            eq_delete_may_hit,
-                        )
-
                         for f in prev["files"]:
                             fa = added_at.get(f)
                             if (
@@ -1170,17 +1168,29 @@ class LakehouseBatchReader(DataSourceReader):
             ):
                 continue
             if isinstance(f, StringStartsWith):
-                # prefix predicate as a closed string range: every
-                # string with this prefix sorts in [prefix,
-                # prefix + U+10FFFF] — footer min/max (and truncate-
-                # transform images) prune it like any range
+                # prefix predicate as a string range [prefix,
+                # successor(prefix)]: every string with this prefix
+                # sorts >= prefix and < the prefix SUCCESSOR (last
+                # incrementable char bumped, tail dropped — the
+                # Iceberg/Delta bound). Appending a max code point
+                # instead would NOT bound longer strings that share
+                # the prefix and continue past it ('key00' +
+                # U+10FFFF + 'x' startswith 'key00' but sorts above
+                # 'key00' + U+10FFFF) and could prune their file.
+                # The closed-range keep test treats the successor
+                # inclusively — conservative, never wrong.
                 if not isinstance(v, str):
                     continue
+                phi = None
+                for i in range(len(v) - 1, -1, -1):
+                    if ord(v[i]) < 0x10FFFF:
+                        phi = v[:i] + chr(ord(v[i]) + 1)
+                        break
                 lo0, hi0 = ranges.get(col, (None, None))
-                plo, phi = v, v + "\U0010ffff"
                 try:
-                    lo0 = plo if lo0 is None else max(lo0, plo)
-                    hi0 = phi if hi0 is None else min(hi0, phi)
+                    lo0 = v if lo0 is None else max(lo0, v)
+                    if phi is not None:
+                        hi0 = phi if hi0 is None else min(hi0, phi)
                 except TypeError:
                     continue
                 ranges[col] = (lo0, hi0)

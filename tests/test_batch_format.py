@@ -196,6 +196,47 @@ def test_pushed_in_list_uses_blooms(spark, tmp_path):
     assert 1 <= len(r.partitions()) <= 2
 
 
+def test_pushed_startswith_keeps_supplementary_suffix_rows(
+    spark, tmp_path
+):
+    """The prefix range's upper bound must be the prefix SUCCESSOR,
+    not prefix+U+10FFFF: a string continuing PAST a max code point
+    ('key00' + U+10FFFF + 'x') still startswith('key00') but sorts
+    above prefix+U+10FFFF — with the old bound its file was pruned
+    and the row silently vanished from results."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    weird = "key00" + chr(0x10FFFF) + "x"
+    tbl.append(
+        spark.createDataFrame([(1, weird)], "id long, k string")
+    )
+    tbl.append(
+        spark.createDataFrame([(2, "zzz")], "id long, k string")
+    )
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    r.pushFilters([StringStartsWith(("k",), "key00")])
+    kept = [p.file for p in r.partitions()]
+    # the weird-row file must survive; the 'zzz' file may prune
+    assert any("snap-" in f for f in kept)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    got = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .where(F.col("k").startswith("key00"))
+        .collect()
+    )
+    assert [r["id"] for r in got] == [1]
+
+
 def test_pushed_startswith_skips_files(spark, tmp_path):
     """StringStartsWith pushes as the closed string range [prefix,
     prefix+U+10FFFF], so a prefix lookup on a string-sorted table

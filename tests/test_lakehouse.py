@@ -2255,6 +2255,7 @@ def test_sort_order_clusters_appends(spark, tmp_path):
     and locally sorts every subsequent append, so footer stats prune
     a point range to ~1 of the new files — clustering at write time
     instead of compact(sort_by=...) afterward."""
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         t = LakehouseTable(str(tmp_path / "t"))
@@ -2284,5 +2285,13 @@ def test_sort_order_clusters_appends(spark, tmp_path):
         assert t.sort_order() is None
         with pytest.raises(ValueError, match="sort columns"):
             t.set_sort_order(["nope"])
+        # maintain/compact honor the declared order: re-declare and
+        # compact without sort_by — files stay range-disjoint
+        t.set_sort_order(["id"])
+        t.compact(spark, target_files=4)
+        pruned2 = t.pruned_files({"id": (500, 505)})
+        assert len(pruned2) == 1
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # restore the PRIOR value (the session fixture's default is
+        # not 32) — a hardcoded restore leaks config to later tests
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
