@@ -109,3 +109,30 @@ def dedup_cluster_assignment(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def keep_best_in_cluster(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    cluster keep the HIGHEST-scoring member (ties → lowest id)
+    instead of the lowest id — real dedup pipelines keep the best
+    version of a duplicated document (cleanest extraction, least
+    boilerplate), not an arbitrary one. Replaces/sets
+    ``is_canonical``; deterministic given a deterministic score.
+
+    One additional hash shuffle on the cluster column; cluster sizes
+    are small by construction (they are near-dup groups), so the
+    per-cluster window sort is trivial at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    out = df.drop("is_canonical")
+    return out.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )

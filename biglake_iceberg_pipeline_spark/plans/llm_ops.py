@@ -775,6 +775,99 @@ FROM ratios
 """
 
 
+def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (operators/graph.py::keep_best_in_cluster): the dedup_clusters
+    pipeline (n-gram Jaccard pairs → connected components) but the
+    survivor per cluster is the HIGHEST-q_score member (ties → lowest
+    doc_id) instead of the lowest id — a real dedup pipeline keeps
+    the cleanest version of a duplicated document. The oracle replays
+    closure + score + window in SQL."""
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        dedup_cluster_assignment,
+        keep_best_in_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", partition_col="source", n=3, threshold=0.6
+    )
+    clustered = dedup_cluster_assignment(docs, pairs, "doc_id")
+    scored = text.quality_features(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "q_score")
+    return (
+        keep_best_in_cluster(
+            clustered.join(scored, "doc_id"),
+            "doc_id",
+            "cluster_id",
+            "q_score",
+        )
+        .select("doc_id", "cluster_id", "q_score", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BEST_QUALITY_SQL = f"""
+WITH RECURSIVE g AS (
+    SELECT doc_id, source,
+        list_distinct([substr(lower(text), i, 3)
+            for i in generate_series(1, greatest(len(lower(text)) - 2, 1))])
+        AS ng
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE
+                / len(list_distinct(list_concat(a.ng, b.ng))), 4) >= 0.6
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+assign AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+),
+feat AS (
+    SELECT doc_id,
+        len(text) AS n_chars,
+        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+        len(regexp_replace(trim(text), '\\s+', '', 'g')) AS word_chars,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w IN ({_STOPS}))) AS stop_hits,
+        len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+        floor(least(1.0, greatest(0.0,
+            0.5 + 0.5 * ROUND(stop_hits / NULLIF(n_words, 0)::DOUBLE, 4)
+            - 2.0 * ROUND(punct / NULLIF(n_chars, 0)::DOUBLE, 4)
+            + CASE WHEN ROUND(word_chars / NULLIF(n_words, 0)::DOUBLE, 4)
+                        BETWEEN 3 AND 8
+                   THEN 0.2 ELSE -0.2 END)) * 10000 + 0.5) / 10000.0
+          AS q_score
+    FROM feat
+)
+SELECT assign.doc_id AS doc_id, cluster_id, q_score,
+       ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY q_score DESC, assign.doc_id
+       ) = 1 AS is_canonical
+FROM assign JOIN q ON assign.doc_id = q.doc_id
+ORDER BY assign.doc_id
+"""
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws, bpe = text.token_counts(F.col("text"))
@@ -916,6 +1009,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_best_quality": dedup_best_quality,
     "dedup_embedding": dedup_embedding,
     "semantic_dedup": semantic_dedup_q,
     "ann_topk": ann_topk,
@@ -939,6 +1033,7 @@ ORACLE = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -40,6 +40,7 @@ PRIORITY_KEYS = (
     "lakehouse_bloom_lookup",
     "semantic_dedup",
     "source_quota_sample",
+    "dedup_best_quality",
     "sample_mixture",
     "pii_redaction",
     "text_repetition",
@@ -104,6 +105,7 @@ DEMOTED_KEYS = frozenset({
     "profile_column_stats",
     "profile_type_distribution",
     # r6-green overflow — rotate back in r9
+    "q15_top_supplier",
     "q13_order_distribution",
     "q14_promo_effect",
     "q18_large_orders",

@@ -47,3 +47,32 @@ def test_cluster_assignment_singletons_canonical(spark):
     assert rows[5] == (0, False)
     # untouched docs are their own canonical singleton clusters
     assert rows[1] == (1, True) and rows[4] == (4, True)
+
+
+def test_keep_best_in_cluster(spark):
+    """Canonical = highest score per cluster, ties to the lowest id;
+    singletons are canonical; exactly one canonical per cluster."""
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        keep_best_in_cluster,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.5),
+            (2, 10, 0.9),   # winner of cluster 10
+            (3, 10, 0.9),   # same score, higher id -> not canonical
+            (4, 40, 0.1),   # singleton
+        ],
+        "id long, cluster long, score double",
+    )
+    got = {
+        r["id"]: r["is_canonical"]
+        for r in keep_best_in_cluster(
+            df.withColumn("is_canonical", F.lit(False)),
+            "id",
+            "cluster",
+            "score",
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: True}
