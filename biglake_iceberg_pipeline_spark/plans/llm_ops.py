@@ -796,16 +796,16 @@ def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text.quality_features(
         docs.select("doc_id", "text"), "text"
     ).select("doc_id", "q_score")
-    return (
-        keep_best_in_cluster(
-            clustered.join(scored, "doc_id"),
-            "doc_id",
-            "cluster_id",
-            "q_score",
-        )
-        .select("doc_id", "cluster_id", "q_score", "is_canonical")
-        .orderBy("doc_id")
-    )
+    # no orderBy: the driver's value hash is order-insensitive, and a
+    # global sort's range-partitioner SAMPLING pass would re-execute
+    # this whole (expensive) plan a second time just to pick
+    # boundaries — dedup_clusters follows the same convention
+    return keep_best_in_cluster(
+        clustered.join(scored, "doc_id"),
+        "doc_id",
+        "cluster_id",
+        "q_score",
+    ).select("doc_id", "cluster_id", "q_score", "is_canonical")
 
 
 DEDUP_BEST_QUALITY_SQL = f"""
