@@ -935,3 +935,68 @@ def excise_duplicate_spans(
             F.col("n_words") - F.coalesce("__n_kept", F.lit(0))
         ).cast("long").alias("n_removed"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style PARAGRAPH dedup (Wenzek et al. 2020, arXiv:
+    1911.00359): split each document on ``sep``, keep only the FIRST
+    occurrence of every distinct paragraph corpus-wide (ordered by
+    (doc id, position) — deterministic, partitioning-independent),
+    and rebuild each document from its surviving paragraphs. The
+    standard web-corpus preprocessing between whole-doc dedup and
+    span excision: boilerplate paragraphs (headers, licenses, nav
+    blocks) repeat across pages and should survive exactly once.
+
+    Returns one row per input document: ``n_paragraphs`` (before),
+    ``n_kept``, and ``text_dedup`` (surviving paragraphs re-joined
+    with ``sep``; empty string when everything was a repeat).
+
+    Scale shape: posexplode → ONE window keyed by the paragraph md5
+    (first-occurrence rank; hash groups are duplicate sets — small)
+    → one doc-id groupBy to rebuild. Shuffle keys are 32-char
+    hashes, never paragraph text; nothing quadratic."""
+    import re
+
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("__pos", "__para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(
+        F.col(id_col), F.col("__pos")
+    )
+    kept = paras.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__para"))
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), re.escape(sep))).alias(
+            "n_paragraphs"
+        ),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

@@ -175,6 +175,84 @@ ORDER BY doc_id
 """
 
 
+_PARA_WORDS = 10
+
+
+def dedup_paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup
+    (operators/dedup.py::dedup_paragraphs) on documents given a
+    deterministic paragraph structure: the corpus has no natural
+    separators, so each doc is re-laid-out as 10-word blocks joined
+    by blank lines (pure codegen, replayed identically in SQL — the
+    pii_redaction planting convention), then every distinct
+    paragraph survives exactly once corpus-wide (first occurrence by
+    (doc_id, position)) and docs rebuild from their survivors."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / _PARA_WORDS)),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(
+                words, (i * _PARA_WORDS + 1).cast("int"), _PARA_WORDS
+            ),
+        ),
+    )
+    synth = docs.select(
+        "doc_id", F.array_join(blocks, "\n\n").alias("text")
+    )
+    return dedup_paragraphs(synth, "doc_id", "text")
+
+
+DEDUP_PARAGRAPH_CORPUS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+    FROM documents
+),
+synth AS (
+    SELECT doc_id,
+        array_to_string(
+            [array_to_string(
+                 ws[i * {_PARA_WORDS} + 1 : i * {_PARA_WORDS} + {_PARA_WORDS}],
+                 ' ')
+             for i in generate_series(0, (len(ws) - 1) // {_PARA_WORDS})],
+            chr(10) || chr(10)) AS text
+    FROM w
+),
+pl AS (
+    SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+    FROM synth
+),
+paras AS (
+    SELECT doc_id, i - 1 AS pos, parts[i] AS para
+    FROM pl, unnest(generate_series(1, len(parts))) AS t(i)
+),
+ranked AS (
+    SELECT doc_id, pos, para,
+        ROW_NUMBER() OVER (
+            PARTITION BY md5(para) ORDER BY doc_id, pos
+        ) AS rk
+    FROM paras
+),
+rebuilt AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+        string_agg(para, chr(10) || chr(10) ORDER BY pos)
+            AS text_dedup
+    FROM ranked WHERE rk = 1 GROUP BY doc_id
+)
+SELECT pl.doc_id AS doc_id,
+    len(parts) AS n_paragraphs,
+    COALESCE(n_kept, 0)::BIGINT AS n_kept,
+    COALESCE(text_dedup, '') AS text_dedup
+FROM pl LEFT JOIN rebuilt ON pl.doc_id = rebuilt.doc_id
+"""
+
+
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document. Two shuffles total:
     (doc, word) term counts (map-side combined), then word → doc-freq
@@ -627,6 +705,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
     "source_quota_sample": source_quota_sample,
+    "dedup_paragraph_corpus": dedup_paragraph_corpus,
     "tfidf_keywords": tfidf_keywords,
     "text_lm_score": text_lm_score,
     "doc_chunks": doc_chunks,
@@ -643,6 +722,7 @@ ORACLE = {
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "source_quota_sample": SOURCE_QUOTA_SAMPLE_SQL,
+    "dedup_paragraph_corpus": DEDUP_PARAGRAPH_CORPUS_SQL,
     "tfidf_keywords": TFIDF_KEYWORDS_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,

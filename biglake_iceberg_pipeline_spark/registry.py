@@ -41,6 +41,7 @@ PRIORITY_KEYS = (
     "semantic_dedup",
     "source_quota_sample",
     "dedup_best_quality",
+    "dedup_paragraph_corpus",
     "sample_mixture",
     "pii_redaction",
     "text_repetition",
@@ -105,6 +106,7 @@ DEMOTED_KEYS = frozenset({
     "profile_column_stats",
     "profile_type_distribution",
     # r6-green overflow — rotate back in r9
+    "q8_market_share",
     "q15_top_supplier",
     "q13_order_distribution",
     "q14_promo_effect",

@@ -260,3 +260,37 @@ def test_excise_duplicate_spans_within_doc_repeat_not_cut_alone(spark):
     }
     assert out[1]["n_removed"] == 0
     assert out[1]["clean_text"] == rows[0][1]
+
+
+def test_dedup_paragraphs_first_occurrence_survives(spark):
+    """CCNet paragraph dedup: a paragraph repeated across documents
+    survives only at its first (doc_id, pos) occurrence; within-doc
+    repeats collapse too; a doc of only repeats rebuilds to ''."""
+    from biglake_iceberg_pipeline_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    boiler = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{boiler}\n\nbody one"),
+            (2, f"{boiler}\n\nbody two\n\n{boiler}"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["text_dedup"])
+        for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (3, 3, f"intro one\n\n{boiler}\n\nbody one")
+    assert got[2] == (3, 1, "body two")
+    assert got[3] == (1, 0, "")
+    # determinism across partitionings
+    got2 = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["text_dedup"])
+        for r in dedup_paragraphs(
+            df.repartition(5), "doc_id", "text"
+        ).collect()
+    }
+    assert got == got2
