@@ -346,7 +346,34 @@ class _LazySnapshot(dict):
     def pop(self, key, *default):
         if key in self._lazy:
             self._force(key)
+            # drop the key from the lazy set: leaving it would make a
+            # later ``key in s`` True and ``s[key]`` re-decode and
+            # RESURRECT the popped list (ADVICE r8)
+            self._lazy = self._lazy - {key}
         return dict.pop(self, key, *default)
+
+    def __delitem__(self, key):
+        if key in self._lazy:
+            self._force(key)
+            self._lazy = self._lazy - {key}
+        dict.__delitem__(self, key)
+
+    def __len__(self):
+        # raw storage misses unmaterialized keys (ADVICE r8)
+        self.materialize()
+        return dict.__len__(self)
+
+    def __eq__(self, other):
+        self.materialize()
+        if isinstance(other, _LazySnapshot):
+            other.materialize()
+        return dict.__eq__(self, other)
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return eq if eq is NotImplemented else not eq
+
+    __hash__ = None  # dicts are unhashable; keep the subclass so too
 
     def setdefault(self, key, default=None):
         if key in self._lazy:
@@ -1226,6 +1253,27 @@ class LakehouseTable:
         snaps = manifest["snapshots"]
         return (snaps[-1]["id"] + 1) if snaps else 1
 
+    @staticmethod
+    def _reshape_for_sort_order(
+        df: DataFrame, order: list[str] | None
+    ) -> DataFrame:
+        """Declared write sort order (set_sort_order): range-
+        distribute + local sort so each new file covers a narrow key
+        range and footer stats prune reads — clustering paid at write
+        time, once, instead of a compact(sort_by=) rewrite later.
+        Output file count follows spark.sql.shuffle.partitions;
+        maintain()'s size-aware trigger re-bins small appends. Shared
+        by append() and overwrite_where() (ADVICE r8: partition
+        reloads used to write survivors/incoming unclustered,
+        silently de-clustering a sorted table)."""
+        if order:
+            cols = [c for c in order if c in df.columns]
+            if cols:
+                df = df.repartitionByRange(
+                    *cols
+                ).sortWithinPartitions(*cols)
+        return df
+
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int:
@@ -1244,20 +1292,9 @@ class LakehouseTable:
                 spark, manifest["snapshots"][-1]["files"]
             )
             df = align_for_append(df, target)
-        order = manifest.get("sort_order")
-        if order:
-            cols = [c for c in order if c in df.columns]
-            if cols:
-                # declared write sort order (set_sort_order): range-
-                # distribute + local sort so each new file covers a
-                # narrow key range and footer stats prune reads —
-                # clustering paid at write time, once, instead of a
-                # compact(sort_by=) rewrite later. Output file count
-                # follows spark.sql.shuffle.partitions; maintain()'s
-                # size-aware trigger re-bins small appends.
-                df = df.repartitionByRange(
-                    *cols
-                ).sortWithinPartitions(*cols)
+        df = self._reshape_for_sort_order(
+            df, manifest.get("sort_order")
+        )
         files = self._write_data(df)
         return self._publish_append_files(
             df.sparkSession, files, df.schema.json(), txn
@@ -1456,11 +1493,17 @@ class LakehouseTable:
                 cur = self._apply_deletes(
                     spark, cur, manifest, snap.get("deletes", [])
                 )
-                survivors = cur.where(~matched).drop(
-                    "__file", "__pos"
+                survivors = self._reshape_for_sort_order(
+                    cur.where(~matched).drop("__file", "__pos"),
+                    manifest.get("sort_order"),
                 )
                 surv_files = self._write_data(survivors, spec=spec)
-            new_files = self._write_data(staged, spec=spec)
+            new_files = self._write_data(
+                self._reshape_for_sort_order(
+                    staged, manifest.get("sort_order")
+                ),
+                spec=spec,
+            )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         all_new = surv_files + new_files

@@ -902,11 +902,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 # candidate data file gets ONE partition (a row
                 # matching two delete files must emit once)
                 eq_new: list = []
+                pos_new = 0
                 for d in cur_tail:
                     if d in prev_tail:
                         continue
                     meta = dmeta.get(d, {})
                     if meta.get("kind", "position") == "position":
+                        pos_new += 1
                         # learn the referenced data files driver-side
                         # — delete files are metadata-sized — so only
                         # their partition values ship to the executor
@@ -927,6 +929,26 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         )
                     else:
                         eq_new.append((d, meta))
+                if eq_new and pos_new:
+                    # eq-delete pre-images are masked only against the
+                    # PREDECESSOR tail: a commit carrying BOTH a new
+                    # position delete and a new equality delete could
+                    # void one row twice and double-emit its delete.
+                    # No current writer produces such a commit — fail
+                    # loudly instead of silently double-counting
+                    # (ADVICE r8); recover via the batch change_feed's
+                    # keyed diff.
+                    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                        LineageBrokenError,
+                    )
+
+                    raise LineageBrokenError(
+                        f"snapshot {snap['id']} introduces both "
+                        "position- and equality-delete files; the "
+                        "streaming change feed cannot attribute "
+                        "their overlap — re-baseline via the batch "
+                        "change_feed keyed diff"
+                    )
                 if eq_new:
                     # prior tail state (as of the PREDECESSOR): rows
                     # already voided must not re-emit as deletes
@@ -1159,6 +1181,16 @@ class LakehouseBatchReader(DataSourceReader):
                     len(vals) == len(f.value)
                     and 0 < len(vals) <= self._MAX_IN_PRUNE
                 ):
+                    prev = self._in_lists.get(col)
+                    if prev is not None:
+                        # two pushed In filters on one column: the row
+                        # must satisfy BOTH, so prune on the
+                        # INTERSECTION — last-wins would lose the
+                        # other list's pruning (ADVICE r8; results
+                        # stayed correct only because Spark re-applies
+                        # filters row-wise)
+                        pset = set(prev)
+                        vals = [v for v in vals if v in pset]
                     self._in_lists[col] = vals
                 continue
             v = getattr(f, "value", None)

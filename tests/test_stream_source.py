@@ -686,3 +686,101 @@ def test_cdf_option_refused_on_batch_read(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_cdf_stream_refuses_mixed_delete_kind_commit(spark, tmp_path):
+    """A single commit introducing BOTH a new position-delete and a
+    new equality-delete cannot be attributed by the CDF planner (the
+    eq-delete pre-images mask only against the PREDECESSOR tail, so
+    a row voided by both would double-emit). No current writer
+    produces such a commit — the planner fails loudly instead of
+    silently double-counting (ADVICE r8)."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    base = tbl.current_snapshot_id()
+    data_file = tbl.snapshots[-1]["files"][0]
+    pos_f = tbl._write_delete_file(
+        spark.createDataFrame(
+            [(data_file, 0)], "file_path string, pos long"
+        )
+    )
+    eq_f = tbl._write_delete_file(
+        spark.createDataFrame([(2,)], "id long")
+    )
+    meta = {p: {"kind": "position"} for p in pos_f}
+    meta.update(
+        {
+            p: {"kind": "equality", "keys": ["id"], "applies_to": base}
+            for p in eq_f
+        }
+    )
+    tbl._locked_commit(
+        "delete",
+        [],
+        {},
+        None,
+        expected_tail=base,
+        inherit_prev_files=True,
+        delete_files=pos_f + eq_f,
+        delete_meta=meta,
+    )
+
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(bdf.collect())
+
+    q = (
+        read_lakehouse_stream(
+            spark,
+            tbl.path,
+            starting_snapshot_id=base,
+            read_change_feed=True,
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck-mixed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(
+        Exception, match="both.*position.*and equality"
+    ):
+        try:
+            q.awaitTermination(120)
+            _drain(q)
+        except Exception as e:
+            raise RuntimeError(str(e)) from e
+        raise RuntimeError(q.exception() or "stream did not fail")
+
+
+def test_batch_reader_intersects_repeated_in_filters():
+    """Two pushed In filters on one column prune on the INTERSECTION
+    of their value lists — last-wins would lose the other list's
+    pruning (ADVICE r8; row-wise re-application kept results correct
+    either way, this pins the strictly-better file skipping)."""
+    from pyspark.sql.datasource import EqualTo, In
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseBatchReader,
+    )
+
+    r = LakehouseBatchReader.__new__(LakehouseBatchReader)
+    r._ranges = {}
+    r._in_lists = {}
+    r.pushFilters([In(("k",), (1, 2, 3)), In(("k",), (2, 3, 4))])
+    assert r._in_lists["k"] == [2, 3]
+    # disjoint lists: empty intersection (matches no rows -> every
+    # file prunable), not a silent overwrite
+    r2 = LakehouseBatchReader.__new__(LakehouseBatchReader)
+    r2._ranges = {}
+    r2._in_lists = {}
+    r2.pushFilters([In(("k",), (1,)), In(("k",), (9,))])
+    assert r2._in_lists["k"] == []
+    # an In alongside an EqualTo on another column: both recorded
+    r3 = LakehouseBatchReader.__new__(LakehouseBatchReader)
+    r3._ranges = {}
+    r3._in_lists = {}
+    r3.pushFilters([In(("k",), (1, 2)), EqualTo(("j",), 7)])
+    assert r3._in_lists["k"] == [1, 2]
+    assert r3._ranges["j"] == (7, 7)

@@ -76,7 +76,7 @@ def main() -> None:
             dim = len(first[0]) if first and first[0] else 0
             if copies > max(dim, 1):
                 raise SystemExit(
-                    f"copies={copies} >= embedding dim {dim}: rolls "
+                    f"copies={copies} > embedding dim {dim}: rolls "
                     "would alias and cross-copy near-dup pair counts "
                     "go quadratic — use a larger base or fewer copies"
                 )
