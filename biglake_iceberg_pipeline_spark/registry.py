@@ -26,16 +26,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-8 window: the two r7-red connector queries lead (fixed: the
-# queries now enable spark.sql.python.filterPushdown.enabled at
-# runtime — the driver's vanilla session lacks it), then
-# semantic_dedup (re-shaped this round: k scales with the corpus,
-# max(4, n // 150) deterministic data-derived centroids — needs a
-# fresh row on the new shape), then the eight r5-stale overflow keys.
-# The rest is the r6-green set minus ten TPC-H overflow keys (listed
-# at the bottom of DEMOTED_KEYS) that wait for r9 — the window holds
-# exactly 50.
+# Round-9 window: the thirteen r6-stale TPC-H overflow keys lead (no
+# driver row since r6 — the verdict's rotation target: after this
+# round no key's latest row is older than r7), then new r9 queries.
+# The rest of the window fills with the r7-green keys in module
+# order; the 50 r8-green keys demote, plus eleven r7-green keys so
+# the window holds exactly 50.
 PRIORITY_KEYS = (
+    # r6-stale TPC-H overflow — rows most urgently needed
+    "q8_market_share",
+    "q15_top_supplier",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q2_min_cost_supplier",
+    "q4_priority_waiting",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q16_supplier_variety",
+    "q20_excess_suppliers",
+    "q22_idle_customers",
+)
+
+# The 50 keys green in CORRECTNESS_r08 (their status is on record),
+# plus eleven r7-green keys keeping the window at exactly 50; the
+# remaining 37 r7-green keys fill the r9 window after the priorities.
+DEMOTED_KEYS = frozenset({
+    # r8-green set
     "lakehouse_point_lookup",
     "lakehouse_bloom_lookup",
     "semantic_dedup",
@@ -50,50 +68,43 @@ PRIORITY_KEYS = (
     "url_extraction",
     "strip_markup",
     "doc_chunks",
-)
-
-# The 48 keys green in CORRECTNESS_r07 (their status is on record),
-# plus ten r6-green TPC-H keys overflowing to keep the window at
-# exactly 50; those ten lead the r9 rotation.
-DEMOTED_KEYS = frozenset({
-    # r7-green set
-    "dedup_exact_substrings",
-    "decontaminate_corpus",
-    "drop_empty_rows",
-    "embedding_stats",
-    "ngram_contamination",
-    "span_boilerplate",
-    "events_json_extract",
-    "describe_customer",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding",
-    "ann_ivf",
-    "ann_ivf_int8",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "events_windowed",
-    "skew_safe_segment_activity",
-    "order_value_percentiles",
-    "revenue_pivot_by_priority",
-    "top_parts_per_brand",
-    "orders_with_returns",
-    "customers_without_orders",
-    "revenue_rollup",
-    "small_quantity_revenue",
-    "revenue_running_total",
-    "tfidf_keywords",
-    "text_lm_score",
-    "asof_last_purchase",
-    "range_join_incidents",
-    "events_hypertable_rollup",
-    "events_gapfill",
-    "events_attribution",
-    "product_catalog",
-    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "pack_training_sequences",
+    "text_bpe_tokens",
+    "embedding_quantization",
+    "events_sessions",
+    "compare_schemas",
+    "events_funnel",
+    "product_catalog_ann",
+    "customer_lookalike",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q21_waiting_suppliers",
+    "silver_orders",
+    "clean_customer",
+    "gold_daily_sales",
+    "gold_orders_enriched",
+    "cohort_retention",
+    "customer_profiles",
+    "rfm_segments",
+    "address_standardize",
+    "profile_nulls",
+    "profile_date_potential",
+    "profile_number_potential",
+    "quality_duplicates",
+    "quality_approx_duplicates",
+    "quality_type_pollution",
+    "quality_null_like",
+    "safe_type_coercion",
+    "flag_duplicates",
+    "extract_currency",
+    "clean_documents",
+    # r7-green overflow — rotate back in r10
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
@@ -105,20 +116,6 @@ DEMOTED_KEYS = frozenset({
     "users_enriched",
     "profile_column_stats",
     "profile_type_distribution",
-    # r6-green overflow — rotate back in r9
-    "q8_market_share",
-    "q15_top_supplier",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q2_min_cost_supplier",
-    "q4_priority_waiting",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q16_supplier_variety",
-    "q20_excess_suppliers",
-    "q22_idle_customers",
 })
 
 
