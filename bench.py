@@ -114,6 +114,31 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
     return {k: round(v, 3) for k, v in best.items()}
 
 
+def calibration_op(spark, reps: int) -> float:
+    """Fixed-cost, data-independent op timed alongside the queries
+    (VERDICT r8 item 3): a constant-size in-memory hash aggregation —
+    20M generated rows over 997 keys, no I/O, no sf dependence. On a
+    quiet host it's a constant; under load it inflates by the same
+    host factor as every query, so a driver row where the headline
+    total looks regressed but calibration_s also inflated is HOST
+    NOISE, not a plan change. Normalize:
+    total_normalized ≈ total × (calibration_quiet / calibration_s)
+    using the quiet-host calibration pin from SURVEY §6."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .count()
+        )
+        best = min(best, time.perf_counter() - t0)
+        assert n == 997
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -121,6 +146,7 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_before = os.getloadavg()
     qs = entrymod.queries()
     keys = [k for k in HEADLINE if k in qs]
 
@@ -140,6 +166,7 @@ def main() -> None:
     # for "plan cost" because noise (GC, CPU contention) only ever
     # adds time.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    calibration = calibration_op(spark, reps)
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")
@@ -159,6 +186,7 @@ def main() -> None:
         )
     except Exception as exc:  # never fail the query bench over this
         lakehouse_ops = {"error": str(exc)[:200]}
+    load_after = os.getloadavg()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -168,6 +196,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "lakehouse_ops": lakehouse_ops,
+                # host-state diagnostics (VERDICT r8 item 3): an
+                # inflated row is self-diagnosing — high loadavg or
+                # an inflated calibration_s means host noise, not a
+                # plan regression. Quiet-host calibration pin and the
+                # normalization recipe live in SURVEY §6.
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "calibration_s": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
