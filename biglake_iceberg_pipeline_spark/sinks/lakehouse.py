@@ -249,21 +249,41 @@ class _SnapshotChain:
     ``deltas[i][key]`` is ``("full", list)`` for a snapshot that
     stored the full list, ``("delta", added, removed)`` for a
     delta-encoded one, or absent — which, mirroring the encoder,
-    leaves the running state untouched."""
+    leaves the running state untouched.
 
-    __slots__ = ("_deltas", "_pos", "_state")
+    ``resets`` (r9, the segmented manifest): indices where the
+    running state ZEROES before the entry applies — manifest SEGMENT
+    boundaries flagged ``reset`` were encoded standalone from an
+    empty state, so the decoder must forget the previous segment's
+    tail there. The decoder also starts a cold walk from the latest
+    checkpoint (a ``full`` entry or a reset) at or before the target
+    instead of index 0 — decoding the current snapshot of a long
+    history costs O(entries since the last checkpoint)."""
 
-    def __init__(self, deltas: list[dict]):
+    __slots__ = ("_deltas", "_pos", "_state", "_resets")
+
+    def __init__(self, deltas: list[dict], resets=frozenset()):
         self._deltas = deltas
         self._pos = {"files": -1, "deletes": -1}
         self._state: dict[str, list] = {"files": [], "deletes": []}
+        self._resets = frozenset(resets)
 
     def decode(self, idx: int, key: str) -> list:
         pos = self._pos[key]
         state = self._state[key]
         if idx < pos:
             pos, state = -1, []
-        for i in range(pos + 1, idx + 1):
+        start = pos + 1
+        # checkpoint skip: the latest full entry or reset boundary in
+        # (pos, idx] makes everything before it irrelevant for key
+        for i in range(idx, pos, -1):
+            d = self._deltas[i].get(key)
+            if (d is not None and d[0] == "full") or i in self._resets:
+                start, state = i, []
+                break
+        for i in range(start, idx + 1):
+            if i in self._resets:
+                state = []
             d = self._deltas[i].get(key)
             if d is None:
                 continue
@@ -405,7 +425,7 @@ class _LazySnapshot(dict):
         return (dict, (self.to_plain(),))
 
 
-def _delta_decode_snapshots(manifest: dict) -> dict:
+def _delta_decode_snapshots(manifest: dict, resets=frozenset()) -> dict:
     """Wrap delta-encoded per-snapshot file lists for LAZY expansion
     IN PLACE (and return the manifest). On disk each snapshot stores
     only what changed vs its predecessor (``files_added`` /
@@ -424,7 +444,7 @@ def _delta_decode_snapshots(manifest: dict) -> dict:
         return manifest
     deltas: list[dict] = []
     out: list[dict] = []
-    chain = _SnapshotChain(deltas)
+    chain = _SnapshotChain(deltas, resets)
     for idx, s in enumerate(snaps):
         d: dict[str, tuple] = {}
         lazy = set()
@@ -449,21 +469,20 @@ def _delta_decode_snapshots(manifest: dict) -> dict:
     return manifest
 
 
-def _delta_encode_snapshots(manifest: dict) -> dict:
-    """Copy of ``manifest`` with per-snapshot file lists delta-encoded
-    against their predecessor IN LIST ORDER (the decoder's order).
-    Lossless by construction: if reconstruction would not reproduce
-    the exact list (order included), the full list is kept for that
-    snapshot — appends and rewrites both round-trip exactly (appends
-    extend the predecessor list; rewrites carry kept files in
-    predecessor order then append new ones), so the fallback is
+def _delta_encode_entries(
+    snaps: list[dict], prev_known: dict
+) -> list[dict]:
+    """Delta-encode snapshot entries against a KNOWN decoder boundary
+    state: ``prev_known[key]`` is the list the decoder holds entering
+    the first entry (``[]`` at a reset boundary; ``None`` = unknown —
+    the first entry carrying that key then stays FULL, which resets
+    the decoder regardless of carried state). Lossless by
+    construction: if reconstruction would not reproduce the exact
+    list (order included), the full list is kept for that snapshot —
+    appends and rewrites both round-trip exactly, so the fallback is
     a safety net, not a path."""
-    snaps = manifest.get("snapshots", [])
-    if not snaps:
-        return manifest
-    out = dict(manifest)
     enc = []
-    prev: dict[str, list] = {"files": [], "deletes": []}
+    prev = dict(prev_known)
     for s in snaps:
         # dict(s) reads raw storage and would drop a _LazySnapshot's
         # unmaterialized lists — to_plain() resolves them via the
@@ -476,6 +495,8 @@ def _delta_encode_snapshots(manifest: dict) -> dict:
             cur = e[key]
             pv = prev[key]
             prev[key] = cur
+            if pv is None:
+                continue  # unknown boundary state: keep the full list
             pset = set(pv)
             cset = set(cur)
             added = [f for f in cur if f not in pset]
@@ -488,8 +509,173 @@ def _delta_encode_snapshots(manifest: dict) -> dict:
             if removed:
                 e[f"{key}_removed"] = removed
         enc.append(e)
-    out["snapshots"] = enc
+    return enc
+
+
+def _delta_encode_snapshots(manifest: dict) -> dict:
+    """Copy of ``manifest`` with per-snapshot file lists delta-encoded
+    against their predecessor IN LIST ORDER (the decoder's order) —
+    the pre-r9 single-file layout, kept for round-trip tests and
+    in-memory encodes; on disk the segmented ``_commit`` encodes per
+    segment via ``_delta_encode_entries``."""
+    snaps = manifest.get("snapshots", [])
+    if not snaps:
+        return manifest
+    out = dict(manifest)
+    out["snapshots"] = _delta_encode_entries(
+        snaps, {"files": [], "deletes": []}
+    )
     return out
+
+
+# ------------------------------------------------- segmented manifest
+#
+# On-disk layout (format 2, r9 — the VERDICT r8 top item): the
+# manifest splits into
+#
+#   _manifest.json            "core": table metadata (schema, txns,
+#                             tags, branches, specs, ...) + the
+#                             SEGMENT LIST [{name, n, reset}, ...]
+#   _segments/seg-*.json      per-snapshot entries (delta-encoded) +
+#                             the per-file maps (stats/rows/sizes/
+#                             added_at/partitions/delete_meta/sidecar
+#                             pointers) for files FIRST RECORDED there
+#
+# A commit writes the OPEN TAIL segment (at most
+# _SEGMENT_SEAL_SNAPSHOTS snapshots' deltas plus the new files'
+# map entries) and the core (metadata + O(#segments) descriptors) —
+# O(its own delta), never a re-serialization of the whole history;
+# sealed segments are reused by name untouched. Iceberg's
+# per-snapshot manifest files + manifest list, on JSON.
+#
+# Invariants the reuse check relies on:
+#   * snapshot entries are IMMUTABLE once committed (writers only
+#     append / filter the list — nothing mutates an old entry in
+#     place); reuse verifies the id sequence only.
+#   * per-file map entries are immutable for immutable files
+#     (footer stats/rows/sizes/added_at/partitions/delete_meta) —
+#     presence-checked; the sidecar POINTER maps (ndv/bloom/file_ndv)
+#     can be re-pointed by refreshes, so their values are compared.
+#   * segment files are never rewritten in place: a dirty segment is
+#     re-written under a NEW name and the old file reaped after the
+#     core swap (readers that raced the swap retry from the new
+#     core; names are unique, so the process-wide parse cache can
+#     never go stale).
+#
+# Misaligned history (expiry dropped snapshots, a foreign manifest,
+# a clone's deep copy) falls back to a full re-split — the
+# maintenance-grade path, O(table) like the operation that caused it.
+
+_PER_FILE_KEYS = (
+    "file_stats",
+    "file_rows",
+    "file_sizes",
+    "file_added_at",
+    "file_partitions",
+    "delete_meta",
+    "ndv_sidecars",
+    "bloom_sidecars",
+    "file_ndv",
+)
+_MUTABLE_PER_FILE_KEYS = frozenset(
+    {"ndv_sidecars", "bloom_sidecars", "file_ndv"}
+)
+_SEGMENT_SEAL_SNAPSHOTS = 64
+_SEG_PLAN_KEY = "_seg_plan"
+_SEGMENT_CACHE: dict[str, dict] = {}
+_SEGMENT_CACHE_CAP = 512
+
+
+def _load_segment(path: str) -> dict:
+    """Parse a segment file, memoized process-wide: segment names are
+    unique per write (never rewritten in place), so a cache hit can
+    never be stale — the cap only bounds memory."""
+    hit = _SEGMENT_CACHE.get(path)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        content = json.load(f)
+    if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_CAP:
+        for k in list(_SEGMENT_CACHE)[: _SEGMENT_CACHE_CAP // 4]:
+            _SEGMENT_CACHE.pop(k, None)
+    _SEGMENT_CACHE[path] = content
+    return content
+
+
+def _assemble_segmented(path: str, core: dict) -> dict:
+    """Assemble the in-memory manifest from a format-2 core + its
+    segments: snapshots concatenate (lazily decoded, reset boundaries
+    respected), per-file maps merge in segment order. The private
+    ``_seg_plan`` records what came from where so ``_commit`` can
+    reuse clean segments byte-for-byte."""
+    manifest = {k: v for k, v in core.items() if k != "segments"}
+    enc_snaps: list[dict] = []
+    resets: set[int] = set()
+    plan_segs: list[dict] = []
+    for d in core.get("segments", []):
+        seg_path = os.path.join(path, "_segments", d["name"])
+        content = _load_segment(seg_path)  # may raise FileNotFoundError
+        entries = content.get("snapshots", [])[
+            : d.get("n", len(content.get("snapshots", [])))
+        ]
+        if d.get("reset"):
+            resets.add(len(enc_snaps))
+        plan_segs.append(
+            {
+                "name": d["name"],
+                "n": len(entries),
+                "reset": bool(d.get("reset")),
+                "ids": [e.get("id") for e in entries],
+                "enc": entries,
+                "maps": {
+                    k: content[k] for k in _PER_FILE_KEYS if k in content
+                },
+            }
+        )
+        # decode pops the delta keys — give it copies, keep the
+        # cached originals pristine for byte-identical reuse
+        enc_snaps.extend(dict(e) for e in entries)
+    manifest["snapshots"] = enc_snaps
+    for key in _PER_FILE_KEYS:
+        present = key in manifest
+        merged = dict(manifest.get(key, {}))
+        for p in plan_segs:
+            if key in p["maps"]:
+                present = True
+                merged.update(p["maps"][key])
+        if present:
+            manifest[key] = merged
+    _delta_decode_snapshots(manifest, frozenset(resets))
+    manifest[_SEG_PLAN_KEY] = {"path": path, "segments": plan_segs}
+    return manifest
+
+
+def load_manifest(path: str) -> dict:
+    """Read a table's manifest — segmented format 2 or the legacy
+    single file — into the in-memory contract every caller uses
+    (full ``snapshots`` lists materializing lazily, merged per-file
+    maps). The ONE manifest reader: LakehouseTable, the streaming
+    source, and clone-protection walks all route here."""
+    mp = os.path.join(path, "_manifest.json")
+    last_exc: Exception | None = None
+    for _ in range(8):
+        if not os.path.exists(mp):
+            return {"snapshots": [], "schema": None}
+        with open(mp) as f:
+            core = json.load(f)
+        if "segments" not in core:
+            return _delta_decode_snapshots(core)  # legacy format 1
+        try:
+            return _assemble_segmented(path, core)
+        except FileNotFoundError as exc:
+            # a concurrent commit swapped the core and reaped a
+            # replaced segment between our two reads — the new core
+            # is consistent, re-read it
+            last_exc = exc
+            time.sleep(0.02)
+    raise OSError(
+        f"manifest segments unstable under {path}"
+    ) from last_exc
 
 
 class SnapshotNotFoundError(ValueError):
@@ -551,22 +737,169 @@ class LakehouseTable:
     # ------------------------------------------------------------ manifest
 
     def _read_manifest(self) -> dict:
-        if not os.path.exists(self.manifest_path):
-            return {"snapshots": [], "schema": None}
-        with open(self.manifest_path) as f:
-            return _delta_decode_snapshots(json.load(f))
+        return load_manifest(self.path)
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic manifest swap (write temp + rename). Snapshot file
-        lists are delta-encoded on disk (see _delta_encode_snapshots)
-        so a long streaming append history costs O(epochs) manifest
-        bytes, not O(epochs x files); the caller's in-memory manifest
-        keeps its full lists."""
+        """Segmented atomic manifest swap (format 2): reuse every
+        clean sealed segment by name, rewrite dirty ones under new
+        names, fold new snapshots + new per-file entries into the
+        open tail segment, then swap the core — a commit writes
+        O(its own delta + core metadata) bytes, never the whole
+        history (the r8 verdict's top item; real Iceberg's
+        per-snapshot manifests + manifest list). Legacy single-file
+        manifests (no ``_seg_plan``) migrate here on their next
+        commit via the full-re-split path. The core swap is the one
+        atomic commit point; replaced segment files are reaped after
+        it (racing readers retry from the new core)."""
         os.makedirs(self.path, exist_ok=True)
+        plan = manifest.pop(_SEG_PLAN_KEY, None)
+        if plan is not None and plan.get("path") != self.path:
+            # a manifest handed across tables (clone deep copies) must
+            # not reference the SOURCE's segment files — re-split
+            plan = None
+        snaps_mem = manifest.get("snapshots", [])
+        maps_mem = {
+            k: manifest[k] for k in _PER_FILE_KEYS if k in manifest
+        }
+        core = {
+            k: v
+            for k, v in manifest.items()
+            if k != "snapshots" and k not in _PER_FILE_KEYS
+        }
+        segs = plan["segments"] if plan else []
+        reuse: list[dict] = []
+        to_write: list[tuple[str, dict]] = []
+        obsolete: list[str] = []
+        owned: dict[str, set] = {k: set() for k in _PER_FILE_KEYS}
+        pos = 0
+        folded: dict | None = None
+        broke_at: int | None = None
+        for i, p in enumerate(segs):
+            if [
+                s.get("id") for s in snaps_mem[pos : pos + p["n"]]
+            ] != p["ids"]:
+                broke_at = i  # expiry / rewrite: re-split from here
+                break
+            dirty = False
+            for k, m in p["maps"].items():
+                cur = maps_mem.get(k, {})
+                for f in m:
+                    if f not in cur or (
+                        k in _MUTABLE_PER_FILE_KEYS and cur[f] != m[f]
+                    ):
+                        dirty = True
+                        break
+                if dirty:
+                    break
+            is_open_tail = (
+                i == len(segs) - 1
+                and p["n"] < _SEGMENT_SEAL_SNAPSHOTS
+            )
+            if is_open_tail and (
+                len(snaps_mem) > pos + p["n"] or dirty
+            ):
+                # fold the open tail into the new tail segment (its
+                # map entries flow there via the not-owned remainder)
+                folded = p
+                break
+            if dirty:
+                name = f"seg-{uuid.uuid4().hex[:12]}.json"
+                content: dict = {"snapshots": p["enc"]}
+                for k, m in p["maps"].items():
+                    if k not in maps_mem:
+                        continue  # key removed wholesale: honor it
+                    kept = {
+                        f: maps_mem[k][f] for f in m if f in maps_mem[k]
+                    }
+                    content[k] = kept
+                    owned[k].update(kept)
+                to_write.append((name, content))
+                obsolete.append(p["name"])
+                reuse.append(
+                    {"name": name, "n": p["n"], "reset": p["reset"]}
+                )
+            else:
+                reuse.append(
+                    {
+                        "name": p["name"],
+                        "n": p["n"],
+                        "reset": p["reset"],
+                    }
+                )
+                for k, m in p["maps"].items():
+                    owned[k].update(m)
+            pos += p["n"]
+        if broke_at is not None:
+            obsolete.extend(p["name"] for p in segs[broke_at:])
+        elif folded is not None:
+            obsolete.append(folded["name"])
+        # ---- the new tail: folded old-tail entries (byte-identical)
+        # plus newly encoded snapshots, plus every per-file entry not
+        # owned by a reused segment
+        if folded is not None:
+            tail_enc = list(folded["enc"])
+            tail_reset = folded["reset"]
+            new_start = pos + folded["n"]
+        else:
+            tail_enc = []
+            tail_reset = pos == 0
+            new_start = pos
+        new_entries = snaps_mem[new_start:]
+        if new_entries:
+            if new_start == 0:
+                prev_known: dict = {"files": [], "deletes": []}
+            else:
+                # seed the encoder with the decoder's boundary state:
+                # the predecessor's lists where PRESENT; None (=> the
+                # first entry carrying the key stays full) where the
+                # predecessor is keyless — the decoder's running
+                # state there is "last present", which we must not
+                # guess
+                pred = snaps_mem[new_start - 1]
+                prev_known = {
+                    key: (list(pred[key]) if key in pred else None)
+                    for key in ("files", "deletes")
+                }
+            tail_enc += _delta_encode_entries(new_entries, prev_known)
+        # map keys already represented by a reused/rewritten segment:
+        # key PRESENCE survives even when the tail has nothing to add
+        covered: set[str] = set()
+        for p in segs[: len(reuse)]:
+            covered.update(p["maps"].keys())
+        tail_maps: dict[str, dict] = {}
+        for k, cur in maps_mem.items():
+            rest = {f: v for f, v in cur.items() if f not in owned[k]}
+            if rest or k not in covered:
+                tail_maps[k] = rest
+        descs = reuse
+        if tail_enc or tail_maps:
+            name = f"seg-{uuid.uuid4().hex[:12]}.json"
+            to_write.append(
+                (name, {"snapshots": tail_enc, **tail_maps})
+            )
+            descs = reuse + [
+                {"name": name, "n": len(tail_enc), "reset": tail_reset}
+            ]
+        # ---- write order: segments, then the core (the atomic commit
+        # point), then reap replaced segment files
+        seg_dir = os.path.join(self.path, "_segments")
+        if to_write:
+            os.makedirs(seg_dir, exist_ok=True)
+        for name, content in to_write:
+            tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(content, f, separators=(",", ":"))
+            os.replace(tmp, os.path.join(seg_dir, name))
+        core["segments"] = descs
         tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(_delta_encode_snapshots(manifest), f, indent=1)
+            json.dump(core, f, indent=1)
         os.replace(tmp, self.manifest_path)
+        for name in obsolete:
+            try:
+                os.remove(os.path.join(seg_dir, name))
+            except OSError:
+                pass
 
     def _acquire_lock(
         self, timeout: float = 30.0, stale_after: float = 120.0
@@ -3321,6 +3654,10 @@ class LakehouseTable:
             # dict storage and would silently drop a _LazySnapshot's
             # unmaterialized file lists
             plain = dict(manifest)
+            # the segment plan references SOURCE-owned segment files;
+            # dest._commit re-splits into its own (it also validates
+            # the plan's path, this just keeps the copy lean)
+            plain.pop(_SEG_PLAN_KEY, None)
             plain["snapshots"] = [
                 s.to_plain() if isinstance(s, _LazySnapshot) else s
                 for s in manifest["snapshots"]
@@ -3389,10 +3726,7 @@ class LakehouseTable:
                 continue
             seen.add(clone_path)
             try:
-                with open(
-                    os.path.join(clone_path, "_manifest.json")
-                ) as fh:
-                    cm = _delta_decode_snapshots(json.load(fh))
+                cm = load_manifest(clone_path)
             except (OSError, ValueError):
                 continue
             for s in cm.get("snapshots", []):
@@ -3458,6 +3792,30 @@ class LakehouseTable:
                         removed.append(path)
                     except OSError:
                         continue  # concurrently removed / unreadable
+            # segment files replaced by commits that crashed before
+            # the core swap (or whose deletion failed) are orphans
+            # too: anything the current core doesn't reference, past
+            # the same grace window
+            seg_dir = os.path.join(self.path, "_segments")
+            if os.path.isdir(seg_dir):
+                referenced: set[str] = set()
+                if os.path.exists(self.manifest_path):
+                    with open(self.manifest_path) as fh:
+                        referenced = {
+                            d["name"]
+                            for d in json.load(fh).get("segments", [])
+                        }
+                for name in os.listdir(seg_dir):
+                    if name in referenced:
+                        continue
+                    p = os.path.join(seg_dir, name)
+                    try:
+                        if now - os.path.getmtime(p) < older_than_s:
+                            continue
+                        os.remove(p)
+                        removed.append(p)
+                    except OSError:
+                        continue
             # prune now-empty snapshot dirs (cosmetic, keeps ls sane)
             for base in (data_root, deletes_root):
                 for root, _dirs, _names in os.walk(base, topdown=False):

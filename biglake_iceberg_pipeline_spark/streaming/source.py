@@ -306,15 +306,14 @@ def _dbg(msg: str) -> None:
 
 
 def _read_manifest(path: str) -> dict:
-    mp = os.path.join(path, "_manifest.json")
-    if not os.path.exists(mp):
-        return {"snapshots": [], "schema": None}
+    # the one manifest reader (segmented format 2 + legacy) lives in
+    # sinks/lakehouse.py — the source must see exactly what the
+    # writers committed
     from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
-        _delta_decode_snapshots,
+        load_manifest,
     )
 
-    with open(mp) as f:
-        return _delta_decode_snapshots(json.load(f))
+    return load_manifest(path)
 
 
 class LakehouseStreamSource(DataSource):
