@@ -384,9 +384,19 @@ class LakehouseStreamSource(DataSource):
       record which incoming rows matched.) Commits that REDISTRIBUTE
       rows — CoW rewrites, compaction, overwrite, rollback — still
       raise ``LineageBrokenError`` (a file diff cannot attribute
-      moved rows); use the keyed batch ``change_feed`` there.
-      Snapshot-granular offsets, rate caps, and exactly-once
-      semantics are unchanged.
+      moved rows). RECOVERY RECIPE (pinned by
+      tests/test_stream_source.py::test_cdf_stream_maintenance_rebaseline):
+      when ``maintain()``/``compact()`` kills a CDF stream, (1) note
+      the last snapshot the stream committed (its checkpoint offset,
+      or track it in the sink), (2) run the keyed batch diff
+      ``table.change_feed(spark, from_snapshot_id=last, keys=[...])``
+      and apply those classified rows to the downstream state — the
+      keyed snapshot diff attributes changes ACROSS the rewrite, so
+      nothing is lost or double-applied, (3) restart the stream with
+      a FRESH checkpoint and
+      ``startingSnapshotId=<current snapshot>`` to tail commits after
+      the re-baseline point. Snapshot-granular offsets, rate caps,
+      and exactly-once semantics are unchanged.
     - ``streamId``: optional stable identity for the rate-limit
       cursor file. Defaults to a digest of the offset-shaping
       options (startingSnapshotId/caps/endingSnapshotId) — two

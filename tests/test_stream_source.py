@@ -784,3 +784,97 @@ def test_batch_reader_intersects_repeated_in_filters():
     r3.pushFilters([In(("k",), (1, 2)), EqualTo(("j",), 7)])
     assert r3._in_lists["k"] == [1, 2]
     assert r3._ranges["j"] == (7, 7)
+
+
+def test_cdf_stream_maintenance_rebaseline(spark, tmp_path):
+    """VERDICT r8 item 4: maintain() compacting mid-stream kills a
+    readChangeFeed query (CoW rewrites cannot be attributed by a
+    file diff) — pin the documented recovery: re-baseline the
+    downstream state via the keyed batch change_feed from the last
+    committed offset, then restart the stream from the current
+    snapshot. No change row is lost or double-applied: the
+    reconstructed state equals the table at every step."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    tbl.delete_where(spark, F.col("id") == 2, mode="merge-on-read")
+
+    state: dict = {}
+
+    def apply(rows):
+        # CDF ledger: inserts/postimages set the key, deletes/
+        # preimages clear it
+        for r in rows:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[r["id"]] = r["v"]
+            else:
+                state.pop(r["id"], None)
+
+    committed = []
+
+    def sink(bdf, bid):
+        apply(bdf.collect())
+        committed.append(bid)
+
+    ck1 = str(tmp_path / "ck1")
+    _run_to(
+        spark,
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True),
+        ck1,
+        sink,
+    )
+    last_streamed = tbl.current_snapshot_id()
+    assert state == {1: "a", 3: "c"}
+
+    # mid-stream maintenance: an append the stream never saw, then a
+    # compaction that breaks CDF lineage for the whole range
+    tbl.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    rep = tbl.maintain(spark, max_files=1, keep_snapshots=10)
+    assert rep["compacted_from"] is not None
+
+    q = (
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    failed = False
+    try:
+        q.awaitTermination(120)
+        _drain(q)
+    except Exception as e:
+        failed = "change feed cannot stream" in str(e)
+    assert failed, "compaction mid-stream should fail the CDF query"
+
+    # recovery step 2: keyed batch diff from the last committed
+    # snapshot attributes changes across the rewrite
+    diff = tbl.change_feed(
+        spark, from_snapshot_id=last_streamed, keys=["id"]
+    )
+    apply(diff.collect())
+    current = {
+        r["id"]: r["v"] for r in tbl.read(spark).collect()
+    }
+    assert state == current == {1: "a", 3: "c", 4: "d"}
+
+    # recovery step 3: fresh checkpoint tails from the re-baseline
+    # point; a post-recovery append streams normally, exactly once
+    rebase = tbl.current_snapshot_id()
+    tbl.append(spark.createDataFrame([(5, "e")], "id long, v string"))
+    _run_to(
+        spark,
+        read_lakehouse_stream(
+            spark,
+            tbl.path,
+            starting_snapshot_id=rebase,
+            read_change_feed=True,
+        ),
+        str(tmp_path / "ck2"),
+        sink,
+    )
+    current = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
+    assert state == current == {1: "a", 3: "c", 4: "d", 5: "e"}
