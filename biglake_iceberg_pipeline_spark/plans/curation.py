@@ -700,7 +700,161 @@ ORDER BY doc_id
 """
 
 
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier scores (G37; the DCLM/FineWeb-class
+    TRAINED filter): a linear classifier over hashed bag-of-words
+    features, fit by two full-batch GD iterations DISTRIBUTED as
+    DataFrame aggregations, scored as sigmoid(bias + x . w). The
+    labeled task PLANTS its signal (the pii_redaction convention —
+    the synthetic corpus's 31-word vocabulary is fully shared across
+    every lang/source, so no natural label is learnable): docs with
+    even doc_id are the 'reference' class and carry three planted
+    qgood<doc_id%5> marker tokens, odd ids carry qbad<doc_id%7> —
+    the classifier must LEARN the marker buckets from the labels
+    against 25+ shared-vocab noise tokens per doc. Real deployments
+    swap the label column and drop the planting, nothing else.
+
+    Hash parity (operators/quality_clf.py): the inner GD iteration
+    uses a clipped-linear sigmoid surrogate, so with lr = 0.25 every
+    residual/gradient/weight/dot is a DYADIC rational — sums are
+    exact and order-independent, the weights bit-identical between
+    Spark and the DuckDB replay; the true sigmoid runs once on the
+    final bit-identical score, rounded with the portable floor-round.
+
+    Scale: one (doc, bucket) hash shuffle for the features, two
+    bucket-sized (512-row, broadcastable) weight aggregations, two
+    per-doc aggregations — fixed pass count, linear in the corpus."""
+    from biglake_iceberg_pipeline_spark.operators.quality_clf import (
+        doc_features,
+        score_documents,
+        train_surrogate_gd,
+    )
+
+    marker = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("qgood"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("qbad"), (F.col("doc_id") % 7).cast("string"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0).alias("y"),
+        F.concat_ws(" ", F.col("text"), marker, marker, marker).alias(
+            "text"
+        ),
+    )
+    feats = doc_features(
+        docs, label_col="y", n_buckets=512, df_max=0.5
+    ).persist()
+    labels = docs.select("doc_id", "y")
+    weights, bias = train_surrogate_gd(labels, feats)
+    base = labels.select(
+        "doc_id", F.col("y").cast("int").alias("label")
+    )
+    scored = score_documents(base, feats, weights, bias)
+    ntok = feats.groupBy("doc_id").agg(
+        F.sum("x").cast("long").alias("n_tokens")
+    )
+    return (
+        scored.join(ntok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SCORE_SQL = r"""
+WITH labeled AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,
+           text,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'qgood' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE 'qbad' || CAST(doc_id % 7 AS VARCHAR)
+           END AS m
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, y, concat_ws(' ', text, m, m, m) AS text
+    FROM labeled
+),
+toks AS (
+    SELECT doc_id, y,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM docs
+),
+tok1 AS (SELECT doc_id, y, w FROM toks WHERE w <> ''),
+rare AS (
+    SELECT w
+    FROM (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok1 GROUP BY w
+    )
+    WHERE df <= 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM docs)
+),
+feats AS (
+    SELECT doc_id, y,
+           (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) AS bucket,
+           COUNT(*)::DOUBLE AS x
+    FROM tok1 JOIN rare USING (w)
+    GROUP BY doc_id, y, 3
+),
+w1 AS (
+    SELECT bucket, 0.25 * SUM(x * (y - 0.5)) AS w
+    FROM feats GROUP BY bucket
+),
+b1 AS (SELECT 0.25 * SUM(y - 0.5) AS bias1 FROM docs),
+dots1 AS (
+    SELECT doc_id, SUM(x * w) AS dot
+    FROM feats JOIN w1 USING (bucket) GROUP BY doc_id
+),
+resid AS (
+    SELECT d.doc_id,
+           d.y - LEAST(1.0, GREATEST(0.0,
+               0.5 + ((SELECT bias1 FROM b1) + COALESCE(dot, 0.0)) / 4
+           )) AS r2
+    FROM docs d LEFT JOIN dots1 USING (doc_id)
+),
+grad2 AS (
+    SELECT bucket, 0.25 * SUM(x * r2) AS g
+    FROM feats JOIN resid USING (doc_id)
+    GROUP BY bucket
+),
+w2 AS (
+    SELECT bucket, COALESCE(w, 0.0) + COALESCE(g, 0.0) AS w
+    FROM w1 FULL OUTER JOIN grad2 USING (bucket)
+),
+b2 AS (
+    SELECT (SELECT bias1 FROM b1) + 0.25 * SUM(r2) AS bias2 FROM resid
+),
+dots2 AS (
+    SELECT doc_id, SUM(x * w) AS dot
+    FROM feats JOIN w2 USING (bucket) GROUP BY doc_id
+),
+ntok AS (
+    SELECT doc_id, CAST(SUM(x) AS BIGINT) AS n_tokens
+    FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.y AS INT) AS label,
+       COALESCE(nt.n_tokens, 0) AS n_tokens,
+       floor((1.0 / (1.0 + exp(-((SELECT bias2 FROM b2)
+           + COALESCE(dot, 0.0))))) * 1000000.0 + 0.5) / 1000000.0
+           AS quality_score
+FROM docs d
+LEFT JOIN dots2 USING (doc_id)
+LEFT JOIN ntok nt USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
@@ -718,6 +872,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,

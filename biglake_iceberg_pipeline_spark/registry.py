@@ -33,6 +33,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # order; the 50 r8-green keys demote, plus eleven r7-green keys so
 # the window holds exactly 50.
 PRIORITY_KEYS = (
+    # new in r9
+    "quality_classifier_score",
     # r6-stale TPC-H overflow — rows most urgently needed
     "q8_market_share",
     "q15_top_supplier",
@@ -105,6 +107,7 @@ DEMOTED_KEYS = frozenset({
     "extract_currency",
     "clean_documents",
     # r7-green overflow — rotate back in r10
+    "revenue_pivot_by_priority",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
