@@ -880,8 +880,9 @@ class LakehouseTable:
             descs = reuse + [
                 {"name": name, "n": len(tail_enc), "reset": tail_reset}
             ]
-        # ---- write order: segments, then the core (the atomic commit
-        # point), then reap replaced segment files
+        # ---- write order: segments, then the generation CAS, then
+        # the core (the atomic commit point), then reap replaced
+        # segment files
         seg_dir = os.path.join(self.path, "_segments")
         if to_write:
             os.makedirs(seg_dir, exist_ok=True)
@@ -890,6 +891,9 @@ class LakehouseTable:
             with open(tmp, "w") as f:
                 json.dump(content, f, separators=(",", ":"))
             os.replace(tmp, os.path.join(seg_dir, name))
+        core["generation"] = self._cas_generation(
+            int(core.get("generation") or 0)
+        )
         core["segments"] = descs
         tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -900,6 +904,82 @@ class LakehouseTable:
                 os.remove(os.path.join(seg_dir, name))
             except OSError:
                 pass
+
+    def _cas_generation(
+        self, current: int, stale_after: float = 120.0
+    ) -> int:
+        """Claim the NEXT manifest generation with a put-if-absent
+        marker (``_gens/gen-<n>``, O_EXCL create) — the compare-and-
+        swap every object store offers (GCS ``if-generation-match``,
+        S3 conditional PUT / If-None-Match), and the defense in depth
+        the commit LOCK alone lacks: the lock's stale-break can fire
+        on a slow-but-alive writer, and two writers each believing
+        they hold the lock would silently last-write-wins the core.
+        With the CAS, exactly one of them creates the generation
+        marker; the loser raises CommitConflict instead of clobbering
+        a committed manifest (the lost-update is detected BEFORE the
+        core swap, so nothing is damaged).
+
+        Crash arbitration: a marker whose generation the core never
+        reached (winner died between marker and core swap) blocks
+        that generation; past ``stale_after`` it is broken and
+        re-claimed — the same recovery rule as the commit lock,
+        scoped to one token. Old markers are reaped opportunistically
+        (only generations ≤ the one the core has durably recorded)."""
+        gens = os.path.join(self.path, "_gens")
+        os.makedirs(gens, exist_ok=True)
+        nxt = current + 1
+        marker = os.path.join(gens, f"gen-{nxt}")
+        while True:
+            try:
+                fd = os.open(
+                    marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                # someone claimed this generation. If the CORE
+                # already advanced to it, we lost a real race (a
+                # broken-lock double-writer): conflict out. If the
+                # core never advanced, the claimant crashed before
+                # its swap — break the stale marker and retry.
+                try:
+                    with open(self.manifest_path) as f:
+                        disk_gen = int(
+                            json.load(f).get("generation") or 0
+                        )
+                except (OSError, ValueError):
+                    disk_gen = 0
+                if disk_gen >= nxt:
+                    raise CommitConflict(
+                        f"manifest generation {nxt} was committed by "
+                        "a concurrent writer (commit lock was broken "
+                        "or bypassed); re-read and retry"
+                    )
+                try:
+                    if (
+                        time.time() - os.path.getmtime(marker)
+                        > stale_after
+                    ):
+                        os.remove(marker)
+                        continue
+                except OSError:
+                    continue  # claimant released between check/stat
+                raise CommitConflict(
+                    f"manifest generation {nxt} is claimed by an "
+                    "in-flight writer; retry shortly"
+                )
+        # reap markers for generations the core has durably passed
+        try:
+            for name in os.listdir(gens):
+                try:
+                    if int(name.rsplit("-", 1)[-1]) < current:
+                        os.remove(os.path.join(gens, name))
+                except (ValueError, OSError):
+                    continue
+        except OSError:
+            pass
+        return nxt
 
     def _acquire_lock(
         self, timeout: float = 30.0, stale_after: float = 120.0

@@ -2463,3 +2463,110 @@ def test_sort_order_clusters_appends(spark, tmp_path):
         # restore the PRIOR value (the session fixture's default is
         # not 32) — a hardcoded restore leaks config to later tests
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+
+
+def test_generation_cas_blocks_broken_lock_double_write(spark, tmp_path):
+    """VERDICT r8 item 6 (multi-writer safety beyond one host): the
+    commit lock's stale-break can fire on a slow-but-alive writer —
+    two writers then both believe they hold the lock. The generation
+    CAS (put-if-absent marker, the object-store conditional-put
+    pattern) detects the lost update BEFORE the core swap: exactly
+    one double-writer commits, the other raises CommitConflict and
+    nothing is clobbered."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    # two stale in-memory manifests = two writers past the lock
+    m1 = t._read_manifest()
+    m2 = t._read_manifest()
+    m1["tags"] = {"a": t.current_snapshot_id()}
+    m2["tags"] = {"b": t.current_snapshot_id()}
+    t._commit(m1)
+    with pytest.raises(CommitConflict, match="generation"):
+        t._commit(m2)
+    assert "a" in t.tags() and "b" not in t.tags()
+
+
+def test_generation_cas_breaks_crashed_claimant(spark, tmp_path):
+    """A writer that claimed a generation marker and died before the
+    core swap must not wedge the table: past the stale window the
+    marker is broken and the next commit proceeds (the commit-lock
+    recovery rule, scoped to one token). A FRESH marker instead
+    raises the retry-shortly conflict."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    gen = int(
+        __import__("json").load(open(t.manifest_path))["generation"]
+    )
+    marker = os.path.join(t.path, "_gens", f"gen-{gen + 1}")
+    open(marker, "w").close()
+    # fresh marker: an in-flight writer — retry, don't break
+    with pytest.raises(CommitConflict, match="in-flight"):
+        t.append(spark.createDataFrame([(2,)], "id long"))
+    # age it past the stale window: broken and re-claimed
+    old = time.time() - 1000
+    os.utime(marker, (old, old))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.read(spark).count() == 2
+
+
+def test_generation_cas_lockless_optimistic_appends(spark, tmp_path):
+    """The object-store deployment story: with NO commit lock at all
+    (simulating a store with no O_EXCL mutex, only conditional put),
+    concurrent appends serialize through the generation CAS alone —
+    losers get CommitConflict and retry on a fresh read; every append
+    lands exactly once."""
+    import threading
+
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(0,)], "id long"))
+
+    real_acquire = lh.LakehouseTable._acquire_lock
+
+    def no_lock(self, timeout=30.0, stale_after=120.0):
+        # hand back a throwaway path so the finally-unlink is a no-op
+        return os.path.join(self.path, f"_nolock-{uuid_hex()}")
+
+    def uuid_hex():
+        import uuid as _uuid
+
+        return _uuid.uuid4().hex
+
+    lh.LakehouseTable._acquire_lock = no_lock
+    errors: list = []
+    try:
+        def writer(i):
+            df = spark.createDataFrame([(i,)], "id long")
+            for _attempt in range(30):
+                try:
+                    LakehouseTable(t.path).append(df)
+                    return
+                except lh.CommitConflict:
+                    time.sleep(0.02)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+            errors.append(RuntimeError(f"writer {i} starved"))
+
+        threads = [
+            threading.Thread(target=writer, args=(i,))
+            for i in range(1, 5)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+    finally:
+        lh.LakehouseTable._acquire_lock = real_acquire
+    assert not errors, errors
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4]
