@@ -124,6 +124,13 @@ def calibration_op(spark, reps: int) -> float:
     NOISE, not a plan change. Normalize:
     total_normalized ≈ total × (calibration_quiet / calibration_s)
     using the quiet-host calibration pin from SURVEY §6."""
+    # warm the op's own codegen stage once (matching the per-query
+    # sf0.001 warmup): with reps=1 the first timed rep would absorb
+    # JIT cost, inflating calibration_s and DEFLATING normalized
+    # totals — a real regression could then pass as host noise
+    spark.range(0, 1_000_000, 1, 32).selectExpr(
+        "id % 997 AS k", "id AS v"
+    ).groupBy("k").sum("v").count()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -726,7 +726,6 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregations — fixed pass count, linear in the corpus."""
     from biglake_iceberg_pipeline_spark.operators.quality_clf import (
         doc_features,
-        score_documents,
         train_surrogate_gd,
     )
 
@@ -748,22 +747,45 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     labels = docs.select("doc_id", "y")
     weights, bias = train_surrogate_gd(labels, feats)
+    # materialize the MODEL eagerly (<= 512 weights + 1 bias — the
+    # bounded-model convention of G24/G29), then release the cached
+    # features: the returned plan recomputes them in ONE fresh pass
+    # instead of leaking a persisted copy into the session per call
+    # (review r9). Deterministic math, so recompute == cache.
+    model = weights.crossJoin(F.broadcast(bias)).collect()  # 1 action
+    w_rows = [(int(r["bucket"]), float(r["w"])) for r in model]
+    bias_val = float(model[0]["bias"]) if model else 0.0
+    feats.unpersist()
+    wdf = spark.createDataFrame(w_rows, "bucket bigint, w double")
     base = labels.select(
         "doc_id", F.col("y").cast("int").alias("label")
     )
-    scored = score_documents(base, feats, weights, bias)
-    ntok = feats.groupBy("doc_id").agg(
-        F.sum("x").cast("long").alias("n_tokens")
+    # one fresh pass over the features serves both the dot product
+    # and the token count
+    perdoc = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("x") * F.col("w")).alias("dot"),
+            F.sum("x").cast("long").alias("n_tokens"),
+        )
+    )
+    s = F.lit(bias_val) + F.coalesce(F.col("dot"), F.lit(0.0))
+    score = (
+        F.floor(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))) * 1000000.0 + 0.5
+        )
+        / 1000000.0
     )
     return (
-        scored.join(ntok, "doc_id", "left")
+        base.join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
             "label",
             F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
                 "n_tokens"
             ),
-            "quality_score",
+            score.alias("quality_score"),
         )
         .orderBy("doc_id")
     )

@@ -936,6 +936,32 @@ class LakehouseTable:
                     marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
                 os.close(fd)
+                # POST-WIN validation (review r9): the marker for an
+                # already-committed generation may have been REAPED by
+                # a later commit — O_EXCL then succeeds for a stale
+                # writer whose base generation the table passed long
+                # ago, and the conflict check in the FileExistsError
+                # branch never runs. Re-read the durable generation
+                # after claiming; losing here must surrender the
+                # marker (it guards a generation that will never be
+                # written).
+                try:
+                    with open(self.manifest_path) as f:
+                        disk_gen = int(
+                            json.load(f).get("generation") or 0
+                        )
+                except (OSError, ValueError):
+                    disk_gen = 0
+                if disk_gen >= nxt:
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
+                    raise CommitConflict(
+                        f"manifest advanced to generation {disk_gen} "
+                        f"(this writer's base implies {nxt}); re-read "
+                        "and retry"
+                    )
                 break
             except FileExistsError:
                 # someone claimed this generation. If the CORE

@@ -2570,3 +2570,35 @@ def test_generation_cas_lockless_optimistic_appends(spark, tmp_path):
     assert not errors, errors
     got = sorted(r["id"] for r in t.read(spark).collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_generation_cas_stale_writer_after_marker_reap(spark, tmp_path):
+    """Review r9 repro: a writer whose base generation the table
+    passed long ago must NOT win just because later commits reaped
+    its target generation's marker — the O_EXCL create succeeds on
+    the reaped name, so the post-win disk-generation re-validation
+    is what stands between it and rolling the core back (the exact
+    lost update the CAS exists to prevent)."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+    import json as _json
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    stale = t._read_manifest()  # writer A's base: generation g
+    # three commits advance the core to g+3; the third's reap loop
+    # removes the gen-(g+1) marker
+    for i in (2, 3, 4):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    gens = os.listdir(os.path.join(t.path, "_gens"))
+    gen_now = _json.load(open(t.manifest_path))["generation"]
+    stale_target = int(stale.get("generation") or 0) + 1
+    assert f"gen-{stale_target}" not in gens  # reaped — O_EXCL would win
+    stale["tags"] = {"stale-writer": 1}
+    with pytest.raises(CommitConflict, match="advanced to generation"):
+        t._commit(stale)
+    # nothing clobbered: generation and data intact
+    assert _json.load(open(t.manifest_path))["generation"] == gen_now
+    assert t.read(spark).count() == 4
+    assert "stale-writer" not in t.tags()
