@@ -81,6 +81,7 @@ def doc_features(
     label_col: str | None = None,
     n_buckets: int = 512,
     df_max: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Hashed bag-of-words features: one row per (doc, bucket) with
     the token count ``x``. Tokenization is the corpus convention
@@ -102,23 +103,33 @@ def doc_features(
         ).alias("w"),
     ).where(F.col("w") != "")
     if df_max is not None:
-        # the doc-count threshold rides the plan as a broadcast
-        # 1-row aggregate instead of a driver collect: the whole
-        # query stays ONE job graph (no extra action per scalar)
-        n_docs = docs.agg(
-            F.count_distinct(F.col(id_col)).alias("_n_docs")
-        )
-        rare = (
+        dfc = (
             toks.select(id_col, "w")
             .distinct()
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("df"))
-            .crossJoin(F.broadcast(n_docs))
-            .where(
-                F.col("df") <= F.lit(float(df_max)) * F.col("_n_docs")
-            )
-            .select("w")
         )
+        if n_docs is not None:
+            # caller supplied the doc count (one cheap pushed-down
+            # count up front): the threshold is a literal and the
+            # plan stays free of scalar joins
+            rare = dfc.where(
+                F.col("df") <= F.lit(float(df_max) * n_docs)
+            ).select("w")
+        else:
+            # plan-side scalar: a broadcast 1-row aggregate (the
+            # scalar-subquery shape; shows as a 1-row BNLJ)
+            nd = docs.agg(
+                F.count_distinct(F.col(id_col)).alias("_n_docs")
+            )
+            rare = (
+                dfc.crossJoin(F.broadcast(nd))
+                .where(
+                    F.col("df")
+                    <= F.lit(float(df_max)) * F.col("_n_docs")
+                )
+                .select("w")
+            )
         toks = toks.join(F.broadcast(rare), "w", "left_semi")
     return toks.groupBy(
         *keep, hashed_bucket("w", n_buckets)

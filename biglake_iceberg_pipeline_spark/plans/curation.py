@@ -380,6 +380,76 @@ ORDER BY doc_id
 """
 
 
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partition (G38; Wenzek et
+    al. 2020 arXiv:1911.00359 §4.3): per LANGUAGE, rank documents by
+    their corpus-LM negative logprob (G18's score) and cut into
+    terciles — 'head' is the most-fluent third kept for training,
+    'tail' the discard candidate. The per-lang partition matters:
+    perplexity scales differ across languages, so a global cut would
+    keep only the easiest language.
+
+    Determinism: the NTILE orders by (rounded score, doc_id) — the
+    doc_id tiebreak makes the tercile assignment exact across
+    engines and partitionings. Scale: rides the LM scorer's two
+    shuffles plus one lang-partitioned window (languages are few,
+    but each window partition is corpus-sized/n_langs — at extreme
+    skew swap in the two-level rank the packing operator uses)."""
+    lm = text_lm_score(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    tile = F.ntile(3).over(w)
+    return (
+        lm.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_neg_logprob",
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_PPL_BUCKETS_SQL = r"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+),
+tokens AS (SELECT doc_id, word FROM words WHERE word <> ''),
+counts AS (SELECT word, COUNT(*) AS c FROM tokens GROUP BY word),
+consts AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM counts),
+lm AS (
+    SELECT doc_id,
+        ROUND(AVG(-ln((c + 1.0) / (total + vocab))), 6)
+            AS avg_neg_logprob
+    FROM tokens
+    JOIN counts USING (word)
+    CROSS JOIN consts
+    GROUP BY doc_id
+),
+tiled AS (
+    SELECT lm.doc_id, d.lang, lm.avg_neg_logprob,
+           NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY lm.avg_neg_logprob, lm.doc_id
+           ) AS t
+    FROM lm JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_neg_logprob,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+FROM tiled
+ORDER BY doc_id
+"""
+
+
 _CHUNK, _OVERLAP = 200, 40
 
 
@@ -742,8 +812,12 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
+    # one cheap pushed-down count up front keeps the DF-prune
+    # threshold a literal: the returned scoring plan then carries no
+    # scalar cross join (the explain audit's BNLJ rule stays strict)
+    n_docs = docs.count()
     feats = doc_features(
-        docs, label_col="y", n_buckets=512, df_max=0.5
+        docs, label_col="y", n_buckets=512, df_max=0.5, n_docs=n_docs
     ).persist()
     labels = docs.select("doc_id", "y")
     weights, bias = train_surrogate_gd(labels, feats)
@@ -877,6 +951,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
@@ -895,6 +970,7 @@ QUERIES = {
 
 ORACLE = {
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
+    "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,

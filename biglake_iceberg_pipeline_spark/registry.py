@@ -35,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY_KEYS = (
     # new in r9
     "quality_classifier_score",
+    "ccnet_ppl_buckets",
     # r6-stale TPC-H overflow — rows most urgently needed
     "q8_market_share",
     "q15_top_supplier",
@@ -108,6 +109,7 @@ DEMOTED_KEYS = frozenset({
     "clean_documents",
     # r7-green overflow — rotate back in r10
     "revenue_pivot_by_priority",
+    "order_value_percentiles",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",

@@ -235,3 +235,32 @@ def test_cap_per_group_deterministic_and_prefilter_consistent(spark):
 
     with _pytest.raises(ValueError, match="quota"):
         cap_per_group(df, "grp", "id", 0)
+
+
+def test_ccnet_ppl_buckets_tercile_properties(spark):
+    """Per-language terciles: bucket sizes within 1 of each other,
+    and every head score <= every tail score inside a language (the
+    CCNet head/middle/tail contract)."""
+    from biglake_iceberg_pipeline_spark.plans.curation import (
+        ccnet_ppl_buckets,
+    )
+
+    out = ccnet_ppl_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["ppl_bucket"], r["avg_neg_logprob"])
+        )
+    assert len(by_lang) >= 3
+    for lang, rows in by_lang.items():
+        sizes = {
+            b: sum(1 for x, _ in rows if x == b)
+            for b in ("head", "middle", "tail")
+        }
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (
+            lang,
+            sizes,
+        )
+        heads = [s for b, s in rows if b == "head"]
+        tails = [s for b, s in rows if b == "tail"]
+        assert max(heads) <= min(tails), lang
