@@ -3937,11 +3937,22 @@ class LakehouseTable:
             except OSError:
                 pass
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        older_than_ts: float | None = None,
+    ) -> list[int]:
         """Drop old snapshot entries (and their no-longer-referenced
         data dirs); returns expired ids. Runs under the commit lock —
         expiry rewrites the snapshot list, so a concurrent append must
-        not interleave."""
+        not interleave.
+
+        ``older_than_ts`` (r9; Iceberg's expire_snapshots
+        ``older_than`` + ``retain_last`` semantics): when given, only
+        snapshots whose commit timestamp is strictly BELOW it expire —
+        ``keep_last`` still retains the newest N regardless of age, so
+        the two compose as 'expire history older than X but always
+        keep the last N'. Tagged snapshots never expire either way."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
@@ -3953,17 +3964,17 @@ class LakehouseTable:
                 self._gc_ndv_sidecars(manifest)
                 return []
             tagged = set(manifest.get("tags", {}).values())
-            keep_tail = {s["id"] for s in snaps[-keep_last:]}
             expired = [
                 s
                 for s in snaps[:-keep_last]
                 if s["id"] not in tagged
+                and (
+                    older_than_ts is None
+                    or s.get("ts", 0) < older_than_ts
+                )
             ]
-            kept = [
-                s
-                for s in snaps
-                if s["id"] in keep_tail or s["id"] in tagged
-            ]
+            expired_ids = {s["id"] for s in expired}
+            kept = [s for s in snaps if s["id"] not in expired_ids]
             if not expired:
                 self._gc_ndv_sidecars(manifest)
                 return []

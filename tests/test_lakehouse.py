@@ -2602,3 +2602,31 @@ def test_generation_cas_stale_writer_after_marker_reap(spark, tmp_path):
     assert _json.load(open(t.manifest_path))["generation"] == gen_now
     assert t.read(spark).count() == 4
     assert "stale-writer" not in t.tags()
+
+
+def test_expire_snapshots_by_age(spark, tmp_path):
+    """Iceberg expire_snapshots(older_than, retain_last) semantics:
+    only snapshots committed BEFORE the cutoff expire, keep_last
+    still retains the newest N regardless of age, and time travel to
+    surviving young snapshots keeps working."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    snaps = t.snapshots
+    cutoff = snaps[2]["ts"]  # strictly between commit 1 and 2
+    # keep_last=1: age is the only protection for snaps 2..4
+    expired = t.expire_snapshots(keep_last=1, older_than_ts=cutoff)
+    assert expired == [snaps[0]["id"], snaps[1]["id"]]
+    ids = [s["id"] for s in t.snapshots]
+    assert ids == [s["id"] for s in snaps[2:]]
+    # young survivors stay time-travelable
+    assert t.read(spark, snapshot_id=snaps[3]["id"]).count() == 4
+    assert t.read(spark).count() == 6
+    # a future cutoff degrades to plain keep_last expiry
+    import time as _time
+
+    expired2 = t.expire_snapshots(
+        keep_last=2, older_than_ts=_time.time() + 60
+    )
+    assert len(expired2) == 2
+    assert len(t.snapshots) == 2
