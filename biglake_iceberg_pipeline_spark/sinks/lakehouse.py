@@ -4151,7 +4151,41 @@ class LakehouseTable:
                 report["bloom_sidecars_compacted"] = (
                     self.compact_bloom_sidecars()
                 )
+        report["manifest_segments_compacted"] = (
+            self.compact_manifest_segments()
+        )
         return report
+
+    def compact_manifest_segments(self, max_segments: int = 32) -> int:
+        """Merge the manifest's segment files back into one when
+        their count exceeds ``max_segments`` (the NDV/bloom sidecar
+        compaction's twin, for the F40 segmented manifest): a
+        never-expiring append-only table seals a new segment every 64
+        snapshots, and while reads cache sealed segments, a COLD open
+        pays one file read per segment — maintenance folds them so
+        the cold open stays O(1) files. Expiry usually does this as a
+        side effect (snapshot removal forces a full re-split); this
+        covers tables whose maintenance retains all history. Returns
+        the number of segments folded away (0 = under threshold).
+        One O(history) rewrite under the commit lock — maintenance-
+        grade, same class as data-file compaction."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            plan = manifest.get(_SEG_PLAN_KEY)
+            n = len(plan["segments"]) if plan else 0
+            if n <= max_segments:
+                return 0
+            manifest.pop(_SEG_PLAN_KEY, None)  # force full re-split
+            self._commit(manifest)
+            return n - len(
+                self._read_manifest()[_SEG_PLAN_KEY]["segments"]
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     # ---- merge-on-read row-level deletes (Iceberg v2 delete files) --
     # A DELETE/MERGE at 100 TB must not rewrite 100 TB: instead of the

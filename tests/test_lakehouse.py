@@ -2630,3 +2630,34 @@ def test_expire_snapshots_by_age(spark, tmp_path):
     )
     assert len(expired2) == 2
     assert len(t.snapshots) == 2
+
+
+def test_manifest_segment_compaction(spark, tmp_path):
+    """maintain()'s segment compaction folds a long-history table's
+    many sealed segments back into one, so a COLD manifest open reads
+    O(1) files instead of O(epochs/64) — without losing a snapshot
+    (history and time travel intact)."""
+    import json as _json
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    for i in range(140):  # > 2 sealed segments + tail
+        t.append(df)
+    with open(t.manifest_path) as f:
+        before = len(_json.load(f)["segments"])
+    assert before >= 3
+    # under threshold: no-op
+    assert t.compact_manifest_segments(max_segments=before) == 0
+    folded = t.compact_manifest_segments(max_segments=2)
+    assert folded == before - 1
+    with open(t.manifest_path) as f:
+        core = _json.load(f)
+    assert len(core["segments"]) == 1
+    # nothing lost: full history, reads, time travel
+    snaps = t.snapshots
+    assert len(snaps) == 140
+    assert t.read(spark).count() == 140
+    assert t.read(spark, snapshot_id=snaps[69]["id"]).count() == 70
+    # replaced segment files are gone or swept; referenced one exists
+    seg_dir = os.path.join(t.path, "_segments")
+    assert core["segments"][0]["name"] in os.listdir(seg_dir)
