@@ -124,3 +124,57 @@ def cap_per_group(
         out.withColumn("sel_rank", F.row_number().over(w))
         .where(F.col("sel_rank") <= F.lit(quota))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-source TOKEN budgets — how real pretraining mixtures are
+    actually specified ("2B tokens of web, 1B of code", the Llama /
+    Pile / Dolma recipe sheet), where per-DOC fractions (G16) or
+    per-doc quotas (G34) misallocate whenever document lengths differ
+    across sources.
+
+    Within each group, documents line up in deterministic md5-hash
+    order (an unbiased, partitioning-independent shuffle — the
+    cap_per_group selector) and are kept while they START within the
+    budget: a doc survives iff the running token sum BEFORE it is
+    strictly below the group's budget. The boundary doc is kept (so a
+    budget smaller than the first doc still yields it — "packing
+    until full" semantics), every later doc is cut. Returns the
+    survivors plus ``cum_tokens`` (running total through the doc).
+
+    Scale shape: ONE hash shuffle on ``group_col`` + a per-group
+    window cumsum. For billion-row skewed groups, the cap_per_group
+    hash-gate composition applies identically (the order IS the hash
+    order) — gate first with a fraction whose expected token mass
+    comfortably exceeds the budget."""
+    bad = {g: b for g, b in budgets.items() if b < 0}
+    if bad or default_budget < 0:
+        raise ValueError(f"budgets must be >= 0, got {bad or default_budget}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    h = F.md5(key.cast("binary"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget: Column = F.lit(int(default_budget))
+    for src, b in budgets.items():
+        budget = F.when(F.col(group_col) == src, F.lit(int(b))).otherwise(
+            budget
+        )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .where(
+            (F.col("cum_tokens") - F.col(token_col)) < budget
+        )
+    )

@@ -139,6 +139,76 @@ ORDER BY source
 """
 
 
+_BUDGETS = {"src0": 2000, "src1": 1000}
+_DEFAULT_BUDGET = 500
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget mixture (G39,
+    operators/sampling.py::token_budget_sample): real pretraining
+    mixes are specified in tokens per source, not document fractions
+    — 2000 tokens of src0, 1000 of src1, 500 of everything else.
+    Docs pack in deterministic md5-hash order until each source's
+    budget is spent (the boundary doc is kept); output is the
+    per-source allocation audit (docs kept, tokens kept)."""
+    from biglake_iceberg_pipeline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("n_tokens"),
+    )
+    kept = token_budget_sample(
+        docs, "source", "doc_id", "n_tokens", _BUDGETS, _DEFAULT_BUDGET
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_MIXTURE_SQL = rf"""
+WITH d AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM d
+),
+kept AS (
+    SELECT * FROM c
+    WHERE cum_tokens - n_tokens <
+          CASE source WHEN 'src0' THEN {_BUDGETS["src0"]}
+                      WHEN 'src1' THEN {_BUDGETS["src1"]}
+                      ELSE {_DEFAULT_BUDGET} END
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 _QUOTA = 10
 
 
@@ -952,6 +1022,7 @@ ORDER BY doc_id
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
+    "token_budget_mixture": token_budget_mixture,
     "pii_redaction": pii_redaction,
     "text_repetition": text_repetition,
     "sample_mixture": sample_mixture,
@@ -971,6 +1042,7 @@ QUERIES = {
 ORACLE = {
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
+    "token_budget_mixture": TOKEN_BUDGET_MIXTURE_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,

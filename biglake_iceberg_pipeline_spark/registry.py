@@ -36,6 +36,7 @@ PRIORITY_KEYS = (
     # new in r9
     "quality_classifier_score",
     "ccnet_ppl_buckets",
+    "token_budget_mixture",
     # r6-stale TPC-H overflow — rows most urgently needed
     "q8_market_share",
     "q15_top_supplier",
@@ -110,6 +111,7 @@ DEMOTED_KEYS = frozenset({
     # r7-green overflow — rotate back in r10
     "revenue_pivot_by_priority",
     "order_value_percentiles",
+    "top_parts_per_brand",
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",

@@ -264,3 +264,41 @@ def test_ccnet_ppl_buckets_tercile_properties(spark):
         heads = [s for b, s in rows if b == "head"]
         tails = [s for b, s in rows if b == "tail"]
         assert max(heads) <= min(tails), lang
+
+
+def test_token_budget_sample_semantics(spark):
+    """Packing-until-full semantics: docs pack in md5-hash order, the
+    boundary doc is kept, later docs are cut; a budget smaller than
+    the first doc still yields exactly that doc; budget 0 yields
+    nothing; selection is partition-invariant."""
+    from biglake_iceberg_pipeline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks long")
+    kept = token_budget_sample(
+        df, "src", "doc_id", "toks", {"a": 55, "b": 0}, 0
+    ).collect()
+    a = sorted(
+        (r["cum_tokens"], r["doc_id"]) for r in kept if r["src"] == "a"
+    )
+    assert not [r for r in kept if r["src"] == "b"]  # zero budget
+    # boundary doc kept: last cum crosses 55, the one before is < 55
+    assert a[-1][0] >= 55 and (len(a) == 1 or a[-2][0] < 55)
+    # tiny budget -> exactly the first hash-ordered doc
+    one = token_budget_sample(
+        df, "src", "doc_id", "toks", {"a": 1}, 0
+    ).collect()
+    assert len(one) == 1 and one[0]["src"] == "a"
+    # partition invariance
+    kept2 = token_budget_sample(
+        df.repartition(7), "src", "doc_id", "toks", {"a": 55, "b": 0}, 0
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept2) == sorted(
+        r["doc_id"] for r in kept
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budgets"):
+        token_budget_sample(df, "src", "doc_id", "toks", {"a": -1}, 0)
