@@ -4809,7 +4809,8 @@ class LakehouseTable:
     # page is ever opened, pinned by test against removed data files.
 
     INSPECT_KINDS = (
-        "files", "delete_files", "snapshots", "partitions", "refs"
+        "files", "delete_files", "snapshots", "partitions", "refs",
+        "manifest",
     )
 
     def _snapshot_entry(self, snapshot_id: int | None) -> dict | None:
@@ -4921,6 +4922,58 @@ class LakehouseTable:
                 (n, "branch", b["base"], len(b["snapshots"]))
                 for n, b in manifest.get("branches", {}).items()
             ]
+            return spark.createDataFrame(rows, schema)
+
+        if kind == "manifest":
+            # the F40 segmented-manifest layout itself: one row per
+            # segment (name, snapshot span, reset flag, on-disk
+            # bytes, per-file map entry count) plus a 'core' row —
+            # "how big is my metadata and where" without parsing JSON
+            # by hand; the ops view for segment-compaction decisions
+            if snapshot_id is not None:
+                raise ValueError(
+                    "manifest is the physical layout; snapshot_id "
+                    "applies to files/delete_files/partitions"
+                )
+            schema = T.StructType([
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("n_snapshots", T.LongType(), False),
+                T.StructField("reset", T.BooleanType(), True),
+                T.StructField("size_bytes", T.LongType(), True),
+                T.StructField("map_entries", T.LongType(), False),
+                T.StructField("generation", T.LongType(), True),
+            ])
+            rows = []
+            try:
+                core_bytes = os.path.getsize(self.manifest_path)
+            except OSError:
+                core_bytes = None  # never committed: empty relation
+            if core_bytes is not None:
+                rows.append((
+                    "_manifest.json",
+                    0,
+                    None,
+                    core_bytes,
+                    0,
+                    int(manifest.get("generation") or 0),
+                ))
+            plan = manifest.get(_SEG_PLAN_KEY)
+            for p in (plan or {}).get("segments", []):
+                seg_path = os.path.join(
+                    self.path, "_segments", p["name"]
+                )
+                try:
+                    size = os.path.getsize(seg_path)
+                except OSError:
+                    size = None
+                rows.append((
+                    p["name"],
+                    p["n"],
+                    p["reset"],
+                    size,
+                    sum(len(m) for m in p["maps"].values()),
+                    None,
+                ))
             return spark.createDataFrame(rows, schema)
 
         snap = self._snapshot_entry(snapshot_id)

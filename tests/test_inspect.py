@@ -152,3 +152,30 @@ def test_inspect_files_marks_external_registrations(spark, tmp_path):
     assert sum(1 for v in owned.values() if v) >= 1
     ext_rows = [r for r in rows if not r.owned]
     assert sum(r.row_count for r in ext_rows) == 7
+
+
+def test_inspect_manifest_segments(spark, tmp_path):
+    """inspect('manifest') surfaces the F40 segmented layout: a core
+    row with the generation plus one row per segment with its
+    snapshot span, reset flag, on-disk bytes, and per-file map entry
+    count — the ops view for segment-compaction decisions."""
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    rows = {r["segment"]: r for r in t.inspect(spark, "manifest").collect()}
+    core = rows.pop("_manifest.json")
+    assert core["generation"] == 3 and core["size_bytes"] > 0
+    assert len(rows) >= 1
+    seg = list(rows.values())[0]
+    assert seg["n_snapshots"] == 3 and seg["reset"] is True
+    assert seg["size_bytes"] > 0
+    # per-file maps: stats/rows/sizes/added_at (+ partitions) entries
+    assert seg["map_entries"] >= 3 * 4
+    with pytest.raises(ValueError, match="physical layout"):
+        t.inspect(spark, "manifest", snapshot_id=1)
