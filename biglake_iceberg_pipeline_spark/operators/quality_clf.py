@@ -94,7 +94,13 @@ def doc_features(
     tokens carry no label signal but dominate the count mass, and
     their hashed buckets would drown the informative ones. One extra
     (word, doc) distinct + a word-sized broadcast semi-join; the
-    comparison is exact (integer doc counts vs df_max * n_docs)."""
+    comparison is exact (integer doc counts vs df_max * n_docs).
+
+    ``n_docs`` (honored only WITH ``df_max``; ignored otherwise) is
+    the DISTINCT document count — pass it to keep the threshold a
+    literal (no scalar join in the plan); omit it and the count rides
+    the plan as a broadcast one-row aggregate. Either way it must be
+    COUNT(DISTINCT id), the convention the SQL oracles replay."""
     keep = [id_col] + ([label_col] if label_col else [])
     toks = docs.select(
         *keep,

@@ -882,10 +882,14 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
-    # one cheap pushed-down count up front keeps the DF-prune
-    # threshold a literal: the returned scoring plan then carries no
-    # scalar cross join (the explain audit's BNLJ rule stays strict)
-    n_docs = docs.count()
+    # one cheap up-front count keeps the DF-prune threshold a
+    # literal: the returned scoring plan then carries no scalar cross
+    # join (the explain audit's BNLJ rule stays strict). DISTINCT ids
+    # — the oracle's COUNT(DISTINCT doc_id) and doc_features' own
+    # fallback both count distinct, and the three must agree or a
+    # token with df between the two thresholds hash-splits the query
+    # (review r9; latent while doc_id is unique)
+    n_docs = docs.select("doc_id").distinct().count()
     feats = doc_features(
         docs, label_col="y", n_buckets=512, df_max=0.5, n_docs=n_docs
     ).persist()

@@ -46,9 +46,21 @@ def curate_documents(
     min_quality: float = 0.3,
     chunk_size: int = 120,
     chunk_overlap: int = 20,
+    classifier_label=None,
+    classifier_min_score: float = 0.5,
+    token_budgets: dict[str, int] | None = None,
+    default_token_budget: int = 0,
 ) -> dict[str, int]:
     """Run the full curation flow; returns per-stage row counts (the
-    funnel report every curation run needs)."""
+    funnel report every curation run needs).
+
+    Optional r9 stages: ``classifier_label`` (a 0/1 Column over the
+    doc frame — the reference-vs-crawl label) switches on the TRAINED
+    quality gate (G37): a surrogate-GD linear classifier fits on the
+    heuristic-gated survivors and drops docs scoring under
+    ``classifier_min_score``. ``token_budgets`` (G39) caps each
+    source at a TOKEN budget after mixture sampling — the final
+    allocation step real mixes are specified in."""
     metrics: dict[str, int] = {"input": docs.count()}
 
     # 1. fail fast on malformed feeds. Per-rule violation counts go
@@ -106,12 +118,68 @@ def curate_documents(
     )
     metrics["after_quality"] = kept.count()
 
+    # 4b. TRAINED quality gate (G37): fit the surrogate-GD linear
+    # classifier on the label the caller supplies, drop low scorers
+    if classifier_label is not None:
+        from biglake_iceberg_pipeline_spark.operators import (
+            quality_clf,
+        )
+
+        labeled = kept.withColumn(
+            "y", classifier_label.cast("double")
+        )
+        feats = quality_clf.doc_features(
+            labeled, label_col="y", df_max=0.5
+        ).persist()
+        w, b = quality_clf.train_surrogate_gd(
+            labeled.select("doc_id", "y"), feats
+        )
+        model = w.crossJoin(F.broadcast(b)).collect()
+        feats.unpersist()
+        wdf = spark.createDataFrame(
+            [(int(r["bucket"]), float(r["w"])) for r in model],
+            "bucket bigint, w double",
+        )
+        bias = float(model[0]["bias"]) if model else 0.0
+        scored_clf = quality_clf.score_documents(
+            kept,
+            quality_clf.doc_features(labeled, df_max=0.5),
+            wdf,
+            bias,
+        )
+        kept = scored_clf.where(
+            F.col("quality_score") >= classifier_min_score
+        ).select("doc_id", "source", "lang", "text")
+        metrics["after_classifier"] = kept.count()
+
     # 5. mixture sampling (deterministic hash gates)
     if mixture:
         kept = sampling.mixture_sample(
             kept, "source", "doc_id", mixture, default_fraction=1.0
         )
         metrics["after_mixture"] = kept.count()
+
+    # 5b. per-source TOKEN budgets (G39): the final allocation step —
+    # real mixes are specified in tokens, not docs
+    if token_budgets is not None:
+        with_tokens = kept.withColumn(
+            "n_tokens",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ),
+        )
+        kept = sampling.token_budget_sample(
+            with_tokens,
+            "source",
+            "doc_id",
+            "n_tokens",
+            token_budgets,
+            default_token_budget,
+        ).select("doc_id", "source", "lang", "text")
+        metrics["after_token_budget"] = kept.count()
 
     # 6. chunk for the embedding/training stage
     chunks = text.chunk_documents(

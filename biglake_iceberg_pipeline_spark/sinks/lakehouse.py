@@ -4176,11 +4176,28 @@ class LakehouseTable:
             n = len(plan["segments"]) if plan else 0
             if n <= max_segments:
                 return 0
+            old_names = [p["name"] for p in plan["segments"]]
             manifest.pop(_SEG_PLAN_KEY, None)  # force full re-split
             self._commit(manifest)
-            return n - len(
-                self._read_manifest()[_SEG_PLAN_KEY]["segments"]
-            )
+            # popping the plan means _commit couldn't know which
+            # segment files it replaced — reap the captured names
+            # (minus any the re-split happened to reuse) here, after
+            # the core swap, exactly like _commit's own obsolete list
+            # (review r9: they otherwise linger until sweep_orphans'
+            # grace window, an O(history) JSON copy per compaction)
+            with open(self.manifest_path) as f:
+                kept = {
+                    d["name"] for d in json.load(f).get("segments", [])
+                }
+            seg_dir = os.path.join(self.path, "_segments")
+            for name in old_names:
+                if name in kept:
+                    continue
+                try:
+                    os.remove(os.path.join(seg_dir, name))
+                except OSError:
+                    pass
+            return n - len(kept)
         finally:
             try:
                 os.remove(lock)
@@ -4865,6 +4882,11 @@ class LakehouseTable:
         - ``refs``: named references — tags (type='tag', pinned
           snapshot) and open branches (type='branch', base snapshot,
           staged commit count).
+        - ``manifest``: the F40 segmented manifest layout itself —
+          a core row (on-disk bytes + commit generation) plus one row
+          per segment (snapshot span, reset flag, bytes, per-file map
+          entry count); ``snapshot_id`` is rejected (physical layout,
+          not time-travelable). Empty until the first commit.
         """
         from pyspark.sql import types as T
 

@@ -2658,6 +2658,8 @@ def test_manifest_segment_compaction(spark, tmp_path):
     assert len(snaps) == 140
     assert t.read(spark).count() == 140
     assert t.read(spark, snapshot_id=snaps[69]["id"]).count() == 70
-    # replaced segment files are gone or swept; referenced one exists
+    # replaced segment files are reaped immediately (review r9: they
+    # must not linger as O(history) JSON copies until an orphan
+    # sweep's grace window); exactly the referenced one remains
     seg_dir = os.path.join(t.path, "_segments")
-    assert core["segments"][0]["name"] in os.listdir(seg_dir)
+    assert os.listdir(seg_dir) == [core["segments"][0]["name"]]

@@ -52,3 +52,48 @@ def test_curate_documents_end_to_end(spark, tmp_path, sf_dir):
     assert {"doc_id", "chunk_id", "chunk_text"} <= set(chunks.columns)
     # mixture respected: no src1 overrepresentation (rate 0.5 of kept)
     assert chunks.where(F.length("chunk_text") == 0).count() == 0
+
+
+def test_curate_documents_classifier_and_token_budget(
+    spark, tmp_path, sf_dir
+):
+    """The r9 stages compose into the funnel: a trained-classifier
+    gate (labels planted as marker tokens — even ids are 'reference')
+    drops the negative class, then per-source token budgets cap the
+    final allocation; the funnel stays monotone and accounted."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marker = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("refmark"), (F.col("doc_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("crawlmark"), (F.col("doc_id") % 5).cast("string"))
+    )
+    feed = docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), marker, marker, marker)
+    )
+    out = str(tmp_path / "curated")
+    metrics = curate_documents(
+        spark,
+        feed,
+        out,
+        min_quality=0.0,
+        classifier_label=(F.col("doc_id") % 2 == 0),
+        classifier_min_score=0.5,
+        token_budgets={"src0": 800},
+        default_token_budget=400,
+    )
+    # funnel monotone through the new stages
+    assert (
+        metrics["after_quality"]
+        >= metrics["after_classifier"]
+        >= metrics["after_token_budget"]
+    )
+    # the classifier kept ~the even half (near-dup/dedup stages may
+    # have dropped a few docs first)
+    assert metrics["after_classifier"] <= metrics["after_quality"] * 0.6
+    assert metrics["after_classifier"] > 0
+    # budgets bite: strictly fewer docs than the classifier passed
+    assert metrics["after_token_budget"] < metrics["after_classifier"]
+    assert metrics["chunks_written"] > 0
