@@ -581,6 +581,15 @@ _MUTABLE_PER_FILE_KEYS = frozenset(
     {"ndv_sidecars", "bloom_sidecars", "file_ndv"}
 )
 _SEGMENT_SEAL_SNAPSHOTS = 64
+#: every Nth fresh tail starts a RESET segment (encoded standalone
+#: from empty state): the decoder's checkpoint scan — and therefore
+#: the tail encoder's boundary-state decode on every commit — walks
+#: at most N*_SEGMENT_SEAL_SNAPSHOTS deltas instead of the whole
+#: history. Measured: without resets, commit CPU grew 1.4 -> 22.6 ms
+#: across 1000 epochs (O(history) decode); with the cadence it stays
+#: flat. The reset head re-encodes the live file list once per
+#: N*64 commits — O(live/epoch) amortized bytes.
+_SEGMENT_RESET_EVERY = 4
 _SEG_PLAN_KEY = "_seg_plan"
 _SEGMENT_CACHE: dict[str, dict] = {}
 _SEGMENT_CACHE_CAP = 512
@@ -842,11 +851,29 @@ class LakehouseTable:
             new_start = pos + folded["n"]
         else:
             tail_enc = []
-            tail_reset = pos == 0
+            # a fresh tail resets when the run of continuation
+            # segments since the last reset reaches the cadence —
+            # bounding every later boundary-state decode (and the
+            # lazy reader's checkpoint scan) to a constant window
+            since_reset = 0
+            for d in reuse:
+                since_reset = 0 if d["reset"] else since_reset + 1
+            tail_reset = (
+                pos == 0 or since_reset >= _SEGMENT_RESET_EVERY
+            )
             new_start = pos
         new_entries = snaps_mem[new_start:]
         if new_entries:
-            if new_start == 0:
+            if tail_reset and not tail_enc:
+                # the first new entry STARTS a reset segment (fresh
+                # reset tail, a folded EMPTY reset tail, or the very
+                # first commit): the decoder zeroes state at the
+                # boundary, so the encoder must start from empty too
+                # — seeding from the predecessor here would make the
+                # decoder truncate history to just the new entries
+                # (caught live by the NDV-refresh interleave, whose
+                # map-only commits create empty reset tails that the
+                # next append folds)
                 prev_known: dict = {"files": [], "deletes": []}
             else:
                 # seed the encoder with the decoder's boundary state:

@@ -2663,3 +2663,42 @@ def test_manifest_segment_compaction(spark, tmp_path):
     # sweep's grace window); exactly the referenced one remains
     seg_dir = os.path.join(t.path, "_segments")
     assert os.listdir(seg_dir) == [core["segments"][0]["name"]]
+
+
+def test_segment_reset_cadence_with_map_only_commits(spark, tmp_path):
+    """Regression (r9): map-only commits (NDV/bloom pointer
+    refreshes) create EMPTY tail segments; when the reset cadence
+    flags one and the next append folds it, the new entries must
+    encode from EMPTY state — seeding from the predecessor made the
+    decoder truncate history to just the folded entries (caught by
+    the NDV-refresh interleave: 384 appended files read back as 32)."""
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    old = lh._SEGMENT_RESET_EVERY
+    lh._SEGMENT_RESET_EVERY = 2  # hit the cadence quickly
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        for i in range(8):
+            t.append(
+                spark.createDataFrame([(i,)], "id long").coalesce(1)
+            )
+            # a map-only commit, like refresh_ndv_sketches does
+            lock = t._acquire_lock()
+            try:
+                m = t._read_manifest()
+                m.setdefault("ndv_sidecars", {})[
+                    f"fake-file-{i}"
+                ] = f"stats/fake-{i}"
+                t._commit(m)
+            finally:
+                os.remove(lock)
+        snaps = t.snapshots
+        assert len(snaps[-1]["files"]) == 8
+        assert t.read(spark).count() == 8
+        # history reconstructs exactly at every snapshot (map-only
+        # commits add no snapshot entries — 8 appends, 8 snapshots)
+        assert [len(s["files"]) for s in snaps] == list(range(1, 9))
+        # fresh instance decodes the same
+        assert len(LakehouseTable(t.path).snapshots[-1]["files"]) == 8
+    finally:
+        lh._SEGMENT_RESET_EVERY = old

@@ -154,6 +154,17 @@ def test_stream_source_rate_limited_restart_no_duplicates(
     deadline = time.monotonic() + 60
     while time.monotonic() < deadline and len(got) < 3:
         time.sleep(0.2)
+    # batch 2's SINK ran, but its checkpoint commit may still be in
+    # flight — stop() landing in that window makes the restart
+    # legitimately replay batch 2 into this non-idempotent list sink
+    # (a foreachBatch harness race, not a source bug; real sinks use
+    # txn stamps). An empty follow-up micro-batch (batchId >= 3)
+    # proves the offset log advanced past batch 2.
+    while time.monotonic() < deadline:
+        lp = q.lastProgress
+        if lp and lp.get("batchId", -1) >= 3:
+            break
+        time.sleep(0.2)
     q.stop()
     _drain(q)
     assert sorted(got) == [0, 1, 2]
