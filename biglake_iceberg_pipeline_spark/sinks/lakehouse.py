@@ -627,7 +627,16 @@ def _assemble_segmented(path: str, core: dict) -> dict:
         entries = content.get("snapshots", [])[
             : d.get("n", len(content.get("snapshots", [])))
         ]
-        if d.get("reset"):
+        if d.get("reset") and entries:
+            # resets are only meaningful on segments that actually
+            # contain entries (encoded standalone from empty state).
+            # An ENTRY-LESS segment flagged reset (written by pre-r10
+            # map-only commits at the reset cadence) would land the
+            # reset index on the NEXT segment's first entry — whose
+            # deltas were encoded against the predecessor's full
+            # state — truncating every later snapshot's decode
+            # (ADVICE r10). Ignoring the flag heals such tables on
+            # read; _commit no longer writes them.
             resets.add(len(enc_snaps))
         plan_segs.append(
             {
@@ -864,7 +873,7 @@ class LakehouseTable:
             new_start = pos
         new_entries = snaps_mem[new_start:]
         if new_entries:
-            if tail_reset and not tail_enc:
+            if new_start == 0 or (tail_reset and not tail_enc):
                 # the first new entry STARTS a reset segment (fresh
                 # reset tail, a folded EMPTY reset tail, or the very
                 # first commit): the decoder zeroes state at the
@@ -877,16 +886,34 @@ class LakehouseTable:
                 prev_known: dict = {"files": [], "deletes": []}
             else:
                 # seed the encoder with the decoder's boundary state:
-                # the predecessor's lists where PRESENT; None (=> the
-                # first entry carrying the key stays full) where the
-                # predecessor is keyless — the decoder's running
-                # state there is "last present", which we must not
-                # guess
+                # the predecessor's lists where its ENCODED entry
+                # carries the key; None (=> the first entry carrying
+                # the key stays full) where the encoded boundary is
+                # KEYLESS — there the decoder's running state is
+                # "last present", and ``key in pred`` /
+                # ``pred[key]`` on a _LazySnapshot report keyless as
+                # present-and-[] — trusting that would delta-encode
+                # new entries against empty while the decoder
+                # replays them against the old list, RESURRECTING
+                # files the new snapshot never had (ADVICE r10)
                 pred = snaps_mem[new_start - 1]
-                prev_known = {
-                    key: (list(pred[key]) if key in pred else None)
-                    for key in ("files", "deletes")
-                }
+                pred_enc = tail_enc[-1] if tail_enc else None
+                if pred_enc is None:
+                    for p in reversed(segs[: len(reuse)]):
+                        if p["enc"]:
+                            pred_enc = p["enc"][-1]
+                            break
+                prev_known = {}
+                for key in ("files", "deletes"):
+                    enc_has = pred_enc is not None and any(
+                        k in pred_enc
+                        for k in (key, f"{key}_added", f"{key}_removed")
+                    )
+                    prev_known[key] = (
+                        list(pred[key])
+                        if enc_has and key in pred
+                        else None
+                    )
             tail_enc += _delta_encode_entries(new_entries, prev_known)
         # map keys already represented by a reused/rewritten segment:
         # key PRESENCE survives even when the tail has nothing to add
@@ -905,7 +932,17 @@ class LakehouseTable:
                 (name, {"snapshots": tail_enc, **tail_maps})
             )
             descs = reuse + [
-                {"name": name, "n": len(tail_enc), "reset": tail_reset}
+                # an entry-less tail (map-only commit) must never
+                # carry the reset flag: resets only describe entries
+                # encoded from empty state, and a later commit
+                # appending a tail BEHIND a reused empty-reset
+                # segment would shift the decode reset onto entries
+                # encoded against full state (ADVICE r10)
+                {
+                    "name": name,
+                    "n": len(tail_enc),
+                    "reset": tail_reset and bool(tail_enc),
+                }
             ]
         # ---- write order: segments, then the generation CAS, then
         # the core (the atomic commit point), then reap replaced

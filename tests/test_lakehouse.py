@@ -2702,3 +2702,104 @@ def test_segment_reset_cadence_with_map_only_commits(spark, tmp_path):
         assert len(LakehouseTable(t.path).snapshots[-1]["files"]) == 8
     finally:
         lh._SEGMENT_RESET_EVERY = old
+
+
+def test_empty_reset_tail_reused_mid_list_does_not_truncate(
+    spark, tmp_path
+):
+    """Regression (ADVICE r10, high): a map-only commit at the reset
+    cadence creates an EMPTY reset tail; a second DISJOINT map-only
+    commit reuses it clean and appends another tail behind it. The
+    assembled reset index then lands on the NEXT segment's first
+    entry — whose deltas were encoded against the predecessor's full
+    state — and the decoder zeroes there, silently truncating every
+    later snapshot's file list to its own delta. Both sides are
+    fixed: _commit never flags an entry-less tail as reset, and
+    _assemble_segmented ignores reset flags on empty segments so
+    already-written tables heal on read."""
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    old_seal, old_reset = (
+        lh._SEGMENT_SEAL_SNAPSHOTS,
+        lh._SEGMENT_RESET_EVERY,
+    )
+    lh._SEGMENT_SEAL_SNAPSHOTS = 4
+    lh._SEGMENT_RESET_EVERY = 2
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+        # 12 appends -> 3 sealed segments (reset, cont, cont):
+        # since_reset == 2 == cadence, so the NEXT fresh tail resets
+        for _ in range(12):
+            t.append(df)
+        # two DISJOINT map-only commits: the first creates the
+        # at-cadence tail, the second reuses it (clean: its entries
+        # are untouched) and appends another tail behind it
+        for i in range(2):
+            lock = t._acquire_lock()
+            try:
+                m = t._read_manifest()
+                m.setdefault("ndv_sidecars", {})[
+                    f"fake-{i}"
+                ] = f"stats/fake-{i}"
+                t._commit(m)
+            finally:
+                os.remove(lock)
+        t.append(df)
+        snaps = LakehouseTable(t.path).snapshots
+        assert [len(s["files"]) for s in snaps] == list(range(1, 14))
+        assert t.read(spark).count() == 13
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS = old_seal
+        lh._SEGMENT_RESET_EVERY = old_reset
+
+
+def test_keyless_predecessor_does_not_resurrect_files(tmp_path):
+    """Regression (ADVICE r10, medium): when the commit tail's
+    predecessor snapshot is KEYLESS (foreign/hand-edited — no files /
+    files_added / files_removed on its encoded entry), the decoder's
+    running state at that boundary is 'last present', but
+    ``pred[key]`` on a _LazySnapshot decodes keyless to []. Seeding
+    the encoder from [] delta-encodes the new entry against empty
+    while the decoder replays it against the OLD list — resurrecting
+    files the new snapshot never had. The encoder must seed None
+    there (first new entry stays FULL)."""
+    import json as _json
+
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    t = lh.LakehouseTable(str(tmp_path / "t"))
+    lock = t._acquire_lock()
+    try:
+        m = t._read_manifest()
+        m["snapshots"] = [
+            {"id": 1, "operation": "append", "files": ["f0.parquet"]},
+            {"id": 2, "operation": "foreign"},  # keyless
+        ]
+        t._commit(m)
+    finally:
+        os.remove(lock)
+    # a later commit appends a snapshot behind the keyless one
+    t2 = lh.LakehouseTable(t.path)
+    lock = t2._acquire_lock()
+    try:
+        m = t2._read_manifest()
+        m["snapshots"] = list(m["snapshots"]) + [
+            {"id": 3, "operation": "append", "files": ["f2.parquet"]}
+        ]
+        t2._commit(m)
+    finally:
+        os.remove(lock)
+    snaps = lh.LakehouseTable(t.path).snapshots
+    assert snaps[0]["files"] == ["f0.parquet"]
+    assert snaps[1]["files"] == []  # keyless reads empty
+    assert snaps[2]["files"] == ["f2.parquet"]  # NOT ['f0','f2']
+    # and the on-disk encoding kept the full list at the boundary
+    with open(t.manifest_path) as f:
+        core = _json.load(f)
+    seg_dir = os.path.join(t.path, "_segments")
+    last = core["segments"][-1]
+    with open(os.path.join(seg_dir, last["name"])) as f:
+        entries = _json.load(f)["snapshots"]
+    tail_by_id = {e.get("id"): e for e in entries}
+    assert tail_by_id[3].get("files") == ["f2.parquet"]
