@@ -205,12 +205,24 @@ ORDER BY id_a, id_b
 """
 
 
-def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: hard ceiling on the oracle-checkability centroid collect below:
+#: 4096 centroids x 64 dims x 8 B ≈ 2 MB driver-side regardless of
+#: corpus size (VERDICT r9 item 4 — uncapped, 10^9 docs would pull
+#: ~7M vectors to the driver). Past ~614k vectors the cells grow
+#: beyond ~150 members; the production path at that scale is
+#: externally-trained ``centroids=`` on the operator API.
+_SEMDEDUP_MAX_K = 4096
+
+
+def semantic_dedup_q(
+    spark: SparkSession, sf_dir: str, max_k: int = _SEMDEDUP_MAX_K
+) -> DataFrame:
     """SemDeDup over the embeddings table (operators/semdedup.py)
     with DETERMINISTIC cells that SCALE WITH THE CORPUS: the
     quantizer is pinned to the embeddings of the k lowest vec_ids
-    (k = max(4, n // 150), cells of ~150 vectors) instead of a
-    k-means fit, so the oracle can replicate both the cell count and
+    (k = min(max(4, n // 150), max_k), cells of ~150 vectors) instead
+    of a k-means fit, so the oracle can replicate both the cell count
+    and
     the assignment (nearest centroid by squared distance, ties to
     the lower cell index) and the whole verdict — cells, transitive
     near-dup groups, keep flags — hash-checks against a
@@ -221,11 +233,15 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the within-cell pair step quadratic in the corpus: 4 cells cost
     81 s at sf1 where 128 cost 9.2 s — SURVEY §6); deterministic
     data-derived centroids keep the full-oracle hash check that a
-    k-means fit would forfeit."""
+    k-means fit would forfeit. ``max_k`` caps the driver-side
+    centroid collect (the oracle replays the same cap) so the
+    registered query's memory footprint is bounded at ANY corpus
+    size; production corpora past the cap pass externally-trained
+    ``centroids=`` straight to the operator instead."""
     from biglake_iceberg_pipeline_spark.operators import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(4, emb.count() // 150)
+    k = min(max(4, emb.count() // 150), max_k)
     cents = [
         list(r[0])
         for r in emb.where(F.col("embedding").isNotNull())
@@ -256,18 +272,21 @@ _CDIST = (
     "* (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) "
     "for i in generate_series(1, len(e.embedding))]), (x, y) -> x + y)"
 )
-SEMANTIC_DEDUP_SQL = f"""
+def _semantic_dedup_sql(max_k: int = _SEMDEDUP_MAX_K) -> str:
+    """Oracle for ``semantic_dedup_q`` — parameterized on the same
+    centroid cap so tests can exercise a BINDING cap end-to-end."""
+    return f"""
 WITH RECURSIVE cents AS (
-    -- same k as the Spark query: max(4, n // 150) lowest-vec_id
-    -- non-NULL embeddings; cid is the LIST INDEX (row number), the
-    -- cell id assign_centroid emits
+    -- same k as the Spark query: min(max(4, n // 150), {max_k})
+    -- lowest-vec_id non-NULL embeddings; cid is the LIST INDEX
+    -- (row number), the cell id assign_centroid emits
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
            embedding AS cvec
     FROM (
         SELECT vec_id, embedding FROM embeddings
         WHERE embedding IS NOT NULL
         ORDER BY vec_id
-        LIMIT GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 150)
+        LIMIT LEAST(GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 150), {max_k})
     )
 ),
 assigned AS (
@@ -308,6 +327,9 @@ LEFT JOIN assigned a ON e.vec_id = a.vec_id
 LEFT JOIN comps c ON e.vec_id = c.id
 ORDER BY e.vec_id
 """
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 _QUERY_VEC_CACHE: dict[str, list[float]] = {}

@@ -1110,6 +1110,7 @@ class LakehouseTable:
         txn: tuple[str, int] | None = None,
         delete_files: list[str] | None = None,
         delete_meta: dict[str, dict] | None = None,
+        data_change: bool = True,
     ) -> tuple[int, bool]:
         """Allocate the snapshot id and swap the manifest under the
         commit lock; returns ``(snapshot_id, committed)`` where
@@ -1264,6 +1265,14 @@ class LakehouseTable:
             }
             if tail_deletes:
                 entry["deletes"] = tail_deletes
+            if not data_change:
+                # Delta's dataChange=false: this commit rearranges
+                # bytes (compaction / delete materialization) but
+                # preserves the logical row set — incremental and
+                # streaming consumers SKIP it instead of breaking
+                # lineage. Only recorded when False so legacy
+                # manifests and append-heavy histories stay lean.
+                entry["data_change"] = False
             manifest["snapshots"].append(entry)
             if schema_json is not None:
                 self._guard_schema_transform_clash(manifest, schema_json)
@@ -2093,6 +2102,11 @@ class LakehouseTable:
             self._file_stats(files),
             None,
             expected_tail=base,
+            # row-preserving: the rewritten files hold exactly the
+            # logical rows readers already saw (outstanding MoR
+            # deletes were applied to the read AND the rewrite) —
+            # streams and incremental scans ride through
+            data_change=False,
         )[0]
         self._fire_commit_hooks("replace", snap)
         return snap
@@ -2401,10 +2415,15 @@ class LakehouseTable:
         append scan, the cheap CDC feed for downstream consumers:
         each poll reads only the new files, never the table.
 
-        Only valid across append snapshots; a rewrite in the range
-        (merge/delete/update/replace/overwrite) redistributes existing
-        rows across new files, so a file-level diff would replay old
-        rows as if new — that case raises, same as Iceberg."""
+        Only valid across append snapshots; a ROW-CHANGING rewrite in
+        the range (merge/delete/update/overwrite) redistributes
+        existing rows across new files, so a file-level diff would
+        replay old rows as if new — that case raises, same as
+        Iceberg. Row-PRESERVING rewrites (compaction / delete
+        materialization, stamped ``data_change=False`` — Delta's
+        dataChange flag) are skipped instead: their files hold only
+        rows the consumer already has, and later appends diff against
+        the post-rewrite file set."""
         snaps = self.snapshots
         ids = [s["id"] for s in snaps]
         if from_snapshot_id not in ids:
@@ -2419,7 +2438,10 @@ class LakehouseTable:
             raise ValueError("to_snapshot precedes from_snapshot")
         between = snaps[lo + 1 : hi + 1]
         non_append = [
-            s["id"] for s in between if s["operation"] != "append"
+            s["id"]
+            for s in between
+            if s["operation"] != "append"
+            and s.get("data_change") is not False
         ]
         if non_append:
             raise LineageBrokenError(
@@ -2437,13 +2459,18 @@ class LakehouseTable:
                 "incremental scan range has expired intermediate "
                 "snapshots (history gap); re-baseline from a full read"
             )
-        base_files = set(snaps[lo]["files"])
-        added = [
-            f
-            for s in between
-            for f in s["files"]
-            if f not in base_files
-        ]
+        # per-snapshot diff vs the PREDECESSOR (not the range base):
+        # a row-preserving rewrite mid-range swaps the live file set
+        # for compacted files holding only already-delivered rows —
+        # those must not be emitted, and the append AFTER it must
+        # diff against the post-rewrite set, not the base
+        added: list[str] = []
+        prev = set(snaps[lo]["files"])
+        for s in between:
+            cur = list(dict.fromkeys(s["files"]))
+            if s.get("data_change") is not False:
+                added.extend(f for f in cur if f not in prev)
+            prev = set(cur)
         # files accumulate across appends: later snapshots re-list
         # earlier files, so de-dup while preserving order
         added = list(dict.fromkeys(added))
@@ -4557,6 +4584,10 @@ class LakehouseTable:
             None,
             expected_tail=base,
             delete_files=[],
+            # row-preserving: the delete rows already vanished from
+            # reads when the MoR delete snapshot committed; this
+            # commit only folds them into the data files
+            data_change=False,
         )[0]
         self._fire_commit_hooks("replace", snap_id)
         return snap_id

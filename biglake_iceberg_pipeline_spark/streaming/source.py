@@ -27,12 +27,15 @@ the newly committed files, distributed one file per task; a 100 TB
 table costs the stream only its new data. Replays are deterministic
 because snapshots are immutable — the same (start, end] always yields
 the same files, so checkpoint recovery re-reads exactly the pending
-batch. Non-append commits (merge/delete/update/overwrite/rollback)
-redistribute existing rows across new files; a file diff would replay
-old rows as new, so the stream raises ``LineageBrokenError`` at such
-a snapshot (same rule as ``incremental_scan``) — re-baseline
-downstream from a full read, exactly as Iceberg's streaming read
-refuses overwrite snapshots.
+batch. ROW-CHANGING non-append commits (merge/delete/update/overwrite/
+rollback) redistribute existing rows across new files; a file diff
+would replay old rows as new, so the stream raises
+``LineageBrokenError`` at such a snapshot (same rule as
+``incremental_scan``) — re-baseline downstream from a full read,
+exactly as Iceberg's streaming read refuses overwrite snapshots.
+Row-PRESERVING rewrites (compaction / delete materialization, stamped
+``data_change=False`` — Delta's dataChange flag) are SKIPPED instead:
+the stream rides through ``maintain()`` emitting nothing for them.
 
 The SINK half (``df.writeStream.format("lakehouse")``) is the same
 connector in reverse: executors stream Arrow RecordBatches straight
@@ -661,6 +664,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 s["id"]
                 for s in snaps[lo + 1 : hi + 1]
                 if s["operation"] != "append"
+                # Delta's dataChange=false: compaction / delete
+                # materialization preserve the logical row set — the
+                # stream rides through them emitting nothing instead
+                # of demanding a re-baseline (VERDICT r9 item 1)
+                and s.get("data_change") is not False
             ]
             if non_append:
                 raise LineageBrokenError(
@@ -676,6 +684,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         for idx in range(lo + 1, hi + 1):
             s = snaps[idx]
             prev = snaps[idx - 1] if idx > 0 else {"files": []}
+            if s.get("data_change") is False:
+                # row-preserving rewrite: contributes no change rows;
+                # the next snapshot's guards diff against ITS file
+                # set (a superset for appends, the compacted set for
+                # the grows-only check), which is exactly the state
+                # the planner will carry forward
+                continue
             bad = None
             if s["operation"] not in (
                 "append",
@@ -783,6 +798,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
         taken_bytes = 0.0
         end = cursor
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
+            if snap.get("data_change") is False:
+                # row-preserving rewrite: emits nothing, so it costs
+                # nothing against the rate-limit budgets — ride the
+                # offset past it unconditionally
+                end = snap["id"]
+                continue
             # a file missing a footer row count / byte size
             # (pre-tracking history) counts as infinite: that
             # snapshot still advances alone (always at least one),
@@ -883,6 +904,15 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return _del_cache[key]
 
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
+            if snap.get("data_change") is False:
+                # row-preserving rewrite (compaction / delete
+                # materialization): its "added" files hold only rows
+                # already delivered — emit nothing, but advance the
+                # carried state so the NEXT snapshot diffs against
+                # the post-rewrite file set and delete tail
+                prev = snap
+                prev_tail = set(snap.get("deletes", []))
+                continue
             is_update = snap["operation"] == "update"
             ins_label = (
                 ("update_postimage" if is_update else "insert")

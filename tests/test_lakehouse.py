@@ -2803,3 +2803,44 @@ def test_keyless_predecessor_does_not_resurrect_files(tmp_path):
         entries = _json.load(f)["snapshots"]
     tail_by_id = {e.get("id"): e for e in entries}
     assert tail_by_id[3].get("files") == ["f2.parquet"]
+
+
+def test_incremental_scan_rides_through_row_preserving_rewrites(
+    spark, tmp_path
+):
+    """incremental_scan (and the cheap change_feed path on top of it)
+    skips data_change=False snapshots: a compaction or delete
+    materialization mid-range contributes no rows, later appends diff
+    against the post-rewrite file set, and row-CHANGING rewrites still
+    raise LineageBrokenError."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LineageBrokenError,
+    )
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    base = t.current_snapshot_id()
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    t.compact(spark, target_files=1)
+    t.append(spark.createDataFrame([(4,)], "id long"))
+    got = sorted(
+        r["id"] for r in t.incremental_scan(spark, base).collect()
+    )
+    assert got == [3, 4]  # compaction's files not replayed
+    feed = t.change_feed(spark, base)
+    assert sorted(r["id"] for r in feed.collect()) == [3, 4]
+    assert set(
+        r["_change_type"] for r in feed.collect()
+    ) == {"insert"}
+    # delete materialization is row-preserving too
+    t.delete_where(spark, F.col("id") == 1, mode="merge-on-read")
+    b2 = t.current_snapshot_id()
+    t.materialize_deletes(spark)
+    assert t.snapshots[-1].get("data_change") is False
+    t.append(spark.createDataFrame([(5,)], "id long"))
+    assert sorted(
+        r["id"] for r in t.incremental_scan(spark, b2).collect()
+    ) == [5]
+    # but the MoR delete itself (row-changing) still breaks lineage
+    with pytest.raises(LineageBrokenError):
+        t.incremental_scan(spark, base)

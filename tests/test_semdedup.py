@@ -128,3 +128,23 @@ def test_filter_returns_original_columns_only(chain_df):
     )
     assert out.columns == ["id", "v"]
     assert sorted(r["id"] for r in out.collect()) == [1, 4]
+
+
+def test_registered_query_centroid_cap_binds_and_matches_oracle(
+    spark, duck
+):
+    """VERDICT r9 item 4: the registered semantic_dedup bounds its
+    driver-side centroid collect. Exercise a BINDING cap (2 << the
+    uncapped k) end-to-end: the Spark query and the parameterized
+    DuckDB oracle replay the same cap and still agree row-for-row."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from biglake_iceberg_pipeline_spark.plans.llm_ops import (
+        _semantic_dedup_sql,
+        semantic_dedup_q,
+    )
+
+    out = semantic_dedup_q(spark, SF_SMOKE, max_k=2)
+    # the cap actually bound the quantizer: only cells {0, 1} appear
+    cells = {r["sem_cell"] for r in out.select("sem_cell").collect()}
+    assert cells <= {0, 1, -1} and len(cells & {0, 1}) == 2
+    assert_matches_oracle(out, duck, _semantic_dedup_sql(max_k=2))

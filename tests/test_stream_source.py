@@ -797,14 +797,13 @@ def test_batch_reader_intersects_repeated_in_filters():
     assert r3._ranges["j"] == (7, 7)
 
 
-def test_cdf_stream_maintenance_rebaseline(spark, tmp_path):
-    """VERDICT r8 item 4: maintain() compacting mid-stream kills a
-    readChangeFeed query (CoW rewrites cannot be attributed by a
-    file diff) — pin the documented recovery: re-baseline the
-    downstream state via the keyed batch change_feed from the last
-    committed offset, then restart the stream from the current
-    snapshot. No change row is lost or double-applied: the
-    reconstructed state equals the table at every step."""
+def test_cdf_stream_rides_through_maintenance(spark, tmp_path):
+    """VERDICT r9 item 1 (supersedes the r8 re-baseline pin): maintain()
+    compacting / materializing deletes mid-stream commits row-PRESERVING
+    rewrites stamped ``data_change=False`` (Delta's dataChange flag), and
+    a readChangeFeed query now RIDES THROUGH them — zero change rows for
+    the rewrite, exactly-once rows around it — instead of raising
+    LineageBrokenError and forcing a keyed-diff re-baseline."""
     tbl = LakehouseTable(str(tmp_path / "t"))
     tbl.append(
         spark.createDataFrame(
@@ -814,21 +813,20 @@ def test_cdf_stream_maintenance_rebaseline(spark, tmp_path):
     tbl.delete_where(spark, F.col("id") == 2, mode="merge-on-read")
 
     state: dict = {}
+    seen: list = []
 
     def apply(rows):
         # CDF ledger: inserts/postimages set the key, deletes/
         # preimages clear it
         for r in rows:
+            seen.append((r["id"], r["_change_type"]))
             if r["_change_type"] in ("insert", "update_postimage"):
                 state[r["id"]] = r["v"]
             else:
                 state.pop(r["id"], None)
 
-    committed = []
-
     def sink(bdf, bid):
         apply(bdf.collect())
-        committed.append(bid)
 
     ck1 = str(tmp_path / "ck1")
     _run_to(
@@ -837,15 +835,49 @@ def test_cdf_stream_maintenance_rebaseline(spark, tmp_path):
         ck1,
         sink,
     )
-    last_streamed = tbl.current_snapshot_id()
     assert state == {1: "a", 3: "c"}
 
     # mid-stream maintenance: an append the stream never saw, then a
-    # compaction that breaks CDF lineage for the whole range
+    # compaction (materializes the outstanding MoR delete too) — both
+    # row-preserving beyond the append's own rows
     tbl.append(spark.createDataFrame([(4, "d")], "id long, v string"))
     rep = tbl.maintain(spark, max_files=1, keep_snapshots=10)
     assert rep["compacted_from"] is not None
+    assert tbl.snapshots[-1].get("data_change") is False
 
+    n_before = len(seen)
+    q = (
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _drain(q)
+    # exactly the unseen append's row — nothing for the compaction
+    assert seen[n_before:] == [(4, "insert")]
+    current = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
+    assert state == current == {1: "a", 3: "c", 4: "d"}
+
+    # and the SAME checkpoint keeps tailing appends exactly-once
+    tbl.append(spark.createDataFrame([(5, "e")], "id long, v string"))
+    q = (
+        read_lakehouse_stream(spark, tbl.path, read_change_feed=True)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _drain(q)
+    current = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
+    assert state == current == {1: "a", 3: "c", 4: "d", 5: "e"}
+    assert seen.count((5, "insert")) == 1
+
+    # a TRUE row-changing rewrite still breaks lineage: CoW delete
+    # rewrites survivors into new files a diff cannot attribute
+    tbl.delete_where(spark, F.col("id") == 1, mode="copy-on-write")
     q = (
         read_lakehouse_stream(spark, tbl.path, read_change_feed=True)
         .writeStream.foreachBatch(sink)
@@ -859,33 +891,64 @@ def test_cdf_stream_maintenance_rebaseline(spark, tmp_path):
         _drain(q)
     except Exception as e:
         failed = "change feed cannot stream" in str(e)
-    assert failed, "compaction mid-stream should fail the CDF query"
-
-    # recovery step 2: keyed batch diff from the last committed
-    # snapshot attributes changes across the rewrite
+    assert failed, "CoW delete mid-stream must still fail the CDF query"
+    # documented recovery: keyed batch diff, then a fresh baseline
     diff = tbl.change_feed(
-        spark, from_snapshot_id=last_streamed, keys=["id"]
+        spark,
+        from_snapshot_id=tbl.snapshots[-2]["id"],
+        keys=["id"],
     )
     apply(diff.collect())
-    current = {
-        r["id"]: r["v"] for r in tbl.read(spark).collect()
-    }
-    assert state == current == {1: "a", 3: "c", 4: "d"}
-
-    # recovery step 3: fresh checkpoint tails from the re-baseline
-    # point; a post-recovery append streams normally, exactly once
-    rebase = tbl.current_snapshot_id()
-    tbl.append(spark.createDataFrame([(5, "e")], "id long, v string"))
-    _run_to(
-        spark,
-        read_lakehouse_stream(
-            spark,
-            tbl.path,
-            starting_snapshot_id=rebase,
-            read_change_feed=True,
-        ),
-        str(tmp_path / "ck2"),
-        sink,
-    )
     current = {r["id"]: r["v"] for r in tbl.read(spark).collect()}
-    assert state == current == {1: "a", 3: "c", 4: "d", 5: "e"}
+    assert state == current == {3: "c", 4: "d", 5: "e"}
+
+
+def test_plain_stream_rides_through_compaction(spark, tmp_path):
+    """A PLAIN (append-only) stream also skips data_change=False
+    snapshots: compaction mid-stream emits zero rows, and the append
+    after it streams exactly its own rows — the post-compaction diff
+    runs against the compacted file set, never re-reading it."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        )
+    got: list = []
+
+    def sink(bdf, bid):
+        got.extend((r["id"], r["v"]) for r in bdf.collect())
+
+    ck = str(tmp_path / "ck")
+    _run_to(spark, read_lakehouse_stream(spark, tbl.path), ck, sink)
+    assert sorted(got) == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+    tbl.compact(spark, target_files=1)
+    assert tbl.snapshots[-1].get("data_change") is False
+    tbl.append(spark.createDataFrame([(9, "v9")], "id long, v string"))
+    q = (
+        read_lakehouse_stream(spark, tbl.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _drain(q)
+    assert sorted(got) == [(0, "v0"), (1, "v1"), (2, "v2"), (9, "v9")]
+
+    # a row-changing delete still raises for the plain stream
+    tbl.delete_where(spark, F.col("id") == 0, mode="merge-on-read")
+    q = (
+        read_lakehouse_stream(spark, tbl.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    failed = False
+    try:
+        q.awaitTermination(120)
+        _drain(q)
+    except Exception as e:
+        failed = "rewrite snapshots" in str(e) or "crosses" in str(e)
+    assert failed, "MoR delete must still break the plain stream"
