@@ -8,13 +8,15 @@ contract is explicit so downstream Spark operators stay declarative.
 
 Codecs: baseline JPEG (operators/jpeg.py — pure-python T.81 sequential
 DCT: Huffman, dequant, batched IDCT, chroma upsampling, restart
-intervals), BMP (24-bit uncompressed), and WAV (PCM16) decode is REAL
-— stdlib + numpy, no external libs. Nearest-neighbor resize and audio
-feature extraction run on the decoded arrays. Formats with no decoder
-here (PNG/MP4/progressive JPEG...) fall back to a clearly-marked
-deterministic byte-statistics vector (`features[-1] == 0.0` flags the
-fallback), and a native codec drops in by extending
-``_FORMAT_DECODERS``.
+intervals), PNG (operators/png.py — zlib inflate, all five scanline
+filters, 8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced),
+BMP (24-bit uncompressed), and WAV (PCM16) decode is REAL — stdlib +
+numpy, no external libs. Nearest-neighbor resize and audio feature
+extraction run on the decoded arrays. Formats with no decoder here
+(MP4 / progressive JPEG / interlaced or 16-bit PNG...) fall back to a
+clearly-marked deterministic byte-statistics vector
+(`features[-1] == 0.0` flags the fallback), and a native codec drops
+in by extending ``_FORMAT_DECODERS``.
 """
 
 from __future__ import annotations
@@ -155,6 +157,26 @@ def _jpeg_features(payload: bytes) -> list[float]:
         return _byte_stats(payload)
 
 
+def _png_features(payload: bytes) -> list[float]:
+    """Non-interlaced 8-bit PNG via the pure-python codec; unsupported
+    variants (Adam7, 16-bit) AND corrupt streams (bad CRC, truncated
+    IDAT, inflate-size mismatch, palette overruns) take the flagged
+    byte-stats fallback — same degradation contract as JPEG."""
+    import struct
+    import zlib
+
+    from biglake_iceberg_pipeline_spark.operators.png import (
+        PngFormatError,
+        decode_png,
+    )
+
+    try:
+        return _image_features(decode_png(payload))
+    except (PngFormatError, ValueError, EOFError, IndexError, KeyError,
+            MemoryError, ArithmeticError, struct.error, zlib.error):
+        return _byte_stats(payload)
+
+
 def _wav_features(payload: bytes) -> list[float]:
     import numpy as np
 
@@ -178,7 +200,8 @@ def _wav_features(payload: bytes) -> list[float]:
 
 def _byte_stats(payload: bytes) -> list[float]:
     """Deterministic FALLBACK for codecs absent in this container
-    (JPEG/PNG/MP4...): byte statistics with the same shape contract.
+    (MP4 / progressive JPEG / interlaced PNG...): byte statistics
+    with the same shape contract.
     features[-1] == 0.0 marks the row as not-really-decoded."""
     n = len(payload)
     if n == 0:
@@ -200,12 +223,13 @@ _FORMAT_DECODERS = (
     (b"BM", _bmp_features),
     (b"RIFF", _wav_features),
     (b"\xFF\xD8", _jpeg_features),
+    (b"\x89PNG\r\n\x1a\n", _png_features),
 )
 
 
 def decode_image(payload: bytes) -> list[float]:
-    """Feature vector for one payload: real decode for BMP/WAV,
-    byte-statistics fallback otherwise. Raises on None to mirror a
+    """Feature vector for one payload: real decode for
+    BMP/WAV/JPEG/PNG, byte-statistics fallback otherwise. Raises on None to mirror a
     real decoder's behavior on corrupt rows."""
     if payload is None:
         raise NotImplementedError("no payload; real decoder would raise")
