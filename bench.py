@@ -114,6 +114,46 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
     return {k: round(v, 3) for k, v in best.items()}
 
 
+# The expensive non-headline tail (VERDICT r9 item 6): the costliest
+# registered queries outside HEADLINE. Regressions here used to be
+# visible only in ad-hoc cold sweeps; timing them WARM per round makes
+# them round-over-round comparable without inflating the headline
+# total ("value" stays comparable across rounds).
+EXPENSIVE_TAIL = [
+    "quality_classifier_score",
+    "dedup_best_quality",
+    "dedup_clusters",
+    "dedup_exact_substrings",
+    "semantic_dedup",
+]
+
+
+def bench_expensive_tail(
+    spark, qs: dict, sf_dir: str, reps: int
+) -> dict[str, float]:
+    """Best-of-reps warm timings for the EXPENSIVE_TAIL queries —
+    same protocol as the headline loop (sf0.001 warmup first)."""
+    out: dict[str, float] = {}
+    for key in EXPENSIVE_TAIL:
+        if key not in qs:
+            continue
+        try:
+            qs[key](spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+        best = float("inf")
+        try:
+            for _rep in range(reps):
+                t0 = time.perf_counter()
+                qs[key](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            out[key] = round(best, 3)
+        except Exception as exc:  # never fail the bench over one query
+            out[key] = -1.0
+            out[f"{key}_error"] = str(exc)[:120]  # type: ignore[assignment]
+    return out
+
+
 def calibration_op(spark, reps: int) -> float:
     """Fixed-cost, data-independent op timed alongside the queries
     (VERDICT r8 item 3): a constant-size in-memory hash aggregation —
@@ -193,6 +233,14 @@ def main() -> None:
         )
     except Exception as exc:  # never fail the query bench over this
         lakehouse_ops = {"error": str(exc)[:200]}
+    # third section: the expensive registered tail, warm (VERDICT r9
+    # item 6) — also outside the headline total
+    try:
+        expensive_tail = bench_expensive_tail(
+            spark, qs, sf_dir, min(reps, 2)
+        )
+    except Exception as exc:
+        expensive_tail = {"error": str(exc)[:200]}
     load_after = os.getloadavg()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -203,6 +251,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "lakehouse_ops": lakehouse_ops,
+                "expensive_tail": expensive_tail,
                 # host-state diagnostics (VERDICT r8 item 3): an
                 # inflated row is self-diagnosing — high loadavg or
                 # an inflated calibration_s means host noise, not a

@@ -56,6 +56,46 @@ def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.where(hash_gate(F.col(key_col), fraction))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: a ``split`` label
+    decided ONLY by md5(salt|key) — stable across runs, machines,
+    partitionings AND corpus growth, the property that matters: a
+    document keeps its split forever, so yesterday's validation rows
+    can never leak into tomorrow's training set when new data
+    arrives (df.randomSplit reshuffles on any input change).
+
+    ``splits`` maps label -> fraction in iteration order (must sum to
+    1 within hash resolution); boundaries are cumulative hex
+    thresholds on the md5 prefix, the hash_gate convention, so the
+    whole assignment is ONE no-shuffle CASE expression the oracle
+    replays verbatim. ``salt`` re-deals every assignment (new salt =
+    a fresh independent split) without touching the data."""
+    if splits is None:
+        splits = {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat_ws("|", F.lit(salt), key)
+    prefix = F.substring(F.md5(key.cast("binary")), 1, _PREFIX_CHARS)
+    names = list(splits)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += splits[name]
+        cases.append((hash_threshold(cum), name))
+    for threshold, name in reversed(cases):
+        expr = F.when(prefix < F.lit(threshold), name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

@@ -418,6 +418,104 @@ def chunk_documents(
     )
 
 
+#: the Gopher "must contain 2 of" stopword set (Rae et al. 2021,
+#: A1.1) — membership, not frequency: a proxy for real prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021 §A1.1 — the
+    heuristic filter every later curation stack kept: MassiveText,
+    RefinedWeb, Dolma, FineWeb): per-document rule values, one
+    boolean per rule, and the conjunctive ``g_keep``.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# / ellipsis) ≤ 0.1; ≤ 90% of
+    lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    words contain a letter; ≥ 2 of the 8 Gopher stopwords present.
+
+    Shape at 100 TB: pure JVM-side expressions (split / filter /
+    regexp under whole-stage codegen), no shuffle, no UDF — the
+    filter runs at scan speed and composes with the curation funnel's
+    row-level accounting. Ratios round half-up at 4 digits via the
+    engine-neutral floor(x*1e4+0.5) so the DuckDB oracle hash-matches
+    bit-for-bit."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    mean_wl = _round4(F.try_divide(word_chars, n_words))
+    alpha = _round4(
+        F.try_divide(
+            F.size(F.filter(words, lambda w: w.rlike("[a-z]"))), n_words
+        )
+    )
+    symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = _round4(F.try_divide(symbols, n_words))
+    bullet = _round4(
+        F.try_divide(
+            F.size(
+                F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+            ),
+            n_lines,
+        )
+    )
+    ellipsis = _round4(
+        F.try_divide(
+            F.size(
+                F.filter(
+                    lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+                )
+            ),
+            n_lines,
+        )
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    checks = {
+        "g_ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "g_ok_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "g_ok_symbols": symbol_ratio <= 0.1,
+        "g_ok_bullets": bullet <= 0.9,
+        "g_ok_ellipsis": ellipsis <= 0.3,
+        "g_ok_alpha": alpha >= 0.8,
+        "g_ok_stopwords": stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for c in checks.values():
+        keep = keep & c
+    return df.select(
+        *df.columns,
+        n_words.alias("g_n_words"),
+        mean_wl.alias("g_mean_word_len"),
+        symbol_ratio.alias("g_symbol_ratio"),
+        bullet.alias("g_bullet_ratio"),
+        ellipsis.alias("g_ellipsis_ratio"),
+        alpha.alias("g_alpha_ratio"),
+        stop_hits.alias("g_stopword_hits"),
+        *[c.alias(name) for name, c in checks.items()],
+        keep.alias("g_keep"),
+    )
+
+
+def _round4(col: Column) -> Column:
+    """Engine-neutral half-up rounding at 4 digits (ROUND half-even
+    drift is exactly what cross-engine hash checks catch)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+
+
 def corpus_vocabulary(
     df: DataFrame, text_col: str, k: int = 100
 ) -> DataFrame:

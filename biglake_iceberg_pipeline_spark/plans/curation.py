@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from biglake_iceberg_pipeline_spark.operators import text
 from biglake_iceberg_pipeline_spark.operators.sampling import (
     cap_per_group,
+    hash_split,
     hash_threshold,
     mixture_sample,
 )
@@ -1023,7 +1024,109 @@ ORDER BY doc_id
 """
 
 
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G40: the Gopher rule-set filter (operators/text.py::
+    gopher_rules) over the documents table — per-rule values, per-rule
+    booleans, conjunctive keep flag. The synthetic corpus has no
+    bullets/ellipses (those rules pin at 0 here and are exercised by
+    planted unit tests); word count, word length, alpha ratio and
+    stopword membership all vary, so the keep flag splits the corpus
+    both ways."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.gopher_rules(docs, "text")
+    return out.drop("text").orderBy("doc_id")
+
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in (
+    "the", "be", "to", "of", "and", "that", "have", "with"
+))
+GOPHER_QUALITY_FILTER_SQL = f"""
+WITH feat AS (
+    SELECT doc_id,
+        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+        len(regexp_replace(trim(text), '\\s+', '', 'g')) AS word_chars,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+        len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+        string_split(text, chr(10)) AS lines,
+        len(list_filter(list_distinct(
+                string_split_regex(lower(trim(text)), '\\s+')),
+            w -> w IN ({_GOPHER_STOPS}))) AS stop_hits
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, n_words, stop_hits,
+        floor(word_chars / NULLIF(n_words, 0)::DOUBLE * 10000 + 0.5)
+            / 10000.0 AS mean_wl,
+        floor(symbols / NULLIF(n_words, 0)::DOUBLE * 10000 + 0.5)
+            / 10000.0 AS symbol_ratio,
+        floor(len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[-*•]')))
+            / NULLIF(len(lines), 0)::DOUBLE * 10000 + 0.5)
+            / 10000.0 AS bullet_ratio,
+        floor(len(list_filter(lines,
+                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+            / NULLIF(len(lines), 0)::DOUBLE * 10000 + 0.5)
+            / 10000.0 AS ellipsis_ratio,
+        floor(alpha_words / NULLIF(n_words, 0)::DOUBLE * 10000 + 0.5)
+            / 10000.0 AS alpha_ratio
+    FROM feat
+)
+SELECT doc_id,
+    n_words AS g_n_words,
+    mean_wl AS g_mean_word_len,
+    symbol_ratio AS g_symbol_ratio,
+    bullet_ratio AS g_bullet_ratio,
+    ellipsis_ratio AS g_ellipsis_ratio,
+    alpha_ratio AS g_alpha_ratio,
+    stop_hits AS g_stopword_hits,
+    (n_words >= 50 AND n_words <= 100000) AS g_ok_words,
+    (mean_wl >= 3.0 AND mean_wl <= 10.0) AS g_ok_word_len,
+    (symbol_ratio <= 0.1) AS g_ok_symbols,
+    (bullet_ratio <= 0.9) AS g_ok_bullets,
+    (ellipsis_ratio <= 0.3) AS g_ok_ellipsis,
+    (alpha_ratio >= 0.8) AS g_ok_alpha,
+    (stop_hits >= 2) AS g_ok_stopwords,
+    (n_words >= 50 AND n_words <= 100000
+     AND mean_wl >= 3.0 AND mean_wl <= 10.0
+     AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+     AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+     AND stop_hits >= 2) AS g_keep
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G41: deterministic train/valid/test assignment
+    (operators/sampling.py::hash_split) — one no-shuffle CASE over an
+    md5-prefix compare, stable under corpus growth so validation rows
+    can never leak into train when new data arrives."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", dict(_SPLITS))
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+HASH_SPLIT_SQL = f"""
+SELECT doc_id,
+    CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             < '{hash_threshold(0.9)}' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             < '{hash_threshold(0.95)}' THEN 'valid'
+        ELSE 'test'
+    END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "gopher_quality_filter": gopher_quality_filter,
+    "hash_split": hash_split_q,
     "quality_classifier_score": quality_classifier_score,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "token_budget_mixture": token_budget_mixture,
@@ -1044,6 +1147,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gopher_quality_filter": GOPHER_QUALITY_FILTER_SQL,
+    "hash_split": HASH_SPLIT_SQL,
     "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
     "token_budget_mixture": TOKEN_BUDGET_MIXTURE_SQL,

@@ -26,18 +26,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-9 window: the thirteen r6-stale TPC-H overflow keys lead (no
-# driver row since r6 — the verdict's rotation target: after this
-# round no key's latest row is older than r7), then new r9 queries.
-# The rest of the window fills with the r7-green keys in module
-# order; the 50 r8-green keys demote, plus eleven r7-green keys so
-# the window holds exactly 50.
+# Round-10 window: new r10 queries and the two whose registered code
+# changed this round (semantic_dedup's capped centroid collect,
+# multimodal_features' real PNG decode) lead, then the fourteen
+# r7-stale keys (the verdict's rotation target: after this round no
+# key's latest row is older than r8). The rest of the window fills
+# with r8-green keys in module order; the 50 r9-green keys demote,
+# plus the sixteen r8-green overflow keys so the window holds
+# exactly 50 (they rotate back in r11).
 PRIORITY_KEYS = (
-    # new in r9
+    # new in r10
+    "gopher_quality_filter",
+    "hash_split",
+    # registered code changed in r10 — need fresh rows
+    "semantic_dedup",
+    "multimodal_features",
+    # r7-stale — rows most urgently needed
+    "currency_convert",
+    "gold_customer_metrics",
+    "gold_product_performance",
+    "order_value_percentiles",
+    "profile_column_stats",
+    "profile_type_distribution",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "revenue_pivot_by_priority",
+    "silver_dedup_events",
+    "top_parts_per_brand",
+    "users_enriched",
+)
+
+# The 50 keys green in CORRECTNESS_r09 (their status is on record)
+# plus sixteen r8-green keys keeping the window at exactly 50; the
+# other 32 r8-green keys fill the r10 window after the priorities.
+DEMOTED_KEYS = frozenset({
+    # r9-green set
     "quality_classifier_score",
     "ccnet_ppl_buckets",
     "token_budget_mixture",
-    # r6-stale TPC-H overflow — rows most urgently needed
     "q8_market_share",
     "q15_top_supplier",
     "q13_order_distribution",
@@ -51,47 +79,41 @@ PRIORITY_KEYS = (
     "q16_supplier_variety",
     "q20_excess_suppliers",
     "q22_idle_customers",
-)
-
-# The 50 keys green in CORRECTNESS_r08 (their status is on record),
-# plus eleven r7-green keys keeping the window at exactly 50; the
-# remaining 37 r7-green keys fill the r9 window after the priorities.
-DEMOTED_KEYS = frozenset({
-    # r8-green set
-    "lakehouse_point_lookup",
-    "lakehouse_bloom_lookup",
-    "semantic_dedup",
-    "source_quota_sample",
-    "dedup_best_quality",
-    "dedup_paragraph_corpus",
-    "sample_mixture",
-    "pii_redaction",
-    "text_repetition",
-    "multimodal_features",
-    "approx_event_stats",
-    "url_extraction",
-    "strip_markup",
-    "doc_chunks",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_pq",
-    "pack_training_sequences",
-    "text_bpe_tokens",
-    "embedding_quantization",
-    "events_sessions",
-    "compare_schemas",
-    "events_funnel",
-    "product_catalog_ann",
-    "customer_lookalike",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q21_waiting_suppliers",
-    "silver_orders",
-    "clean_customer",
-    "gold_daily_sales",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding",
+    "ann_ivf",
+    "ann_ivf_int8",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "embedding_stats",
+    "events_windowed",
+    "describe_customer",
+    "events_json_extract",
+    "skew_safe_segment_activity",
+    "orders_with_returns",
+    "customers_without_orders",
+    "revenue_rollup",
+    "small_quantity_revenue",
+    "revenue_running_total",
+    "tfidf_keywords",
+    "text_lm_score",
+    "ngram_contamination",
+    "span_boilerplate",
+    "dedup_exact_substrings",
+    "decontaminate_corpus",
+    "asof_last_purchase",
+    "range_join_incidents",
+    "events_hypertable_rollup",
+    "events_gapfill",
+    "events_attribution",
+    "product_catalog",
+    "q1_pricing_summary",
+    "drop_empty_rows",
+    # r8-green overflow — rotate back in r11
     "gold_orders_enriched",
     "cohort_retention",
     "customer_profiles",
@@ -108,21 +130,6 @@ DEMOTED_KEYS = frozenset({
     "flag_duplicates",
     "extract_currency",
     "clean_documents",
-    # r7-green overflow — rotate back in r10
-    "revenue_pivot_by_priority",
-    "order_value_percentiles",
-    "top_parts_per_brand",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q9_profit_by_nation",
-    "silver_dedup_events",
-    "gold_customer_metrics",
-    "gold_product_performance",
-    "currency_convert",
-    "users_enriched",
-    "profile_column_stats",
-    "profile_type_distribution",
 })
 
 

@@ -595,6 +595,83 @@ _SEGMENT_CACHE: dict[str, dict] = {}
 _SEGMENT_CACHE_CAP = 512
 
 
+class _TrackedMap(dict):
+    """Per-file manifest map (file -> stats/rows/sidecar...) that
+    records which FILE KEYS were touched after assembly, so
+    ``_commit``'s sealed-segment reuse decision and tail-remainder
+    computation replay their predicates over O(changed entries)
+    instead of walking every live file's map entries per commit
+    (VERDICT r9 item 5 — the residual O(live files) commit
+    component). ``_touched`` holds keys set to a DIFFERENT value or
+    removed; ``_added`` keys absent at assembly time. Code that
+    replaces a whole map (``manifest[k] = {...}``) simply loses the
+    tracking and _commit falls back to the full walk for that key —
+    the fast path is an optimization, never a correctness
+    assumption. Pickling/deepcopy degrade to a plain dict: tracking
+    is driver-side commit state, not data."""
+
+    __slots__ = ("_touched", "_added")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._touched: set = set()
+        self._added: set = set()
+
+    def _mark(self, key, value):
+        if not dict.__contains__(self, key):
+            self._added.add(key)
+            self._touched.add(key)
+        elif dict.__getitem__(self, key) != value:
+            self._touched.add(key)
+
+    def __setitem__(self, key, value):
+        self._mark(key, value)
+        dict.__setitem__(self, key, value)
+
+    def update(self, other=(), **kw):
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+        for k, v in kw.items():
+            self[k] = v
+
+    def __delitem__(self, key):
+        dict.__delitem__(self, key)
+        self._touched.add(key)
+        self._added.discard(key)
+
+    def pop(self, key, *default):
+        had = dict.__contains__(self, key)
+        out = dict.pop(self, key, *default)
+        if had:
+            self._touched.add(key)
+            self._added.discard(key)
+        return out
+
+    def popitem(self):
+        k, v = dict.popitem(self)
+        self._touched.add(k)
+        self._added.discard(k)
+        return k, v
+
+    def clear(self):
+        self._touched.update(dict.keys(self))
+        self._added.clear()
+        dict.clear(self)
+
+    def setdefault(self, key, default=None):
+        if not dict.__contains__(self, key):
+            self[key] = default
+            return default
+        return dict.__getitem__(self, key)
+
+    def copy(self):
+        return dict(self)
+
+    def __reduce__(self):
+        return (dict, (dict(self),))
+
+
 def _load_segment(path: str) -> dict:
     """Parse a segment file, memoized process-wide: segment names are
     unique per write (never rewritten in place), so a cache hit can
@@ -611,6 +688,55 @@ def _load_segment(path: str) -> dict:
     return content
 
 
+_DELTA_ENTRY_KEYS = frozenset(
+    {"files_added", "files_removed", "deletes_added", "deletes_removed"}
+)
+_SEGMENT_DECODE_CACHE: dict[str, list] = {}
+
+
+def _segment_decoded(seg_path: str, content: dict) -> list[tuple]:
+    """Per-entry decode DERIVATIONS for one segment, memoized
+    process-wide (segment names are unique per write, so a hit can
+    never be stale — same argument as ``_load_segment``): each row is
+    ``(storage, delta, lazy)`` where ``storage`` is the entry minus
+    its delta keys (a template the assembler shallow-copies per
+    read), ``delta`` the _SnapshotChain instruction, ``lazy`` the
+    keys that materialize on access. Deriving these once per SEGMENT
+    instead of once per READ removes the O(history) per-snapshot
+    parse work that dominated commit latency on long histories (the
+    r9 verdict's residual-growth item): a table open now pays
+    O(tail + new segments), and steady-state commits re-derive only
+    the rewritten tail."""
+    hit = _SEGMENT_DECODE_CACHE.get(seg_path)
+    if hit is not None:
+        return hit
+    rows: list[tuple] = []
+    for e in content.get("snapshots", []):
+        d: dict[str, tuple] = {}
+        lazy: set = set()
+        for key in ("files", "deletes"):
+            added = e.get(f"{key}_added")
+            removed = e.get(f"{key}_removed")
+            if key in e:
+                d[key] = ("full", e[key])
+            elif added is not None or removed is not None:
+                d[key] = ("delta", added or [], removed or [])
+                lazy.add(key)
+            elif key == "files":
+                # keyless snapshot: reads as empty, chain state
+                # untouched (mirrors _delta_decode_snapshots)
+                lazy.add(key)
+        storage = {
+            k: v for k, v in e.items() if k not in _DELTA_ENTRY_KEYS
+        }
+        rows.append((storage, d, frozenset(lazy)))
+    if len(_SEGMENT_DECODE_CACHE) >= _SEGMENT_CACHE_CAP:
+        for k in list(_SEGMENT_DECODE_CACHE)[: _SEGMENT_CACHE_CAP // 4]:
+            _SEGMENT_DECODE_CACHE.pop(k, None)
+    _SEGMENT_DECODE_CACHE[seg_path] = rows
+    return rows
+
+
 def _assemble_segmented(path: str, core: dict) -> dict:
     """Assemble the in-memory manifest from a format-2 core + its
     segments: snapshots concatenate (lazily decoded, reset boundaries
@@ -618,15 +744,15 @@ def _assemble_segmented(path: str, core: dict) -> dict:
     ``_seg_plan`` records what came from where so ``_commit`` can
     reuse clean segments byte-for-byte."""
     manifest = {k: v for k, v in core.items() if k != "segments"}
-    enc_snaps: list[dict] = []
+    deltas: list[dict] = []
+    storages: list[tuple] = []
     resets: set[int] = set()
     plan_segs: list[dict] = []
     for d in core.get("segments", []):
         seg_path = os.path.join(path, "_segments", d["name"])
         content = _load_segment(seg_path)  # may raise FileNotFoundError
-        entries = content.get("snapshots", [])[
-            : d.get("n", len(content.get("snapshots", [])))
-        ]
+        n = d.get("n", len(content.get("snapshots", [])))
+        entries = content.get("snapshots", [])[:n]
         if d.get("reset") and entries:
             # resets are only meaningful on segments that actually
             # contain entries (encoded standalone from empty state).
@@ -637,7 +763,7 @@ def _assemble_segmented(path: str, core: dict) -> dict:
             # state — truncating every later snapshot's decode
             # (ADVICE r10). Ignoring the flag heals such tables on
             # read; _commit no longer writes them.
-            resets.add(len(enc_snaps))
+            resets.add(len(deltas))
         plan_segs.append(
             {
                 "name": d["name"],
@@ -650,21 +776,42 @@ def _assemble_segmented(path: str, core: dict) -> dict:
                 },
             }
         )
-        # decode pops the delta keys — give it copies, keep the
-        # cached originals pristine for byte-identical reuse
-        enc_snaps.extend(dict(e) for e in entries)
-    manifest["snapshots"] = enc_snaps
+        for row in _segment_decoded(seg_path, content)[:n]:
+            deltas.append(row[1])
+            storages.append(row)
+    chain = _SnapshotChain(deltas, frozenset(resets))
+    snaps: list[dict] = []
+    for idx, (storage, _d, lazy) in enumerate(storages):
+        # shallow-copy the cached template: callers may shadow keys
+        # on their snapshot dicts, never on the cache
+        s = dict(storage)
+        snaps.append(
+            _LazySnapshot(s, chain, idx, lazy) if lazy else s
+        )
+    manifest["snapshots"] = snaps
+    core_maps: dict[str, frozenset] = {}
     for key in _PER_FILE_KEYS:
         present = key in manifest
-        merged = dict(manifest.get(key, {}))
+        core_level = manifest.get(key, {})
+        if core_level:
+            # pre-segment entries living in the core itself (legacy
+            # remnants): no segment owns them, so every commit's
+            # tail must re-carry them — remember their names
+            core_maps[key] = frozenset(core_level)
+        merged = dict(core_level)
         for p in plan_segs:
             if key in p["maps"]:
                 present = True
                 merged.update(p["maps"][key])
         if present:
-            manifest[key] = merged
-    _delta_decode_snapshots(manifest, frozenset(resets))
-    manifest[_SEG_PLAN_KEY] = {"path": path, "segments": plan_segs}
+            # _TrackedMap(merged) copies WITHOUT marking: tracking
+            # starts empty, recording only post-assembly mutations
+            manifest[key] = _TrackedMap(merged)
+    manifest[_SEG_PLAN_KEY] = {
+        "path": path,
+        "segments": plan_segs,
+        "core_maps": core_maps,
+    }
     return manifest
 
 
@@ -789,6 +936,7 @@ class LakehouseTable:
         to_write: list[tuple[str, dict]] = []
         obsolete: list[str] = []
         owned: dict[str, set] = {k: set() for k in _PER_FILE_KEYS}
+        clean_maps: list[dict] = []
         pos = 0
         folded: dict | None = None
         broke_at: int | None = None
@@ -801,7 +949,18 @@ class LakehouseTable:
             dirty = False
             for k, m in p["maps"].items():
                 cur = maps_mem.get(k, {})
-                for f in m:
+                if isinstance(cur, _TrackedMap):
+                    # assembled this read and only mutated through
+                    # the tracked map: replay the dirty predicate
+                    # over ONLY the touched entries — the reuse
+                    # decision costs O(changed + #segments), not
+                    # O(live files) (VERDICT r9 item 5)
+                    it = (f for f in cur._touched if f in m)
+                else:
+                    # replaced wholesale since assembly (or a legacy
+                    # manifest): fall back to the full walk
+                    it = iter(m)
+                for f in it:
                     if f not in cur or (
                         k in _MUTABLE_PER_FILE_KEYS and cur[f] != m[f]
                     ):
@@ -844,8 +1003,11 @@ class LakehouseTable:
                         "reset": p["reset"],
                     }
                 )
-                for k, m in p["maps"].items():
-                    owned[k].update(m)
+                # clean reuse: do NOT build an O(entries) owned set —
+                # the tail-remainder fast path below tests candidate
+                # names against these maps directly (O(delta) total),
+                # and the slow path unions them on demand
+                clean_maps.append(p["maps"])
             pos += p["n"]
         if broke_at is not None:
             obsolete.extend(p["name"] for p in segs[broke_at:])
@@ -920,9 +1082,39 @@ class LakehouseTable:
         covered: set[str] = set()
         for p in segs[: len(reuse)]:
             covered.update(p["maps"].keys())
+        core_map_names = (plan or {}).get("core_maps", {})
         tail_maps: dict[str, dict] = {}
         for k, cur in maps_mem.items():
-            rest = {f: v for f, v in cur.items() if f not in owned[k]}
+            if isinstance(cur, _TrackedMap) and broke_at is None:
+                # O(delta) remainder: only entries NOT owned by a
+                # kept segment can belong to the tail — entries ADDED
+                # since assembly, the folded old tail's own entries,
+                # and pre-segment core-level leftovers. Everything
+                # else either lives unchanged in a clean segment or
+                # was folded into a rewritten one ("kept"/owned).
+                cand = set(cur._added)
+                if folded is not None and k in folded["maps"]:
+                    cand.update(folded["maps"][k])
+                cand.update(core_map_names.get(k, ()))
+                rest = {}
+                for f in sorted(cand):
+                    if f not in cur or f in owned[k]:
+                        continue
+                    if any(f in cm.get(k, ()) for cm in clean_maps):
+                        continue  # a clean segment still owns it
+                    rest[f] = cur[f]
+            else:
+                # untracked map (replaced wholesale / legacy) or a
+                # broken plan (re-split): full remainder walk, with
+                # clean segments' ownership unioned on demand
+                full_owned = set(owned[k])
+                for cm in clean_maps:
+                    full_owned.update(cm.get(k, ()))
+                rest = {
+                    f: v
+                    for f, v in cur.items()
+                    if f not in full_owned
+                }
             if rest or k not in covered:
                 tail_maps[k] = rest
         descs = reuse

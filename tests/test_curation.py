@@ -302,3 +302,72 @@ def test_token_budget_sample_semantics(spark):
 
     with _pytest.raises(ValueError, match="budgets"):
         token_budget_sample(df, "src", "doc_id", "toks", {"a": -1}, 0)
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each Gopher rule fires on a purpose-built document and the
+    clean document passes all seven (the driver corpus never
+    exercises bullets/ellipses — these plants do)."""
+    from biglake_iceberg_pipeline_spark.operators.text import gopher_rules
+
+    prose = (
+        "the quick brown fox and the lazy dog have agreed to share "
+        "a den of modest size with that other fox so that everyone "
+        "can be warm and nobody will have to sleep outside in the "
+        "cold night air of the deep north woods this winter season "
+        "which everyone agrees is the right thing to do for all"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose),                                   # clean
+            (2, "short text"),                            # too few words
+            (3, " ".join(["x" * 20] * 60)),               # word len > 10
+            (4, " ".join(["# ok"] * 60)),                 # symbol soup
+            (5, "\n".join(["- item " + "w " * 9] * 10)),  # bullets
+            (6, "\n".join(["line one..."] * 10)),         # ellipses
+            (7, " ".join(["123"] * 60)),                  # no alpha
+            (8, " ".join(["zebra"] * 60)),                # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, "text").collect()
+    }
+    assert rows[1]["g_keep"] is True
+    assert rows[2]["g_ok_words"] is False
+    assert rows[3]["g_ok_word_len"] is False
+    assert rows[4]["g_ok_symbols"] is False
+    assert rows[5]["g_ok_bullets"] is False
+    assert rows[6]["g_ok_ellipsis"] is False
+    assert rows[7]["g_ok_alpha"] is False
+    assert rows[8]["g_ok_stopwords"] is False
+    for d in range(2, 9):
+        assert rows[d]["g_keep"] is False
+
+
+def test_hash_split_stable_under_growth_and_salted(spark):
+    """The split property that matters: assignments never move when
+    the corpus grows; fractions land near spec; a salt re-deals."""
+    from biglake_iceberg_pipeline_spark.operators.sampling import hash_split
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "k")
+    grown = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(base, "k").collect()}
+    b = {r["k"]: r["split"] for r in hash_split(grown, "k").collect()}
+    assert all(b[k] == v for k, v in a.items())  # no reassignment
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert abs(c["train"] / 4000 - 0.9) < 0.03
+    assert abs(c["valid"] / 4000 - 0.05) < 0.02
+    assert abs(c["test"] / 4000 - 0.05) < 0.02
+    s = {
+        r["k"]: r["split"]
+        for r in hash_split(base, "k", salt="fold2").collect()
+    }
+    assert any(s[k] != v for k, v in a.items())  # salt re-deals
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(base, "k", {"train": 0.5, "test": 0.1})

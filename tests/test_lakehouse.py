@@ -1354,14 +1354,16 @@ def test_maintenance_matview_changefeed_interplay(spark, tmp_path):
     ingest("f6.csv", ["11,d,110", "12,a,120"])
     assert mv.is_fresh() and mv_actual() == mv_expected()
 
-    # change_feed range CROSSING the compaction: file diff is invalid
-    # (rows moved files), so keys are required and the snapshot diff
-    # must classify exactly the new rows as inserts — no phantom
-    # updates from rewritten-but-unchanged rows
+    # change_feed range CROSSING the compaction: since r10 the
+    # compaction commit is stamped data_change=False (row-preserving),
+    # so the CHEAP file-diff path rides through it keylessly — exactly
+    # the new rows, no phantom inserts from rewritten-but-unchanged
+    # rows — and the keyed snapshot diff agrees
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="needs `keys`"):
-        table.change_feed(spark, snap1).collect()
+    cf2_cheap = table.change_feed(spark, snap1).collect()
+    assert sorted(r["id"] for r in cf2_cheap) == [7, 8, 9, 10, 11, 12]
+    assert set(r["_change_type"] for r in cf2_cheap) == {"insert"}
     cf2 = table.change_feed(spark, snap1, keys=["id"]).collect()
     assert sorted(r["id"] for r in cf2) == [7, 8, 9, 10, 11, 12]
     assert set(r["_change_type"] for r in cf2) == {"insert"}
