@@ -45,6 +45,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.sinks.fileio import fileio_for
 from biglake_iceberg_pipeline_spark.operators.schema_evolution import (
     align_for_append,
     align_to_schema,
@@ -679,8 +680,7 @@ def _load_segment(path: str) -> dict:
     hit = _SEGMENT_CACHE.get(path)
     if hit is not None:
         return hit
-    with open(path) as f:
-        content = json.load(f)
+    content = json.loads(fileio_for(path).read_bytes(path))
     if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_CAP:
         for k in list(_SEGMENT_CACHE)[: _SEGMENT_CACHE_CAP // 4]:
             _SEGMENT_CACHE.pop(k, None)
@@ -822,12 +822,12 @@ def load_manifest(path: str) -> dict:
     maps). The ONE manifest reader: LakehouseTable, the streaming
     source, and clone-protection walks all route here."""
     mp = os.path.join(path, "_manifest.json")
+    io = fileio_for(mp)
     last_exc: Exception | None = None
     for _ in range(8):
-        if not os.path.exists(mp):
+        if not io.exists(mp):
             return {"snapshots": [], "schema": None}
-        with open(mp) as f:
-            core = json.load(f)
+        core = json.loads(io.read_bytes(mp))
         if "segments" not in core:
             return _delta_decode_snapshots(core)  # legacy format 1
         try:
@@ -916,7 +916,7 @@ class LakehouseTable:
         commit via the full-re-split path. The core swap is the one
         atomic commit point; replaced segment files are reaped after
         it (racing readers retry from the new core)."""
-        os.makedirs(self.path, exist_ok=True)
+        fileio_for(self.path).makedirs(self.path)
         plan = manifest.pop(_SEG_PLAN_KEY, None)
         if plan is not None and plan.get("path") != self.path:
             # a manifest handed across tables (clone deep copies) must
@@ -1138,28 +1138,27 @@ class LakehouseTable:
             ]
         # ---- write order: segments, then the generation CAS, then
         # the core (the atomic commit point), then reap replaced
-        # segment files
+        # segment files. All metadata bytes move through the FileIO
+        # seam (sinks/fileio.py): atomic single-object puts + an
+        # idempotent delete — the exact object-store primitive set.
+        io = fileio_for(self.path)
         seg_dir = os.path.join(self.path, "_segments")
         if to_write:
-            os.makedirs(seg_dir, exist_ok=True)
+            io.makedirs(seg_dir)
         for name, content in to_write:
-            tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump(content, f, separators=(",", ":"))
-            os.replace(tmp, os.path.join(seg_dir, name))
+            io.write_atomic(
+                os.path.join(seg_dir, name),
+                json.dumps(content, separators=(",", ":")).encode(),
+            )
         core["generation"] = self._cas_generation(
             int(core.get("generation") or 0)
         )
         core["segments"] = descs
-        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(core, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        io.write_atomic(
+            self.manifest_path, json.dumps(core, indent=1).encode()
+        )
         for name in obsolete:
-            try:
-                os.remove(os.path.join(seg_dir, name))
-            except OSError:
-                pass
+            io.delete(os.path.join(seg_dir, name))
 
     def _cas_generation(
         self, current: int, stale_after: float = 120.0
@@ -1182,56 +1181,50 @@ class LakehouseTable:
         re-claimed — the same recovery rule as the commit lock,
         scoped to one token. Old markers are reaped opportunistically
         (only generations ≤ the one the core has durably recorded)."""
+        io = fileio_for(self.path)
         gens = os.path.join(self.path, "_gens")
-        os.makedirs(gens, exist_ok=True)
+        io.makedirs(gens)
         nxt = current + 1
         marker = os.path.join(gens, f"gen-{nxt}")
-        while True:
+
+        def disk_generation() -> int:
             try:
-                fd = os.open(
-                    marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                return int(
+                    json.loads(io.read_bytes(self.manifest_path)).get(
+                        "generation"
+                    )
+                    or 0
                 )
-                os.close(fd)
+            except (OSError, ValueError, TypeError):
+                return 0
+
+        while True:
+            if io.put_if_absent(marker):
                 # POST-WIN validation (review r9): the marker for an
                 # already-committed generation may have been REAPED by
-                # a later commit — O_EXCL then succeeds for a stale
-                # writer whose base generation the table passed long
-                # ago, and the conflict check in the FileExistsError
+                # a later commit — put-if-absent then succeeds for a
+                # stale writer whose base generation the table passed
+                # long ago, and the conflict check in the lost-race
                 # branch never runs. Re-read the durable generation
                 # after claiming; losing here must surrender the
                 # marker (it guards a generation that will never be
                 # written).
-                try:
-                    with open(self.manifest_path) as f:
-                        disk_gen = int(
-                            json.load(f).get("generation") or 0
-                        )
-                except (OSError, ValueError):
-                    disk_gen = 0
+                disk_gen = disk_generation()
                 if disk_gen >= nxt:
-                    try:
-                        os.remove(marker)
-                    except OSError:
-                        pass
+                    io.delete(marker)
                     raise CommitConflict(
                         f"manifest advanced to generation {disk_gen} "
                         f"(this writer's base implies {nxt}); re-read "
                         "and retry"
                     )
                 break
-            except FileExistsError:
+            else:
                 # someone claimed this generation. If the CORE
                 # already advanced to it, we lost a real race (a
                 # broken-lock double-writer): conflict out. If the
                 # core never advanced, the claimant crashed before
                 # its swap — break the stale marker and retry.
-                try:
-                    with open(self.manifest_path) as f:
-                        disk_gen = int(
-                            json.load(f).get("generation") or 0
-                        )
-                except (OSError, ValueError):
-                    disk_gen = 0
+                disk_gen = disk_generation()
                 if disk_gen >= nxt:
                     raise CommitConflict(
                         f"manifest generation {nxt} was committed by "
@@ -1239,11 +1232,8 @@ class LakehouseTable:
                         "or bypassed); re-read and retry"
                     )
                 try:
-                    if (
-                        time.time() - os.path.getmtime(marker)
-                        > stale_after
-                    ):
-                        os.remove(marker)
+                    if time.time() - io.mtime(marker) > stale_after:
+                        io.delete(marker)
                         continue
                 except OSError:
                     continue  # claimant released between check/stat
@@ -1252,15 +1242,12 @@ class LakehouseTable:
                     "in-flight writer; retry shortly"
                 )
         # reap markers for generations the core has durably passed
-        try:
-            for name in os.listdir(gens):
-                try:
-                    if int(name.rsplit("-", 1)[-1]) < current:
-                        os.remove(os.path.join(gens, name))
-                except (ValueError, OSError):
-                    continue
-        except OSError:
-            pass
+        for name in io.list(gens):
+            try:
+                if int(name.rsplit("-", 1)[-1]) < current:
+                    io.delete(os.path.join(gens, name))
+            except ValueError:
+                continue
         return nxt
 
     def _acquire_lock(

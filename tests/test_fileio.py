@@ -1,0 +1,173 @@
+"""FileIO seam tests (VERDICT r9 item 7): the contract both backends
+must satisfy, and a full manifest lifecycle — segmented commits,
+byte-identical reuse, generation CAS, reads — running entirely against
+the in-memory object-store fake, proving the commit protocol uses
+ONLY the six primitives (no hidden POSIX dependence)."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from biglake_iceberg_pipeline_spark.sinks.fileio import (
+    InMemoryFileIO,
+    LocalFileIO,
+    fileio_for,
+    register_fileio,
+    unregister_fileio,
+)
+
+
+@pytest.fixture(params=["local", "memory"])
+def io_under_test(request, tmp_path):
+    if request.param == "local":
+        return LocalFileIO(), str(tmp_path)
+    return InMemoryFileIO(), "mem://contract"
+
+
+def test_contract(io_under_test):
+    io, root = io_under_test
+    p = f"{root}/a/obj.json"
+    io.makedirs(f"{root}/a")
+    assert not io.exists(p)
+    with pytest.raises(OSError):
+        io.read_bytes(p)
+    io.write_atomic(p, b"v1")
+    assert io.exists(p) and io.read_bytes(p) == b"v1"
+    io.write_atomic(p, b"v2")  # overwrite is allowed and atomic
+    assert io.read_bytes(p) == b"v2"
+    assert io.mtime(p) > 0
+    # conditional PUT: exactly-once winner
+    m = f"{root}/a/marker"
+    assert io.put_if_absent(m, b"x") is True
+    assert io.put_if_absent(m, b"y") is False
+    assert io.read_bytes(m) == b"x"
+    assert sorted(io.list(f"{root}/a")) == ["marker", "obj.json"]
+    io.delete(m)
+    io.delete(m)  # idempotent
+    assert not io.exists(m)
+    with pytest.raises(OSError):
+        io.mtime(m)
+
+
+def test_put_if_absent_is_a_real_cas(io_under_test):
+    """64 threads race one marker: exactly one wins."""
+    io, root = io_under_test
+    io.makedirs(root)
+    wins = []
+    barrier = threading.Barrier(16)
+
+    def claim(i):
+        barrier.wait()
+        if io.put_if_absent(f"{root}/gen-7", str(i).encode()):
+            wins.append(i)
+
+    for _round in range(4):
+        io.delete(f"{root}/gen-7")
+        wins.clear()
+        ts = [threading.Thread(target=claim, args=(i,)) for i in range(16)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1
+
+
+def test_scheme_dispatch(tmp_path):
+    mem = InMemoryFileIO()
+    register_fileio("mem://", mem)
+    try:
+        assert fileio_for("mem://x/y") is mem
+        assert isinstance(fileio_for(str(tmp_path)), LocalFileIO)
+    finally:
+        unregister_fileio("mem://")
+
+
+@pytest.fixture
+def mem_table():
+    """A LakehouseTable whose METADATA lives on the in-memory object
+    store. Data files are irrelevant here — snapshots carry fake
+    paths; the lifecycle under test is the manifest protocol."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    mem = InMemoryFileIO()
+    register_fileio("mem://", mem)
+    try:
+        yield LakehouseTable("mem://tables/t1"), mem
+    finally:
+        unregister_fileio("mem://")
+
+
+def _commit_append(t, i, files):
+    m = t._read_manifest()
+    snaps = list(m["snapshots"])
+    tail = snaps[-1]["id"] if snaps else 0
+    prev = list(snaps[-1]["files"]) if snaps else []
+    m.setdefault("file_rows", {}).update({f: 10 for f in files})
+    snaps.append(
+        {
+            "id": tail + 1,
+            "operation": "append",
+            "ts": float(i),
+            "files": prev + list(files),
+        }
+    )
+    m["snapshots"] = snaps
+    t._commit(m)
+
+
+def test_manifest_lifecycle_on_object_store(mem_table):
+    """170 segmented commits (3 sealed segments q.v. seal=64), reads,
+    history decode, sealed-segment byte reuse, CAS generation
+    monotonicity — all through InMemoryFileIO."""
+    t, mem = mem_table
+    for i in range(1, 171):
+        _commit_append(t, i, [f"data/f{i}.parquet"])
+    m = t._read_manifest()
+    snaps = m["snapshots"]
+    assert [len(s["files"]) for s in snaps] == list(range(1, 171))
+    assert m["file_rows"][f"data/f{i}.parquet"] == 10
+    core = json.loads(mem.read_bytes("mem://tables/t1/_manifest.json"))
+    assert int(core["generation"]) == 170
+    assert len(core["segments"]) >= 3
+    seg_names = set(mem.list("mem://tables/t1/_segments"))
+    # exactly the referenced segments exist (replaced ones reaped)
+    assert seg_names == {d["name"] for d in core["segments"]}
+    # sealed segments are byte-identical across commits: another
+    # commit must not rewrite them
+    sealed_before = {
+        d["name"]: mem.read_bytes(f"mem://tables/t1/_segments/{d['name']}")
+        for d in core["segments"][:-1]
+    }
+    _commit_append(t, 171, ["data/f171.parquet"])
+    core2 = json.loads(mem.read_bytes("mem://tables/t1/_manifest.json"))
+    for name, blob in sealed_before.items():
+        assert (
+            mem.read_bytes(f"mem://tables/t1/_segments/{name}") == blob
+        )
+    assert int(core2["generation"]) == 171
+
+
+def test_cas_conflict_on_object_store(mem_table):
+    """A writer whose base generation the table already passed gets a
+    typed CommitConflict through the fake — the conditional-PUT
+    arbitration, no POSIX involved."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        CommitConflict,
+    )
+
+    t, mem = mem_table
+    _commit_append(t, 1, ["data/a.parquet"])
+    _commit_append(t, 2, ["data/b.parquet"])
+    with pytest.raises(CommitConflict):
+        t._cas_generation(0)  # stale base: gen 1 already durable
+    # and a crashed claimant's marker (no core advance) is broken
+    # after the stale window
+    mem.put_if_absent("mem://tables/t1/_gens/gen-3", b"")
+    with pytest.raises(CommitConflict):
+        t._cas_generation(2, stale_after=3600.0)  # in-flight claim
+    assert t._cas_generation(2, stale_after=0.0) == 3  # stale broken
