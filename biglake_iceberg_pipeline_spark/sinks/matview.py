@@ -97,6 +97,19 @@ class MaterializedView:
         if nothing changed)."""
         if self.is_fresh():
             return None
+        if self._only_row_preserving_since_watermark():
+            # the base's only movement was compaction / delete
+            # materialization (data_change=False, r10): the view's
+            # rows are still exact — advance the watermark without
+            # recomputing OR re-materializing anything. Before this,
+            # every maintain() on the base cost a full O(base)
+            # recompute for non-additive views.
+            lock_free_stamp(
+                self.table,
+                self.base.current_snapshot_id(),
+                app=self._app,
+            )
+            return None
         if self.keys is not None:
             try:
                 return refresh_additive_rollup(
@@ -118,6 +131,27 @@ class MaterializedView:
                 # defining_query/combine into a silent full recompute.
                 pass
         return self._full_recompute()
+
+    def _only_row_preserving_since_watermark(self) -> bool:
+        """True iff every base snapshot after the watermark is a
+        row-preserving rewrite (``data_change: False``) and the
+        watermark snapshot still exists with contiguous history — an
+        expiry gap could hide a row-changing commit, so it
+        conservatively returns False there."""
+        wm = self.watermark()
+        if wm is None:
+            return False
+        snaps = self.base.snapshots
+        ids = [s["id"] for s in snaps]
+        if wm not in ids:
+            return False
+        idx = ids.index(wm)
+        after = snaps[idx + 1 :]
+        if ids[idx:] != list(range(wm, wm + 1 + len(after))):
+            return False  # history gap: cannot prove row preservation
+        return bool(after) and all(
+            s.get("data_change") is False for s in after
+        )
 
     def _full_recompute(self) -> int:
         base_snap = self.base.current_snapshot_id()

@@ -142,3 +142,41 @@ def test_auto_refresh_on_commit_hook(spark, tmp_path):
     base.append(_orders(spark, 50, 90))
     assert mv.is_fresh()
     assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+
+
+def test_row_preserving_base_rewrite_stamps_without_recompute(
+    spark, tmp_path
+):
+    """r10: compaction / delete materialization on the base are
+    data_change=False — the view's rows are still exact, so refresh()
+    just advances the watermark: NO view-table data commit, no
+    recompute. A mixed range (compaction + append) takes the normal
+    path."""
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 60))
+    base.append(_orders(spark, 60, 100))
+    mv = MaterializedView(spark, "daily_rp", base, _daily, d + "/mv")
+    mv.refresh()
+    view_snap = mv.table.current_snapshot_id()
+
+    base.compact(spark, target_files=1)
+    assert not mv.is_fresh()
+    recomputes = []
+    orig = mv._full_recompute
+    mv._full_recompute = lambda: recomputes.append(1) or orig()
+    assert mv.refresh() is None  # stamp only
+    assert recomputes == []
+    assert mv.is_fresh()
+    # the view table wrote NO data snapshot (watermark is txn-only)
+    assert mv.table.current_snapshot_id() == view_snap
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+
+    # compaction + append since the watermark: rows changed, the
+    # normal (recompute) path must run and the result stays exact
+    base.compact(spark, target_files=2)
+    base.append(_orders(spark, 100, 130))
+    mv.refresh()
+    assert recomputes == [1]
+    assert mv.is_fresh()
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
