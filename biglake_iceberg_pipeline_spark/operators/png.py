@@ -182,11 +182,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngFormatError(f"unknown color type {color}")
     if not idat:
         raise PngFormatError("no IDAT data")
+    bpp = _CHANNELS[color]
+    expect = h * (1 + w * bpp)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: the expected size is known BEFORE
+        # decompressing, so a zlib-bomb payload (tiny IHDR that
+        # passes MAX_PIXELS, IDAT inflating to GBs) can never
+        # allocate past expect+1 — an unbounded zlib.decompress
+        # would OOM the executor before the size check ran
+        # (/code-review r10)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+        if len(raw) > expect or d.unconsumed_tail:
+            raise PngFormatError(
+                f"IDAT inflates past expected {expect} bytes"
+            )
     except zlib.error as exc:
         raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
-    bpp = _CHANNELS[color]
     rows = _unfilter(raw, h, w, bpp)
     px = rows.reshape(h, w, bpp)
     if color == 2:  # RGB

@@ -93,6 +93,12 @@ def hash_split(
         cases.append((hash_threshold(cum), name))
     for threshold, name in reversed(cases):
         expr = F.when(prefix < F.lit(threshold), name).otherwise(expr)
+    # a NULL key must label NULL, not silently land in the LAST split
+    # (md5(NULL) is NULL, every WHEN is NULL, the otherwise would
+    # catch it — contaminating 'test' with an arbitrary
+    # subpopulation; /code-review r10). Surfacing NULL lets the
+    # caller decide; split == 'test' filters never pick them up.
+    expr = F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn("split", expr)
 
 

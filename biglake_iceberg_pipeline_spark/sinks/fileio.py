@@ -99,6 +99,11 @@ class LocalFileIO:
         a marker released between exists-check and stat."""
         return os.path.getmtime(path)
 
+    def size(self, path: str) -> int:
+        """Object size in bytes (HEAD on object stores); OSError
+        when missing."""
+        return os.path.getsize(path)
+
 
 class InMemoryFileIO:
     """Executable contract spec: a flat-namespace, thread-safe,
@@ -162,6 +167,12 @@ class InMemoryFileIO:
             if path not in self._ctime:
                 raise OSError(f"no such object: {path}")
             return self._ctime[path]
+
+    def size(self, path: str) -> int:
+        with self._lock:
+            if path not in self._objects:
+                raise OSError(f"no such object: {path}")
+            return len(self._objects[path])
 
 
 LOCAL = LocalFileIO()

@@ -1085,13 +1085,24 @@ class LakehouseTable:
         core_map_names = (plan or {}).get("core_maps", {})
         tail_maps: dict[str, dict] = {}
         for k, cur in maps_mem.items():
-            if isinstance(cur, _TrackedMap) and broke_at is None:
+            if (
+                isinstance(cur, _TrackedMap)
+                and plan is not None
+                and broke_at is None
+            ):
                 # O(delta) remainder: only entries NOT owned by a
                 # kept segment can belong to the tail — entries ADDED
                 # since assembly, the folded old tail's own entries,
                 # and pre-segment core-level leftovers. Everything
                 # else either lives unchanged in a clean segment or
                 # was folded into a rewritten one ("kept"/owned).
+                # ``plan is not None`` is load-bearing: a re-split
+                # commit (plan popped by compact_manifest_segments,
+                # or invalidated by a cross-table path) has NO
+                # segments to own anything — the fast path there
+                # would silently drop every pre-existing map entry
+                # (/code-review r10, reproduced: file_rows 20 → 0
+                # after a segment compaction).
                 cand = set(cur._added)
                 if folded is not None and k in folded["maps"]:
                     cand.update(folded["maps"][k])
@@ -4173,22 +4184,25 @@ class LakehouseTable:
             # too: anything the current core doesn't reference, past
             # the same grace window
             seg_dir = os.path.join(self.path, "_segments")
-            if os.path.isdir(seg_dir):
+            io = fileio_for(self.path)
+            seg_names = io.list(seg_dir)
+            if seg_names:
                 referenced: set[str] = set()
-                if os.path.exists(self.manifest_path):
-                    with open(self.manifest_path) as fh:
-                        referenced = {
-                            d["name"]
-                            for d in json.load(fh).get("segments", [])
-                        }
-                for name in os.listdir(seg_dir):
+                if io.exists(self.manifest_path):
+                    referenced = {
+                        d["name"]
+                        for d in json.loads(
+                            io.read_bytes(self.manifest_path)
+                        ).get("segments", [])
+                    }
+                for name in seg_names:
                     if name in referenced:
                         continue
                     p = os.path.join(seg_dir, name)
                     try:
-                        if now - os.path.getmtime(p) < older_than_s:
+                        if now - io.mtime(p) < older_than_s:
                             continue
-                        os.remove(p)
+                        io.delete(p)
                         removed.append(p)
                     except OSError:
                         continue
@@ -4455,18 +4469,17 @@ class LakehouseTable:
             # the core swap, exactly like _commit's own obsolete list
             # (review r9: they otherwise linger until sweep_orphans'
             # grace window, an O(history) JSON copy per compaction)
-            with open(self.manifest_path) as f:
-                kept = {
-                    d["name"] for d in json.load(f).get("segments", [])
-                }
+            io = fileio_for(self.path)
+            kept = {
+                d["name"]
+                for d in json.loads(
+                    io.read_bytes(self.manifest_path)
+                ).get("segments", [])
+            }
             seg_dir = os.path.join(self.path, "_segments")
             for name in old_names:
-                if name in kept:
-                    continue
-                try:
-                    os.remove(os.path.join(seg_dir, name))
-                except OSError:
-                    pass
+                if name not in kept:
+                    io.delete(os.path.join(seg_dir, name))
             return n - len(kept)
         finally:
             try:
@@ -5240,8 +5253,9 @@ class LakehouseTable:
                 T.StructField("generation", T.LongType(), True),
             ])
             rows = []
+            io = fileio_for(self.path)
             try:
-                core_bytes = os.path.getsize(self.manifest_path)
+                core_bytes = io.size(self.manifest_path)
             except OSError:
                 core_bytes = None  # never committed: empty relation
             if core_bytes is not None:
@@ -5259,7 +5273,7 @@ class LakehouseTable:
                     self.path, "_segments", p["name"]
                 )
                 try:
-                    size = os.path.getsize(seg_path)
+                    size = io.size(seg_path)
                 except OSError:
                     size = None
                 rows.append((

@@ -97,18 +97,19 @@ class MaterializedView:
         if nothing changed)."""
         if self.is_fresh():
             return None
-        if self._only_row_preserving_since_watermark():
+        validated_tail = self._row_preserving_tail_since_watermark()
+        if validated_tail is not None:
             # the base's only movement was compaction / delete
             # materialization (data_change=False, r10): the view's
             # rows are still exact — advance the watermark without
             # recomputing OR re-materializing anything. Before this,
             # every maintain() on the base cost a full O(base)
-            # recompute for non-additive views.
-            lock_free_stamp(
-                self.table,
-                self.base.current_snapshot_id(),
-                app=self._app,
-            )
+            # recompute for non-additive views. Stamp the snapshot
+            # id the check actually VALIDATED, never a re-read
+            # current_snapshot_id(): a cross-process append landing
+            # between the validation and the stamp would otherwise
+            # be skipped forever (/code-review r10).
+            lock_free_stamp(self.table, validated_tail, app=self._app)
             return None
         if self.keys is not None:
             try:
@@ -132,26 +133,30 @@ class MaterializedView:
                 pass
         return self._full_recompute()
 
-    def _only_row_preserving_since_watermark(self) -> bool:
-        """True iff every base snapshot after the watermark is a
-        row-preserving rewrite (``data_change: False``) and the
-        watermark snapshot still exists with contiguous history — an
-        expiry gap could hide a row-changing commit, so it
-        conservatively returns False there."""
+    def _row_preserving_tail_since_watermark(self) -> int | None:
+        """The LAST snapshot id of a validated all-row-preserving
+        range after the watermark (``data_change: False`` on every
+        snapshot, watermark present, contiguous history — an expiry
+        gap could hide a row-changing commit, so it conservatively
+        returns None there). The caller stamps exactly this id: it is
+        the one the validation covered, regardless of what a
+        concurrent writer commits afterwards."""
         wm = self.watermark()
         if wm is None:
-            return False
+            return None
         snaps = self.base.snapshots
         ids = [s["id"] for s in snaps]
         if wm not in ids:
-            return False
+            return None
         idx = ids.index(wm)
         after = snaps[idx + 1 :]
+        if not after:
+            return None
         if ids[idx:] != list(range(wm, wm + 1 + len(after))):
-            return False  # history gap: cannot prove row preservation
-        return bool(after) and all(
-            s.get("data_change") is False for s in after
-        )
+            return None  # history gap: cannot prove row preservation
+        if all(s.get("data_change") is False for s in after):
+            return after[-1]["id"]
+        return None
 
     def _full_recompute(self) -> int:
         base_snap = self.base.current_snapshot_id()

@@ -371,3 +371,16 @@ def test_hash_split_stable_under_growth_and_salted(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(base, "k", {"train": 0.5, "test": 0.1})
+
+
+def test_hash_split_null_keys_label_null_not_test(spark):
+    """Regression (/code-review r10): NULL keys must surface as a
+    NULL split label, not silently contaminate the LAST split."""
+    from biglake_iceberg_pipeline_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,), (None,)], "k long"
+    )
+    got = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    assert got[None] is None
+    assert got[1] in ("train", "valid", "test")

@@ -2846,3 +2846,34 @@ def test_incremental_scan_rides_through_row_preserving_rewrites(
     # but the MoR delete itself (row-changing) still breaks lineage
     with pytest.raises(LineageBrokenError):
         t.incremental_scan(spark, base)
+
+
+def test_segment_compaction_preserves_per_file_maps(spark, tmp_path):
+    """Regression (/code-review r10, reproduced): the O(delta)
+    tail-remainder fast path must NOT engage on a re-split commit
+    (plan popped by compact_manifest_segments) — with no segments to
+    own anything it silently dropped every pre-existing per-file map
+    entry (file_rows 20 -> 0), which would corrupt MoR delete_meta
+    kinds and kill stats/bloom pruning on any table crossing the
+    segment-compaction threshold."""
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    old_seal = lh._SEGMENT_SEAL_SNAPSHOTS
+    lh._SEGMENT_SEAL_SNAPSHOTS = 4
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+        for _ in range(20):
+            t.append(df)
+        m = t._read_manifest()
+        n_rows_entries = len(m["file_rows"])
+        assert n_rows_entries == 20
+        assert t.compact_manifest_segments(max_segments=2) > 0
+        m2 = t._read_manifest()
+        assert len(m2["file_rows"]) == n_rows_entries
+        assert len(m2["file_stats"]) == n_rows_entries
+        assert len(m2["file_added_at"]) == n_rows_entries
+        assert t.row_count() == 20  # metadata-only count still exact
+        assert t.read(spark).count() == 20
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS = old_seal

@@ -180,3 +180,36 @@ def test_row_preserving_base_rewrite_stamps_without_recompute(
     assert recomputes == [1]
     assert mv.is_fresh()
     assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))
+
+
+def test_stamp_only_refresh_stamps_validated_snapshot_not_current(
+    spark, tmp_path
+):
+    """Regression (/code-review r10 TOCTOU): the stamp-only path must
+    stamp the snapshot the row-preserving check VALIDATED — a
+    cross-process append landing between validation and stamp must
+    leave the view stale, not silently skipped forever."""
+    d = str(tmp_path)
+    base = LakehouseTable(d + "/base")
+    base.append(_orders(spark, 0, 50))
+    mv = MaterializedView(spark, "daily_toctou", base, _daily, d + "/mv")
+    mv.refresh()
+    base.compact(spark, target_files=1)
+
+    orig = mv._row_preserving_tail_since_watermark
+
+    def racy():
+        tail = orig()
+        if tail is not None:
+            # a concurrent writer appends AFTER validation
+            base.append(_orders(spark, 50, 80))
+        return tail
+
+    mv._row_preserving_tail_since_watermark = racy
+    assert mv.refresh() is None  # stamp-only for the validated range
+    mv._row_preserving_tail_since_watermark = orig
+    # the concurrent append is NOT covered: view must still be stale
+    assert not mv.is_fresh()
+    mv.refresh()
+    assert mv.is_fresh()
+    assert _as_map(mv.read()) == _as_map(_daily(base.read(spark)))

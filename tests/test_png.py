@@ -219,3 +219,21 @@ def test_extract_features_png_rows_flagged_real(spark):
     }
     assert out[1][-1] == 1.0
     assert out[2][-1] == 0.0
+
+
+def test_zlib_bomb_rejected_before_allocation():
+    """A 1x1 IHDR whose IDAT inflates to ~64 MB must be rejected by
+    the bounded inflate (typed error), never materialized
+    (/code-review r10: an unbounded zlib.decompress would OOM the
+    executor before the size check ran)."""
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    payload = _build(1, 1, 0, bomb)
+    with pytest.raises(PngFormatError, match="inflates past"):
+        decode_png(payload)
+
+
+def test_trailing_idat_garbage_rejected():
+    img = _rng(9).integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    raw = _filter_rows(img, 0)
+    with pytest.raises(PngFormatError):
+        decode_png(_build(3, 3, 2, raw + b"\x00" * 8))
