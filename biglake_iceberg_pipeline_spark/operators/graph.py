@@ -21,12 +21,58 @@ standard guard for iterative DataFrame algorithms.
 At 100 TB: |edges| ≪ |docs| after LSH banding, labels frame is one
 long per node; a billion-node run is ~diameter × (join+agg) on a
 bigint key — shuffle-bound and balanced (no hot key: labels are ids).
+
+DENSE graphs (r10): near-dup clusters are CLIQUES, and a corpus with
+large duplicate groups can carry O(members²) verified pairs — at sf1
+the 0.6-threshold cluster graph holds 22.5M edges over 50k docs, and
+min-label iterations that re-join the full edge set each round paid
+that quadratic size every iteration (36 s of the 94 s query).
+``connected_components`` therefore runs TWO star-contraction rounds
+first (the large-star/small-star operations of Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond" — both provably
+component-preserving): each round points every neighborhood at its
+minimum, collapsing a clique to a star in one pass, so the edge set
+the min-label loop then iterates is O(nodes), not O(pairs). Sparse
+chain graphs pass through the contraction unchanged-in-size and
+converge in the loop exactly as before.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _star_contract(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star (``large=True``) or small-star round over a
+    SYMMETRIC edge frame (a, b): every neighbor of ``a`` on the
+    round's side (strictly larger for large-star; smaller-or-equal
+    for small-star) is re-pointed at m(a) = min(a, N(a)) — the
+    Kiveris et al. operations, each of which preserves the graph's
+    connected components exactly while collapsing dense
+    neighborhoods to stars. Returns the new symmetric, deduped,
+    self-loop-free edge frame."""
+    m = sym.groupBy("a").agg(
+        F.least(F.first("a"), F.min("b")).alias("m")
+    )
+    j = sym.join(m, "a")
+    side = F.col("b") > F.col("a") if large else F.col("b") <= F.col("a")
+    out = j.where(side).select(
+        F.col("b").alias("u"), F.col("m").alias("v")
+    )
+    if not large:
+        # small-star also keeps (a, m) itself so a node whose
+        # neighbors are all larger stays attached to its
+        # neighborhood's minimum
+        out = out.union(
+            j.select(F.col("a").alias("u"), F.col("m").alias("v"))
+        )
+    out = out.where(F.col("u") != F.col("v"))
+    return (
+        out.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(out.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -41,17 +87,30 @@ def connected_components(
     harmless. Raises if not converged within ``max_iter`` (diameter
     bound exceeded — for dedup graphs this means something is wrong
     with the candidate generation, not the clustering)."""
-    sym = (
+    # materialize the pair list ONCE (the candidate pipeline that
+    # produced it is the expensive part — unpinned lineage would
+    # re-run it on every pass; measured 2× on the sf0.1
+    # dedup_clusters query), in ONE direction: symmetrizing is a
+    # shuffle-free union over the materialized rows. Deliberately NO
+    # distinct here — duplicate/mirrored edges are harmless to every
+    # min-aggregation below, and a distinct over the raw pair set is
+    # a full O(pairs) shuffle that dominated the closure at sf1
+    # (the 22.5M-edge dense-clique graph: 61 s of which the pair
+    # pipeline itself was ~40 s; the contraction rounds take 5 s).
+    base = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        # materialize ONCE: every iteration joins against sym, and an
-        # unpinned lineage would re-run the (expensive) candidate
-        # pipeline that produced the edges on every round — measured
-        # 2× on the sf0.1 dedup_clusters query
+        .where(F.col(src) != F.col(dst))
         .localCheckpoint()
     )
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # component membership of the ORIGINAL node set must survive the
+    # contraction: star rounds re-point nodes but never drop them
+    # (every node keeps an edge toward its neighborhood minimum), and
+    # both operations preserve components exactly (Kiveris et al.).
+    # Two rounds collapse the dense-clique case — O(pairs) edges —
+    # to an O(nodes) star forest before the converging loop below.
+    sym = _star_contract(sym, large=True).localCheckpoint()
+    sym = _star_contract(sym, large=False).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

@@ -76,3 +76,74 @@ def test_keep_best_in_cluster(spark):
         ).collect()
     }
     assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Property pin for the r10 star-contraction pre-pass: components
+    over random graphs (dense cliques, chains, isolated edges, mixed)
+    must equal a driver-side union-find — the contraction must never
+    split or merge a component."""
+    import random
+
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        edges = set()
+        # mix: one clique, one chain, random edges
+        clique = rng.sample(range(n), min(n, rng.randint(2, 8)))
+        for i in clique:
+            for j in clique:
+                if i < j:
+                    edges.add((i, j))
+        chain = rng.sample(range(n), min(n, rng.randint(2, 10)))
+        for a, b in zip(chain, chain[1:]):
+            edges.add((min(a, b), max(a, b)) if a != b else (a, a + 1))
+        for _ in range(rng.randint(0, 2 * n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # driver-side union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            v: find(v)
+            for v in {x for e in edges for x in e}
+        }
+        df = spark.createDataFrame(
+            sorted(edges), "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_long_chain_still_converges(spark):
+    """A 40-node path (diameter 39) — the star pre-pass shortens it
+    but the min-label loop must still converge to one component
+    within max_iter."""
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = connected_components(df, "id_a", "id_b").collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 41

@@ -702,3 +702,75 @@ def test_streaming_dedup_crash_window_heals_index(spark, tmp_path):
     run()
     assert {r["doc_id"] for r in table.read(spark).collect()} == {1, 2, 4}
     assert index.read(spark).count() == 3
+
+
+def test_ingest_maintain_cadence_downstream_stream_rides_through(
+    spark, tmp_path
+):
+    """H6 x H14 composition (VERDICT r9 item 1, the full shape): an
+    ingest job with maintain_every=2 commits row-preserving rewrites
+    on its own cadence while a DOWNSTREAM plain stream tails the same
+    table on one checkpoint. The downstream stream must deliver every
+    ingested row exactly once, riding through the maintenance commits
+    with zero extra rows — before r10 it raised LineageBrokenError at
+    the first compaction."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+    from biglake_iceberg_pipeline_spark.streaming import ingest
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        read_lakehouse_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = LakehouseTable(str(tmp_path / "bronze"))
+    got: list = []
+
+    def sink(bdf, bid):
+        got.extend(r["id"] for r in bdf.collect())
+
+    down_ck = str(tmp_path / "down_ck")
+
+    def run_ingest():
+        q = ingest.start_ingest_to_lakehouse(
+            spark,
+            str(inbox),
+            table.path,
+            str(tmp_path / "ckpt"),
+            schema="ID long, Score double",
+            table=table,
+            maintain_every=2,
+            maintain_kwargs={"max_files": 1, "keep_snapshots": 20},
+        )
+        q.awaitTermination(180)
+
+    def run_downstream():
+        q = (
+            read_lakehouse_stream(spark, table.path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", down_ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # one inbox file per ingest run -> one micro-batch per run, so
+    # batch ids advance deterministically across checkpoint restarts
+    # and the maintain_every=2 cadence fires on the SECOND epoch
+    (inbox / "f1.csv").write_text("ID,Score\n1,1.0\n2,2.0\n")
+    run_ingest()  # epoch 0
+    (inbox / "f2.csv").write_text("ID,Score\n3,3.0\n")
+    run_ingest()  # epoch 1 -> maintain() fires
+    assert any(
+        s.get("data_change") is False for s in table.snapshots
+    ), "maintenance cadence did not commit a rewrite"
+    run_downstream()
+    assert sorted(got) == [1, 2, 3]
+    # more epochs + another maintenance, same downstream checkpoint
+    (inbox / "f3.csv").write_text("ID,Score\n4,4.0\n")
+    run_ingest()  # epoch 2
+    (inbox / "f4.csv").write_text("ID,Score\n5,5.0\n")
+    run_ingest()  # epoch 3 -> maintain() fires again
+    run_downstream()
+    assert sorted(got) == [1, 2, 3, 4, 5]  # exactly once, no replays
