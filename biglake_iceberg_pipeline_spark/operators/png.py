@@ -197,6 +197,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise PngFormatError(
                 f"IDAT inflates past expected {expect} bytes"
             )
+        if not d.eof:
+            # the deflate stream never terminated: a truncated IDAT
+            # could still have produced every expected byte, and the
+            # bounded inflate (unlike zlib.decompress) would not
+            # notice — without this check a corrupt payload silently
+            # decodes instead of taking the flagged fallback
+            # (/code-review r10 second pass, reproduced)
+            raise PngFormatError("truncated IDAT stream")
     except zlib.error as exc:
         raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
     rows = _unfilter(raw, h, w, bpp)

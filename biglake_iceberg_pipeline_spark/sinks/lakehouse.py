@@ -4202,10 +4202,16 @@ class LakehouseTable:
                     try:
                         if now - io.mtime(p) < older_than_s:
                             continue
-                        io.delete(p)
-                        removed.append(p)
                     except OSError:
                         continue
+                    io.delete(p)
+                    if io.exists(p):
+                        # undeletable (permissions, open handle):
+                        # io.delete is idempotent-quiet, so verify —
+                        # reporting it removed would make maintain()'s
+                        # orphan count lie (/code-review r10)
+                        continue
+                    removed.append(p)
             # prune now-empty snapshot dirs (cosmetic, keeps ls sane)
             for base in (data_root, deletes_root):
                 for root, _dirs, _names in os.walk(base, topdown=False):

@@ -237,3 +237,32 @@ def test_trailing_idat_garbage_rejected():
     raw = _filter_rows(img, 0)
     with pytest.raises(PngFormatError):
         decode_png(_build(3, 3, 2, raw + b"\x00" * 8))
+
+
+def test_truncated_idat_stream_rejected_even_when_bytes_complete():
+    """Regression (/code-review r10 second pass): a deflate stream cut
+    AFTER all expected output bytes were produced (adler32 trailer
+    missing, d.eof False) must still raise — the bounded inflate would
+    otherwise silently decode a corrupt payload the unbounded
+    zlib.decompress used to reject."""
+    img = _rng(11).integers(0, 256, (1, 1), dtype=np.uint8)
+    raw = b"\x00" + img.tobytes()
+    full = zlib.compress(raw)
+    for cut in range(4, len(full)):
+        d = zlib.decompressobj()
+        out = d.decompress(full[:cut], len(raw) + 1)
+        if len(out) == len(raw) and not d.eof:
+            payload = (
+                SIGNATURE
+                + _chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0),
+                )
+                + _chunk(b"IDAT", full[:cut])
+                + _chunk(b"IEND", b"")
+            )
+            with pytest.raises(PngFormatError, match="truncated IDAT"):
+                decode_png(payload)
+            break
+    else:
+        pytest.skip("no cut point yields complete bytes w/o eof")
