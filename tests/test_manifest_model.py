@@ -1,0 +1,196 @@
+"""Model-based randomized test of the segmented-manifest layer.
+
+The encoder/decoder/commit-reuse space has produced four subtle bugs
+across rounds 9-10 (empty-reset-tail decode truncation, keyless-
+predecessor resurrection, the NDV-interleave fold, the re-split map
+wipe) — each found by a targeted repro AFTER the fact. This test
+hunts the NEXT one proactively: a seeded random walk over the
+metadata operations (appends, map-only commits, map deletions,
+wholesale map replacement, replace-rewrites, history expiry, keyless
+foreign snapshots, segment compaction) maintains a driver-side PYTHON
+MODEL of the expected state, and after every step a FRESH table
+instance must decode exactly the model — every snapshot's full file
+list, every per-file map entry. Constants are shrunk (seal=3,
+reset=2) so segment boundaries, reset cadences, folds and re-splits
+are all crossed within a short walk. No Spark session: this exercises
+exactly the metadata path (`_read_manifest` → mutate → `_commit`)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+
+def _commit(t, mutate):
+    lock = t._acquire_lock()
+    try:
+        m = t._read_manifest()
+        mutate(m)
+        t._commit(m)
+    finally:
+        os.remove(lock)
+
+
+# seeds 23/30/31/39 were verified to CATCH a re-introduced
+# empty-reset-tail decode bug (mutation-tested: with the r10 fix
+# reverted, 8 of 40 seeds fail — these four among them), so the suite
+# keeps killing that mutant class, not just passing on green code
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 23, 30, 31, 39])
+def test_random_walk_matches_model(tmp_path, seed):
+    rng = random.Random(seed)
+    old = (lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY)
+    lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY = 3, 2
+    try:
+        t = lh.LakehouseTable(str(tmp_path / f"t{seed}"))
+        # the model: snapshot list of (id, op, files tuple, keyless),
+        # plus the two per-file maps this walk mutates
+        model_snaps: list[dict] = []
+        model_rows: dict[str, int] = {}
+        model_ndv: dict[str, str] = {}
+        ctr = 0
+
+        def cur_files():
+            return list(model_snaps[-1]["files"]) if model_snaps else []
+
+        def next_id():
+            return (model_snaps[-1]["id"] + 1) if model_snaps else 1
+
+        def op_append(m):
+            nonlocal ctr
+            ctr += 1
+            new = [f"data/f{ctr}_{j}" for j in range(rng.randint(1, 3))]
+            files = cur_files() + new
+            sid = next_id()
+            for f in new:
+                m.setdefault("file_rows", {})[f] = ctr
+                model_rows[f] = ctr
+            m["snapshots"] = list(m["snapshots"]) + [
+                {"id": sid, "operation": "append", "files": files}
+            ]
+            model_snaps.append(
+                {"id": sid, "files": files, "keyless": False}
+            )
+
+        def op_replace(m):
+            # CoW-style rewrite: live set swapped for fresh files
+            nonlocal ctr
+            if not model_snaps:
+                return op_append(m)
+            ctr += 1
+            files = [f"data/r{ctr}_{j}" for j in range(rng.randint(1, 2))]
+            sid = next_id()
+            for f in files:
+                m.setdefault("file_rows", {})[f] = ctr
+                model_rows[f] = ctr
+            m["snapshots"] = list(m["snapshots"]) + [
+                {"id": sid, "operation": "replace", "files": files}
+            ]
+            model_snaps.append(
+                {"id": sid, "files": files, "keyless": False}
+            )
+
+        def op_keyless(m):
+            sid = next_id()
+            m["snapshots"] = list(m["snapshots"]) + [
+                {"id": sid, "operation": "foreign"}
+            ]
+            model_snaps.append(
+                {"id": sid, "files": [], "keyless": True}
+            )
+
+        def op_map_set(m):
+            nonlocal ctr
+            ctr += 1
+            # half the time point at an existing data file, half at a
+            # fresh synthetic one (refresh vs first-write shapes)
+            files = cur_files()
+            f = (
+                rng.choice(files)
+                if files and rng.random() < 0.5
+                else f"stats/s{ctr}"
+            )
+            v = f"blob-{ctr}"
+            m.setdefault("ndv_sidecars", {})[f] = v
+            model_ndv[f] = v
+
+        def op_map_del(m):
+            if not model_ndv:
+                return op_map_set(m)
+            f = rng.choice(sorted(model_ndv))
+            del m["ndv_sidecars"][f]
+            del model_ndv[f]
+
+        def op_map_replace_wholesale(m):
+            nonlocal ctr
+            ctr += 1
+            # plain-dict replacement: loses _TrackedMap tracking, so
+            # _commit must take the slow full-walk path correctly
+            newmap = dict(model_ndv)
+            newmap[f"stats/w{ctr}"] = f"blob-{ctr}"
+            m["ndv_sidecars"] = newmap
+            model_ndv[f"stats/w{ctr}"] = f"blob-{ctr}"
+
+        def op_expire(m):
+            # history expiry: drop a random count of leading
+            # snapshots (forces broke_at / full re-split); dead
+            # files' map entries prune like expire_snapshots does
+            if len(model_snaps) < 3:
+                return op_append(m)
+            k = rng.randint(1, len(model_snaps) - 1)
+            m["snapshots"] = list(m["snapshots"])[k:]
+            del model_snaps[:k]
+            live: set = set()
+            for s in model_snaps:
+                live.update(s["files"])
+            for f in [x for x in model_rows if x not in live]:
+                del m["file_rows"][f]
+                del model_rows[f]
+
+        ops = [
+            (op_append, 8),
+            (op_replace, 2),
+            (op_keyless, 1),
+            (op_map_set, 4),
+            (op_map_del, 2),
+            (op_map_replace_wholesale, 1),
+            (op_expire, 1),
+        ]
+        weighted = [f for f, w in ops for _ in range(w)]
+
+        def check(step):
+            t2 = lh.LakehouseTable(t.path)  # fresh decode from disk
+            m2 = t2._read_manifest()
+            got = [
+                {
+                    "id": s["id"],
+                    "files": list(s.get("files", [])),
+                }
+                for s in m2["snapshots"]
+            ]
+            want = [
+                {"id": s["id"], "files": list(s["files"])}
+                for s in model_snaps
+            ]
+            assert got == want, f"seed {seed} step {step}: snapshots"
+            assert dict(m2.get("file_rows", {})) == model_rows, (
+                f"seed {seed} step {step}: file_rows"
+            )
+            assert dict(m2.get("ndv_sidecars", {})) == model_ndv, (
+                f"seed {seed} step {step}: ndv_sidecars"
+            )
+
+        for step in range(60):
+            action = rng.choice(weighted)
+            _commit(t, action)
+            check(step)
+            if rng.random() < 0.12:
+                t.compact_manifest_segments(
+                    max_segments=rng.randint(1, 3)
+                )
+                check(f"{step}+compact")
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY = old
