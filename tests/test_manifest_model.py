@@ -5,12 +5,13 @@ across rounds 9-10 (empty-reset-tail decode truncation, keyless-
 predecessor resurrection, the NDV-interleave fold, the re-split map
 wipe) — each found by a targeted repro AFTER the fact. This test
 hunts the NEXT one proactively: a seeded random walk over the
-metadata operations (appends, map-only commits, map deletions,
-wholesale map replacement, replace-rewrites, history expiry, keyless
-foreign snapshots, segment compaction) maintains a driver-side PYTHON
-MODEL of the expected state, and after every step a FRESH table
-instance must decode exactly the model — every snapshot's full file
-list, every per-file map entry. Constants are shrunk (seal=3,
+metadata operations (appends, MoR delete tails, delete
+materializations, map-only commits, map deletions, wholesale map
+replacement, replace-rewrites, history expiry, keyless foreign
+snapshots, segment compaction) maintains a driver-side PYTHON MODEL
+of the expected state, and after every step a FRESH table instance
+must decode exactly the model — every snapshot's full file AND
+delete list, every per-file map entry. Constants are shrunk (seal=3,
 reset=2) so segment boundaries, reset cadences, folds and re-splits
 are all crossed within a short walk. No Spark session: this exercises
 exactly the metadata path (`_read_manifest` → mutate → `_commit`)."""
@@ -51,6 +52,7 @@ def test_random_walk_matches_model(tmp_path, seed):
         model_snaps: list[dict] = []
         model_rows: dict[str, int] = {}
         model_ndv: dict[str, str] = {}
+        model_meta: dict[str, dict] = {}
         ctr = 0
 
         def cur_files():
@@ -91,6 +93,65 @@ def test_random_walk_matches_model(tmp_path, seed):
             ]
             model_snaps.append(
                 {"id": sid, "files": files, "keyless": False}
+            )
+
+        def op_mor_delete(m):
+            # merge-on-read delete: same file list, a delete file
+            # appended to the tail + its delete_meta entry — the
+            # codec's SECOND encoded key ("deletes") plus a third
+            # per-file map, exercised across every segment shape
+            nonlocal ctr
+            if not model_snaps:
+                return op_append(m)
+            ctr += 1
+            d = f"deletes/d{ctr}"
+            prev_tail = list(model_snaps[-1].get("deletes", []))
+            sid = next_id()
+            m.setdefault("delete_meta", {})[d] = {"kind": "position"}
+            model_meta[d] = {"kind": "position"}
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "delete",
+                    "files": cur_files(),
+                    "deletes": prev_tail + [d],
+                }
+            ]
+            model_snaps.append(
+                {
+                    "id": sid,
+                    "files": cur_files(),
+                    "deletes": prev_tail + [d],
+                    "keyless": False,
+                }
+            )
+
+        def op_materialize(m):
+            # delete materialization: fresh files, EMPTY delete tail
+            nonlocal ctr
+            if not model_snaps or not model_snaps[-1].get("deletes"):
+                return op_mor_delete(m)
+            ctr += 1
+            files = [f"data/m{ctr}"]
+            sid = next_id()
+            m.setdefault("file_rows", {})[files[0]] = ctr
+            model_rows[files[0]] = ctr
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "replace",
+                    "files": files,
+                    "deletes": [],
+                    "data_change": False,
+                }
+            ]
+            model_snaps.append(
+                {
+                    "id": sid,
+                    "files": files,
+                    "deletes": [],
+                    "keyless": False,
+                }
             )
 
         def op_keyless(m):
@@ -153,6 +214,8 @@ def test_random_walk_matches_model(tmp_path, seed):
         ops = [
             (op_append, 8),
             (op_replace, 2),
+            (op_mor_delete, 3),
+            (op_materialize, 1),
             (op_keyless, 1),
             (op_map_set, 4),
             (op_map_del, 2),
@@ -168,11 +231,16 @@ def test_random_walk_matches_model(tmp_path, seed):
                 {
                     "id": s["id"],
                     "files": list(s.get("files", [])),
+                    "deletes": list(s.get("deletes", [])),
                 }
                 for s in m2["snapshots"]
             ]
             want = [
-                {"id": s["id"], "files": list(s["files"])}
+                {
+                    "id": s["id"],
+                    "files": list(s["files"]),
+                    "deletes": list(s.get("deletes", [])),
+                }
                 for s in model_snaps
             ]
             assert got == want, f"seed {seed} step {step}: snapshots"
@@ -181,6 +249,9 @@ def test_random_walk_matches_model(tmp_path, seed):
             )
             assert dict(m2.get("ndv_sidecars", {})) == model_ndv, (
                 f"seed {seed} step {step}: ndv_sidecars"
+            )
+            assert dict(m2.get("delete_meta", {})) == model_meta, (
+                f"seed {seed} step {step}: delete_meta"
             )
 
         for step in range(60):
