@@ -104,6 +104,17 @@ class LocalFileIO:
         when missing."""
         return os.path.getsize(path)
 
+    def touch(self, path: str) -> None:
+        """Reset the object's age clock (GC grace arbitration). On
+        POSIX this is utime; on object stores the analog is a
+        same-bytes self-copy (resets the updated-time HEAD reports).
+        Missing object → no-op (the race it guards is benign)."""
+        now = time.time()
+        try:
+            os.utime(path, (now, now))
+        except OSError:
+            pass
+
 
 class InMemoryFileIO:
     """Executable contract spec: a flat-namespace, thread-safe,
@@ -173,6 +184,11 @@ class InMemoryFileIO:
             if path not in self._objects:
                 raise OSError(f"no such object: {path}")
             return len(self._objects[path])
+
+    def touch(self, path: str) -> None:
+        with self._lock:
+            if path in self._objects:
+                self._ctime[path] = time.time()
 
 
 LOCAL = LocalFileIO()

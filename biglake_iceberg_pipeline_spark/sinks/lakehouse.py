@@ -35,9 +35,11 @@ On a real deployment swap this module for Spark's Iceberg catalog
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import re
+import threading
 import time
 import uuid
 from datetime import datetime, timezone
@@ -249,8 +251,13 @@ class _SnapshotChain:
 
     ``deltas[i][key]`` is ``("full", list)`` for a snapshot that
     stored the full list, ``("delta", added, removed)`` for a
-    delta-encoded one, or absent — which, mirroring the encoder,
-    leaves the running state untouched.
+    delta-encoded one, ``("lazyfull", snapshot)`` for a boundary
+    that defers to ANOTHER snapshot's list (the freshly appended
+    tail entry's private chain roots at its predecessor without
+    decoding it — the predecessor materializes through its own
+    chain only if someone actually reads the new entry's list), or
+    absent — which, mirroring the encoder, leaves the running state
+    untouched.
 
     ``resets`` (r9, the segmented manifest): indices where the
     running state ZEROES before the entry applies — manifest SEGMENT
@@ -261,15 +268,25 @@ class _SnapshotChain:
     instead of index 0 — decoding the current snapshot of a long
     history costs O(entries since the last checkpoint)."""
 
-    __slots__ = ("_deltas", "_pos", "_state", "_resets")
+    __slots__ = ("_deltas", "_pos", "_state", "_resets", "_lock")
 
     def __init__(self, deltas: list[dict], resets=frozenset()):
         self._deltas = deltas
         self._pos = {"files": -1, "deletes": -1}
         self._state: dict[str, list] = {"files": [], "deletes": []}
         self._resets = frozenset(resets)
+        # chains are SHARED: across every _LazySnapshot of one read,
+        # and (via the assembly cache) across every clone of one
+        # generation — an unlocked cursor racing two threads could
+        # pair one thread's _pos with the other's _state and decode
+        # a wrong list silently
+        self._lock = threading.Lock()
 
     def decode(self, idx: int, key: str) -> list:
+        with self._lock:
+            return self._decode_locked(idx, key)
+
+    def _decode_locked(self, idx: int, key: str) -> list:
         pos = self._pos[key]
         state = self._state[key]
         if idx < pos:
@@ -279,7 +296,9 @@ class _SnapshotChain:
         # (pos, idx] makes everything before it irrelevant for key
         for i in range(idx, pos, -1):
             d = self._deltas[i].get(key)
-            if (d is not None and d[0] == "full") or i in self._resets:
+            if (
+                d is not None and d[0] in ("full", "lazyfull")
+            ) or i in self._resets:
                 start, state = i, []
                 break
         for i in range(start, idx + 1):
@@ -290,6 +309,11 @@ class _SnapshotChain:
                 continue
             if d[0] == "full":
                 state = d[1]
+            elif d[0] == "lazyfull":
+                # defer to the referenced snapshot's list (decodes
+                # through ITS chain; lock order private -> shared is
+                # acyclic — a shared chain never references back)
+                state = d[1][key]
             else:
                 rm = set(d[2])
                 state = [f for f in state if f not in rm] + d[1]
@@ -314,9 +338,18 @@ class _LazySnapshot(dict):
 
     CAUTION for new code: C fast paths that read raw dict storage —
     ``dict(s)``, ``{**s}``, ``json.dump(s)`` — bypass lazy keys; use
-    ``to_plain()`` (the encoder and clone already do)."""
+    ``to_plain()`` (the encoder and clone already do).
 
-    __slots__ = ("_chain", "_idx", "_lazy")
+    ``_pending`` (VERDICT r10 item 4 — the O(live)-free commit):
+    ``_locked_commit`` attaches ``{key: (added, removed)}`` to a
+    freshly appended tail entry whose list is BY CONSTRUCTION
+    ``predecessor's list minus removed plus added``; the encoder
+    emits that delta directly instead of materializing both full
+    lists and re-diffing them. Any mutation of a pending key
+    invalidates the shortcut (the constructed relationship no longer
+    holds), so ``__setitem__``/``pop``/``__delitem__`` clear it."""
+
+    __slots__ = ("_chain", "_idx", "_lazy", "_pending")
 
     def __init__(
         self,
@@ -329,12 +362,54 @@ class _LazySnapshot(dict):
         self._chain = chain
         self._idx = idx
         self._lazy = lazy
+        self._pending = None
+
+    @staticmethod
+    def _private_append_delta(cur, key):
+        """The (added, removed) delta when ``cur`` is an
+        unmaterialized lazy APPEND entry (the private 2-entry
+        lazyfull-rooted chain ``_locked_commit`` builds), else
+        None."""
+        if not (
+            isinstance(cur, _LazySnapshot)
+            and key in cur._lazy
+            and not dict.__contains__(cur, key)
+            and cur._idx == 1
+            and len(cur._chain._deltas) == 2
+        ):
+            return None
+        d0 = cur._chain._deltas[0].get(key)
+        d1 = cur._chain._deltas[1].get(key)
+        if d0 is None or d0[0] != "lazyfull" or d1 is None or d1[0] != "delta":
+            return None
+        return d1
 
     def _force(self, key):
-        if key in self._lazy and not dict.__contains__(self, key):
-            dict.__setitem__(
-                self, key, self._chain.decode(self._idx, key)
-            )
+        if key not in self._lazy or dict.__contains__(self, key):
+            return
+        # iterative chase over chained lazy-append entries (each
+        # commit's tail roots at its predecessor via ``lazyfull``):
+        # a recursive walk would hold one lock per hop and hit the
+        # recursion limit on long uncompacted histories
+        pending = []
+        cur = self
+        while True:
+            d = _LazySnapshot._private_append_delta(cur, key)
+            if d is None:
+                break
+            pending.append(d)
+            cur = cur._chain._deltas[0][key][1]
+        if pending:
+            base = cur[key] if key in cur else []
+            state = list(base)
+            for d in reversed(pending):
+                rm = set(d[2])
+                state = [f for f in state if f not in rm] + d[1]
+            dict.__setitem__(self, key, state)
+            return
+        dict.__setitem__(
+            self, key, self._chain.decode(self._idx, key)
+        )
 
     def materialize(self) -> "_LazySnapshot":
         for key in self._lazy:
@@ -364,6 +439,21 @@ class _LazySnapshot(dict):
     def __contains__(self, key):
         return key in self._lazy or dict.__contains__(self, key)
 
+    def _unpend(self, key):
+        if self._pending is not None and key in self._pending:
+            self._pending = None
+
+    def __setitem__(self, key, value):
+        self._unpend(key)
+        dict.__setitem__(self, key, value)
+
+    def update(self, other=(), **kw):
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+        for k, v in kw.items():
+            self[k] = v
+
     def pop(self, key, *default):
         if key in self._lazy:
             self._force(key)
@@ -371,12 +461,14 @@ class _LazySnapshot(dict):
             # later ``key in s`` True and ``s[key]`` re-decode and
             # RESURRECT the popped list (ADVICE r8)
             self._lazy = self._lazy - {key}
+        self._unpend(key)
         return dict.pop(self, key, *default)
 
     def __delitem__(self, key):
         if key in self._lazy:
             self._force(key)
             self._lazy = self._lazy - {key}
+        self._unpend(key)
         dict.__delitem__(self, key)
 
     def __len__(self):
@@ -477,14 +569,54 @@ def _delta_encode_entries(
     state: ``prev_known[key]`` is the list the decoder holds entering
     the first entry (``[]`` at a reset boundary; ``None`` = unknown —
     the first entry carrying that key then stays FULL, which resets
-    the decoder regardless of carried state). Lossless by
-    construction: if reconstruction would not reproduce the exact
-    list (order included), the full list is kept for that snapshot —
-    appends and rewrites both round-trip exactly, so the fallback is
-    a safety net, not a path."""
+    the decoder regardless of carried state; a CALLABLE = the list is
+    known but not yet materialized — it is invoked only if an entry
+    actually needs diffing, so the O(live-free) append path below
+    never pays for it). Lossless by construction: if reconstruction
+    would not reproduce the exact list (order included), the full
+    list is kept for that snapshot — appends and rewrites both
+    round-trip exactly, so the fallback is a safety net, not a path.
+
+    Entries carrying ``_pending`` (``_LazySnapshot``; set only by
+    ``_locked_commit`` on a freshly appended tail entry) PASS THROUGH:
+    their list is by construction ``predecessor minus removed plus
+    added``, and the decoder's boundary state here IS that
+    predecessor (prev is non-None for every pending key), so emitting
+    the recorded delta is exact without materializing either full
+    list — the commit costs O(its own delta), not O(live files)
+    (VERDICT r10 item 4)."""
     enc = []
     prev = dict(prev_known)
+    # pass-through needs the boundary to BE the entry's construction
+    # predecessor, not merely known: a reset/legacy seed ([]) is a
+    # decoder artifact, not the predecessor's list — passing a delta
+    # through there would truncate history. Thunks are only ever
+    # built from the actual in-list predecessor, and every processed
+    # entry leaves its own true list behind, so both mark the key
+    # trusted from then on.
+    trusted = {k for k, v in prev.items() if callable(v)}
     for s in snaps:
+        pend = getattr(s, "_pending", None)
+        if pend is not None:
+            carried = [k for k in ("files", "deletes") if k in s]
+            if set(pend) == set(carried) and all(
+                k in trusted for k in pend
+            ):
+                e = {
+                    k: v
+                    for k, v in dict.items(s)  # raw storage only
+                    if k not in ("files", "deletes")
+                }
+                for key in carried:
+                    added, removed = pend[key]
+                    e[f"{key}_added"] = list(added)
+                    if removed:
+                        e[f"{key}_removed"] = list(removed)
+                    # the next entry's boundary: materialize only on
+                    # demand (s[key] applies the delta via the chain)
+                    prev[key] = (lambda s=s, key=key: s[key])
+                enc.append(e)
+                continue
         # dict(s) reads raw storage and would drop a _LazySnapshot's
         # unmaterialized lists — to_plain() resolves them via the
         # chain's sequential cursor (O(1) full lists held, no
@@ -496,8 +628,11 @@ def _delta_encode_entries(
             cur = e[key]
             pv = prev[key]
             prev[key] = cur
+            trusted.add(key)
             if pv is None:
                 continue  # unknown boundary state: keep the full list
+            if callable(pv):
+                pv = pv()
             pset = set(pv)
             cset = set(cur)
             added = [f for f in cur if f not in pset]
@@ -582,6 +717,15 @@ _MUTABLE_PER_FILE_KEYS = frozenset(
     {"ndv_sidecars", "bloom_sidecars", "file_ndv"}
 )
 _SEGMENT_SEAL_SNAPSHOTS = 64
+#: a tail segment also seals when its serialized size crosses this
+#: threshold, regardless of entry count: every commit rewrites the
+#: whole open tail, so one fat snapshot (a 100k-file initial load)
+#: parked in the tail would tax every later commit with megabytes of
+#: re-serialization until 64 entries accrued. Size-sealing caps the
+#: per-commit write at O(threshold + own delta). Descriptors carry
+#: ``bytes`` from write time; legacy descriptors (no size) keep the
+#: count-only rule.
+_SEGMENT_SEAL_BYTES = 256 * 1024
 #: every Nth fresh tail starts a RESET segment (encoded standalone
 #: from empty state): the decoder's checkpoint scan — and therefore
 #: the tail encoder's boundary-state decode on every commit — walks
@@ -769,6 +913,7 @@ def _assemble_segmented(path: str, core: dict) -> dict:
                 "name": d["name"],
                 "n": len(entries),
                 "reset": bool(d.get("reset")),
+                "bytes": d.get("bytes"),
                 "ids": [e.get("id") for e in entries],
                 "enc": entries,
                 "maps": {
@@ -815,12 +960,67 @@ def _assemble_segmented(path: str, core: dict) -> dict:
     return manifest
 
 
+_ASSEMBLY_CACHE: dict[str, tuple[tuple, dict]] = {}
+_ASSEMBLY_CACHE_CAP = 64
+
+
+def _assembly_fingerprint(core: dict) -> tuple | None:
+    """Identity of one committed manifest state: the CAS generation
+    plus the (uuid-fresh, never-rewritten-in-place) segment names.
+    Generation alone is not enough — a table dropped and recreated at
+    the same path counts generations from 1 again and could collide
+    with a stale entry; its segment names cannot."""
+    gen = core.get("generation")
+    if gen is None:
+        return None
+    return (gen, tuple(d["name"] for d in core.get("segments", [])))
+
+
+def _assembly_cache_put(path: str, fp: tuple, template: dict) -> None:
+    if len(_ASSEMBLY_CACHE) >= _ASSEMBLY_CACHE_CAP:
+        for k in list(_ASSEMBLY_CACHE)[: _ASSEMBLY_CACHE_CAP // 4]:
+            _ASSEMBLY_CACHE.pop(k, None)
+    _ASSEMBLY_CACHE[path] = (fp, template)
+
+
+def _clone_assembled(t: dict) -> dict:
+    """Working copy of a cached assembled manifest. Snapshot entries
+    are SHARED (read-only by convention; lazy-list forcing caches the
+    same value, which is benign), per-file maps re-wrap as fresh
+    ``_TrackedMap``s (C-level dict copy — the clone's mutations never
+    reach the template), the segment plan is shared (read-only in
+    ``_commit``), and every other nested structure deep-copies so a
+    caller mutating ``txns``/``branches`` before a FAILED commit
+    cannot pollute reads of the still-current generation."""
+    m: dict = {}
+    for k, v in t.items():
+        if k == "snapshots":
+            m[k] = list(v)
+        elif k in _PER_FILE_KEYS:
+            m[k] = _TrackedMap(v)
+        elif k == _SEG_PLAN_KEY:
+            m[k] = v
+        elif isinstance(v, (dict, list)):
+            m[k] = copy.deepcopy(v)
+        else:
+            m[k] = v
+    return m
+
+
 def load_manifest(path: str) -> dict:
     """Read a table's manifest — segmented format 2 or the legacy
     single file — into the in-memory contract every caller uses
     (full ``snapshots`` lists materializing lazily, merged per-file
     maps). The ONE manifest reader: LakehouseTable, the streaming
-    source, and clone-protection walks all route here."""
+    source, and clone-protection walks all route here.
+
+    Assembly is memoized per committed generation (VERDICT r10 item
+    4): re-reading an unchanged table — every commit's read-modify-
+    write cycle, every streaming trigger — costs O(live-map C-copy +
+    snapshot-list pointer copy) instead of re-walking every segment's
+    entries, so commit latency stays flat as history grows. The
+    fingerprint (generation + segment names) changes on every commit
+    by construction, so a hit can never be stale."""
     mp = os.path.join(path, "_manifest.json")
     io = fileio_for(mp)
     last_exc: Exception | None = None
@@ -830,14 +1030,25 @@ def load_manifest(path: str) -> dict:
         core = json.loads(io.read_bytes(mp))
         if "segments" not in core:
             return _delta_decode_snapshots(core)  # legacy format 1
+        fp = _assembly_fingerprint(core)
+        hit = _ASSEMBLY_CACHE.get(path)
+        if hit is not None and fp is not None and hit[0] == fp:
+            return _clone_assembled(hit[1])
         try:
-            return _assemble_segmented(path, core)
+            manifest = _assemble_segmented(path, core)
         except FileNotFoundError as exc:
             # a concurrent commit swapped the core and reaped a
             # replaced segment between our two reads — the new core
             # is consistent, re-read it
             last_exc = exc
             time.sleep(0.02)
+            continue
+        if fp is not None:
+            # the template is never handed out: the first caller gets
+            # a clone too, so its mutations stay its own
+            _assembly_cache_put(path, fp, manifest)
+            return _clone_assembled(manifest)
+        return manifest
     raise OSError(
         f"manifest segments unstable under {path}"
     ) from last_exc
@@ -933,17 +1144,29 @@ class LakehouseTable:
         }
         segs = plan["segments"] if plan else []
         reuse: list[dict] = []
-        to_write: list[tuple[str, dict]] = []
+        to_write: list[tuple[str, bytes]] = []
+        contents_by_name: dict[str, dict] = {}
         obsolete: list[str] = []
         owned: dict[str, set] = {k: set() for k in _PER_FILE_KEYS}
         clean_maps: list[dict] = []
         pos = 0
         folded: dict | None = None
         broke_at: int | None = None
+        n_mem = len(snaps_mem)
         for i, p in enumerate(segs):
-            if [
-                s.get("id") for s in snaps_mem[pos : pos + p["n"]]
-            ] != p["ids"]:
+            # O(1) alignment probe per segment: endpoints + length.
+            # Every history edit the repo performs either truncates a
+            # prefix (expiry — shifts the first id), drops/replaces a
+            # suffix (rewound reads), or appends — all caught here;
+            # no operation rewrites interior ids in place.
+            n = p["n"]
+            if pos + n > n_mem or (
+                n
+                and (
+                    snaps_mem[pos].get("id") != p["ids"][0]
+                    or snaps_mem[pos + n - 1].get("id") != p["ids"][-1]
+                )
+            ):
                 broke_at = i  # expiry / rewrite: re-split from here
                 break
             dirty = False
@@ -971,6 +1194,10 @@ class LakehouseTable:
             is_open_tail = (
                 i == len(segs) - 1
                 and p["n"] < _SEGMENT_SEAL_SNAPSHOTS
+                and (
+                    p.get("bytes") is None
+                    or p["bytes"] < _SEGMENT_SEAL_BYTES
+                )
             )
             if is_open_tail and (
                 len(snaps_mem) > pos + p["n"] or dirty
@@ -990,10 +1217,19 @@ class LakehouseTable:
                     }
                     content[k] = kept
                     owned[k].update(kept)
-                to_write.append((name, content))
+                data = json.dumps(
+                    content, separators=(",", ":")
+                ).encode()
+                to_write.append((name, data))
+                contents_by_name[name] = content
                 obsolete.append(p["name"])
                 reuse.append(
-                    {"name": name, "n": p["n"], "reset": p["reset"]}
+                    {
+                        "name": name,
+                        "n": p["n"],
+                        "reset": p["reset"],
+                        "bytes": len(data),
+                    }
                 )
             else:
                 reuse.append(
@@ -1001,6 +1237,11 @@ class LakehouseTable:
                         "name": p["name"],
                         "n": p["n"],
                         "reset": p["reset"],
+                        **(
+                            {"bytes": p["bytes"]}
+                            if p.get("bytes") is not None
+                            else {}
+                        ),
                     }
                 )
                 # clean reuse: do NOT build an O(entries) owned set —
@@ -1072,7 +1313,12 @@ class LakehouseTable:
                         for k in (key, f"{key}_added", f"{key}_removed")
                     )
                     prev_known[key] = (
-                        list(pred[key])
+                        # thunk, not list: a pending (pre-encoded)
+                        # append passes through without ever
+                        # materializing the predecessor's full list;
+                        # the encoder invokes it only when an entry
+                        # actually needs diffing
+                        (lambda p=pred, k=key: list(p[k]))
                         if enc_has and key in pred
                         else None
                     )
@@ -1108,10 +1354,11 @@ class LakehouseTable:
                     cand.update(folded["maps"][k])
                 cand.update(core_map_names.get(k, ()))
                 rest = {}
+                holders = [cm[k] for cm in clean_maps if k in cm]
                 for f in sorted(cand):
                     if f not in cur or f in owned[k]:
                         continue
-                    if any(f in cm.get(k, ()) for cm in clean_maps):
+                    if any(f in cm for cm in holders):
                         continue  # a clean segment still owns it
                     rest[f] = cur[f]
             else:
@@ -1131,9 +1378,12 @@ class LakehouseTable:
         descs = reuse
         if tail_enc or tail_maps:
             name = f"seg-{uuid.uuid4().hex[:12]}.json"
-            to_write.append(
-                (name, {"snapshots": tail_enc, **tail_maps})
-            )
+            tail_content = {"snapshots": tail_enc, **tail_maps}
+            data = json.dumps(
+                tail_content, separators=(",", ":")
+            ).encode()
+            to_write.append((name, data))
+            contents_by_name[name] = tail_content
             descs = reuse + [
                 # an entry-less tail (map-only commit) must never
                 # carry the reset flag: resets only describe entries
@@ -1145,6 +1395,7 @@ class LakehouseTable:
                     "name": name,
                     "n": len(tail_enc),
                     "reset": tail_reset and bool(tail_enc),
+                    "bytes": len(data),
                 }
             ]
         # ---- write order: segments, then the generation CAS, then
@@ -1156,11 +1407,8 @@ class LakehouseTable:
         seg_dir = os.path.join(self.path, "_segments")
         if to_write:
             io.makedirs(seg_dir)
-        for name, content in to_write:
-            io.write_atomic(
-                os.path.join(seg_dir, name),
-                json.dumps(content, separators=(",", ":")).encode(),
-            )
+        for name, data in to_write:
+            io.write_atomic(os.path.join(seg_dir, name), data)
         core["generation"] = self._cas_generation(
             int(core.get("generation") or 0)
         )
@@ -1170,6 +1418,64 @@ class LakehouseTable:
         )
         for name in obsolete:
             io.delete(os.path.join(seg_dir, name))
+        # seed the assembly cache with the state just committed: the
+        # next read — usually this table's very next commit cycle or
+        # streaming trigger — clones it instead of re-walking every
+        # segment, keeping read+commit latency flat in history length
+        old_by_name = {p["name"]: p for p in segs}
+        new_plan_segs: list[dict] = []
+        for dsc in descs:
+            nm = dsc["name"]
+            if nm in contents_by_name:
+                content = contents_by_name[nm]
+                enc = content["snapshots"][: dsc["n"]]
+                new_plan_segs.append(
+                    {
+                        "name": nm,
+                        "n": dsc["n"],
+                        "reset": bool(dsc.get("reset")),
+                        "bytes": dsc.get("bytes"),
+                        "ids": [e.get("id") for e in enc],
+                        "enc": enc,
+                        "maps": {
+                            k: content[k]
+                            for k in _PER_FILE_KEYS
+                            if k in content
+                        },
+                    }
+                )
+            else:
+                new_plan_segs.append(old_by_name[nm])
+        template = {
+            k: v for k, v in core.items() if k != "segments"
+        }
+        # the read contract says every snapshot's ``files`` is
+        # readable (keyless entries read as []); hand-built keyless
+        # plain dicts (foreign writers, tests) satisfy it on a disk
+        # read via the lazy wrapper — wrap them here the same way
+        template["snapshots"] = [
+            s
+            if "files" in s
+            else _LazySnapshot(
+                s, _SnapshotChain([{}]), 0, frozenset({"files"})
+            )
+            for s in snaps_mem
+        ]
+        template.update(maps_mem)
+        template[_SEG_PLAN_KEY] = {
+            "path": self.path,
+            "segments": new_plan_segs,
+            # every pre-segment core-level map entry was folded into
+            # the tail above, so nothing is core-owned anymore
+            "core_maps": {},
+        }
+        _assembly_cache_put(
+            self.path,
+            _assembly_fingerprint(core),
+            # a CLONE, so the caller mutating its manifest after this
+            # commit returns can never pollute later reads
+            _clone_assembled(template),
+        )
 
     def _cas_generation(
         self, current: int, stale_after: float = 120.0
@@ -1349,21 +1655,37 @@ class LakehouseTable:
                     f"{expected_tail}); re-read and retry the {operation}"
                 )
             snap_id = self._next_id(manifest)
-            if inherit_prev_files and snaps:
+            lazy_append = inherit_prev_files and bool(snaps)
+            fa_current = (
+                bool(snaps)
+                and manifest.get("file_added_at_tail") == tail
+            )
+            if lazy_append:
                 # lock-authoritative duplicate guard: two racing
                 # add_files of the same external paths both pass the
                 # pre-lock check; the second would double-reference
-                # the files (2× row_count, duplicated reads)
-                dup = set(files) & set(snaps[-1]["files"])
-                if dup:
-                    raise ValueError(
-                        f"already registered: {sorted(dup)[:3]}"
-                    )
-            all_files = (
-                (snaps[-1]["files"] if snaps else []) + files
-                if inherit_prev_files
-                else files
-            )
+                # the files (2× row_count, duplicated reads).
+                # O(k) fast path: with the stamp watermark current,
+                # every file in the tail has a file_added_at entry,
+                # so a file absent there is provably not in the tail
+                # — only candidates that ARE stamped (possibly dead,
+                # possibly live) need the full tail-set check.
+                fa_map = manifest.get("file_added_at", {})
+                cand = (
+                    [f for f in files if f in fa_map]
+                    if fa_current
+                    else files
+                )
+                if cand:
+                    dup = set(cand) & set(snaps[-1]["files"])
+                    if dup:
+                        raise ValueError(
+                            f"already registered: {sorted(dup)[:3]}"
+                        )
+            # appends never materialize the combined list: the entry
+            # decodes (predecessor + files) lazily, and the encoder
+            # passes the recorded delta straight through
+            all_files = None if lazy_append else files
             prev_deletes = (
                 snaps[-1].get("deletes", []) if snaps else []
             )
@@ -1408,11 +1730,28 @@ class LakehouseTable:
             # the previous tail, so backfill there — never at snap_id,
             # which would wrongly shield them from an equality delete
             # committing right now against the previous tail.
+            # ``file_added_at_tail`` records the tail snapshot through
+            # which completeness has been VERIFIED: while it matches,
+            # only the new files need stamping (O(delta), not O(live));
+            # any commit path that bypasses this stamp (branch splice,
+            # hand-built manifests) leaves the watermark behind and
+            # the next commit heals with the full backfill walk.
             fa = manifest.setdefault("file_added_at", {})
             new_set = set(files)
-            for f in all_files:
-                if f not in fa:
-                    fa[f] = snap_id if f in new_set else (tail or 0)
+            if fa_current or not snaps:
+                for f in files:
+                    if f not in fa:
+                        fa[f] = snap_id
+            else:
+                backfill = (
+                    list(snaps[-1]["files"]) + files
+                    if lazy_append
+                    else all_files
+                )
+                for f in backfill:
+                    if f not in fa:
+                        fa[f] = snap_id if f in new_set else (tail or 0)
+            manifest["file_added_at_tail"] = snap_id
             # manifest-authoritative spec: only seed it when absent —
             # an instance constructed before evolve_partition_spec ran
             # must not clobber the evolved spec back (its files still
@@ -1421,11 +1760,24 @@ class LakehouseTable:
                 manifest["partition_by"] = self.partition_by
                 self._record_transforms(manifest, self.partition_by)
             self._record_file_partitions(manifest, files)
-            entry = {
+            if lazy_append:
+                # the predecessor's own summary count carries the
+                # live-file total forward without a decode; legacy
+                # entries (no summary) pay the one-time decode and
+                # every commit after that rides the derived count
+                pred = snaps[-1]
+                pred_total = dict.get(pred, "summary", {}).get(
+                    "total_files"
+                )
+                if pred_total is None:
+                    pred_total = len(pred["files"])
+                total_files = pred_total + len(files)
+            else:
+                total_files = len(all_files)
+            storage = {
                 "id": snap_id,
                 "operation": operation,
                 "ts": time.time(),
-                "files": all_files,
                 # Iceberg snapshot summary: what this commit did, from
                 # metadata already in hand (footer counts) — history()
                 # answers "how big was that load" without any scan.
@@ -1435,7 +1787,7 @@ class LakehouseTable:
                 # calling a compaction's whole file set "added" would
                 # make load-size audits wrong for every rewrite
                 "summary": {
-                    "total_files": len(all_files),
+                    "total_files": total_files,
                     **(
                         {
                             "added_files": len(files),
@@ -1453,8 +1805,42 @@ class LakehouseTable:
                     ),
                 },
             }
-            if tail_deletes:
-                entry["deletes"] = tail_deletes
+            if lazy_append:
+                # the new tail entry is LAZY: its file list is
+                # (predecessor + files), recorded as one chain delta
+                # and materialized only if someone reads it — the
+                # commit itself never holds the O(live) list
+                # (VERDICT r10 item 4)
+                pred = snaps[-1]
+                # private 2-entry chain rooted at the predecessor via
+                # ``lazyfull``: no decode now, no mutation of a chain
+                # other snapshots (or assembly-cache clones) share
+                chain = _SnapshotChain(
+                    [
+                        {"files": ("lazyfull", pred)},
+                        {"files": ("delta", list(files), [])},
+                    ]
+                )
+                entry = _LazySnapshot(
+                    storage, chain, 1, frozenset({"files"})
+                )
+                pending = {"files": (list(files), [])}
+                if tail_deletes:
+                    dict.__setitem__(entry, "deletes", tail_deletes)
+                    np_ = len(prev_deletes)
+                    if tail_deletes[:np_] == prev_deletes:
+                        pending["deletes"] = (tail_deletes[np_:], [])
+                    else:
+                        # tail not an extension of the predecessor's:
+                        # no exact delta in hand — let the encoder diff
+                        pending = None
+                if pending is not None:
+                    entry._pending = pending
+            else:
+                entry = dict(storage)
+                entry["files"] = all_files
+                if tail_deletes:
+                    entry["deletes"] = tail_deletes
             if not data_change:
                 # Delta's dataChange=false: this commit rearranges
                 # bytes (compaction / delete materialization) but
@@ -1989,9 +2375,17 @@ class LakehouseTable:
         evolution; no rewrite)."""
         manifest = self._read_manifest()
         if manifest["schema"] is not None and manifest["snapshots"]:
+            from pyspark.sql.types import StructType
+
             spark = df.sparkSession
-            target = self._read_files(
-                spark, manifest["snapshots"][-1]["files"]
+            # align against the COMMITTED schema (the authoritative
+            # shape reads overlay), not a re-scan of every live
+            # file's footer — an append must cost O(new data), and
+            # the committed schema already unions all historical
+            # file schemas by the evolution contract
+            target = spark.createDataFrame(
+                [],
+                StructType.fromJson(json.loads(manifest["schema"])),
             )
             df = align_for_append(df, target)
         df = self._reshape_for_sort_order(
@@ -2838,10 +3232,12 @@ class LakehouseTable:
             rel = ptr.get(f)
             if rel is not None and f not in out:
                 by_blob.setdefault(rel, []).append(f)
+        io = fileio_for(self.path)
         for rel, fs in by_blob.items():
             try:
-                with open(os.path.join(self.path, rel)) as fh:
-                    blob = json.load(fh)
+                blob = json.loads(
+                    io.read_bytes(os.path.join(self.path, rel))
+                )
             except (OSError, ValueError):
                 continue  # lost blob → those files re-sketch later
             for f in fs:
@@ -2849,17 +3245,20 @@ class LakehouseTable:
                     out[f] = blob[f]
         return out
 
-    def _write_ndv_sidecar(self, sketches: dict[str, dict]) -> str:
-        """Persist one refresh batch's sketches as a sidecar blob;
-        returns its manifest-relative path."""
-        stats_dir = os.path.join(self.path, "stats")
-        os.makedirs(stats_dir, exist_ok=True)
-        rel = os.path.join("stats", f"ndv-{uuid.uuid4().hex}.json")
-        tmp = os.path.join(self.path, rel + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(sketches, fh)
-        os.replace(tmp, os.path.join(self.path, rel))
+    def _write_stats_sidecar(self, kind: str, payload: dict) -> str:
+        """Persist one refresh batch's stats as a sidecar blob via the
+        FileIO seam (write_atomic = single-object PUT); returns its
+        manifest-relative path."""
+        io = fileio_for(self.path)
+        io.makedirs(os.path.join(self.path, "stats"))
+        rel = os.path.join("stats", f"{kind}-{uuid.uuid4().hex}.json")
+        io.write_atomic(
+            os.path.join(self.path, rel), json.dumps(payload).encode()
+        )
         return rel
+
+    def _write_ndv_sidecar(self, sketches: dict[str, dict]) -> str:
+        return self._write_stats_sidecar("ndv", sketches)
 
     def refresh_ndv_sketches(
         self, spark: SparkSession, files: list[str] | None = None
@@ -3591,14 +3990,7 @@ class LakehouseTable:
     # carry referenced blobs.
 
     def _write_bloom_sidecar(self, blooms: dict[str, dict]) -> str:
-        stats_dir = os.path.join(self.path, "stats")
-        os.makedirs(stats_dir, exist_ok=True)
-        rel = os.path.join("stats", f"bloom-{uuid.uuid4().hex}.json")
-        tmp = os.path.join(self.path, rel + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(blooms, fh)
-        os.replace(tmp, os.path.join(self.path, rel))
-        return rel
+        return self._write_stats_sidecar("bloom", blooms)
 
     def refresh_bloom_filters(
         self,
@@ -3751,10 +4143,12 @@ class LakehouseTable:
             if len(blobs) <= max_blobs:
                 return 0
             contents: dict[str, dict] = {}
+            io = fileio_for(self.path)
             for rel in sorted(blobs):
                 try:
-                    with open(os.path.join(self.path, rel)) as fh:
-                        contents[rel] = json.load(fh)
+                    contents[rel] = json.loads(
+                        io.read_bytes(os.path.join(self.path, rel))
+                    )
                 except (OSError, ValueError):
                     continue  # lost blob: its pointers stay as-is
             # each file's sketch comes from its AUTHORITATIVE blob —
@@ -3782,12 +4176,8 @@ class LakehouseTable:
             # reader holding the PRE-compaction manifest must get the
             # full window to finish its blob opens — an hours-old
             # blob would otherwise be reaped by the very next expiry
-            now = time.time()
             for rel in readable:
-                try:
-                    os.utime(os.path.join(self.path, rel), (now, now))
-                except OSError:
-                    pass
+                io.touch(os.path.join(self.path, rel))
             self._commit(manifest)
             return len(readable)
         finally:
@@ -3812,10 +4202,12 @@ class LakehouseTable:
             if len(blobs) <= max_blobs:
                 return 0
             contents: dict[str, dict] = {}
+            io = fileio_for(self.path)
             for rel in sorted(blobs):
                 try:
-                    with open(os.path.join(self.path, rel)) as fh:
-                        contents[rel] = json.load(fh)
+                    contents[rel] = json.loads(
+                        io.read_bytes(os.path.join(self.path, rel))
+                    )
                 except (OSError, ValueError):
                     continue
             merged = {
@@ -3835,12 +4227,8 @@ class LakehouseTable:
                 )
                 for f, e in ptr.items()
             }
-            now = time.time()
             for rel in readable:
-                try:
-                    os.utime(os.path.join(self.path, rel), (now, now))
-                except OSError:
-                    pass
+                io.touch(os.path.join(self.path, rel))
             self._commit(manifest)
             return len(readable)
         finally:
@@ -3856,24 +4244,23 @@ class LakehouseTable:
         refresh can be adding pointers concurrently. The mtime grace
         window protects an in-flight refresh that has written its
         blob but not yet taken the lock."""
+        io = fileio_for(self.path)
         stats_dir = os.path.join(self.path, "stats")
-        if not os.path.isdir(stats_dir):
-            return
         referenced = set(manifest.get("ndv_sidecars", {}).values())
         referenced |= {
             e["blob"]
             for e in manifest.get("bloom_sidecars", {}).values()
         }
         now = time.time()
-        for name in os.listdir(stats_dir):
+        for name in io.list(stats_dir):
             rel = os.path.join("stats", name)
             if rel not in referenced and name.startswith(
                 ("ndv-", "bloom-")
             ):
                 path = os.path.join(stats_dir, name)
                 try:
-                    if now - os.path.getmtime(path) > 300:
-                        os.remove(path)
+                    if now - io.mtime(path) > 300:
+                        io.delete(path)
                 except OSError:
                     pass
 
@@ -4068,15 +4455,16 @@ class LakehouseTable:
                 e["blob"]
                 for e in cloned.get("bloom_sidecars", {}).values()
             }
+            src_io = fileio_for(self.path)
+            dst_io = fileio_for(dest.path)
             for rel in carried_blobs:
                 src_blob = os.path.join(self.path, rel)
                 dst_blob = os.path.join(dest.path, rel)
                 try:
-                    os.makedirs(os.path.dirname(dst_blob), exist_ok=True)
-                    with open(src_blob, "rb") as r, open(
-                        dst_blob, "wb"
-                    ) as w:
-                        w.write(r.read())
+                    dst_io.makedirs(os.path.dirname(dst_blob))
+                    dst_io.write_atomic(
+                        dst_blob, src_io.read_bytes(src_blob)
+                    )
                 except OSError:
                     # lost blob: the clone's pointers self-heal by
                     # re-sketching those files on its next refresh
@@ -4963,8 +5351,11 @@ class LakehouseTable:
             rel = entry["blob"]
             if rel not in blob_cache:
                 try:
-                    with open(os.path.join(self.path, rel)) as fh:
-                        blob_cache[rel] = json.load(fh)
+                    blob_cache[rel] = json.loads(
+                        fileio_for(self.path).read_bytes(
+                            os.path.join(self.path, rel)
+                        )
+                    )
                 except (OSError, ValueError):
                     blob_cache[rel] = None  # lost blob: keep files
             blob = blob_cache[rel]

