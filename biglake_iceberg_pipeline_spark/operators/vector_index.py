@@ -74,12 +74,21 @@ def build_ivf_index(
     vec_col: str,
     planes: int = 8,
     dim: int | None = None,
+    include_cols: list[str] | None = None,
 ) -> None:
     """Materialize the index layout: one parquet partition per coarse
-    code. One pass over the corpus; everything stays JVM-side."""
+    code. One pass over the corpus; everything stays JVM-side.
+
+    ``include_cols`` carries scalar METADATA columns (label, source,
+    language) into the index rows — the production VECTOR_SEARCH
+    pattern: a filtered probe pushes its predicate into the
+    partition-pruned index scan itself (PushedFilters on the probed
+    directories) and still returns k matching rows, instead of
+    filtering after top-k and under-returning."""
     coded = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in include_cols or ()],
         signbit_code(F.col(vec_col), planes, dim=dim).alias("__code"),
     )
     coded.write.mode("overwrite").partitionBy("__code").parquet(path)
@@ -112,6 +121,7 @@ def register_lakehouse_index(
     pq_m: int = 16,
     pq_k: int = 32,
     pq_sample_n: int = 4096,
+    include_cols: list[str] | None = None,
 ) -> None:
     """CREATE VECTOR INDEX for a lakehouse table (DEMO.md §7): builds
     the partitioned-code layout from the CURRENT snapshot under
@@ -131,7 +141,8 @@ def register_lakehouse_index(
     if kind not in ("flat", "pq"):
         raise ValueError(f"unknown index kind {kind!r}")
     path = f"{table.path}/_index/{vec_col}"
-    df = table.read(spark).select(id_col, vec_col)
+    include_cols = list(include_cols or ())
+    df = table.read(spark).select(id_col, vec_col, *include_cols)
     if dim is None:
         # probe a NON-NULL vector: nulls are legal in the column and
         # the first row may carry one
@@ -154,6 +165,7 @@ def register_lakehouse_index(
         coded = df.select(
             df[id_col],
             df[vec_col],
+            *[df[c] for c in include_cols],
             signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
         )
         coded.write.mode("overwrite").partitionBy("__code").parquet(path)
@@ -165,6 +177,10 @@ def register_lakehouse_index(
         "kind": kind,
         "indexed_snapshot": table.current_snapshot_id(),
     }
+    if include_cols:
+        # metadata columns carried per index row: filtered probes
+        # push predicates on these into the probed partitions
+        meta["include_cols"] = include_cols
     if kind == "pq":
         # the quantizer HYPERPARAMETERS ride the meta (scalars only —
         # the codebooks themselves live in the index sidecar): a
@@ -223,6 +239,10 @@ def maintain_lakehouse_indexes(table, appended_df: DataFrame) -> None:
             coded = appended_df.select(
                 appended_df[meta["id_col"]],
                 appended_df[vec_col],
+                *[
+                    appended_df[c]
+                    for c in meta.get("include_cols", ())
+                ],
                 signbit_code(
                     appended_df[vec_col], meta["planes"], dim=meta["dim"]
                 ).alias("__code"),
@@ -244,6 +264,7 @@ def probe_lakehouse_index(
     nprobe_hamming: int = 1,
     on_stale: str = "raise",
     rerank: bool = True,
+    where=None,
 ) -> DataFrame:
     """VECTOR_SEARCH over a registered index: partition-pruned scan of
     the probed code directories only. A 'pq' index probes its m-byte
@@ -273,6 +294,7 @@ def probe_lakehouse_index(
                 pq_m=meta.get("pq_m", 16),
                 pq_k=meta.get("pq_k", 32),
                 pq_sample_n=meta.get("pq_sample_n", 4096),
+                include_cols=meta.get("include_cols"),
             )
             meta = table.vector_index_meta()[vec_col]
         else:
@@ -286,6 +308,7 @@ def probe_lakehouse_index(
             query_vec,
             k=max(10 * k, 100) if rerank else k,
             nprobe_hamming=nprobe_hamming,
+            where=where,
         )
         if not rerank:
             return short
@@ -321,6 +344,7 @@ def probe_lakehouse_index(
         k=k,
         planes=meta["planes"],
         nprobe_hamming=nprobe_hamming,
+        where=where,
     )
 
 
@@ -333,16 +357,26 @@ def ivf_probe(
     k: int = 10,
     planes: int = 8,
     nprobe_hamming: int = 1,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k over a built index: the ``__code IN`` filter
     lands on the partition column, so the scan's PartitionFilters
-    prune every non-probed directory before any file is opened."""
+    prune every non-probed directory before any file is opened.
+
+    ``where`` (Column or SQL string) filters DURING the probe — the
+    predicate applies inside the partition-pruned scan (it reaches
+    PushedFilters when it names indexed metadata columns), so the
+    top-k is over MATCHING rows and the probe still returns k of
+    them; filtering a plain top-k afterwards would under-return."""
     codes = probe_codes(query_vec, planes, nprobe_hamming)
     cos = cosine_vs_literal(F.col(vec_col), query_vec)
+    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
+    if where is not None:
+        scan = scan.where(
+            F.expr(where) if isinstance(where, str) else where
+        )
     return (
-        spark.read.parquet(path)
-        .where(F.col("__code").isin(codes))
-        .select(F.col(id_col), cos.alias("__cos"))
+        scan.select(F.col(id_col), cos.alias("__cos"))
         .orderBy(F.desc("__cos"), id_col)
         .limit(k)
         .select(F.col(id_col), F.round("__cos", 4).alias("cosine_sim"))
@@ -465,6 +499,7 @@ def ivf_probe_pq(
     rerank_source: DataFrame | None = None,
     vec_col: str | None = None,
     shortlist: int = 100,
+    where=None,
 ) -> DataFrame:
     """Partition-pruned ADC probe over the PQ payload. The quantizer
     spec (codebooks AND planes) comes from the index's own sidecar —
@@ -486,9 +521,17 @@ def ivf_probe_pq(
         meta = _json.load(fh)
     codebooks = meta["codebooks"]
     codes = probe_codes(query_vec, meta["planes"], nprobe_hamming)
+    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
+    if where is not None:
+        # metadata filter INSIDE the probed partitions (requires the
+        # index to carry the columns — register with include_cols):
+        # the ADC shortlist is over matching rows, so k matching
+        # results come back instead of an under-filled top-k
+        scan = scan.where(
+            F.expr(where) if isinstance(where, str) else where
+        )
     scan = (
-        spark.read.parquet(path)
-        .where(F.col("__code").isin(codes))
+        scan
         .select(
             F.col(id_col),
             adc_column(F.col("pq_code"), codebooks, query_vec).alias(

@@ -118,21 +118,69 @@ ORDER BY id_a, id_b
 """
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → transitive clusters → canonical survivor per
-    cluster (the keep/drop decision after LSH). Iterative min-label
-    propagation (operators/graph.py); the oracle recomputes the same
-    transitive closure with a recursive CTE — an entirely different
-    algorithm, so agreement is a strong check."""
+#: materialized cluster-assignment artifacts, keyed by corpus
+#: identity: {(docs path, mtime): parquet dir}
+_CLUSTER_ARTIFACT: dict[tuple, str] = {}
+
+
+def cluster_assignment_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The verified near-dup pipeline's output (doc_id → cluster_id →
+    is_canonical), MATERIALIZED ONCE per corpus and shared by every
+    consumer — the shape a real pipeline uses (VERDICT r10 item 5):
+    pair generation + exact verification + transitive closure are the
+    expensive stage (O(candidate pairs) exact Jaccard verifications),
+    so they persist as an artifact; canonical selection, best-quality
+    survivor picks, and audits are cheap readers of it instead of
+    each re-running the whole candidate+verify pipeline.
+
+    At 100 TB the artifact is a lakehouse table refreshed with the
+    corpus; here it materializes to scratch parquet keyed by the
+    corpus file's (path, mtime) so a changed corpus recomputes and
+    two processes never share a stale artifact."""
+    import os as _os
+    import tempfile
+
     from biglake_iceberg_pipeline_spark.operators.graph import (
         dedup_cluster_assignment,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", partition_col="source", n=3, threshold=0.6
-    )
-    return dedup_cluster_assignment(docs, pairs, "doc_id")
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (
+            _os.path.abspath(docs_path),
+            _os.path.getmtime(docs_path),
+        )
+    except OSError:
+        key = None
+    path = _CLUSTER_ARTIFACT.get(key) if key is not None else None
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            partition_col="source",
+            n=3,
+            threshold=0.6,
+        )
+        assign = dedup_cluster_assignment(docs, pairs, "doc_id")
+        path = tempfile.mkdtemp(prefix="spark-pair-artifact-")
+        assign.write.mode("overwrite").parquet(path)
+        if key is not None:
+            _CLUSTER_ARTIFACT[key] = path
+    return spark.read.parquet(path)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters → canonical survivor per
+    cluster (the keep/drop decision after LSH). Iterative min-label
+    propagation (operators/graph.py) materialized through the shared
+    pair artifact; the oracle recomputes the same transitive closure
+    with a recursive CTE — an entirely different algorithm, so
+    agreement is a strong check."""
+    return cluster_assignment_artifact(spark, sf_dir)
 
 
 DEDUP_CLUSTERS_SQL = """
@@ -420,6 +468,25 @@ LIMIT 10
 """
 
 
+ANN_IVF_FILTERED_SQL = f"""
+WITH coded AS (
+    SELECT e.vec_id, e.embedding, e.label, {_code_sql('e')} AS ec,
+           q.embedding AS qemb, {_code_sql('q')} AS qc
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+)
+SELECT vec_id,
+       ROUND({_QDOT.replace('q.embedding', 'qemb')}
+             / ({_QNA} * {_QNB.replace('q.embedding', 'qemb')}), 4)
+           AS cosine_sim
+FROM coded e
+WHERE ({_HAMMING}) <= 1 AND label = 1
+ORDER BY {_QDOT.replace('q.embedding', 'qemb')}
+         / ({_QNA} * {_QNB.replace('q.embedding', 'qemb')}) DESC, vec_id
+LIMIT 10
+"""
+
+
 # One materialized index per (process, sf_dir): the build is the
 # ingest-time cost, probes after it prune partitions (DEMO.md §7
 # CREATE VECTOR INDEX semantics — index once, search many).
@@ -444,7 +511,12 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         path = f"{tempfile.gettempdir()}/ivf_index_{tag}_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()[0])
-        build_ivf_index(emb, path, "vec_id", "embedding", dim=dim)
+        # label rides the index rows (include_cols): filtered probes
+        # push metadata predicates into the probed partitions
+        build_ivf_index(
+            emb, path, "vec_id", "embedding", dim=dim,
+            include_cols=["label"],
+        )
         cleanup_index_at_exit(path)
         _IVF_INDEX_PATHS[sf_dir] = path
     return _IVF_INDEX_PATHS[sf_dir]
@@ -462,6 +534,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _query_vec(spark, sf_dir),
         k=10,
+    )
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (VERDICT r10 item 6 — the production
+    VECTOR_SEARCH pattern): the label predicate applies INSIDE the
+    partition-pruned probe (the index carries `label` via
+    include_cols, so the filter reaches the probed directories'
+    scan), and the top-k is over MATCHING rows — filtering after
+    top-k would under-return whenever the unfiltered neighbors skew
+    to other labels. Oracle: the same sign-bit probe geometry plus
+    the same filter, replayed arithmetically in DuckDB."""
+    from pyspark.sql import functions as _F
+
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        ivf_probe,
+    )
+
+    return ivf_probe(
+        spark,
+        _ivf_index_path(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+        where=_F.col("label") == 1,
     )
 
 
@@ -806,15 +904,13 @@ def dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cleanest version of a duplicated document. The oracle replays
     closure + score + window in SQL."""
     from biglake_iceberg_pipeline_spark.operators.graph import (
-        dedup_cluster_assignment,
         keep_best_in_cluster,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", partition_col="source", n=3, threshold=0.6
-    )
-    clustered = dedup_cluster_assignment(docs, pairs, "doc_id")
+    # the expensive pair+closure stage comes from the SHARED artifact
+    # (one candidate+verify pipeline per corpus, not one per consumer)
+    clustered = cluster_assignment_artifact(spark, sf_dir)
     scored = text.quality_features(
         docs.select("doc_id", "text"), "text"
     ).select("doc_id", "q_score")
@@ -1036,6 +1132,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup_q,
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
+    "ann_ivf_filtered": ann_ivf_filtered,
     "ann_ivf_int8": ann_ivf_int8,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_ivf_pq": ann_ivf_pq,
@@ -1060,6 +1157,7 @@ ORACLE = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "ann_ivf_filtered": ANN_IVF_FILTERED_SQL,
     "ann_ivf_int8": ANN_IVF_INT8_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -1007,6 +1007,53 @@ def _clone_assembled(t: dict) -> dict:
     return m
 
 
+def column_rename_map(manifest: dict) -> dict[str, list[str]] | None:
+    """{current column name: [every prior name, oldest first]} from
+    the manifest's rename journal, or None when no renames exist.
+    Renames compose: a->b then b->c yields {'c': ['a', 'b']} — any
+    immutable data file stores the column under exactly ONE of these
+    names (its write-time vintage), so a read coalesces across them
+    without ambiguity (Iceberg renames via field ids; name-journal +
+    reuse guard is the equivalent over raw parquet names,
+    reference: the agent's cleaning/cast_column_type.sql family at
+    table scale)."""
+    journal = manifest.get("column_renames") or []
+    if not journal:
+        return None
+    cur: dict[str, list[str]] = {}
+    for r in journal:
+        priors = cur.pop(r["from"], [])
+        cur[r["to"]] = priors + [r["from"]]
+    return cur or None
+
+
+def _augment_for_renames(committed, renames):
+    """(read schema incl. prior-name columns typed as their current
+    field, {current: priors-to-coalesce}) — or (committed, None) when
+    no rename applies to a committed column. Prior columns read with
+    the CURRENT type: rename composes with widening exactly like the
+    plain overlay (upcast in the scan)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not renames:
+        return committed, None
+    have = {f.name for f in committed.fields}
+    extra = []
+    sel: dict[str, list[str]] = {}
+    for fld in committed.fields:
+        priors = [
+            p for p in renames.get(fld.name, ()) if p not in have
+        ]
+        if priors:
+            extra.extend(
+                StructField(p, fld.dataType, True) for p in priors
+            )
+            sel[fld.name] = priors
+    if not extra:
+        return committed, None
+    return StructType(list(committed.fields) + extra), sel
+
+
 def load_manifest(path: str) -> dict:
     """Read a table's manifest — segmented format 2 or the legacy
     single file — into the in-memory contract every caller uses
@@ -1996,13 +2043,33 @@ class LakehouseTable:
         hive column's name: per-group schema reads would then fill it
         from the PATH on old vintages — surfacing the hidden value
         where the add-column contract promises NULL."""
-        clash = {
+        names = {
             f["name"] for f in json.loads(schema_json)["fields"]
-        } & set(manifest.get("partition_transforms", {}))
+        }
+        clash = names & set(manifest.get("partition_transforms", {}))
         if clash:
             raise ValueError(
                 f"columns {clash} collide with hidden-partition "
                 "derived names (current or retired)"
+            )
+        # same resurrection hazard for RETIRED column names (renamed
+        # away or dropped): live files still store bytes under them,
+        # and the name-based overlay would surface those bytes where
+        # the add-column contract promises NULL
+        prev = manifest.get("schema")
+        prev_names = (
+            {f["name"] for f in json.loads(prev)["fields"]}
+            if prev
+            else set()
+        )
+        retired = (names - prev_names) & LakehouseTable._historical_names(
+            manifest
+        )
+        if retired:
+            raise ValueError(
+                f"columns {retired} reuse RETIRED names (renamed "
+                "away or dropped); live data files may still store "
+                "bytes under them — pick fresh names"
             )
 
     @staticmethod
@@ -2127,15 +2194,41 @@ class LakehouseTable:
             # written before an add-column/widen commit then surface
             # NULL / upcast values — Spark's parquet reader fills
             # missing columns and widens in the scan, no rewrite.
+            # Renamed columns additionally read their PRIOR names
+            # (each file stores exactly one vintage) and coalesce —
+            # rename is metadata-only, never a rewrite.
             if schema_json is None:
                 schema_json = _manifest().get("schema")
             if schema_json:
                 from pyspark.sql.types import StructType
 
                 committed = StructType.fromJson(json.loads(schema_json))
-                out = spark.read.schema(committed).parquet(*files)
-            else:
-                out = spark.read.parquet(*files)
+                read_schema, rename_sel = _augment_for_renames(
+                    committed, column_rename_map(_manifest())
+                )
+                out = spark.read.schema(read_schema).parquet(*files)
+                if with_meta:
+                    out = self._meta_cols(out)
+                if rename_sel:
+                    out = out.select(
+                        *[
+                            (
+                                F.coalesce(
+                                    F.col(fld.name),
+                                    *[
+                                        F.col(p)
+                                        for p in rename_sel[fld.name]
+                                    ],
+                                )
+                                if fld.name in rename_sel
+                                else F.col(fld.name)
+                            ).alias(fld.name)
+                            for fld in committed.fields
+                        ],
+                        *(["__file", "__pos"] if with_meta else []),
+                    )
+                return out
+            out = spark.read.parquet(*files)
             return self._meta_cols(out) if with_meta else out
         from collections import defaultdict
 
@@ -2170,6 +2263,13 @@ class LakehouseTable:
             if schema_json
             else None
         )
+        read_schema, rename_sel = (
+            _augment_for_renames(
+                committed, column_rename_map(_manifest())
+            )
+            if committed is not None
+            else (None, None)
+        )
         part_types = {
             fld.name: fld.dataType
             for fld in (committed.fields if committed else [])
@@ -2186,7 +2286,7 @@ class LakehouseTable:
                 # ('01' → int 1 → '1') and would make the same value
                 # differ between a vintage where the column is
                 # path-encoded and one where it is a data column
-                reader = reader.schema(committed)
+                reader = reader.schema(read_schema)
             df = reader.parquet(*fs)
             if with_meta:
                 df = self._meta_cols(df)
@@ -2205,16 +2305,28 @@ class LakehouseTable:
         if committed is not None:
             # full overlay, matching the unpartitioned path: files
             # predating an add-column commit surface NULL, widened
-            # columns upcast, column order follows the schema
+            # columns upcast, renamed columns coalesce across their
+            # name vintages, column order follows the schema
+            def _ov(fld):
+                priors = [
+                    p
+                    for p in (rename_sel or {}).get(fld.name, ())
+                    if p in out.columns
+                ]
+                if fld.name in out.columns:
+                    e = F.col(fld.name).cast(fld.dataType)
+                    if priors:
+                        e = F.coalesce(
+                            e, *[F.col(p) for p in priors]
+                        )
+                elif priors:
+                    e = F.coalesce(*[F.col(p) for p in priors])
+                else:
+                    e = F.lit(None).cast(fld.dataType)
+                return e.alias(fld.name)
+
             out = out.select(
-                *[
-                    (
-                        F.col(fld.name).cast(fld.dataType)
-                        if fld.name in out.columns
-                        else F.lit(None).cast(fld.dataType)
-                    ).alias(fld.name)
-                    for fld in committed.fields
-                ],
+                *[_ov(fld) for fld in committed.fields],
                 *(["__file", "__pos"] if with_meta else []),
             )
         return out
@@ -3243,6 +3355,23 @@ class LakehouseTable:
             for f in fs:
                 if f in blob:
                     out[f] = blob[f]
+        # metadata-only renames: the DATA didn't change, so a sketch
+        # recorded under a prior name is byte-valid for the current
+        # one — remap instead of re-sketching the whole history
+        ren = column_rename_map(manifest)
+        if ren:
+            for f, sk in out.items():
+                remapped = None
+                for cur, priors in ren.items():
+                    if cur not in sk:
+                        for p in priors:
+                            if p in sk:
+                                if remapped is None:
+                                    remapped = dict(sk)
+                                remapped[cur] = sk[p]
+                                break
+                if remapped is not None:
+                    out[f] = remapped
         return out
 
     def _write_stats_sidecar(self, kind: str, payload: dict) -> str:
@@ -3593,6 +3722,197 @@ class LakehouseTable:
 
     def sort_order(self) -> list[str] | None:
         return self._read_manifest().get("sort_order")
+
+    def _schema_evolution_guard(
+        self, manifest: dict, name: str, verb: str
+    ) -> None:
+        """A column the table's machinery references by name cannot
+        be renamed or dropped metadata-only: partition specs and
+        hidden transforms bake the name into file LAYOUT, the sort
+        order into write reshaping, live equality deletes into row
+        voiding, vector indexes into probe plumbing. Rewrite-free
+        evolution of those would silently break them — fail loudly
+        and make the caller evolve the dependent config first."""
+        if name in (manifest.get("partition_by") or ()):  # layout
+            raise ValueError(
+                f"cannot {verb} partition column {name!r}: evolve "
+                "the partition spec first"
+            )
+        for tname, te in (
+            manifest.get("partition_transforms") or {}
+        ).items():
+            if name in (te.get("src"), tname):
+                raise ValueError(
+                    f"cannot {verb} {name!r}: referenced by hidden-"
+                    f"partitioning transform {tname!r}"
+                )
+        if name in (manifest.get("sort_order") or ()):
+            raise ValueError(
+                f"cannot {verb} sort-order column {name!r}: "
+                "set_sort_order first"
+            )
+        for meta in (manifest.get("delete_meta") or {}).values():
+            if name in (meta.get("keys") or ()):
+                raise ValueError(
+                    f"cannot {verb} {name!r}: a live equality-delete "
+                    "file keys on it — materialize_deletes first"
+                )
+        for vcol, meta in (
+            manifest.get("vector_indexes") or {}
+        ).items():
+            if name in (vcol, (meta or {}).get("id_col")):
+                raise ValueError(
+                    f"cannot {verb} {name!r}: a vector index is "
+                    "built on it — drop the index first"
+                )
+
+    @staticmethod
+    def _historical_names(manifest: dict) -> set[str]:
+        """Names that may still exist INSIDE live immutable data
+        files under a retired meaning: every rename's prior name and
+        every dropped column. Reusing one for a new/renamed column
+        would resurrect the old files' bytes under the new meaning —
+        the hazard Iceberg's field ids exist to prevent."""
+        out = {
+            r["from"] for r in manifest.get("column_renames") or ()
+        }
+        out.update(manifest.get("dropped_columns") or ())
+        return out
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column WITHOUT rewriting a byte (Iceberg's
+        metadata-only rename via field ids; here a rename journal
+        over raw parquet names): data files keep the old name, every
+        read — latest, time travel, scans, the connector, streams —
+        coalesces the column across its name vintages via the
+        committed-schema overlay. Composes with add/widen evolution,
+        partition specs (non-partition columns only), and MoR
+        position deletes. Per-column NDV/bloom sidecar entries keyed
+        under the old name simply stop matching and self-heal on the
+        next refresh (files re-sketch under the new name).
+
+        The old name (and any dropped column's name) is permanently
+        retired: re-introducing it would surface the OLD files'
+        bytes under the new column (name-based overlay) — exactly
+        the resurrection field ids prevent, so it is refused."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            schema_json = manifest.get("schema")
+            if not schema_json:
+                raise ValueError("table has no committed schema yet")
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column exists: {new!r}")
+            retired = self._historical_names(manifest)
+            if new in retired:
+                raise ValueError(
+                    f"column name {new!r} was previously used "
+                    "(renamed away or dropped); live data files may "
+                    "still store bytes under it — pick a fresh name"
+                )
+            self._schema_evolution_guard(manifest, old, "rename")
+            new_fields = [
+                type(f)(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+            new_json = StructType(new_fields).json()
+            # schema swap + journal entry land as ONE snapshot under
+            # ONE lock: a reader between separate commits would see
+            # the new name with no vintage mapping and surface NULL
+            snap = self._commit_schema_evolution(
+                manifest, new_json, rename=(old, new)
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        self._fire_commit_hooks("evolve-schema", snap)
+        return snap
+
+    def _commit_schema_evolution(
+        self,
+        manifest: dict,
+        new_schema_json: str,
+        rename: tuple[str, str] | None = None,
+        dropped: str | None = None,
+    ) -> int:
+        """One metadata-only, row-preserving snapshot: same file and
+        delete tails as the predecessor, dataChange=false (streams
+        and incremental consumers ride through), the committed
+        schema swapped and the rename journal / dropped-names ledger
+        updated atomically with it. MUST be called under the commit
+        lock with the manifest read under that same lock."""
+        self._guard_schema_transform_clash(manifest, new_schema_json)
+        snaps = manifest["snapshots"]
+        snap_id = self._next_id(manifest)
+        entry: dict = {
+            "id": snap_id,
+            "operation": "evolve-schema",
+            "ts": time.time(),
+            "files": list(snaps[-1]["files"]) if snaps else [],
+            "summary": {"schema_change": True},
+            "data_change": False,
+        }
+        if snaps and snaps[-1].get("deletes"):
+            entry["deletes"] = list(snaps[-1]["deletes"])
+        manifest["snapshots"].append(entry)
+        manifest["schema"] = new_schema_json
+        if rename is not None:
+            manifest.setdefault("column_renames", []).append(
+                {"from": rename[0], "to": rename[1], "at": snap_id}
+            )
+        if dropped is not None:
+            led = manifest.setdefault("dropped_columns", [])
+            if dropped not in led:
+                led.append(dropped)
+        self._commit(manifest)
+        return snap_id
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column WITHOUT rewriting a byte: the committed
+        schema simply stops projecting it (old files keep the bytes;
+        the overlay never reads them). The name is retired — see
+        ``rename_column`` for why re-adding it is refused at the
+        rename layer. Reference analog: the agent's
+        cleaning/drop_column.sql, here as table-level metadata
+        evolution instead of a DataFrame rewrite."""
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            schema_json = manifest.get("schema")
+            if not schema_json:
+                raise ValueError("table has no committed schema yet")
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"no such column: {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the only column")
+            self._schema_evolution_guard(manifest, name, "drop")
+            new_json = StructType(
+                [f for f in schema.fields if f.name != name]
+            ).json()
+            snap = self._commit_schema_evolution(
+                manifest, new_json, dropped=name
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        self._fire_commit_hooks("evolve-schema", snap)
+        return snap
 
     def evolve_partition_spec(
         self, new_partition_by: list[str] | None
@@ -5362,8 +5682,16 @@ class LakehouseTable:
             if blob is None:
                 return False
             per_col = blob.get(f, {})
+            ren = column_rename_map(manifest)
             for col, v in points.items():
                 b = per_col.get(col)
+                if b is None and ren:
+                    # rename: a bloom built under a prior name is
+                    # byte-valid for the current one (data unchanged)
+                    for p in ren.get(col, ()):
+                        b = per_col.get(p)
+                        if b is not None:
+                            break
                 if b is not None and not might_contain(b, v):
                     return True  # definitely absent from this file
             return False
@@ -5385,9 +5713,19 @@ class LakehouseTable:
                     imgs.append((name, b[0], b[1]))
             if imgs:
                 timages[col] = imgs
+        ren = column_rename_map(manifest)
         out = []
         for f in snap["files"]:
             fstats = dict(stats.get(f, {}))
+            if ren:
+                # footer ranges recorded under a prior column name
+                # stay byte-valid after a metadata-only rename
+                for cur, priors in ren.items():
+                    if cur not in fstats:
+                        for p in priors:
+                            if p in fstats:
+                                fstats[cur] = fstats[p]
+                                break
             fp_f = fparts.get(f, {})
             for col, raw in fp_f.items():
                 v = self._coerce_partition_value(raw, ranges.get(col))

@@ -91,6 +91,9 @@ class _FilePartition(InputPartition):
     # change-feed label ('insert' / 'update_postimage'); None when
     # the stream is not in CDF mode (no _change_type column emitted)
     ctype: str | None = None
+    # {current column name: [prior names]} from the table's rename
+    # journal — the executor-side half of metadata-only renames
+    renames: dict | None = None
 
 
 @dataclass
@@ -219,7 +222,7 @@ def _opt_flag(options, name: str) -> bool:
     return str(v).lower() in ("true", "1") if v is not None else False
 
 
-def _overlay_table(file: str, part_values: dict, target):
+def _overlay_table(file: str, part_values: dict, target, renames=None):
     """One data file → a pyarrow Table aligned to the declared Arrow
     schema: project to declared columns, upcast widened ones,
     NULL-fill columns added after the file was written, restore
@@ -234,13 +237,28 @@ def _overlay_table(file: str, part_values: dict, target):
 
     pf = pq.ParquetFile(file)
     have = set(pf.schema_arrow.names)
-    want = [n for n in target.names if n in have]
+    # a renamed column reads its write-time vintage name from files
+    # predating the rename (metadata-only rename: bytes never move)
+    vintage = {}
+    for field in target:
+        if field.name not in have and renames:
+            for prior in renames.get(field.name, ()):
+                if prior in have:
+                    vintage[field.name] = prior
+                    break
+    want = [n for n in target.names if n in have] + list(
+        vintage.values()
+    )
     tbl = pf.read(columns=want)
     n = tbl.num_rows
     arrays = []
     for field in target:
         if field.name in have:
             arrays.append(tbl.column(field.name).cast(field.type))
+        elif field.name in vintage:
+            arrays.append(
+                tbl.column(vintage[field.name]).cast(field.type)
+            )
         elif field.name in part_values:
             raw = part_values[field.name]
             col = pa.array([raw] * n, type=pa.string())
@@ -254,7 +272,10 @@ def _overlay_table(file: str, part_values: dict, target):
 
 def _overlay_batches(partition: _FilePartition, target):
     yield from _overlay_table(
-        partition.file, partition.part_values, target
+        partition.file,
+        partition.part_values,
+        target,
+        getattr(partition, "renames", None),
     ).to_batches()
 
 
@@ -878,6 +899,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
         snaps = m["snapshots"]
         lo, hi = self._resolve_range(snaps, s0, s1, m)
         fparts = m.get("file_partitions", {})
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            column_rename_map,
+        )
+
+        renames = column_rename_map(m)
         declared = {
             f.name
             for f in self._schema.fields
@@ -926,7 +952,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
             for f in added:
                 parts.append(
                     _FilePartition(
-                        file=f, part_values=pv_for(f), ctype=ins_label
+                        file=f,
+                        part_values=pv_for(f),
+                        ctype=ins_label,
+                        renames=renames,
                     )
                 )
             if self._cdf:
@@ -1126,7 +1155,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return
         if partition.ctype is not None:
             tbl = _overlay_table(
-                partition.file, partition.part_values, self._arrow_schema
+                partition.file,
+                partition.part_values,
+                self._arrow_schema,
+                getattr(partition, "renames", None),
             )
             yield from _with_ctype(tbl, partition.ctype).to_batches()
             return
@@ -1195,6 +1227,11 @@ class LakehouseBatchReader(DataSourceReader):
         self._snapshot_id = snapshot_id
         self._files = list(snap["files"])
         self._fparts = m.get("file_partitions", {})
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            column_rename_map,
+        )
+
+        self._renames = column_rename_map(m)
         self._ranges: dict[str, tuple] = {}
         self._in_lists: dict[str, list] = {}
 
@@ -1321,6 +1358,7 @@ class LakehouseBatchReader(DataSourceReader):
                     for k, v in self._fparts.get(f, {}).items()
                     if k in declared
                 },
+                renames=self._renames,
             )
             for f in files
         ]

@@ -1,0 +1,239 @@
+"""Metadata-only column RENAME / DROP (VERDICT r10 item 3): Iceberg
+renames columns via field ids without rewriting a byte; here a rename
+journal + committed-schema overlay gives raw-parquet tables the same
+contract — old files read under the new name, time travel works, the
+connector and streams ride through, and retired names are refused
+(the resurrection hazard field ids exist to prevent).
+
+Reference analog: biglake-iceberg-pipeline's
+cleaning/drop_column.sql / cast_column_type.sql family, lifted from
+DataFrame-level to table-level evolution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+    LakehouseTable,
+)
+
+
+def _mk(spark, tmp_path, partitioned=False):
+    t = LakehouseTable(
+        str(tmp_path / "t"),
+        partition_by=["region"] if partitioned else None,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0, "eu"), (2, "b", 20.0, "us")],
+            "id long, name string, amount double, region string",
+        )
+    )
+    return t
+
+
+def test_rename_reads_old_files_under_new_name(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    snap_before = t.current_snapshot_id()
+    t.rename_column("name", "customer_name")
+    df = t.read(spark)
+    assert df.columns == ["id", "customer_name", "amount", "region"]
+    rows = {r["id"]: r["customer_name"] for r in df.collect()}
+    assert rows == {1: "a", 2: "b"}
+    # no byte moved: the data files are the same paths
+    snaps = t.snapshots
+    assert snaps[-1]["files"] == snaps[0]["files"]
+    assert snaps[-1].get("data_change") is False
+    # time travel to the pre-rename snapshot surfaces the NEW name
+    # (current schema overlays history, the Iceberg contract)
+    old = t.read(spark, snapshot_id=snap_before)
+    assert "customer_name" in old.columns
+    assert {r["customer_name"] for r in old.collect()} == {"a", "b"}
+
+
+def test_rename_then_append_mixes_vintages(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("name", "customer_name")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, customer_name string, amount double, region string",
+        )
+    )
+    rows = {
+        r["id"]: r["customer_name"] for r in t.read(spark).collect()
+    }
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # filters on the renamed column work across vintages
+    assert (
+        t.read(spark).filter(F.col("customer_name") == "a").count()
+        == 1
+    )
+
+
+def test_rename_chain_composes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("name", "nm2")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, nm2 string, amount double, region string",
+        )
+    )
+    t.rename_column("nm2", "nm3")
+    rows = {r["id"]: r["nm3"] for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.drop_column("amount")
+    df = t.read(spark)
+    assert df.columns == ["id", "name", "region"]
+    assert df.count() == 2
+    snaps = t.snapshots
+    assert snaps[-1]["files"] == snaps[0]["files"]  # no rewrite
+    # re-adding the retired name is refused (old files still store
+    # the dropped bytes; a name-based overlay would resurrect them)
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.append(
+            spark.createDataFrame(
+                [(9, "z", 1.5, "eu")],
+                "id long, name string, amount double, region string",
+            )
+        )
+
+
+def test_rename_to_retired_name_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("name", "nm2")
+    with pytest.raises(ValueError, match="previously used"):
+        t.rename_column("amount", "name")
+    t.drop_column("amount")
+    with pytest.raises(ValueError, match="previously used"):
+        t.rename_column("region", "amount")
+
+
+def test_rename_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path, partitioned=True)
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("region", "zone")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("region")
+    t2 = _mk(spark, tmp_path / "s")
+    t2.set_sort_order(["amount"])
+    with pytest.raises(ValueError, match="sort-order"):
+        t2.rename_column("amount", "value")
+    with pytest.raises(ValueError, match="no such column"):
+        t2.rename_column("ghost", "x")
+    with pytest.raises(ValueError, match="column exists"):
+        t2.rename_column("name", "id")
+
+
+def test_rename_on_partitioned_table_non_partition_col(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path, partitioned=True)
+    t.rename_column("amount", "value")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, name string, value double, region string",
+        )
+    )
+    df = t.read(spark)
+    got = {r["id"]: (r["value"], r["region"]) for r in df.collect()}
+    assert got == {1: (10.0, "eu"), 2: (20.0, "us"), 3: (30.0, "ap")}
+
+
+def test_rename_composes_with_mor_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor(spark, F.col("id") == 1)
+    t.rename_column("name", "customer_name")
+    rows = {
+        r["id"]: r["customer_name"] for r in t.read(spark).collect()
+    }
+    assert rows == {2: "b"}
+    # and a post-rename MoR delete on the new name works
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, customer_name string, amount double, region string",
+        )
+    )
+    t.delete_where_mor(spark, F.col("customer_name") == "b")
+    assert {r["id"] for r in t.read(spark).collect()} == {3}
+
+
+def test_connector_reads_through_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("name", "customer_name")
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    df = spark.read.format("lakehouse").load(t.path)
+    rows = {r["id"]: r["customer_name"] for r in df.collect()}
+    assert rows == {1: "a", 2: "b"}
+    # pushed filter on the renamed column stays correct (old files
+    # lack stats under the new name -> conservatively read)
+    assert (
+        df.filter(F.col("customer_name") == "a").count() == 1
+    )
+
+
+def test_stream_rides_through_rename(spark, tmp_path):
+    """A rename is dataChange=false: a tailing stream skips the
+    evolve snapshot and later appends arrive under the new name."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    spark.dataSource.register(LakehouseStreamSource)
+    t.rename_column("name", "customer_name")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, customer_name string, amount double, region string",
+        )
+    )
+    out = (
+        spark.readStream.format("lakehouse")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("rename_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    got = {
+        r["id"]: r["customer_name"]
+        for r in spark.sql("select * from rename_stream").collect()
+    }
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_stats_remap_under_rename(spark, tmp_path):
+    """A rename changes no bytes, so existing NDV sketches, blooms,
+    and footer ranges stay valid — they REMAP to the new name at
+    read instead of forcing a whole-history re-sketch."""
+    t = _mk(spark, tmp_path)
+    t.refresh_ndv_sketches(spark)
+    t.refresh_bloom_filters(spark, ["id"])
+    t.rename_column("name", "customer_name")
+    t.rename_column("id", "cust_id")
+    # nothing to re-sketch: coverage carried over
+    assert t.refresh_ndv_sketches(spark) == 0
+    ndv = t.ndv(spark, ["customer_name", "cust_id"])
+    assert ndv["customer_name"] == 2 and ndv["cust_id"] == 2
+    # min/max pruning under the new name still prunes
+    assert t.pruned_files({"cust_id": (99, 99)}) == []
+    assert len(t.pruned_files({"cust_id": (1, 1)})) == 1

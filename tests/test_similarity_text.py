@@ -512,3 +512,121 @@ def test_lakehouse_pq_index_register_probe_maintain(spark, tmp_path):
         spark, t, "embedding", q, k=3, on_stale="rebuild"
     ).collect()
     assert got3[0]["vec_id"] == 42
+
+
+def test_filtered_probe_returns_k_matching_rows(spark, sf_dir):
+    """VERDICT r10 item 6: filtering WHILE probing returns the top-k
+    MATCHING rows — exactly brute-force-with-filter restricted to the
+    probed partitions — where filter-after-top-k under-returns."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        ivf_probe,
+        probe_codes,
+    )
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+        signbit_code,
+    )
+    from biglake_iceberg_pipeline_spark.plans.llm_ops import (
+        _ivf_index_path,
+        _query_vec,
+    )
+    from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+    q = _query_vec(spark, sf_dir)
+    path = _ivf_index_path(spark, sf_dir)
+    filtered = ivf_probe(
+        spark, path, "vec_id", "embedding", q, k=5,
+        where=F.col("label") == 1,
+    ).collect()
+    assert filtered and all(r["cosine_sim"] is not None for r in filtered)
+    got = [r["vec_id"] for r in filtered]
+
+    # reference: brute force with the SAME filter over the SAME
+    # probed partitions (the recall contract of a filtered probe)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = probe_codes(q, 8, 1)
+    ref = (
+        emb.where(F.col("label") == 1)
+        .where(
+            signbit_code(F.col("embedding"), 8, dim=len(q)).isin(codes)
+        )
+        .select(
+            "vec_id",
+            F.round(
+                cosine_vs_literal(F.col("embedding"), q), 4
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert got == [r["vec_id"] for r in ref]
+    # every returned row satisfies the predicate (semantics filter-
+    # after-top-k could only satisfy by dropping below k rows)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[v] == 1 for v in got)
+
+
+def test_filtered_probe_pushes_predicate_into_scan(spark, sf_dir):
+    """The label predicate reaches the parquet scan of the probed
+    partitions (PushedFilters), and partition pruning still holds."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        ivf_probe,
+    )
+    from biglake_iceberg_pipeline_spark.plans.llm_ops import (
+        _ivf_index_path,
+        _query_vec,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    df = ivf_probe(
+        spark, _ivf_index_path(spark, sf_dir), "vec_id", "embedding",
+        q, k=5, where=F.col("label") == 1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,1)" in plan, plan[:2000]
+
+
+def test_lakehouse_filtered_probe_include_cols_maintained(
+    spark, tmp_path
+):
+    """register(include_cols) carries metadata into the index; an
+    append maintains it incrementally; probe(where=) filters through
+    the lakehouse entry point."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        probe_lakehouse_index,
+        register_lakehouse_index,
+    )
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    rows = [
+        (i, [1.0 * i, 1.0, 0.5], i % 2) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>, label int"
+    )
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(df)
+    register_lakehouse_index(
+        spark, t, "emb", "vec_id", include_cols=["label"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100, [5.0, 1.0, 0.5], 1), (101, [5.1, 1.0, 0.5], 0)],
+            "vec_id long, emb array<double>, label int",
+        )
+    )
+    out = probe_lakehouse_index(
+        spark, t, "emb", [5.0, 1.0, 0.5], k=4,
+        where=F.col("label") == 1, nprobe_hamming=8,
+    ).collect()
+    got = [r["vec_id"] for r in out]
+    assert 100 in got  # appended row is probe-visible (maintained)
+    assert 101 not in got  # filtered out during the probe
+    assert len(got) == 4  # k MATCHING rows, not an under-filled list
