@@ -9,11 +9,12 @@ contract is explicit so downstream Spark operators stay declarative.
 Codecs: baseline JPEG (operators/jpeg.py — pure-python T.81 sequential
 DCT: Huffman, dequant, batched IDCT, chroma upsampling, restart
 intervals), PNG (operators/png.py — zlib inflate, all five scanline
-filters, 8-bit gray/gray+alpha/RGB/RGBA/palette, non-interlaced),
+filters, gray/gray+alpha/RGB/RGBA/palette, 8- AND 16-bit, sequential
+AND Adam7-interlaced),
 BMP (24-bit uncompressed), and WAV (PCM16) decode is REAL — stdlib +
 numpy, no external libs. Nearest-neighbor resize and audio feature
 extraction run on the decoded arrays. Formats with no decoder here
-(MP4 / progressive JPEG / interlaced or 16-bit PNG...) fall back to a
+(MP4 / progressive JPEG / bit-packed 1/2/4-bit PNG...) fall back to a
 clearly-marked deterministic byte-statistics vector
 (`features[-1] == 0.0` flags the fallback), and a native codec drops
 in by extending ``_FORMAT_DECODERS``.
@@ -158,10 +159,11 @@ def _jpeg_features(payload: bytes) -> list[float]:
 
 
 def _png_features(payload: bytes) -> list[float]:
-    """Non-interlaced 8-bit PNG via the pure-python codec; unsupported
-    variants (Adam7, 16-bit) AND corrupt streams (bad CRC, truncated
-    IDAT, inflate-size mismatch, palette overruns) take the flagged
-    byte-stats fallback — same degradation contract as JPEG."""
+    """PNG (8/16-bit, sequential or Adam7) via the pure-python
+    codec; unsupported variants (bit-packed 1/2/4-bit) AND corrupt
+    streams (bad CRC, truncated IDAT, inflate-size mismatch, palette
+    overruns) take the flagged byte-stats fallback — same
+    degradation contract as JPEG."""
     import struct
     import zlib
 
@@ -200,7 +202,7 @@ def _wav_features(payload: bytes) -> list[float]:
 
 def _byte_stats(payload: bytes) -> list[float]:
     """Deterministic FALLBACK for codecs absent in this container
-    (MP4 / progressive JPEG / interlaced PNG...): byte statistics
+    (MP4 / progressive JPEG / bit-packed PNG...): byte statistics
     with the same shape contract.
     features[-1] == 0.0 marks the row as not-really-decoded."""
     n = len(payload)

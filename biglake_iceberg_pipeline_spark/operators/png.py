@@ -1,16 +1,18 @@
 """Pure-Python baseline PNG codec (stdlib zlib + numpy).
 
 The container ships no image codecs; this module implements the
-non-interlaced 8-bit subset of the public PNG specification
-(RFC 2083 / ISO 15948) so the multimodal feature extractor
-(operators/multimodal.py) really decodes PNG payloads instead of
-downgrading them to byte statistics: signature + chunk framing with
-CRC validation, IHDR parsing, IDAT concatenation + zlib inflate, all
-FIVE scanline filter types (None / Sub / Up / Average / Paeth), and
-grayscale, gray+alpha, RGB, RGBA and palette color types. Adam7
-interlace and 16-bit depth raise ``PngFormatError`` — callers keep
-their clearly-flagged fallback for those (same contract as the JPEG
-codec's progressive-frame refusal).
+8- and 16-bit, sequential AND Adam7-interlaced subset of the public
+PNG specification (RFC 2083 / ISO 15948) so the multimodal feature
+extractor (operators/multimodal.py) really decodes PNG payloads
+instead of downgrading them to byte statistics: signature + chunk
+framing with CRC validation, IHDR parsing, IDAT concatenation + zlib
+inflate, all FIVE scanline filter types (None / Sub / Up / Average /
+Paeth), grayscale, gray+alpha, RGB, RGBA and palette color types,
+Adam7's seven independently-filtered passes scattered back to the
+full grid, and 16-bit samples folded to 8 via their high byte
+(v >> 8). Bit-packed depths (1/2/4) raise ``PngFormatError`` —
+callers keep their clearly-flagged fallback for those (same contract
+as the JPEG codec's progressive-frame refusal).
 
 Unfiltering is numpy-vectorized where the filter's data dependence
 allows: None and Up are whole-row ops, Sub is a modular prefix sum
@@ -40,16 +42,29 @@ MAX_PIXELS = 1 << 25  # ~33.5 MP ≈ 100 MB decoded RGB
 
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: color type -> samples per pixel (at bit depth 8: bytes per pixel)
+#: color type -> samples per pixel (bytes per pixel is samples x
+#: bytes-per-sample; the scanline filters operate on BYTES)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order.
+#: Each pass is an independently-filtered sub-image; empty passes
+#: (a dimension too small to reach the start offset) emit no bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 class PngFormatError(ValueError):
     """Payload is not a PNG this codec can decode — either not PNG at
     all, a corrupt stream (bad CRC, truncated IDAT, wrong inflate
-    size), or a valid-but-unsupported variant (Adam7 interlace,
-    16-bit depth). Callers catch THIS to take their flagged
-    fallback."""
+    size), or a valid-but-unsupported variant (bit-packed depth
+    1/2/4). Callers catch THIS to take their flagged fallback."""
 
 
 def _chunks(payload: bytes):
@@ -148,8 +163,9 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to an (H, W, 3) uint8 RGB
-    array (alpha dropped, grayscale replicated, palette resolved) —
+    """Decode a PNG (8- or 16-bit, sequential or Adam7-interlaced)
+    to an (H, W, 3) uint8 RGB array (alpha dropped, grayscale
+    replicated, palette resolved, 16-bit folded via the high byte) —
     the shape contract shared with ``decode_jpeg`` / ``decode_bmp``
     so multimodal featurization is codec-agnostic."""
     ihdr = None
@@ -174,16 +190,28 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngFormatError(f"implausible dimensions {w}x{h}")
     if comp != 0 or filt != 0:
         raise PngFormatError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise PngFormatError("Adam7 interlace not supported")
-    if depth != 8:
+    if interlace not in (0, 1):
+        raise PngFormatError(f"unknown interlace method {interlace}")
+    if depth not in (8, 16):
         raise PngFormatError(f"bit depth {depth} not supported")
     if color not in _CHANNELS:
         raise PngFormatError(f"unknown color type {color}")
+    if color == 3 and depth == 16:
+        raise PngFormatError("16-bit palette images are not valid PNG")
     if not idat:
         raise PngFormatError("no IDAT data")
-    bpp = _CHANNELS[color]
-    expect = h * (1 + w * bpp)
+    channels = _CHANNELS[color]
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expect = sum(ph * (1 + pw * bpp) for *_g, pw, ph in passes)
     try:
         # bounded inflate: the expected size is known BEFORE
         # decompressing, so a zlib-bomb payload (tiny IHDR that
@@ -207,8 +235,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise PngFormatError("truncated IDAT stream")
     except zlib.error as exc:
         raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
-    rows = _unfilter(raw, h, w, bpp)
-    px = rows.reshape(h, w, bpp)
+    if interlace == 0:
+        rows = _unfilter(raw, h, w, bpp)
+    else:
+        # each Adam7 pass unfilters as its own sub-image (prev row =
+        # previous row OF THE PASS), then scatters onto the full grid
+        canvas = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sz = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[pos : pos + sz], ph, pw, bpp)
+            pos += sz
+            canvas[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        rows = canvas.reshape(h, w * bpp)
+    px = rows.reshape(h, w, channels, depth // 8)[..., 0]
     if color == 2:  # RGB
         return px
     if color == 6:  # RGBA -> drop alpha

@@ -148,12 +148,18 @@ def test_palette_index_out_of_range_rejected():
 def test_unsupported_variants_raise():
     img = _rng(4).integers(0, 256, (4, 4, 3), dtype=np.uint8)
     raw = _filter_rows(img, 0)
-    with pytest.raises(PngFormatError, match="interlace"):
-        decode_png(_build(4, 4, 2, raw, interlace=1))
     with pytest.raises(PngFormatError, match="bit depth"):
-        decode_png(_build(4, 4, 2, raw, depth=16))
+        decode_png(_build(4, 4, 2, raw, depth=4))
+    with pytest.raises(PngFormatError, match="interlace"):
+        decode_png(_build(4, 4, 2, raw, interlace=7))
+    with pytest.raises(PngFormatError, match="palette"):
+        decode_png(_build(4, 4, 3, raw, depth=16, plte=b"\x00" * 768))
     with pytest.raises(PngFormatError, match="implausible"):
         decode_png(_build(1 << 16, 1 << 16, 2, raw))
+    # a sequential-sized stream DECLARED interlaced has the wrong
+    # per-pass byte layout: rejected, never misdecoded
+    with pytest.raises(PngFormatError):
+        decode_png(_build(4, 4, 2, raw, interlace=1))
 
 
 def test_corruption_rejected_not_crashed():
@@ -266,3 +272,118 @@ def test_truncated_idat_stream_rejected_even_when_bytes_complete():
             break
     else:
         pytest.skip("no cut point yields complete bytes w/o eof")
+
+
+# ---------------------------------------------------------------------
+# Adam7 + 16-bit (VERDICT r10 item 7) — pinned against an INDEPENDENT
+# forward implementation: the test builds interlaced / 16-bit payloads
+# by its own pass-extraction + filtering, never via the module encoder.
+# ---------------------------------------------------------------------
+
+_ADAM7_REF = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _interlace_rows(img: np.ndarray, ftype: int) -> bytes:
+    """Forward Adam7: extract each pass sub-image and filter it
+    independently (prev row = previous row of the PASS)."""
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7_REF:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            out.extend(_filter_rows(sub, ftype))
+    return bytes(out)
+
+
+def _filter_rows16(img16: np.ndarray, ftype: int) -> bytes:
+    """Forward filter for 16-bit samples: the spec filters BYTES, so
+    expand to the big-endian byte stream and filter with bpp =
+    channels*2 — expressed here by viewing each byte as a lane."""
+    h, w, ch = img16.shape
+    be = img16.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+    return _filter_rows(be, ftype)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_adam7_rgb_roundtrip_every_filter(ftype):
+    img = _rng(70 + ftype).integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    raw = _interlace_rows(img, ftype)
+    got = decode_png(_build(11, 13, 2, raw, interlace=1))
+    assert np.array_equal(got, img)
+
+
+@pytest.mark.parametrize("ch,color", [(1, 0), (2, 4), (3, 2), (4, 6)])
+def test_adam7_all_color_types(ch, color):
+    img = _rng(80 + ch).integers(0, 256, (16, 16, ch), dtype=np.uint8)
+    raw = _interlace_rows(img, 4)  # Paeth everywhere
+    got = decode_png(_build(16, 16, color, raw, interlace=1))
+    if ch in (1, 2):
+        want = np.repeat(img[:, :, :1], 3, axis=2)
+    elif ch == 3:
+        want = img
+    else:
+        want = img[:, :, :3]
+    assert np.array_equal(got, want)
+
+
+def test_adam7_small_images_skip_empty_passes():
+    # 1x1..7x3: several passes are EMPTY; decode must consume exactly
+    # the non-empty passes' bytes
+    for w, h in [(1, 1), (2, 2), (3, 1), (1, 5), (7, 3), (5, 5)]:
+        img = _rng(w * 10 + h).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = _interlace_rows(img, 1)
+        got = decode_png(_build(w, h, 2, raw, interlace=1))
+        assert np.array_equal(got, img), (w, h)
+
+
+def test_adam7_palette():
+    img_idx = _rng(91).integers(0, 5, (10, 9, 1), dtype=np.uint8)
+    plte = bytes(range(15))  # 5 RGB entries
+    raw = _interlace_rows(img_idx, 2)
+    got = decode_png(_build(9, 10, 3, raw, interlace=1, plte=plte))
+    table = np.frombuffer(plte, np.uint8).reshape(5, 3)
+    assert np.array_equal(got, table[img_idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_16bit_rgb_high_byte_every_filter(ftype):
+    img16 = _rng(60 + ftype).integers(
+        0, 65536, (9, 7, 3), dtype=np.uint16
+    )
+    raw = _filter_rows16(img16, ftype)
+    got = decode_png(_build(7, 9, 2, raw, depth=16))
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_16bit_gray_and_rgba():
+    g16 = _rng(66).integers(0, 65536, (8, 6, 1), dtype=np.uint16)
+    raw = _filter_rows16(g16, 3)
+    got = decode_png(_build(6, 8, 0, raw, depth=16))
+    assert np.array_equal(
+        got, np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    )
+    a16 = _rng(67).integers(0, 65536, (5, 5, 4), dtype=np.uint16)
+    raw = _filter_rows16(a16, 4)
+    got = decode_png(_build(5, 5, 6, raw, depth=16))
+    assert np.array_equal(got, (a16[:, :, :3] >> 8).astype(np.uint8))
+
+
+def test_16bit_adam7_combined():
+    img16 = _rng(68).integers(0, 65536, (12, 10, 3), dtype=np.uint16)
+    be = img16.astype(">u2").view(np.uint8).reshape(12, 10, 6)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_REF:
+        sub = be[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            raw.extend(_filter_rows(sub, (x0 + y0) % 5))
+    got = decode_png(_build(10, 12, 2, bytes(raw), depth=16, interlace=1))
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_adam7_truncated_pass_rejected():
+    img = _rng(93).integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    raw = _interlace_rows(img, 0)
+    with pytest.raises(PngFormatError):
+        decode_png(_build(9, 9, 2, raw[:-10], interlace=1))
