@@ -26,22 +26,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-10 window: new r10 queries and the two whose registered code
-# changed this round (semantic_dedup's capped centroid collect,
-# multimodal_features' real PNG decode) lead, then the fourteen
-# r7-stale keys (the verdict's rotation target: after this round no
-# key's latest row is older than r8). The rest of the window fills
-# with r8-green keys in module order; the 50 r9-green keys demote,
-# plus the sixteen r8-green overflow keys so the window holds
-# exactly 50 (they rotate back in r11).
+# Round-11 window: the new filtered-ANN query and the four queries
+# whose registered code changed this round (shared pair artifact for
+# dedup_clusters/dedup_best_quality, include_cols on ann_ivf's index,
+# PNG Adam7/16-bit under multimodal_features) lead, then the sixteen
+# r8-stale keys (the verdict's rotation target: after this round no
+# key's latest row is older than r9). The rest of the window fills
+# with r9-green keys in module order; the 48 remaining r10-green keys
+# demote, plus nineteen r9-green overflow keys keeping the window at
+# exactly 50 (they rotate back in r12).
 PRIORITY_KEYS = (
-    # new in r10
+    "ann_ivf_filtered",
+    "dedup_clusters",
+    "dedup_best_quality",
+    "ann_ivf",
+    "multimodal_features",
+    "address_standardize",
+    "clean_documents",
+    "cohort_retention",
+    "customer_profiles",
+    "extract_currency",
+    "flag_duplicates",
+    "gold_orders_enriched",
+    "profile_date_potential",
+    "profile_nulls",
+    "profile_number_potential",
+    "quality_approx_duplicates",
+    "quality_duplicates",
+    "quality_null_like",
+    "quality_type_pollution",
+    "rfm_segments",
+    "safe_type_coercion",
+)
+
+# The 48 keys green in CORRECTNESS_r10 not re-promoted above, plus
+# nineteen r9-green overflow keys (window stays exactly 50; the other
+# r9-green keys fill the r11 window after the priorities).
+DEMOTED_KEYS = frozenset({
+    # r10-green set (minus the four promoted back for code changes)
     "gopher_quality_filter",
     "hash_split",
-    # registered code changed in r10 — need fresh rows
     "semantic_dedup",
-    "multimodal_features",
-    # r7-stale — rows most urgently needed
     "currency_convert",
     "gold_customer_metrics",
     "gold_product_performance",
@@ -56,34 +81,41 @@ PRIORITY_KEYS = (
     "silver_dedup_events",
     "top_parts_per_brand",
     "users_enriched",
-)
-
-# The 50 keys green in CORRECTNESS_r09 (their status is on record)
-# plus sixteen r8-green keys keeping the window at exactly 50; the
-# other 32 r8-green keys fill the r10 window after the priorities.
-DEMOTED_KEYS = frozenset({
-    # r9-green set
-    "quality_classifier_score",
-    "ccnet_ppl_buckets",
-    "token_budget_mixture",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q2_min_cost_supplier",
-    "q4_priority_waiting",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q16_supplier_variety",
-    "q20_excess_suppliers",
-    "q22_idle_customers",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "pack_training_sequences",
+    "text_bpe_tokens",
+    "embedding_quantization",
+    "events_sessions",
+    "compare_schemas",
+    "approx_event_stats",
+    "lakehouse_point_lookup",
+    "lakehouse_bloom_lookup",
+    "pii_redaction",
+    "text_repetition",
+    "sample_mixture",
+    "source_quota_sample",
+    "dedup_paragraph_corpus",
+    "doc_chunks",
+    "strip_markup",
+    "url_extraction",
+    "events_funnel",
+    "product_catalog_ann",
+    "customer_lookalike",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q21_waiting_suppliers",
+    "silver_orders",
+    "clean_customer",
+    "gold_daily_sales",
+    # r9-green overflow — rotate back in r12
     "dedup_incremental",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "dedup_embedding",
-    "ann_ivf",
     "ann_ivf_int8",
     "text_lang_id",
     "text_quality",
@@ -99,37 +131,7 @@ DEMOTED_KEYS = frozenset({
     "revenue_rollup",
     "small_quantity_revenue",
     "revenue_running_total",
-    "tfidf_keywords",
-    "text_lm_score",
-    "ngram_contamination",
-    "span_boilerplate",
-    "dedup_exact_substrings",
-    "decontaminate_corpus",
-    "asof_last_purchase",
-    "range_join_incidents",
-    "events_hypertable_rollup",
-    "events_gapfill",
-    "events_attribution",
-    "product_catalog",
-    "q1_pricing_summary",
-    "drop_empty_rows",
-    # r8-green overflow — rotate back in r11
-    "gold_orders_enriched",
-    "cohort_retention",
-    "customer_profiles",
-    "rfm_segments",
-    "address_standardize",
-    "profile_nulls",
-    "profile_date_potential",
-    "profile_number_potential",
-    "quality_duplicates",
-    "quality_approx_duplicates",
-    "quality_type_pollution",
-    "quality_null_like",
-    "safe_type_coercion",
-    "flag_duplicates",
-    "extract_currency",
-    "clean_documents",
+    "quality_classifier_score",
 })
 
 
