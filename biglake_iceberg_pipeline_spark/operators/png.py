@@ -188,6 +188,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     )
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         raise PngFormatError(f"implausible dimensions {w}x{h}")
+    # byte-scaled bound: 16-bit RGBA costs 8x a gray plane per pixel,
+    # and Adam7 holds raw + canvas concurrently — cap the DECODE
+    # allocation, not just the pixel count (/code-review r11)
+    ch_guess = _CHANNELS.get(color, 4)
+    if w * h * ch_guess * (2 if depth == 16 else 1) > 3 * MAX_PIXELS:
+        raise PngFormatError(
+            f"decoded allocation too large for {w}x{h} "
+            f"color={color} depth={depth}"
+        )
     if comp != 0 or filt != 0:
         raise PngFormatError("nonstandard compression/filter method")
     if interlace not in (0, 1):

@@ -167,6 +167,11 @@ def cluster_assignment_artifact(
         )
         assign = dedup_cluster_assignment(docs, pairs, "doc_id")
         path = tempfile.mkdtemp(prefix="spark-pair-artifact-")
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+        )
+
+        cleanup_index_at_exit(path)  # scratch, not a leak
         assign.write.mode("overwrite").parquet(path)
         if key is not None:
             _CLUSTER_ARTIFACT[key] = path

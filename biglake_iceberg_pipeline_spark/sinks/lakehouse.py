@@ -440,7 +440,9 @@ class _LazySnapshot(dict):
         return key in self._lazy or dict.__contains__(self, key)
 
     def _unpend(self, key):
-        if self._pending is not None and key in self._pending:
+        if self._pending is not None and key in self._pending.get(
+            "deltas", ()
+        ):
             self._pending = None
 
     def __setitem__(self, key, value):
@@ -563,7 +565,7 @@ def _delta_decode_snapshots(manifest: dict, resets=frozenset()) -> dict:
 
 
 def _delta_encode_entries(
-    snaps: list[dict], prev_known: dict
+    snaps: list[dict], prev_known: dict, boundary_id=None
 ) -> list[dict]:
     """Delta-encode snapshot entries against a KNOWN decoder boundary
     state: ``prev_known[key]`` is the list the decoder holds entering
@@ -580,11 +582,17 @@ def _delta_encode_entries(
     Entries carrying ``_pending`` (``_LazySnapshot``; set only by
     ``_locked_commit`` on a freshly appended tail entry) PASS THROUGH:
     their list is by construction ``predecessor minus removed plus
-    added``, and the decoder's boundary state here IS that
-    predecessor (prev is non-None for every pending key), so emitting
-    the recorded delta is exact without materializing either full
-    list — the commit costs O(its own delta), not O(live files)
-    (VERDICT r10 item 4)."""
+    added``, so emitting the recorded delta is exact without
+    materializing either full list — the commit costs O(its own
+    delta), not O(live files) (VERDICT r10 item 4). Validity is
+    anchored TWICE: the per-key trust set below, and
+    ``pend["pred_id"] == boundary_id`` — the entry directly before
+    this one in encode order must BE the construction predecessor.
+    Without the id anchor, expiring an interior snapshot (tagged
+    older survivor + expired direct predecessor) re-encodes the tail
+    entry's delta against the WRONG base and silently drops the
+    expired commit's files from the on-disk list (/code-review r11,
+    reproduced live)."""
     enc = []
     prev = dict(prev_known)
     # pass-through needs the boundary to BE the entry's construction
@@ -599,8 +607,12 @@ def _delta_encode_entries(
         pend = getattr(s, "_pending", None)
         if pend is not None:
             carried = [k for k in ("files", "deletes") if k in s]
-            if set(pend) == set(carried) and all(
-                k in trusted for k in pend
+            deltas = pend.get("deltas", {})
+            if (
+                pend.get("pred_id") == boundary_id
+                and boundary_id is not None
+                and set(deltas) == set(carried)
+                and all(k in trusted for k in deltas)
             ):
                 e = {
                     k: v
@@ -608,7 +620,7 @@ def _delta_encode_entries(
                     if k not in ("files", "deletes")
                 }
                 for key in carried:
-                    added, removed = pend[key]
+                    added, removed = deltas[key]
                     e[f"{key}_added"] = list(added)
                     if removed:
                         e[f"{key}_removed"] = list(removed)
@@ -616,6 +628,7 @@ def _delta_encode_entries(
                     # demand (s[key] applies the delta via the chain)
                     prev[key] = (lambda s=s, key=key: s[key])
                 enc.append(e)
+                boundary_id = e.get("id")
                 continue
         # dict(s) reads raw storage and would drop a _LazySnapshot's
         # unmaterialized lists — to_plain() resolves them via the
@@ -645,6 +658,7 @@ def _delta_encode_entries(
             if removed:
                 e[f"{key}_removed"] = removed
         enc.append(e)
+        boundary_id = e.get("id")
     return enc
 
 
@@ -1369,7 +1383,15 @@ class LakehouseTable:
                         if enc_has and key in pred
                         else None
                     )
-            tail_enc += _delta_encode_entries(new_entries, prev_known)
+            tail_enc += _delta_encode_entries(
+                new_entries,
+                prev_known,
+                boundary_id=(
+                    None
+                    if new_start == 0 or (tail_reset and not tail_enc)
+                    else snaps_mem[new_start - 1].get("id")
+                ),
+            )
         # map keys already represented by a reused/rewritten segment:
         # key PRESENCE survives even when the tail has nothing to add
         covered: set[str] = set()
@@ -1871,18 +1893,27 @@ class LakehouseTable:
                 entry = _LazySnapshot(
                     storage, chain, 1, frozenset({"files"})
                 )
-                pending = {"files": (list(files), [])}
+                # pred_id anchors the pass-through to THIS
+                # predecessor: a later re-encode behind a different
+                # base (interior expiry) must diff, not pass through
+                deltas = {"files": (list(files), [])}
                 if tail_deletes:
                     dict.__setitem__(entry, "deletes", tail_deletes)
                     np_ = len(prev_deletes)
                     if tail_deletes[:np_] == prev_deletes:
-                        pending["deletes"] = (tail_deletes[np_:], [])
+                        deltas["deletes"] = (
+                            tail_deletes[np_:],
+                            [],
+                        )
                     else:
                         # tail not an extension of the predecessor's:
                         # no exact delta in hand — let the encoder diff
-                        pending = None
-                if pending is not None:
-                    entry._pending = pending
+                        deltas = None
+                if deltas is not None:
+                    entry._pending = {
+                        "pred_id": tail,
+                        "deltas": deltas,
+                    }
             else:
                 entry = dict(storage)
                 entry["files"] = all_files
@@ -3877,6 +3908,63 @@ class LakehouseTable:
         self._commit(manifest)
         return snap_id
 
+    def widen_column(self, name: str, new_type: str) -> int:
+        """ALTER COLUMN TYPE as metadata-only evolution (Iceberg's
+        type promotion): only SAFE widenings are allowed
+        (operators/schema_evolution.py::SAFE_WIDENINGS — int→bigint,
+        int/bigint→double, float→double, date→timestamp...); old
+        files keep their narrower physical type and the read overlay
+        upcasts in the scan, exactly the contract appends with wider
+        incoming types already establish — this completes the ALTER
+        family (add via append-evolve, widen, rename, drop) as
+        explicit table DDL that never rewrites a byte."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        from biglake_iceberg_pipeline_spark.operators.schema_evolution import (  # noqa: E501
+            SAFE_WIDENINGS,
+            normalize_type,
+        )
+
+        target_dt = _parse_datatype_string(new_type)
+        lock = self._acquire_lock()
+        try:
+            manifest = self._read_manifest()
+            schema_json = manifest.get("schema")
+            if not schema_json:
+                raise ValueError("table has no committed schema yet")
+            schema = StructType.fromJson(json.loads(schema_json))
+            fld = next(
+                (f for f in schema.fields if f.name == name), None
+            )
+            if fld is None:
+                raise ValueError(f"no such column: {name!r}")
+            cur_t = normalize_type(fld.dataType.simpleString())
+            new_t = normalize_type(target_dt.simpleString())
+            if cur_t == new_t:
+                return self.current_snapshot_id()  # no-op
+            if (cur_t, new_t) not in SAFE_WIDENINGS:
+                raise ValueError(
+                    f"unsafe type change {cur_t} -> {new_t} for "
+                    f"{name!r}: only widening promotions are "
+                    "metadata-only (rewrite via compact for the rest)"
+                )
+            new_fields = [
+                type(f)(f.name, target_dt, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+            snap = self._commit_schema_evolution(
+                manifest, StructType(new_fields).json()
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+        self._fire_commit_hooks("evolve-schema", snap)
+        return snap
+
     def drop_column(self, name: str) -> int:
         """Drop a column WITHOUT rewriting a byte: the committed
         schema simply stops projecting it (old files keep the bytes;
@@ -5659,6 +5747,7 @@ class LakehouseTable:
             and isinstance(lo, (int, str))
             and not isinstance(lo, bool)
         }
+        ren = column_rename_map(manifest)  # hoisted: O(1) per scan
 
         def _bloom_rejects(f: str) -> bool:
             entry = bloom_ptr.get(f)
@@ -5682,7 +5771,6 @@ class LakehouseTable:
             if blob is None:
                 return False
             per_col = blob.get(f, {})
-            ren = column_rename_map(manifest)
             for col, v in points.items():
                 b = per_col.get(col)
                 if b is None and ren:

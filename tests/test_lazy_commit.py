@@ -239,3 +239,29 @@ def test_pending_entry_mutation_disables_passthrough(tmp_path):
     assert LakehouseTable(t.path).snapshots[-1]["files"] == [
         "data/rewritten.parquet"
     ]
+
+
+def test_interior_expiry_does_not_corrupt_disk_encoding(tmp_path):
+    """/code-review r11, reproduced live: expiring an INTERIOR
+    snapshot (tagged older survivor + expired direct predecessor)
+    re-encodes the tail entry behind a different base; the pending
+    pass-through must detect the predecessor changed (pred_id
+    anchor) and diff instead — otherwise the on-disk list silently
+    drops the expired commit's files while the in-process assembly
+    cache keeps showing the correct one."""
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    for f in ("data/a.parquet", "data/b.parquet", "data/c.parquet"):
+        _append(t, [f])
+    t.tag("keep", 1)
+    t.expire_snapshots(keep_last=1)
+    mem = t.snapshots[-1]["files"]
+    # disk truth: bypass every in-process cache
+    lh._ASSEMBLY_CACHE.clear()
+    lh._SEGMENT_CACHE.clear()
+    lh._SEGMENT_DECODE_CACHE.clear()
+    disk = LakehouseTable(t.path).snapshots[-1]["files"]
+    want = ["data/a.parquet", "data/b.parquet", "data/c.parquet"]
+    assert mem == want
+    assert disk == want  # b.parquet survived the re-encode

@@ -237,3 +237,36 @@ def test_stats_remap_under_rename(spark, tmp_path):
     # min/max pruning under the new name still prunes
     assert t.pruned_files({"cust_id": (99, 99)}) == []
     assert len(t.pruned_files({"cust_id": (1, 1)})) == 1
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """ALTER COLUMN TYPE via safe promotion: old files keep the
+    narrower physical type; reads upcast in the scan; unsafe changes
+    refuse."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "id long, qty int"
+        )
+    )
+    t.widen_column("qty", "bigint")
+    df = t.read(spark)
+    assert dict(df.dtypes)["qty"] == "bigint"
+    assert {r["qty"] for r in df.collect()} == {10, 20}
+    snaps = t.snapshots
+    assert snaps[-1]["files"] == snaps[0]["files"]  # no rewrite
+    assert snaps[-1].get("data_change") is False
+    # post-widen appends land as bigint; the old file still reads
+    t.append(
+        spark.createDataFrame([(3, 2**40)], "id long, qty long")
+    )
+    assert t.read(spark).where("qty > 1000000").count() == 1
+    with pytest.raises(ValueError, match="unsafe type change"):
+        t.widen_column("qty", "int")  # narrowing refused
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column("ghost", "bigint")
+    # widen composes with rename: the renamed column keeps reading
+    # old narrow-typed files under the new name
+    t.rename_column("qty", "quantity")
+    got = {r["id"]: r["quantity"] for r in t.read(spark).collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}

@@ -39,6 +39,8 @@ def main() -> None:
         lat = []
         for i in range(epochs):
             lat.append(commit_epoch(t, i, [f"data/f{i}.parquet"]))
+        if epochs < 300:
+            raise SystemExit("need epochs >= 300 for stable medians")
         early = sorted(lat[50:150])[50] * 1000
         late = sorted(lat[-100:])[50] * 1000
         snaps = t.snapshots
