@@ -429,6 +429,7 @@ def ivf_probe_int8(
     k: int = 10,
     planes: int = 8,
     nprobe_hamming: int = 1,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k over an int8 index: partition-pruned scan of
     the probed code directories, cosine scored straight off the packed
@@ -443,9 +444,15 @@ def ivf_probe_int8(
     cos = cosine_int8_vs_literal(
         F.col("q_codes"), F.col("q_scale"), query_vec
     )
+    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
+    if where is not None:
+        # metadata filter inside the probed partitions (index built
+        # with include_cols) — same contract as ivf_probe(where=)
+        scan = scan.where(
+            F.expr(where) if isinstance(where, str) else where
+        )
     return (
-        spark.read.parquet(path)
-        .where(F.col("__code").isin(codes))
+        scan
         .select(F.col(id_col), cos.alias("__cos"))
         .orderBy(F.desc("__cos"), id_col)
         .limit(k)
@@ -678,6 +685,7 @@ def kmeans_ivf_probe(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """ANN probe over a trained IVF layout: rank centroids by distance
     to the query DRIVER-SIDE (k_centroids×dim floats — no cluster
@@ -696,9 +704,13 @@ def kmeans_ivf_probe(
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
     cos = cosine_vs_literal(F.col(vec_col), list(query_vec))
+    scan = spark.read.parquet(path).where(F.col("__cid").isin(probe))
+    if where is not None:
+        scan = scan.where(
+            F.expr(where) if isinstance(where, str) else where
+        )
     return (
-        spark.read.parquet(path)
-        .where(F.col("__cid").isin(probe))
+        scan
         .select(F.col(id_col), cos.alias("__cos"))
         .orderBy(F.desc("__cos"), id_col)
         .limit(k)
