@@ -107,6 +107,9 @@ class _DeleteFilePartition(InputPartition):
     # per referenced data file: hive-path values (overlay contract)
     part_values_by_file: dict
     ctype: str
+    # rename-journal map (current -> priors): pre-rename files store
+    # the column under a prior name; preimage reads must coalesce
+    renames: dict | None = None
 
 
 @dataclass
@@ -129,6 +132,7 @@ class _EqDeletePartition(InputPartition):
     # pre-image when a later merge matches the same key:
     prior_pos: tuple = ()  # row indices from earlier position deletes
     prior_eq: tuple = ()  # earlier ((delete_file, keys), ...) in scope
+    renames: dict | None = None  # rename-journal map (overlay)
 
 
 def _eq_key_strings(tbl, keys: list[str]):
@@ -189,7 +193,10 @@ def _eq_preimage_batches(partition: _EqDeletePartition, target):
     import pyarrow.compute as pc
 
     aligned = _overlay_table(
-        partition.data_file, partition.part_values, target
+        partition.data_file,
+        partition.part_values,
+        target,
+        getattr(partition, "renames", None),
     )
     n = aligned.num_rows
     alive = np.ones(n, dtype=bool)
@@ -309,7 +316,10 @@ def _delete_preimage_batches(
         by_file.setdefault(fp, []).append(pos)
     for fp in sorted(by_file):
         aligned = _overlay_table(
-            fp, partition.part_values_by_file.get(fp, {}), target
+            fp,
+            partition.part_values_by_file.get(fp, {}),
+            target,
+            getattr(partition, "renames", None),
         )
         taken = aligned.take(sorted(by_file[fp]))
         yield from _with_ctype(taken, partition.ctype).to_batches()
@@ -997,6 +1007,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                     for fp in set(refs)
                                 },
                                 ctype=del_label,
+                                renames=renames,
                             )
                         )
                     else:
@@ -1106,6 +1117,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 part_values=pv_for(f),
                                 eq_deletes=dels,
                                 ctype=del_label,
+                                renames=renames,
                                 prior_pos=tuple(
                                     prior_pos_by_file.get(f, ())
                                 ),

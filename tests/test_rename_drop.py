@@ -270,3 +270,39 @@ def test_widen_column_metadata_only(spark, tmp_path):
     t.rename_column("qty", "quantity")
     got = {r["id"]: r["quantity"] for r in t.read(spark).collect()}
     assert got == {1: 10, 2: 20, 3: 2**40}
+
+
+def test_cdf_delete_preimages_after_rename(spark, tmp_path):
+    """Change-feed delete PRE-IMAGES of pre-rename files must carry
+    the renamed column's values (the preimage reader coalesces the
+    file's write-time vintage name), not NULLs."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    spark.dataSource.register(LakehouseStreamSource)
+    t.rename_column("name", "customer_name")
+    t.delete_where_mor(spark, F.col("id") == 1)
+    out = (
+        spark.readStream.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("rename_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    rows = spark.sql("select * from rename_cdf").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    dels = by_type.get("delete", [])
+    assert len(dels) == 1
+    # the pre-image row reads the OLD file's 'name' bytes under the
+    # NEW column name
+    assert dels[0]["customer_name"] == "a"
+    ins = {r["id"]: r["customer_name"] for r in by_type["insert"]}
+    assert ins == {1: "a", 2: "b"}
