@@ -11,7 +11,11 @@ replacement, replace-rewrites, history expiry, keyless foreign
 snapshots, segment compaction) maintains a driver-side PYTHON MODEL
 of the expected state, and after every step a FRESH table instance
 must decode exactly the model — every snapshot's full file AND
-delete list, every per-file map entry. Constants are shrunk (seal=3,
+delete list, every per-file map entry. Every check WIPES the
+process-wide caches (assembly / segment / decode) first, so it
+asserts the ON-DISK bytes, never the commit-seeded in-memory state
+— the r11 expiry-vs-passthrough corruption was exactly a
+disk-diverges-from-cache bug, invisible to a cached read. Constants are shrunk (seal=3,
 reset=2) so segment boundaries, reset cadences, folds and re-splits
 are all crossed within a short walk. No Spark session: this exercises
 exactly the metadata path (`_read_manifest` → mutate → `_commit`)."""
@@ -39,8 +43,15 @@ def _commit(t, mutate):
 # seeds 23/30/31/39 were verified to CATCH a re-introduced
 # empty-reset-tail decode bug (mutation-tested: with the r10 fix
 # reverted, 8 of 40 seeds fail — these four among them), so the suite
-# keeps killing that mutant class, not just passing on green code
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 23, 30, 31, 39])
+# keeps killing that mutant class, not just passing on green code.
+# r11: seeds 5/9/17 additionally kill the expiry-vs-passthrough
+# mutant (pred_id anchor removed -> 19 of 60 seeds fail; verified
+# with the cache-RESTORING disk-truth check + op_append_locked +
+# op_expire_interior below — wiping the caches per step would hide
+# this whole divergence class)
+@pytest.mark.parametrize(
+    "seed", [1, 2, 3, 4, 5, 9, 17, 23, 30, 31, 39]
+)
 def test_random_walk_matches_model(tmp_path, seed):
     rng = random.Random(seed)
     old = (lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY)
@@ -154,6 +165,35 @@ def test_random_walk_matches_model(tmp_path, seed):
                 }
             )
 
+        def op_append_locked(_m_unused):
+            # the REAL append path (_locked_commit): creates a lazy
+            # PENDING entry whose delta pass-through must stay
+            # anchored to its construction predecessor across every
+            # later fold / re-split / interior expiry
+            nonlocal ctr
+            ctr += 1
+            new = [f"data/l{ctr}_{j}" for j in range(rng.randint(1, 2))]
+            sid = t._locked_commit(
+                "append",
+                new,
+                {},
+                None,
+                inherit_prev_files=True,
+            )[0]
+            # _file_row_counts skips unreadable files: no entries
+            model_snaps.append(
+                {
+                    "id": sid,
+                    "files": cur_files() + new,
+                    "deletes": list(
+                        model_snaps[-1].get("deletes", [])
+                    )
+                    if model_snaps
+                    else [],
+                    "keyless": False,
+                }
+            )
+
         def op_keyless(m):
             sid = next_id()
             m["snapshots"] = list(m["snapshots"]) + [
@@ -211,8 +251,53 @@ def test_random_walk_matches_model(tmp_path, seed):
                 del m["file_rows"][f]
                 del model_rows[f]
 
+        def op_expire_interior(m):
+            # TAG-protected expiry: an INTERIOR snapshot disappears
+            # while older and newer survive — the adjacency every
+            # pre-encoded (pending) delta was recorded against
+            # breaks mid-list (the r11 corruption's exact shape)
+            if len(model_snaps) < 4:
+                return op_append(m)
+            j = rng.randint(1, len(model_snaps) - 2)
+            snaps = list(m["snapshots"])
+            m["snapshots"] = snaps[:j] + snaps[j + 1 :]
+            del model_snaps[j]
+            live: set = set()
+            for s in model_snaps:
+                live.update(s["files"])
+            for f in [x for x in model_rows if x not in live]:
+                del m["file_rows"][f]
+                del model_rows[f]
+
+        def op_evolve(m):
+            # schema-evolution shape: SAME files, SAME delete tail,
+            # dataChange=false (rename/drop/widen commits) — a no-op
+            # delta on both codec keys
+            if not model_snaps:
+                return op_append(m)
+            sid = next_id()
+            tail_del = list(model_snaps[-1].get("deletes", []))
+            entry = {
+                "id": sid,
+                "operation": "evolve-schema",
+                "files": cur_files(),
+                "data_change": False,
+            }
+            if tail_del:
+                entry["deletes"] = tail_del
+            m["snapshots"] = list(m["snapshots"]) + [entry]
+            model_snaps.append(
+                {
+                    "id": sid,
+                    "files": cur_files(),
+                    "deletes": tail_del,
+                    "keyless": False,
+                }
+            )
+
         ops = [
-            (op_append, 8),
+            (op_append, 6),
+            (op_append_locked, 3),
             (op_replace, 2),
             (op_mor_delete, 3),
             (op_materialize, 1),
@@ -221,10 +306,25 @@ def test_random_walk_matches_model(tmp_path, seed):
             (op_map_del, 2),
             (op_map_replace_wholesale, 1),
             (op_expire, 1),
+            (op_expire_interior, 1),
+            (op_evolve, 1),
         ]
         weighted = [f for f, w in ops for _ in range(w)]
 
         def check(step):
+            # DISK truth, not the commit-seeded cache — but RESTORE
+            # the caches afterwards: production keeps commit-seeded
+            # state (pending entries included) alive between
+            # operations, and wiping it per step would hide exactly
+            # the cache-vs-disk divergence class this walk hunts
+            saved = (
+                dict(lh._ASSEMBLY_CACHE),
+                dict(lh._SEGMENT_CACHE),
+                dict(lh._SEGMENT_DECODE_CACHE),
+            )
+            lh._ASSEMBLY_CACHE.clear()
+            lh._SEGMENT_CACHE.clear()
+            lh._SEGMENT_DECODE_CACHE.clear()
             t2 = lh.LakehouseTable(t.path)  # fresh decode from disk
             m2 = t2._read_manifest()
             got = [
@@ -253,10 +353,16 @@ def test_random_walk_matches_model(tmp_path, seed):
             assert dict(m2.get("delete_meta", {})) == model_meta, (
                 f"seed {seed} step {step}: delete_meta"
             )
+            lh._ASSEMBLY_CACHE.update(saved[0])
+            lh._SEGMENT_CACHE.update(saved[1])
+            lh._SEGMENT_DECODE_CACHE.update(saved[2])
 
         for step in range(60):
             action = rng.choice(weighted)
-            _commit(t, action)
+            if action is op_append_locked:
+                action(None)  # commits itself under its own lock
+            else:
+                _commit(t, action)
             check(step)
             if rng.random() < 0.12:
                 t.compact_manifest_segments(
