@@ -94,6 +94,19 @@ def build_ivf_index(
     coded.write.mode("overwrite").partitionBy("__code").parquet(path)
 
 
+def _filtered(scan: DataFrame, where) -> DataFrame:
+    """Apply a metadata predicate (Column or SQL string) INSIDE a
+    probe's partition-pruned scan — the one definition of the
+    ``where=`` coercion every probe variant shares. The index must
+    carry the referenced columns (built/registered with
+    ``include_cols``); a predicate naming an uncarried column fails
+    loudly with UNRESOLVED_COLUMN rather than silently under-
+    filtering."""
+    if where is None:
+        return scan
+    return scan.where(F.expr(where) if isinstance(where, str) else where)
+
+
 def probe_codes(
     query_vec: list[float], planes: int = 8, nprobe_hamming: int = 1
 ) -> list[int]:
@@ -370,11 +383,10 @@ def ivf_probe(
     them; filtering a plain top-k afterwards would under-return."""
     codes = probe_codes(query_vec, planes, nprobe_hamming)
     cos = cosine_vs_literal(F.col(vec_col), query_vec)
-    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
-    if where is not None:
-        scan = scan.where(
-            F.expr(where) if isinstance(where, str) else where
-        )
+    scan = _filtered(
+        spark.read.parquet(path).where(F.col("__code").isin(codes)),
+        where,
+    )
     return (
         scan.select(F.col(id_col), cos.alias("__cos"))
         .orderBy(F.desc("__cos"), id_col)
@@ -392,6 +404,7 @@ def build_ivf_index_int8(
     vec_col: str,
     planes: int = 8,
     dim: int | None = None,
+    include_cols: list[str] | None = None,
 ) -> None:
     """IVF layout storing INT8 CODES + one scale per row instead of
     the float vector (operators/quantization.py): the probe scan reads
@@ -411,6 +424,7 @@ def build_ivf_index_int8(
     scale = vector_scale(F.col(vec_col))
     coded = df.select(
         F.col(id_col),
+        *[F.col(c) for c in include_cols or ()],
         scale.alias("q_scale"),
         # packed BINARY, not array<tinyint>: parquet stores byte
         # arrays as INT32 + per-element levels (~0.6× the float
@@ -444,13 +458,10 @@ def ivf_probe_int8(
     cos = cosine_int8_vs_literal(
         F.col("q_codes"), F.col("q_scale"), query_vec
     )
-    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
-    if where is not None:
-        # metadata filter inside the probed partitions (index built
-        # with include_cols) — same contract as ivf_probe(where=)
-        scan = scan.where(
-            F.expr(where) if isinstance(where, str) else where
-        )
+    scan = _filtered(
+        spark.read.parquet(path).where(F.col("__code").isin(codes)),
+        where,
+    )
     return (
         scan
         .select(F.col(id_col), cos.alias("__cos"))
@@ -528,15 +539,13 @@ def ivf_probe_pq(
         meta = _json.load(fh)
     codebooks = meta["codebooks"]
     codes = probe_codes(query_vec, meta["planes"], nprobe_hamming)
-    scan = spark.read.parquet(path).where(F.col("__code").isin(codes))
-    if where is not None:
-        # metadata filter INSIDE the probed partitions (requires the
-        # index to carry the columns — register with include_cols):
-        # the ADC shortlist is over matching rows, so k matching
-        # results come back instead of an under-filled top-k
-        scan = scan.where(
-            F.expr(where) if isinstance(where, str) else where
-        )
+    # metadata filter INSIDE the probed partitions: the ADC shortlist
+    # is over matching rows, so k matching results come back instead
+    # of an under-filled top-k
+    scan = _filtered(
+        spark.read.parquet(path).where(F.col("__code").isin(codes)),
+        where,
+    )
     scan = (
         scan
         .select(
@@ -649,6 +658,7 @@ def build_kmeans_ivf_index(
     n_centroids: int = 16,
     seed: int = 7,
     sample_fraction: float | None = None,
+    include_cols: list[str] | None = None,
 ) -> list[list[float]]:
     """Materialize a TRAINED-centroid IVF layout (the BigQuery
     `CREATE VECTOR INDEX (type IVF)` analog with a real codebook, vs
@@ -669,6 +679,7 @@ def build_kmeans_ivf_index(
     coded = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in include_cols or ()],
         assign_centroid(F.col(vec_col), centroids).alias("__cid"),
     ).where(F.col("__cid") >= 0)
     coded.write.mode("overwrite").partitionBy("__cid").parquet(path)
@@ -704,11 +715,10 @@ def kmeans_ivf_probe(
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
     cos = cosine_vs_literal(F.col(vec_col), list(query_vec))
-    scan = spark.read.parquet(path).where(F.col("__cid").isin(probe))
-    if where is not None:
-        scan = scan.where(
-            F.expr(where) if isinstance(where, str) else where
-        )
+    scan = _filtered(
+        spark.read.parquet(path).where(F.col("__cid").isin(probe)),
+        where,
+    )
     return (
         scan
         .select(F.col(id_col), cos.alias("__cos"))

@@ -378,6 +378,9 @@ def create_product_catalog_table(
         "product_id",
         planes=PLANES,
         dim=embed.EMBED_DIM,
+        # scalar metadata rides the index rows so filtered searches
+        # (where=) push their predicate into the probed partitions
+        include_cols=["retail_price"],
     )
     return table
 

@@ -11,11 +11,14 @@ replacement, replace-rewrites, history expiry, keyless foreign
 snapshots, segment compaction) maintains a driver-side PYTHON MODEL
 of the expected state, and after every step a FRESH table instance
 must decode exactly the model — every snapshot's full file AND
-delete list, every per-file map entry. Every check WIPES the
-process-wide caches (assembly / segment / decode) first, so it
-asserts the ON-DISK bytes, never the commit-seeded in-memory state
-— the r11 expiry-vs-passthrough corruption was exactly a
-disk-diverges-from-cache bug, invisible to a cached read. Constants are shrunk (seal=3,
+delete list, every per-file map entry. Every check reads DISK truth
+(the process caches are cleared for the read and then RESTORED):
+clearing asserts the on-disk bytes rather than the commit-seeded
+in-memory state, and restoring keeps production-like cached state —
+pending entries included — alive BETWEEN steps; the r11
+expiry-vs-passthrough corruption was exactly a
+disk-diverges-from-cache bug, invisible to a cached read and
+unreachable if the caches were wiped every step. Constants are shrunk (seal=3,
 reset=2) so segment boundaries, reset cadences, folds and re-splits
 are all crossed within a short walk. No Spark session: this exercises
 exactly the metadata path (`_read_manifest` → mutate → `_commit`)."""
@@ -40,17 +43,17 @@ def _commit(t, mutate):
         os.remove(lock)
 
 
-# seeds 23/30/31/39 were verified to CATCH a re-introduced
-# empty-reset-tail decode bug (mutation-tested: with the r10 fix
-# reverted, 8 of 40 seeds fail — these four among them), so the suite
-# keeps killing that mutant class, not just passing on green code.
-# r11: seeds 5/9/17 additionally kill the expiry-vs-passthrough
-# mutant (pred_id anchor removed -> 19 of 60 seeds fail; verified
-# with the cache-RESTORING disk-truth check + op_append_locked +
-# op_expire_interior below — wiping the caches per step would hide
-# this whole divergence class)
+# Mutation-verified seeds, RE-RUN under the r11 op distribution
+# (adding ops reshuffles every rng draw, so earlier verifications
+# don't carry over): with the r10 empty-reset-tail fix reverted,
+# 10 of 60 seeds fail — 10/26/31/39 among them; with the r11
+# expiry-vs-passthrough pred_id anchor removed, 19 of 60 fail —
+# 5/9/10/17/26 among them (verified with the cache-RESTORING
+# disk-truth check + op_append_locked + op_expire_interior below;
+# wiping the caches per step would hide that divergence class).
+# Seeds 10 and 26 kill BOTH mutant classes.
 @pytest.mark.parametrize(
-    "seed", [1, 2, 3, 4, 5, 9, 17, 23, 30, 31, 39]
+    "seed", [1, 2, 3, 4, 5, 9, 10, 17, 26, 31, 39]
 )
 def test_random_walk_matches_model(tmp_path, seed):
     rng = random.Random(seed)

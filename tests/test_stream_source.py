@@ -351,7 +351,11 @@ def test_stream_source_rate_limit_resumes_after_mid_stream_appends(
     def sink(bdf, bid):
         got.extend(r["id"] for r in bdf.collect())
 
-    def run_until(n, timeout=60):
+    def run_until(n, timeout=150):
+        # generous deadline: under a loaded host (parallel suite
+        # chunks, 3 concurrent local[32] sessions) a 200 ms-trigger
+        # query can take >60 s wall-clock for two microbatches —
+        # the r11 full-suite run tripped exactly that
         q = (
             read_lakehouse_stream(
                 spark, tbl.path, max_files_per_trigger=1
