@@ -630,3 +630,47 @@ def test_lakehouse_filtered_probe_include_cols_maintained(
     assert 100 in got  # appended row is probe-visible (maintained)
     assert 101 not in got  # filtered out during the probe
     assert len(got) == 4  # k MATCHING rows, not an under-filled list
+
+
+def test_filtered_probe_int8_and_kmeans_variants(spark, tmp_path):
+    """where= on the quantized and trained-centroid probes: the
+    builders carry metadata via include_cols and the predicate
+    applies inside the probed partitions — same contract as the
+    float probe."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        build_ivf_index_int8,
+        build_kmeans_ivf_index,
+        ivf_probe_int8,
+        kmeans_ivf_probe,
+    )
+
+    rows = [
+        (i, [float(i), 1.0, 0.5], i % 2) for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>, label int"
+    )
+    q = [40.0, 1.0, 0.5]
+
+    p8 = str(tmp_path / "int8")
+    build_ivf_index_int8(
+        df, p8, "vec_id", "emb", dim=3, include_cols=["label"]
+    )
+    got = ivf_probe_int8(
+        spark, p8, "vec_id", q, k=4, nprobe_hamming=8,
+        where=F.col("label") == 1,
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 4 and all(v % 2 == 1 for v in ids)
+
+    pk = str(tmp_path / "km")
+    build_kmeans_ivf_index(
+        df, pk, "vec_id", "emb", n_centroids=4,
+        include_cols=["label"],
+    )
+    got = kmeans_ivf_probe(
+        spark, pk, "vec_id", "emb", q, k=4, nprobe=4,
+        where="label = 0",
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 4 and all(v % 2 == 0 for v in ids)
