@@ -5937,7 +5937,7 @@ class LakehouseTable:
 
     INSPECT_KINDS = (
         "files", "delete_files", "snapshots", "partitions", "refs",
-        "manifest",
+        "manifest", "schema",
     )
 
     def _snapshot_entry(self, snapshot_id: int | None) -> dict | None:
@@ -5992,6 +5992,13 @@ class LakehouseTable:
         - ``refs``: named references — tags (type='tag', pinned
           snapshot) and open branches (type='branch', base snapshot,
           staged commit count).
+        - ``schema``: the committed schema PLUS its evolution
+          metadata — one row per current column (name, type,
+          nullability, the prior names a rename journal maps to it)
+          and one row per RETIRED name (renamed-away sources and
+          dropped columns, with why) — the observability face of the
+          metadata-only DDL (rename/drop/widen); ``snapshot_id`` is
+          rejected (the journal is table-level).
         - ``manifest``: the F40 segmented manifest layout itself —
           a core row (on-disk bytes + commit generation) plus one row
           per segment (snapshot span, reset flag, bytes, per-file map
@@ -6053,6 +6060,52 @@ class LakehouseTable:
             ] + [
                 (n, "branch", b["base"], len(b["snapshots"]))
                 for n, b in manifest.get("branches", {}).items()
+            ]
+            return spark.createDataFrame(rows, schema)
+
+        if kind == "schema":
+            if snapshot_id is not None:
+                raise ValueError(
+                    "schema is table-level; snapshot_id applies to "
+                    "files/delete_files/partitions"
+                )
+            schema = T.StructType([
+                T.StructField("column", T.StringType(), False),
+                T.StructField("type", T.StringType(), True),
+                T.StructField("nullable", T.BooleanType(), True),
+                T.StructField("status", T.StringType(), False),
+                T.StructField(
+                    "prior_names", T.ArrayType(T.StringType()), True
+                ),
+            ])
+            sj = manifest.get("schema")
+            if not sj:
+                return spark.createDataFrame([], schema)
+            from pyspark.sql.types import StructType as _ST
+
+            committed = _ST.fromJson(json.loads(sj))
+            ren = column_rename_map(manifest) or {}
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    f.nullable,
+                    "current",
+                    list(ren.get(f.name, [])) or None,
+                )
+                for f in committed.fields
+            ]
+            renamed_away = {
+                p for priors in ren.values() for p in priors
+            }
+            rows += [
+                (n, None, None, "retired:renamed", None)
+                for n in sorted(renamed_away)
+            ]
+            rows += [
+                (n, None, None, "retired:dropped", None)
+                for n in manifest.get("dropped_columns", [])
+                if n not in renamed_away
             ]
             return spark.createDataFrame(rows, schema)
 

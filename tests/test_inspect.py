@@ -179,3 +179,37 @@ def test_inspect_manifest_segments(spark, tmp_path):
     assert seg["map_entries"] >= 3 * 4
     with pytest.raises(ValueError, match="physical layout"):
         t.inspect(spark, "manifest", snapshot_id=1)
+
+
+def test_inspect_schema_shows_evolution(spark, tmp_path):
+    """inspect('schema'): current columns with their prior-name
+    vintages, plus retired names (renamed-away / dropped) — the
+    observability face of metadata-only DDL."""
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10)], "id long, name string, qty int"
+        )
+    )
+    t.rename_column("name", "customer_name")
+    t.widen_column("qty", "bigint")
+    t.drop_column("qty")
+    rows = {
+        r["column"]: r
+        for r in t.inspect(spark, "schema").collect()
+    }
+    assert rows["id"]["status"] == "current"
+    assert rows["customer_name"]["prior_names"] == ["name"]
+    assert rows["name"]["status"] == "retired:renamed"
+    assert rows["qty"]["status"] == "retired:dropped"
+    assert set(
+        k for k, r in rows.items() if r["status"] == "current"
+    ) == {"id", "customer_name"}
+    with pytest.raises(ValueError, match="table-level"):
+        t.inspect(spark, "schema", snapshot_id=1)
