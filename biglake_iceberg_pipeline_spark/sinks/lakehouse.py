@@ -1031,7 +1031,10 @@ def column_rename_map(manifest: dict) -> dict[str, list[str]] | None:
     reuse guard is the equivalent over raw parquet names,
     reference: the agent's cleaning/cast_column_type.sql family at
     table scale)."""
-    journal = manifest.get("column_renames") or []
+    return _rename_map_from(manifest.get("column_renames") or [])
+
+
+def _rename_map_from(journal: list) -> dict[str, list[str]] | None:
     if not journal:
         return None
     cur: dict[str, list[str]] = {}
@@ -1930,6 +1933,15 @@ class LakehouseTable:
             manifest["snapshots"].append(entry)
             if schema_json is not None:
                 self._guard_schema_transform_clash(manifest, schema_json)
+                if manifest.get("schema") != schema_json:
+                    # schema LOG (Iceberg's schema-id history): every
+                    # distinct committed schema records the snapshot
+                    # it took effect at, so time travel can read with
+                    # the schema AS OF that snapshot (read(...,
+                    # use_snapshot_schema=True))
+                    manifest.setdefault("schema_log", []).append(
+                        {"at": snap_id, "schema": schema_json}
+                    )
                 manifest["schema"] = schema_json
             if txn is not None:
                 manifest.setdefault("txns", {})[txn[0]] = txn[1]
@@ -2186,6 +2198,7 @@ class LakehouseTable:
         files: list[str],
         schema_json: str | None = None,
         with_meta: bool = False,
+        renames=...,
     ) -> DataFrame:
         """Open an explicit manifest file list. Unpartitioned: plain
         multi-file read. Partitioned: group by snapshot dir and read
@@ -2235,7 +2248,10 @@ class LakehouseTable:
 
                 committed = StructType.fromJson(json.loads(schema_json))
                 read_schema, rename_sel = _augment_for_renames(
-                    committed, column_rename_map(_manifest())
+                    committed,
+                    column_rename_map(_manifest())
+                    if renames is ...
+                    else renames,
                 )
                 out = spark.read.schema(read_schema).parquet(*files)
                 if with_meta:
@@ -2296,7 +2312,10 @@ class LakehouseTable:
         )
         read_schema, rename_sel = (
             _augment_for_renames(
-                committed, column_rename_map(_manifest())
+                committed,
+                column_rename_map(_manifest())
+                if renames is ...
+                else renames,
             )
             if committed is not None
             else (None, None)
@@ -3896,6 +3915,10 @@ class LakehouseTable:
         if snaps and snaps[-1].get("deletes"):
             entry["deletes"] = list(snaps[-1]["deletes"])
         manifest["snapshots"].append(entry)
+        if manifest.get("schema") != new_schema_json:
+            manifest.setdefault("schema_log", []).append(
+                {"at": snap_id, "schema": new_schema_json}
+            )
         manifest["schema"] = new_schema_json
         if rename is not None:
             manifest.setdefault("column_renames", []).append(
@@ -5401,16 +5424,33 @@ class LakehouseTable:
         return df
 
     def _read_snapshot(
-        self, spark: SparkSession, snap: dict, manifest: dict
+        self,
+        spark: SparkSession,
+        snap: dict,
+        manifest: dict,
+        schema_json: str | None = None,
+        renames=...,
     ) -> DataFrame:
         """A snapshot's logical rows: its file list with its delete
         tail applied (the one read-side entry point every full read —
         read / scan / compact / copy-on-write rewrites — goes
-        through)."""
+        through). ``schema_json``/``renames`` override the overlay
+        for as-of-schema time travel."""
         deletes = snap.get("deletes", [])
         if not deletes:
-            return self._read_files(spark, snap["files"])
-        df = self._read_files(spark, snap["files"], with_meta=True)
+            return self._read_files(
+                spark,
+                snap["files"],
+                schema_json=schema_json,
+                renames=renames,
+            )
+        df = self._read_files(
+            spark,
+            snap["files"],
+            schema_json=schema_json,
+            with_meta=True,
+            renames=renames,
+        )
         df = self._apply_deletes(spark, df, manifest, deletes)
         return df.drop("__file", "__pos")
 
@@ -5613,12 +5653,22 @@ class LakehouseTable:
         tag: str | None = None,
         branch: str | None = None,
         as_of_ts: float | None = None,
+        use_snapshot_schema: bool = False,
     ) -> DataFrame:
         """Read latest, time-travel to a snapshot id or a wall-clock
         timestamp (``as_of_ts``, unix seconds — SYSTEM_TIME AS OF),
         resolve a named tag, or read a BRANCH's staged state
         (``snapshot_id`` / ``tag`` / ``branch`` / ``as_of_ts`` are
-        mutually exclusive)."""
+        mutually exclusive).
+
+        Time travel reads with the CURRENT schema by default (the
+        Delta convention this repo has pinned since the rename work:
+        history surfaces under today's names). Iceberg instead reads
+        with the schema the snapshot committed under —
+        ``use_snapshot_schema=True`` selects that: the overlay schema
+        and the rename-vintage map both resolve AS OF the target
+        snapshot from the schema log (tables predating the log fall
+        back to the current schema for pre-log snapshots)."""
         if as_of_ts is not None:
             if (
                 snapshot_id is not None
@@ -5673,7 +5723,41 @@ class LakehouseTable:
             if not matches:
                 raise SnapshotNotFoundError(f"snapshot {snapshot_id} not found")
             snap = matches[0]
+        if use_snapshot_schema:
+            return self._read_snapshot(
+                spark,
+                snap,
+                manifest,
+                schema_json=self._schema_as_of(manifest, snap["id"]),
+                renames=self._renames_as_of(manifest, snap["id"]),
+            )
         return self._read_snapshot(spark, snap, manifest)
+
+    @staticmethod
+    def _schema_as_of(manifest: dict, snapshot_id: int) -> str | None:
+        """The committed schema in effect AT ``snapshot_id`` per the
+        schema log; current schema when the snapshot predates logging
+        (pre-feature tables — the honest fallback)."""
+        best = None
+        for e in manifest.get("schema_log", ()):
+            if e["at"] <= snapshot_id:
+                best = e["schema"]
+        return best if best is not None else manifest.get("schema")
+
+    @staticmethod
+    def _renames_as_of(
+        manifest: dict, snapshot_id: int
+    ) -> dict[str, list[str]] | None:
+        """The rename-vintage map with only journal entries committed
+        at or before ``snapshot_id`` — an as-of read must not
+        coalesce names a LATER rename introduced."""
+        return _rename_map_from(
+            [
+                r
+                for r in manifest.get("column_renames") or []
+                if r.get("at") is None or r["at"] <= snapshot_id
+            ]
+        )
 
     def pruned_files(
         self,

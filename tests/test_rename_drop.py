@@ -306,3 +306,57 @@ def test_cdf_delete_preimages_after_rename(spark, tmp_path):
     assert dels[0]["customer_name"] == "a"
     ins = {r["id"]: r["customer_name"] for r in by_type["insert"]}
     assert ins == {1: "a", 2: "b"}
+
+
+def test_use_snapshot_schema_time_travel(spark, tmp_path):
+    """Iceberg-style as-of-schema time travel: read(snapshot_id=...,
+    use_snapshot_schema=True) overlays the schema the snapshot
+    committed under — original names, pre-drop columns, pre-add
+    absence — while the default keeps the Delta current-schema
+    convention."""
+    t = _mk(spark, tmp_path)
+    s1 = t.current_snapshot_id()
+    t.rename_column("name", "customer_name")
+    t.drop_column("amount")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", "ap", 9)],
+            "id long, customer_name string, region string, stars int",
+        )
+    )
+    s4 = t.current_snapshot_id()
+
+    # default: history under today's names/shape (pinned elsewhere)
+    cur = t.read(spark, snapshot_id=s1)
+    assert cur.columns == ["id", "customer_name", "region", "stars"]
+
+    # as-of: the ORIGINAL schema, original names, amount present
+    old = t.read(spark, snapshot_id=s1, use_snapshot_schema=True)
+    assert old.columns == ["id", "name", "amount", "region"]
+    got = {r["id"]: (r["name"], r["amount"]) for r in old.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+    # as-of the LATEST snapshot == current schema
+    new = t.read(spark, snapshot_id=s4, use_snapshot_schema=True)
+    assert new.columns == ["id", "customer_name", "region", "stars"]
+    assert new.count() == 3
+
+    # rename chains resolve as of the snapshot: a second rename must
+    # not leak back into the earlier vintage read
+    t.rename_column("customer_name", "cname2")
+    mid = t.read(spark, snapshot_id=s4, use_snapshot_schema=True)
+    assert "customer_name" in mid.columns
+    assert {
+        r["id"]: r["customer_name"] for r in mid.collect()
+    } == {1: "a", 2: "b", 3: "c"}
+
+
+def test_use_snapshot_schema_with_mor_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s1 = t.current_snapshot_id()
+    t.delete_where_mor(spark, F.col("id") == 1)
+    t.rename_column("name", "customer_name")
+    # as-of s1: pre-delete rows under the original schema
+    old = t.read(spark, snapshot_id=s1, use_snapshot_schema=True)
+    assert old.columns == ["id", "name", "amount", "region"]
+    assert {r["id"] for r in old.collect()} == {1, 2}
