@@ -6081,8 +6081,10 @@ class LakehouseTable:
           nullability, the prior names a rename journal maps to it)
           and one row per RETIRED name (renamed-away sources and
           dropped columns, with why) — the observability face of the
-          metadata-only DDL (rename/drop/widen); ``snapshot_id`` is
-          rejected (the journal is table-level).
+          metadata-only DDL (rename/drop/widen). ``snapshot_id``
+          time-travels via the schema log: columns and rename
+          vintages AS OF that snapshot (retired rows reflect only
+          evolution up to it).
         - ``manifest``: the F40 segmented manifest layout itself —
           a core row (on-disk bytes + commit generation) plus one row
           per segment (snapshot span, reset flag, bytes, per-file map
@@ -6148,11 +6150,6 @@ class LakehouseTable:
             return spark.createDataFrame(rows, schema)
 
         if kind == "schema":
-            if snapshot_id is not None:
-                raise ValueError(
-                    "schema is table-level; snapshot_id applies to "
-                    "files/delete_files/partitions"
-                )
             schema = T.StructType([
                 T.StructField("column", T.StringType(), False),
                 T.StructField("type", T.StringType(), True),
@@ -6162,13 +6159,46 @@ class LakehouseTable:
                     "prior_names", T.ArrayType(T.StringType()), True
                 ),
             ])
-            sj = manifest.get("schema")
+            if snapshot_id is None:
+                sj = manifest.get("schema")
+                ren = column_rename_map(manifest) or {}
+                dropped = manifest.get("dropped_columns", [])
+            else:
+                if not any(
+                    s["id"] == snapshot_id
+                    for s in manifest["snapshots"]
+                ):
+                    raise SnapshotNotFoundError(
+                        f"snapshot {snapshot_id} not found"
+                    )
+                sj = self._schema_as_of(manifest, snapshot_id)
+                ren = self._renames_as_of(manifest, snapshot_id) or {}
+                # a name is retired:dropped AS OF the snapshot iff it
+                # is absent from the as-of schema but present in some
+                # schema at or before it (drops commit evolve-schema
+                # snapshots, so the as-of schema already excludes them)
+                cur_names = (
+                    {f["name"] for f in json.loads(sj)["fields"]}
+                    if sj
+                    else set()
+                )
+                seen_before = set()
+                for e in manifest.get("schema_log", ()):
+                    if e["at"] <= snapshot_id:
+                        seen_before.update(
+                            f["name"]
+                            for f in json.loads(e["schema"])["fields"]
+                        )
+                dropped = [
+                    n
+                    for n in manifest.get("dropped_columns", [])
+                    if n in seen_before and n not in cur_names
+                ]
             if not sj:
                 return spark.createDataFrame([], schema)
             from pyspark.sql.types import StructType as _ST
 
             committed = _ST.fromJson(json.loads(sj))
-            ren = column_rename_map(manifest) or {}
             rows = [
                 (
                     f.name,
@@ -6188,7 +6218,7 @@ class LakehouseTable:
             ]
             rows += [
                 (n, None, None, "retired:dropped", None)
-                for n in manifest.get("dropped_columns", [])
+                for n in dropped
                 if n not in renamed_away
             ]
             return spark.createDataFrame(rows, schema)

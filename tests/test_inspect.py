@@ -211,5 +211,11 @@ def test_inspect_schema_shows_evolution(spark, tmp_path):
     assert set(
         k for k, r in rows.items() if r["status"] == "current"
     ) == {"id", "customer_name"}
-    with pytest.raises(ValueError, match="table-level"):
-        t.inspect(spark, "schema", snapshot_id=1)
+    # as-of: the original schema has no retirements yet
+    old_rows = {
+        r["column"]: r
+        for r in t.inspect(spark, "schema", snapshot_id=1).collect()
+    }
+    assert set(old_rows) == {"id", "name", "qty"}
+    assert all(r["status"] == "current" for r in old_rows.values())
+    assert old_rows["qty"]["type"] == "int"  # pre-widen
