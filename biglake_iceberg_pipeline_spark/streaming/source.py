@@ -222,6 +222,31 @@ def _eq_preimage_batches(partition: _EqDeletePartition, target):
         ).to_batches()
 
 
+def _resolve_time_travel(options, path: str):
+    """The (snapshotId | tag | asOfTimestamp) resolution shared by
+    the batch reader and schema(): returns a snapshot id, or None
+    when no time-travel option was passed. Raises on combinations."""
+    from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+        LakehouseTable,
+    )
+
+    snap_opt = options.get("snapshotid")
+    tag = options.get("tag")
+    as_of = options.get("asoftimestamp")
+    if sum(x is not None for x in (snap_opt, tag, as_of)) > 1:
+        raise ValueError("pass one of snapshotId / tag / asOfTimestamp")
+    if as_of is not None:
+        return LakehouseTable(path).snapshot_as_of(float(as_of))
+    if tag is not None:
+        tags = LakehouseTable(path).tags()
+        if tag not in tags:
+            raise ValueError(f"tag {tag!r} not found")
+        return tags[tag]
+    if snap_opt is not None:
+        return int(snap_opt)
+    return None
+
+
 def _opt_flag(options, name: str) -> bool:
     v = options.get(name.lower())
     if v is None:
@@ -469,7 +494,21 @@ class LakehouseStreamSource(DataSource):
                 "schema yet (no snapshots) — pass .schema(...) "
                 "explicitly to stream a table created later"
             )
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        schema_json = m["schema"]
+        if _opt_flag(self.options, "useSnapshotSchema"):
+            # Iceberg-style as-of-schema time travel for BATCH reads
+            # (streams always follow the current schema): resolve the
+            # travel target and overlay the schema it committed under
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                LakehouseTable,
+            )
+
+            sid = _resolve_time_travel(self.options, self._path())
+            if sid is not None:
+                sj = LakehouseTable._schema_as_of(m, sid)
+                if sj:
+                    schema_json = sj
+        schema = StructType.fromJson(json.loads(schema_json))
         if _opt_flag(self.options, "readChangeFeed"):
             from pyspark.sql.types import StringType, StructField
 
@@ -1203,23 +1242,8 @@ class LakehouseBatchReader(DataSourceReader):
         self._schema = schema
         self._arrow_schema = None
         table = LakehouseTable(path)
-        snap_opt = options.get("snapshotid")
-        tag = options.get("tag")
-        as_of = options.get("asoftimestamp")
-        if sum(x is not None for x in (snap_opt, tag, as_of)) > 1:
-            raise ValueError(
-                "pass one of snapshotId / tag / asOfTimestamp"
-            )
-        if as_of is not None:
-            snapshot_id = table.snapshot_as_of(float(as_of))
-        elif tag is not None:
-            tags = table.tags()
-            if tag not in tags:
-                raise ValueError(f"tag {tag!r} not found")
-            snapshot_id = tags[tag]
-        elif snap_opt is not None:
-            snapshot_id = int(snap_opt)
-        else:
+        snapshot_id = _resolve_time_travel(options, path)
+        if snapshot_id is None:
             snapshot_id = table.current_snapshot_id()
             if snapshot_id is None:
                 raise ValueError(f"no snapshots in {path}")
@@ -1243,7 +1267,11 @@ class LakehouseBatchReader(DataSourceReader):
             column_rename_map,
         )
 
-        self._renames = column_rename_map(m)
+        self._renames = (
+            LakehouseTable._renames_as_of(m, snapshot_id)
+            if _opt_flag(options, "useSnapshotSchema")
+            else column_rename_map(m)
+        )
         self._ranges: dict[str, tuple] = {}
         self._in_lists: dict[str, list] = {}
 

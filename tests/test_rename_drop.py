@@ -360,3 +360,40 @@ def test_use_snapshot_schema_with_mor_deletes(spark, tmp_path):
     old = t.read(spark, snapshot_id=s1, use_snapshot_schema=True)
     assert old.columns == ["id", "name", "amount", "region"]
     assert {r["id"] for r in old.collect()} == {1, 2}
+
+
+def test_connector_use_snapshot_schema(spark, tmp_path):
+    """spark.read.format('lakehouse').option('useSnapshotSchema',
+    'true') time-travels with the as-of schema — the connector face
+    of read(use_snapshot_schema=True)."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    t = _mk(spark, tmp_path)
+    s1 = t.current_snapshot_id()
+    t.rename_column("name", "customer_name")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "ap")],
+            "id long, customer_name string, amount double, region string",
+        )
+    )
+    spark.dataSource.register(LakehouseStreamSource)
+    base = spark.read.format("lakehouse").option(
+        "snapshotId", str(s1)
+    )
+    # default: current names
+    assert "customer_name" in base.load(t.path).columns
+    # as-of: original names with the original values
+    old = (
+        spark.read.format("lakehouse")
+        .option("snapshotId", str(s1))
+        .option("useSnapshotSchema", "true")
+        .load(t.path)
+    )
+    assert "name" in old.columns and "customer_name" not in old.columns
+    assert {r["id"]: r["name"] for r in old.collect()} == {
+        1: "a",
+        2: "b",
+    }
