@@ -43,6 +43,30 @@ SAFE_WIDENINGS = {
     ("VARCHAR", "VARCHAR"),
 }
 
+#: The subset of SAFE_WIDENINGS the parquet SCAN can apply to files
+#: that keep the NARROWER physical type (probe-verified against the
+#: Spark 4 vectorized reader; matches Iceberg's type-promotion rules,
+#: which exist for exactly this reason): every INT32-physical source
+#: (tinyint/smallint/int) upcasts to wider ints and double, and
+#: FLOAT upcasts to DOUBLE. BIGINT->DOUBLE and DATE->TIMESTAMP are
+#: value-safe for CAST (so appends may align INCOMING data through
+#: them) but NOT read-safe — a committed-schema overlay on old files
+#: would fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH, so
+#: metadata-only evolution of live files through them is refused
+#: (rewrite via merge/overwrite/compact instead).
+READ_SAFE_WIDENINGS = {
+    ("TINYINT", "SMALLINT"),
+    ("TINYINT", "INTEGER"),
+    ("TINYINT", "BIGINT"),
+    ("TINYINT", "DOUBLE"),
+    ("SMALLINT", "INTEGER"),
+    ("SMALLINT", "BIGINT"),
+    ("SMALLINT", "DOUBLE"),
+    ("INTEGER", "BIGINT"),
+    ("INTEGER", "DOUBLE"),
+    ("FLOAT", "DOUBLE"),
+}
+
 
 def normalize_type(spark_dtype: str) -> str:
     return _TYPE_NAMES.get(spark_dtype, spark_dtype.upper())

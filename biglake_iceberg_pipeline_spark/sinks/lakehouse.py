@@ -1933,6 +1933,16 @@ class LakehouseTable:
             manifest["snapshots"].append(entry)
             if schema_json is not None:
                 self._guard_schema_transform_clash(manifest, schema_json)
+                if inherit_prev_files:
+                    # old files stay LIVE in this snapshot: the new
+                    # schema must be readable over their physical
+                    # types — only READ-safe promotions may evolve
+                    # metadata-only (rewrites replace the files, so
+                    # they skip this; their history needs
+                    # use_snapshot_schema for pre-rewrite travel)
+                    self._guard_readable_promotion(
+                        manifest.get("schema"), schema_json
+                    )
                 if manifest.get("schema") != schema_json:
                     # schema LOG (Iceberg's schema-id history): every
                     # distinct committed schema records the snapshot
@@ -2077,6 +2087,52 @@ class LakehouseTable:
                 None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
             )
         return vals
+
+    @staticmethod
+    def _guard_readable_promotion(
+        old_json: str | None, new_json: str | None
+    ) -> None:
+        """Reject a schema evolution whose live old files could not
+        be READ under the new types: the parquet scan only upcasts
+        the READ_SAFE_WIDENINGS pairs (probe-verified; Iceberg's
+        type-promotion rules); BIGINT->DOUBLE / DATE->TIMESTAMP etc.
+        are fine as incoming-data CASTS but would crash every read of
+        files keeping the narrower physical type — fail the commit
+        loudly with the rewrite guidance instead of committing an
+        unreadable table."""
+        if not old_json or not new_json or old_json == new_json:
+            return
+        from biglake_iceberg_pipeline_spark.operators.schema_evolution import (  # noqa: E501
+            READ_SAFE_WIDENINGS,
+            normalize_type,
+        )
+
+        from pyspark.sql.types import StructType
+
+        old_s = {
+            f.name: normalize_type(f.dataType.simpleString())
+            for f in StructType.fromJson(json.loads(old_json)).fields
+        }
+        new_s = {
+            f.name: normalize_type(f.dataType.simpleString())
+            for f in StructType.fromJson(json.loads(new_json)).fields
+        }
+        bad = [
+            (c, o, n)
+            for c, o in old_s.items()
+            if (n := new_s.get(c)) is not None
+            and n != o
+            and (o, n) not in READ_SAFE_WIDENINGS
+        ]
+        if bad:
+            raise ValueError(
+                f"schema change {bad} is not metadata-only readable: "
+                "files keeping the narrower physical type cannot be "
+                "scanned under the new type (parquet reader limit; "
+                "Iceberg refuses the same promotions). Cast the "
+                "incoming data to the CURRENT type, or rewrite the "
+                "table (merge/overwrite/compact) to change it."
+            )
 
     @staticmethod
     def _guard_schema_transform_clash(
@@ -3944,7 +4000,7 @@ class LakehouseTable:
         from pyspark.sql.types import StructType, _parse_datatype_string
 
         from biglake_iceberg_pipeline_spark.operators.schema_evolution import (  # noqa: E501
-            SAFE_WIDENINGS,
+            READ_SAFE_WIDENINGS,
             normalize_type,
         )
 
@@ -3965,11 +4021,13 @@ class LakehouseTable:
             new_t = normalize_type(target_dt.simpleString())
             if cur_t == new_t:
                 return self.current_snapshot_id()  # no-op
-            if (cur_t, new_t) not in SAFE_WIDENINGS:
+            if (cur_t, new_t) not in READ_SAFE_WIDENINGS:
                 raise ValueError(
                     f"unsafe type change {cur_t} -> {new_t} for "
-                    f"{name!r}: only widening promotions are "
-                    "metadata-only (rewrite via compact for the rest)"
+                    f"{name!r}: only READ-safe promotions are "
+                    "metadata-only — the scan must upcast old files' "
+                    "physical type (rewrite via merge/overwrite/"
+                    "compact for the rest)"
                 )
             new_fields = [
                 type(f)(f.name, target_dt, f.nullable, f.metadata)

@@ -397,3 +397,40 @@ def test_connector_use_snapshot_schema(spark, tmp_path):
         1: "a",
         2: "b",
     }
+
+
+def test_unreadable_promotion_refused_on_append(spark, tmp_path):
+    """The schema-evolution walk's find: BIGINT->DOUBLE (and
+    DATE->TIMESTAMP) are value-safe casts for INCOMING data but the
+    parquet scan cannot upcast OLD files' physical type — a plain
+    append that would evolve the committed schema through such a
+    promotion must refuse loudly instead of committing a table whose
+    history crashes every read (Iceberg refuses the same
+    promotions)."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "id long, v long"))
+    with pytest.raises(ValueError, match="not metadata-only readable"):
+        t.append(
+            spark.createDataFrame([(2, 2.5)], "id long, v double")
+        )
+    # the table stayed readable and unchanged
+    assert t.read(spark).count() == 1
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+    # metadata-only widen refuses the same pair...
+    with pytest.raises(ValueError, match="READ-safe"):
+        t.widen_column("v", "double")
+    # ...while the read-safe promotions still work end-to-end
+    t2 = LakehouseTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, 10)], "id long, v int"))
+    t2.append(spark.createDataFrame([(2, 2.5)], "id long, v double"))
+    got = {r["id"]: r["v"] for r in t2.read(spark).collect()}
+    assert got == {1: 10.0, 2: 2.5}
+    # and the REWRITE path (merge semantics) remains the way to
+    # change unreadable pairs: overwrite with the widened data
+    t.overwrite(
+        t.read(spark).selectExpr("id", "cast(v as double) v").union(
+            spark.createDataFrame([(2, 2.5)], "id long, v double")
+        )
+    )
+    assert dict(t.read(spark).dtypes)["v"] == "double"
+    assert t.read(spark).count() == 2
