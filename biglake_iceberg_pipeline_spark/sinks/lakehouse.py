@@ -3990,8 +3990,11 @@ class LakehouseTable:
     def widen_column(self, name: str, new_type: str) -> int:
         """ALTER COLUMN TYPE as metadata-only evolution (Iceberg's
         type promotion): only SAFE widenings are allowed
-        (operators/schema_evolution.py::SAFE_WIDENINGS — int→bigint,
-        int/bigint→double, float→double, date→timestamp...); old
+        (operators/schema_evolution.py::READ_SAFE_WIDENINGS —
+        tinyint/smallint/int→wider ints or double, float→double:
+        exactly the promotions the parquet scan can apply to the
+        narrower physical type; bigint→double / date→timestamp need
+        a rewrite); old
         files keep their narrower physical type and the read overlay
         upcasts in the scan, exactly the contract appends with wider
         incoming types already establish — this completes the ALTER
