@@ -473,6 +473,32 @@ LIMIT 10
 """
 
 
+_ANN_RECALL_AUDIT_TEMPLATE = f"""
+WITH exact AS ({ANN_TOPK_SQL.strip()}),
+coded AS (
+    SELECT e.vec_id, e.embedding, {{_code_sql_e}} AS ec,
+           q.embedding AS qemb, {{_code_sql_q}} AS qc
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+),
+approx AS (
+    SELECT vec_id
+    FROM coded e
+    WHERE ({_HAMMING}) <= 1
+    ORDER BY {_QDOT.replace('q.embedding', 'qemb')}
+             / ({_QNA} * {_QNB.replace('q.embedding', 'qemb')}) DESC,
+             vec_id
+    LIMIT 10
+)
+SELECT COUNT(*)::DOUBLE / 10.0 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+"""
+
+ANN_RECALL_AUDIT_SQL = _ANN_RECALL_AUDIT_TEMPLATE.replace(
+    "{_code_sql_e}", _code_sql("e")
+).replace("{_code_sql_q}", _code_sql("q"))
+
+
 ANN_IVF_FILTERED_SQL = f"""
 WITH coded AS (
     SELECT e.vec_id, e.embedding, e.label, {_code_sql('e')} AS ec,
@@ -539,6 +565,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _query_vec(spark, sf_dir),
         k=10,
+    )
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe against exact brute force — the
+    audit every ANN deployment runs before trusting an approximate
+    index (FAISS's standard evaluation): one row, |approx ∩ exact|/k.
+    Both sides are the registered plans (ann_ivf / ann_topk), so the
+    audit measures the production probe, not a test double; the
+    oracle replays BOTH pipelines and the intersection in DuckDB."""
+    exact = ann_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivf(spark, sf_dir).select("vec_id")
+    k = 10
+    return (
+        exact.join(approx, "vec_id", "inner")
+        .agg((F.count("*") / F.lit(float(k))).alias("recall_at_10"))
     )
 
 
@@ -1138,6 +1180,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_ivf": ann_ivf,
     "ann_ivf_filtered": ann_ivf_filtered,
+    "ann_recall_audit": ann_recall_audit,
     "ann_ivf_int8": ann_ivf_int8,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_ivf_pq": ann_ivf_pq,
@@ -1163,6 +1206,7 @@ ORACLE = {
     "ann_topk": ANN_TOPK_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_filtered": ANN_IVF_FILTERED_SQL,
+    "ann_recall_audit": ANN_RECALL_AUDIT_SQL,
     "ann_ivf_int8": ANN_IVF_INT8_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_quality": TEXT_QUALITY_SQL,

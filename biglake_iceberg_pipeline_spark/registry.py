@@ -37,6 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # exactly 50 (they rotate back in r12).
 PRIORITY_KEYS = (
     "ann_ivf_filtered",
+    "ann_recall_audit",
     "dedup_clusters",
     "dedup_best_quality",
     "ann_ivf",
@@ -114,6 +115,7 @@ DEMOTED_KEYS = frozenset({
     "gold_daily_sales",
     # r9-green overflow — rotate back in r12
     "dedup_incremental",
+    "q22_idle_customers",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "ann_ivf_int8",
