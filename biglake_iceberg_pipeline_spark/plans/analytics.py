@@ -551,6 +551,108 @@ WHERE o_orderkey = (
 """
 
 
+_MOR_TABLE_PATHS: dict[str, str] = {}
+
+
+def _mor_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a sort-laid-out lakehouse table carrying a LIVE
+    merge-on-read tail: a position-delete commit (every o_orderkey ≡
+    3 mod 7) followed by a MoR MERGE (equality delete + postimage
+    files doubling o_totalprice and flagging o_orderstatus='U' for
+    o_orderkey ≡ 2 mod 100). Deliberately NOT materialized — the
+    point is reading THROUGH the tail."""
+    if sf_dir not in _MOR_TABLE_PATHS:
+        import hashlib
+        import os
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/lakehouse_mor_{tag}_{os.getpid()}"
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        table = LakehouseTable(path)
+        orders = load_table(spark, sf_dir, "orders")
+        table.append(
+            orders.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        table.delete_where_mor(spark, F.col("o_orderkey") % 7 == 3)
+        src = (
+            orders.where(F.col("o_orderkey") % 100 == 2)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        table.merge(
+            spark, src, keys=["o_orderkey"], mode="merge-on-read"
+        )
+        cleanup_index_at_exit(path)
+        _MOR_TABLE_PATHS[sf_dir] = path
+    return _MOR_TABLE_PATHS[sf_dir]
+
+
+def lakehouse_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range read THROUGH the batch connector of a table with an
+    UNMATERIALIZED merge-on-read delete tail (streaming/source.py
+    F45): the planner ships each pruned file its own overlay —
+    voided positions in the partition payload, equality-delete files
+    by reference scoped by added_at watermark + footer key ranges —
+    and the executor drops the rows with the NULL-safe vectorized
+    is_in, mirroring the native read's broadcast anti-joins
+    (sinks/lakehouse.py `_apply_deletes`). Pushed range filters
+    still prune files first; the overlay composes with pruning
+    rather than forcing a full scan. This is the read path a 100 TB
+    table lives on between a MoR DELETE/MERGE and its next
+    compaction.
+
+    Enables ``spark.sql.python.filterPushdown.enabled`` at runtime —
+    see lakehouse_point_lookup's docstring (the driver's vanilla
+    session defaults it off; lazy collection means it must stay
+    set)."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _mor_table_path(spark, sf_dir)
+    return (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 5000)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+LAKEHOUSE_MOR_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 5000
+  AND o_orderkey % 7 <> 3 AND o_orderkey % 100 <> 2
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       o_totalprice * 2 AS o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 5000 AND o_orderkey % 100 = 2
+"""
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
     "order_value_percentiles": order_value_percentiles,
@@ -564,6 +666,7 @@ QUERIES = {
     "approx_event_stats": approx_event_stats,
     "lakehouse_point_lookup": lakehouse_point_lookup,
     "lakehouse_bloom_lookup": lakehouse_bloom_lookup,
+    "lakehouse_mor_read": lakehouse_mor_read,
 }
 
 ORACLE = {
@@ -578,4 +681,5 @@ ORACLE = {
     "revenue_running_total": REVENUE_RUNNING_TOTAL_SQL,
     "lakehouse_point_lookup": LAKEHOUSE_POINT_LOOKUP_SQL,
     "lakehouse_bloom_lookup": LAKEHOUSE_BLOOM_LOOKUP_SQL,
+    "lakehouse_mor_read": LAKEHOUSE_MOR_READ_SQL,
 }

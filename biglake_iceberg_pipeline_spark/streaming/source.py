@@ -94,6 +94,17 @@ class _FilePartition(InputPartition):
     # {current column name: [prior names]} from the table's rename
     # journal — the executor-side half of metadata-only renames
     renames: dict | None = None
+    # merge-on-read overlay for an unmaterialized delete tail (batch
+    # reads only; the streaming source diffs tails per snapshot
+    # instead): row positions of THIS file voided by position-delete
+    # files, shipped in the partition payload (delete files are
+    # metadata-sized — the same contract that ships part_values and
+    # renames), and the equality-delete files whose added_at
+    # watermark + footer key ranges say they may void rows here
+    drop_pos: tuple = ()
+    # ((delete_file, (key_col, ...)), ...) — executor re-matches via
+    # the NULL-safe composite-key is_in (_eq_match_mask)
+    eq_deletes: tuple = ()
 
 
 @dataclass
@@ -178,6 +189,39 @@ def _eq_match_mask(aligned, eq_deletes):
     if mask is None:
         return None
     return pc.fill_null(mask, False)
+
+
+def _mor_overlay_batches(partition: _FilePartition, target):
+    """One data file with its merge-on-read delete tail applied —
+    the executor half of the batch connector's MoR overlay (the
+    native ``LakehouseTable._apply_deletes`` re-expressed per file:
+    position deletes drop the named row indices, equality deletes
+    drop key matches via the shared NULL-safe is_in). Work is
+    O(file rows + its deletes); files the planner proved untouched
+    never take this path."""
+    import numpy as np
+    import pyarrow as pa
+
+    aligned = _overlay_table(
+        partition.file,
+        partition.part_values,
+        target,
+        partition.renames,
+    )
+    n = aligned.num_rows
+    alive = np.ones(n, dtype=bool)
+    for pos in partition.drop_pos:
+        if 0 <= pos < n:
+            alive[pos] = False
+    if partition.eq_deletes:
+        mask = _eq_match_mask(aligned, list(partition.eq_deletes))
+        if mask is not None:
+            alive &= ~np.asarray(
+                mask.combine_chunks()
+                if isinstance(mask, pa.ChunkedArray)
+                else mask
+            )
+    yield from aligned.filter(pa.array(alive)).to_batches()
 
 
 def _eq_preimage_batches(partition: _EqDeletePartition, target):
@@ -1228,10 +1272,17 @@ class LakehouseBatchReader(DataSourceReader):
     returned to Spark for re-evaluation — pruning only ever SKIPS
     whole files, never rows.
 
-    The native ``LakehouseTable.read`` stays the featureful path
-    (branch reads, merge-on-read delete overlay, column pruning into
-    the parquet scan); this reader REFUSES snapshots with an
-    unmaterialized delete tail rather than resurrect deleted rows."""
+    Snapshots with an unmaterialized merge-on-read delete tail read
+    correctly: the planner reads the (metadata-sized) delete files
+    driver-side and ships each data file its own overlay — voided
+    row positions directly, equality-delete files by reference,
+    scoped by the added_at watermark and pruned by footer key ranges
+    (``eq_delete_may_hit``, the same test materialize_deletes and
+    the CDF planner use) — so the executor pays O(its rows + its
+    deletes), mirroring ``LakehouseTable._apply_deletes``'s
+    broadcast anti-joins. The native ``LakehouseTable.read`` stays
+    the featureful path (branch reads, column pruning into the
+    parquet scan)."""
 
     def __init__(self, path: str, schema: StructType, options):
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
@@ -1254,15 +1305,15 @@ class LakehouseBatchReader(DataSourceReader):
         if not matches:
             raise ValueError(f"snapshot {snapshot_id} not found")
         snap = matches[0]
-        if snap.get("deletes"):
-            raise ValueError(
-                "snapshot has an unmaterialized merge-on-read delete "
-                "tail; use LakehouseTable.read (delete overlay) or "
-                "materialize_deletes() first"
-            )
         self._snapshot_id = snapshot_id
         self._files = list(snap["files"])
         self._fparts = m.get("file_partitions", {})
+        # unmaterialized merge-on-read tail of THIS snapshot: planned
+        # into per-file overlays in partitions()
+        self._deletes = list(snap.get("deletes", []))
+        self._dmeta = m.get("delete_meta", {})
+        self._added_at = m.get("file_added_at", {})
+        self._fstats = m.get("file_stats", {})
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
             column_rename_map,
         )
@@ -1390,6 +1441,7 @@ class LakehouseBatchReader(DataSourceReader):
                 )
                 files = [f for f in files if f in keep]
         declared = {f.name for f in self._schema.fields}
+        pos_by_file, eq_by_file = self._plan_delete_overlay(files)
         return [
             _FilePartition(
                 file=f,
@@ -1399,15 +1451,80 @@ class LakehouseBatchReader(DataSourceReader):
                     if k in declared
                 },
                 renames=self._renames,
+                drop_pos=tuple(sorted(pos_by_file.get(f, ()))),
+                eq_deletes=tuple(eq_by_file.get(f, ())),
             )
             for f in files
         ]
+
+    def _plan_delete_overlay(self, files: list):
+        """Driver-side half of the MoR overlay: read the snapshot's
+        (metadata-sized) delete files once and scope them to the
+        PLANNED files only (a file pruned by pushed filters needs no
+        overlay — deletes only remove rows). Position deletes ship
+        their row indices in the partition payload; equality deletes
+        ship by reference, kept only for files inside the delete's
+        added_at watermark (``LakehouseTable._apply_deletes``'s
+        sequence-number scoping: missing added_at → the file is
+        newer than any watermark and survives) whose footer key
+        ranges may intersect (``eq_delete_may_hit`` — shared with
+        materialize_deletes and the CDF planner)."""
+        pos_by_file: dict[str, list] = {}
+        eq_by_file: dict[str, list] = {}
+        if not self._deletes:
+            return pos_by_file, eq_by_file
+        import pyarrow.parquet as pq
+
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            eq_delete_may_hit,
+        )
+
+        planned = set(files)
+        for d in self._deletes:
+            meta = self._dmeta.get(d, {})
+            if meta.get("kind", "position") == "position":
+                pt = pq.read_table(d, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    pt.column("file_path").to_pylist(),
+                    pt.column("pos").to_pylist(),
+                ):
+                    if fp in planned:
+                        pos_by_file.setdefault(fp, []).append(pos)
+                continue
+            keys = list(meta.get("keys", []))
+            applies = int(meta["applies_to"])
+            dk = pq.read_table(d, columns=keys)
+            dranges: dict = {}
+            dnulls: dict = {}
+            for k in keys:
+                vals = [
+                    v
+                    for v in dk.column(k).to_pylist()
+                    if v is not None
+                ]
+                dnulls[k] = dk.column(k).null_count > 0
+                dranges[k] = (min(vals), max(vals)) if vals else None
+            for f in files:
+                if self._added_at.get(f, 2**62) > applies:
+                    continue  # appended after the delete committed
+                if eq_delete_may_hit(
+                    keys, dnulls, dranges, self._fstats.get(f, {})
+                ):
+                    eq_by_file.setdefault(f, []).append(
+                        (d, tuple(keys))
+                    )
+        return pos_by_file, eq_by_file
 
     def read(self, partition: _FilePartition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._arrow_schema is None:
             self._arrow_schema = to_arrow_schema(self._schema)
+        if partition.drop_pos or partition.eq_deletes:
+            yield from _mor_overlay_batches(
+                partition, self._arrow_schema
+            )
+            return
         yield from _overlay_batches(partition, self._arrow_schema)
 
 

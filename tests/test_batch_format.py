@@ -1,6 +1,6 @@
 """Batch half of the lakehouse connector: spark.read/write.format
 ("lakehouse") — append/overwrite commits, time-travel options, pushed-
-filter file skipping, and the delete-tail guard."""
+filter file skipping, and the merge-on-read delete-tail overlay."""
 
 from __future__ import annotations
 
@@ -119,18 +119,107 @@ def test_pushed_filters_skip_files(spark, tmp_path):
     assert got == [996, 997, 998, 999]
 
 
-def test_batch_read_refuses_mor_delete_tail(spark, tmp_path):
+def _connector_read(spark, path: str, **options):
+    r = spark.read.format("lakehouse").option("path", path)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _same_rows(df_a, df_b):
+    cols = sorted(df_a.columns)
+    assert cols == sorted(df_b.columns)
+    a = sorted(map(tuple, df_a.select(*cols).collect()))
+    b = sorted(map(tuple, df_b.select(*cols).collect()))
+    assert a == b
+
+
+def test_batch_read_applies_position_delete_tail(spark, tmp_path):
+    """Connector read of a position-delete tail equals the native
+    overlay read; materializing afterwards changes nothing."""
     path = str(tmp_path / "t")
     tbl = LakehouseTable(path)
     tbl.append(spark.range(0, 20))
     tbl.delete_where_mor(spark, F.col("id") < 5)
-    with pytest.raises(Exception, match="delete tail"):
-        spark.read.format("lakehouse").option("path", path).load().count()
+    got = _connector_read(spark, path)
+    assert sorted(r["id"] for r in got.collect()) == list(range(5, 20))
+    _same_rows(got, tbl.read(spark))
     tbl.materialize_deletes(spark)
-    assert (
-        spark.read.format("lakehouse").option("path", path).load().count()
-        == 15
+    assert _connector_read(spark, path).count() == 15
+
+
+def test_batch_read_applies_equality_and_update_tail(spark, tmp_path):
+    """MoR MERGE tail (equality deletes + postimage data files)
+    through the connector: updated rows appear once with their new
+    values, and a matching-key row appended AFTER the delete
+    committed survives (added_at watermark scoping)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
     )
+    src = spark.createDataFrame(
+        [(3, "NEW"), (2000, "ins")], "id long, v string"
+    )
+    tbl.merge(spark, src, keys=["id"], mode="merge-on-read")
+    tbl.append(spark.createDataFrame([(3, "after")], "id long, v string"))
+    got = _connector_read(spark, path)
+    _same_rows(got, tbl.read(spark))
+    rows = sorted(
+        (r["id"], r["v"]) for r in got.where("id = 3 or id = 2000").collect()
+    )
+    assert rows == [(3, "NEW"), (3, "after"), (2000, "ins")]
+
+
+def test_batch_read_mor_tail_composes_with_partition_and_rename(
+    spark, tmp_path
+):
+    """Delete tail + identity partitioning + a metadata-only rename
+    in one connector read: hive-path values restore, the renamed
+    column coalesces its vintage name, and both delete kinds apply."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path, partition_by=["grp"])
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", i % 3) for i in range(30)],
+            "id long, name string, grp long",
+        )
+    )
+    tbl.rename_column("name", "customer_name")
+    tbl.delete_where_mor(spark, F.col("id") % 10 == 7)
+    src = spark.createDataFrame(
+        [(4, "UPD", 1)], "id long, customer_name string, grp long"
+    )
+    tbl.merge(spark, src, keys=["id"], mode="merge-on-read")
+    got = _connector_read(spark, path)
+    _same_rows(got, tbl.read(spark))
+    by_id = {}
+    for r in got.collect():
+        by_id.setdefault(r["id"], []).append(r["customer_name"])
+    assert 7 not in by_id and 17 not in by_id and 27 not in by_id
+    assert by_id[4] == ["UPD"]
+    # pushed filters compose: pruning only skips files, the overlay
+    # still drops the voided rows inside kept files
+    assert (
+        _connector_read(spark, path).where("id >= 7 and id <= 8").count()
+        == 1
+    )
+
+
+def test_batch_read_mor_tail_time_travel_pre_tail(spark, tmp_path):
+    """Time travel to the pre-delete snapshot bypasses the tail (it
+    belongs to later snapshots only)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 20))
+    pre = tbl.current_snapshot_id()
+    tbl.delete_where_mor(spark, F.col("id") < 5)
+    assert (
+        _connector_read(spark, path, snapshotId=str(pre)).count() == 20
+    )
+    assert _connector_read(spark, path).count() == 15
 
 
 def test_pushed_in_list_skips_files(spark, tmp_path):
