@@ -650,6 +650,118 @@ def assign_centroid(vec_col, centroids: list[list[float]]):
     return pandas_udf(kernel, "int")(vec_col)
 
 
+def build_kmeans_ivf_index_pq(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """IVF-PQ with a TRAINED coarse quantizer — FAISS's actual IVFPQ
+    composition (k-means cells for pruning, m-byte PQ codes as the
+    scanned payload), vs build_ivf_index_pq's data-blind sign-bit
+    coarse. The distinction matters on corpora whose neighbor
+    structure no fixed hyperplane set captures (the r12 recall audit
+    measured sign-bit coarse at 0.3 recall@10 where trained cells
+    reach 0.9 at the same scan fraction on the synthetic embeddings
+    table). Persists centroids AND codebooks in one sidecar — the
+    probe needs the full quantizer spec."""
+    import json
+    import os
+
+    from biglake_iceberg_pipeline_spark.operators.pq import pq_code_column
+
+    centroids = train_kmeans_centroids(
+        df, vec_col, n_centroids, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    # __cid == -1 marks NULL/ragged vectors: excluded, as in the
+    # flat k-means index — they can never match a probe
+    coded = df.select(
+        F.col(id_col),
+        pq_code_column(F.col(vec_col), codebooks).alias("pq_code"),
+        assign_centroid(F.col(vec_col), centroids).alias("__cid"),
+    ).where(F.col("__cid") >= 0)
+    coded.write.mode("overwrite").partitionBy("__cid").parquet(path)
+    with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
+        json.dump(
+            {"codebooks": codebooks, "centroids": centroids}, fh
+        )
+    return centroids
+
+
+def kmeans_ivf_probe_pq(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_source: DataFrame | None = None,
+    vec_col: str | None = None,
+    shortlist: int = 100,
+    where=None,
+) -> DataFrame:
+    """Partition-pruned ADC probe over the trained-coarse PQ index:
+    rank centroids driver-side (k_centroids×dim floats), scan only
+    the ``nprobe`` nearest cells' m-byte codes, ADC shortlist →
+    exact cosine re-rank confined to the shortlist (when
+    ``rerank_source`` + ``vec_col`` are given; otherwise top-k by
+    ADC distance). At 100 TB a probe reads ~nprobe/n_centroids of
+    the corpus at m bytes/row."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from biglake_iceberg_pipeline_spark.operators.pq import adc_column
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+
+    with open(_os.path.join(path, "_pq_meta.json")) as fh:
+        meta = _json.load(fh)
+    codebooks = meta["codebooks"]
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:nprobe]]
+    scan = _filtered(
+        spark.read.parquet(path).where(F.col("__cid").isin(probe)),
+        where,
+    )
+    scan = (
+        scan.select(
+            F.col(id_col),
+            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
+                "adc_dist"
+            ),
+        )
+        .where(F.col("adc_dist").isNotNull())
+    )
+    if rerank_source is None:
+        return scan.orderBy(
+            F.col("adc_dist").asc(), F.col(id_col).asc()
+        ).limit(k)
+    short = scan.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(shortlist)
+    return (
+        rerank_source.join(F.broadcast(short.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_vs_literal(F.col(vec_col), list(query_vec)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def build_kmeans_ivf_index(
     df: DataFrame,
     path: str,

@@ -135,3 +135,51 @@ def test_pq_train_guards(spark, emb):
     empty = emb.where("vec_id < 0")
     with pytest.raises(ValueError, match="no non-null"):
         pq.train_pq_codebooks(empty, "embedding", m=8, k=4)
+
+
+def test_kmeans_ivf_pq_index_probe(spark, tmp_path, emb, books):
+    """Trained-coarse IVF-PQ (FAISS's IVFPQ composition, the r12
+    audit-driven replacement for sign-bit coarse on this corpus):
+    k-means cell pruning is plan-visible, the payload stays m
+    bytes/row, re-ranked recall clears the registered audit floor."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_meta
+
+    from biglake_iceberg_pipeline_spark.operators import vector_index as vi
+
+    path = str(tmp_path / "kivfpq")
+    cents = vi.build_kmeans_ivf_index_pq(
+        emb, path, "vec_id", "embedding", books, n_centroids=16
+    )
+    assert len(cents) == 16
+    q = list(emb.where("vec_id = 42").select("embedding").first()[0])
+    probe = vi.kmeans_ivf_probe_pq(
+        spark, path, "vec_id", q, k=10, nprobe=4,
+        rerank_source=emb, vec_col="embedding",
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruned cells, not a full scan
+    got = [r["vec_id"] for r in probe.collect()]
+    assert got[0] == 42  # own vector's cell is always probed first
+    truth = _truth(emb, q)
+    assert len(set(got) & set(truth)) / 10 >= 0.5, (got, truth)
+    # ADC-only probe: ascending distances, no float payload read
+    adc = vi.kmeans_ivf_probe_pq(spark, path, "vec_id", q, k=5, nprobe=4)
+    dists = [r["adc_dist"] for r in adc.collect()]
+    assert dists == sorted(dists)
+    # payload bound: pq_code column ~m bytes/row (16x under floats)
+    total_code_bytes = 0
+    total_rows = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        meta = pq_meta.ParquetFile(f).metadata
+        total_rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == "pq_code":
+                    total_code_bytes += col.total_uncompressed_size
+    assert total_rows > 0
+    assert total_code_bytes / total_rows < 64
