@@ -206,6 +206,39 @@ def calibration_op(spark, reps: int) -> float:
     return round(best, 3)
 
 
+def calibration_io_op(spark, reps: int) -> float:
+    """Second calibration axis (VERDICT r11 item 6): a fixed parquet
+    SCAN+aggregate — 32 duplicate splits of the pinned sf0.001
+    lineitem file, summed. The CPU-only ``calibration_op`` measures
+    pure in-memory codegen throughput; this one exercises the scan
+    path (task scheduling, parquet footer+page decode, page-cache
+    reads), so the two axes separate CPU throttling from I/O/
+    scheduler contention: scan-bound queries (q1, q6, point lookups)
+    normalize against THIS number, shuffle/CPU-bound ones (q9, q18,
+    dedup) against calibration_s — the r11 adjudication gap was one
+    axis trying to arbitrate both classes. Both pins live in
+    SURVEY §6."""
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    paths = [path] * 32
+
+    def op():
+        return (
+            spark.read.parquet(*paths)
+            .selectExpr(
+                "sum(l_extendedprice) AS s", "count(*) AS c"
+            )
+            .collect()
+        )
+
+    op()  # warm codegen + page cache (matches calibration_op)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        op()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -234,6 +267,10 @@ def main() -> None:
     # adds time.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     calibration = calibration_op(spark, reps)
+    try:
+        calibration_io = calibration_io_op(spark, reps)
+    except Exception as exc:  # never fail the bench over a pin file
+        calibration_io = f"error: {str(exc)[:120]}"
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")
@@ -280,6 +317,7 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "calibration_s": calibration,
+                "calibration_io_s": calibration_io,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

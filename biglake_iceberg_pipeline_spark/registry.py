@@ -26,114 +26,120 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-11 window: the new filtered-ANN query and the four queries
-# whose registered code changed this round (shared pair artifact for
-# dedup_clusters/dedup_best_quality, include_cols on ann_ivf's index,
-# PNG Adam7/16-bit under multimodal_features) lead, then the sixteen
-# r8-stale keys (the verdict's rotation target: after this round no
-# key's latest row is older than r9). The rest of the window fills
-# with r9-green keys in module order; the 48 remaining r10-green keys
-# demote, plus nineteen r9-green overflow keys keeping the window at
-# exactly 50 (they rotate back in r12).
+# Round-12 window: the three queries added this round (the MoR-tail
+# connector read and the two new ANN recall audits) plus the three
+# whose registered code changed (ann_ivf_pq now probes the trained-
+# coarse IVF-PQ index; dedup_clusters/dedup_best_quality now read
+# through the cluster-assignment matview) lead, then the twenty
+# r9-stale keys (the verdict's rotation target: after this round no
+# key's latest row is older than r10). The window fills to exactly
+# 50 with the stalest r10-green keys in module order; everything
+# else (r11-green plus the remaining r10-green) demotes and rotates
+# back as the window moves.
 PRIORITY_KEYS = (
-    "ann_ivf_filtered",
-    "ann_recall_audit",
+    "lakehouse_mor_read",
+    "ann_recall_audit_int8",
+    "ann_recall_audit_quantized",
+    "ann_ivf_pq",
     "dedup_clusters",
     "dedup_best_quality",
-    "ann_ivf",
-    "multimodal_features",
+    "ann_ivf_int8",
+    "customers_without_orders",
+    "dedup_embedding",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "describe_customer",
+    "embedding_stats",
+    "events_json_extract",
+    "events_windowed",
+    "orders_with_returns",
+    "q22_idle_customers",
+    "quality_classifier_score",
+    "revenue_rollup",
+    "revenue_running_total",
+    "skew_safe_segment_activity",
+    "small_quantity_revenue",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+)
+
+# Keys green on their latest driver row (r11's full window plus the
+# r10-green keys not needed to fill this window); they rotate back
+# in later rounds.
+DEMOTED_KEYS = frozenset({
     "address_standardize",
+    "ann_ivf",
+    "ann_ivf_filtered",
+    "ann_recall_audit",
+    "asof_last_purchase",
+    "ccnet_ppl_buckets",
+    "clean_customer",
     "clean_documents",
     "cohort_retention",
+    "currency_convert",
+    "customer_lookalike",
     "customer_profiles",
+    "decontaminate_corpus",
+    "dedup_exact_substrings",
+    "doc_chunks",
+    "drop_empty_rows",
+    "events_attribution",
+    "events_funnel",
+    "events_gapfill",
+    "events_hypertable_rollup",
     "extract_currency",
     "flag_duplicates",
+    "gold_customer_metrics",
+    "gold_daily_sales",
     "gold_orders_enriched",
+    "gold_product_performance",
+    "multimodal_features",
+    "ngram_contamination",
+    "product_catalog",
+    "product_catalog_ann",
+    "profile_column_stats",
     "profile_date_potential",
     "profile_nulls",
     "profile_number_potential",
+    "profile_type_distribution",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q1_pricing_summary",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q4_priority_waiting",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "quality_approx_duplicates",
     "quality_duplicates",
     "quality_null_like",
     "quality_type_pollution",
+    "range_join_incidents",
     "rfm_segments",
     "safe_type_coercion",
-)
-
-# The 48 keys green in CORRECTNESS_r10 not re-promoted above, plus
-# nineteen r9-green overflow keys (window stays exactly 50; the other
-# r9-green keys fill the r11 window after the priorities).
-DEMOTED_KEYS = frozenset({
-    # r10-green set (minus the four promoted back for code changes)
-    "gopher_quality_filter",
-    "hash_split",
-    "semantic_dedup",
-    "currency_convert",
-    "gold_customer_metrics",
-    "gold_product_performance",
-    "order_value_percentiles",
-    "profile_column_stats",
-    "profile_type_distribution",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "revenue_pivot_by_priority",
     "silver_dedup_events",
-    "top_parts_per_brand",
-    "users_enriched",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_pq",
-    "pack_training_sequences",
-    "text_bpe_tokens",
-    "embedding_quantization",
-    "events_sessions",
-    "compare_schemas",
-    "approx_event_stats",
-    "lakehouse_point_lookup",
-    "lakehouse_bloom_lookup",
-    "pii_redaction",
-    "text_repetition",
-    "sample_mixture",
-    "source_quota_sample",
-    "dedup_paragraph_corpus",
-    "doc_chunks",
-    "strip_markup",
-    "url_extraction",
-    "events_funnel",
-    "product_catalog_ann",
-    "customer_lookalike",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q21_waiting_suppliers",
     "silver_orders",
-    "clean_customer",
-    "gold_daily_sales",
-    # r9-green overflow — rotate back in r12
-    "dedup_incremental",
-    "q22_idle_customers",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_ivf_int8",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "embedding_stats",
-    "events_windowed",
-    "describe_customer",
-    "events_json_extract",
-    "skew_safe_segment_activity",
-    "orders_with_returns",
-    "customers_without_orders",
-    "revenue_rollup",
-    "small_quantity_revenue",
-    "revenue_running_total",
-    "quality_classifier_score",
+    "span_boilerplate",
+    "strip_markup",
+    "text_lm_score",
+    "tfidf_keywords",
+    "token_budget_mixture",
+    "url_extraction",
+    "users_enriched",
 })
 
 
