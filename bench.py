@@ -44,6 +44,11 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
       + manifest commit).
     - lh_mor_delete: merge-on-read DELETE of ~1% of rows (position-
       delete file; O(matched), no rewrite).
+    - lh_connector_read_tail (r12): the same point lookup THROUGH
+      the connector while the MoR delete tail is still
+      unmaterialized — times the driver-side overlay planning +
+      executor-side masked read (F45), the read path a table lives
+      on between a MoR write and its next compaction.
     - lh_connector_read: point lookup THROUGH
       spark.read.format("lakehouse") with pushed-filter file skipping
       on the delete-materialized table.
@@ -91,10 +96,18 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
                     mode="merge-on-read",
                 ),
             )
+            key = orders.agg(F.max("o_orderkey")).first()[0]
+            clock(
+                "lh_connector_read_tail",
+                lambda: spark.read.format("lakehouse")
+                .option("path", t.path)
+                .load()
+                .filter(F.col("o_orderkey") == key)
+                .collect(),
+            )
             clock(
                 "lh_materialize", lambda: t.materialize_deletes(spark)
             )
-            key = orders.agg(F.max("o_orderkey")).first()[0]
             clock(
                 "lh_connector_read",
                 lambda: spark.read.format("lakehouse")
@@ -154,6 +167,22 @@ def bench_expensive_tail(
         )
     except Exception as exc:
         out["dedup_pair_artifact_error"] = str(exc)[:120]  # type: ignore[assignment]
+    # the trained quality model (r12): same protocol — the fit cost
+    # is timed once from scratch as quality_clf_train; the
+    # quality_classifier_score row below then times SCORING with the
+    # model artifact warm, the way production pays these costs
+    try:
+        from biglake_iceberg_pipeline_spark.plans import curation
+
+        curation.trained_quality_model(
+            spark, "/root/testdata/sf0.001"
+        )  # warm codegen
+        curation._CLF_MODEL.clear()
+        t0 = time.perf_counter()
+        curation.trained_quality_model(spark, sf_dir)
+        out["quality_clf_train"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        out["quality_clf_train_error"] = str(exc)[:120]  # type: ignore[assignment]
     for key in EXPENSIVE_TAIL:
         if key not in qs:
             continue

@@ -841,6 +841,96 @@ ORDER BY doc_id
 """
 
 
+#: trained classifier models, keyed by corpus identity
+#: {(docs path, mtime): (w_rows, bias)} — train once, score many
+#: (the pair-artifact convention at model scale; bench.py clears
+#: this to time a from-scratch train as quality_clf_train)
+_CLF_MODEL: dict = {}
+
+
+def _planted_label_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled task (shared by train and score): docs with even
+    doc_id are the 'reference' class and carry three planted
+    qgood<doc_id%5> marker tokens, odd ids carry qbad<doc_id%7> —
+    the classifier must LEARN the marker buckets from the labels
+    against 25+ shared-vocab noise tokens per doc (the synthetic
+    corpus's vocabulary is fully shared across lang/source, so no
+    natural label is learnable). Real deployments swap the label
+    column and drop the planting, nothing else."""
+    marker = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("qgood"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("qbad"), (F.col("doc_id") % 7).cast("string"))
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0).alias("y"),
+        F.concat_ws(" ", F.col("text"), marker, marker, marker).alias(
+            "text"
+        ),
+    )
+
+
+def trained_quality_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, float]:
+    """Train-once model artifact: the ≤512-weight linear classifier
+    fit by the distributed dyadic-exact GD, cached per corpus
+    (path, mtime) — production trains a quality filter once and
+    scores every shard with it; re-fitting per scoring query was the
+    r11 tail's residual waste. The model is bounded (512 weights +
+    bias, the G24/G29 driver-side-model convention), so in-process
+    caching IS the production shape here — a model registry row, not
+    a data artifact. Deterministic math: cached weights are
+    bit-identical to a re-fit, so hash parity is unaffected."""
+    import os as _os
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (
+            _os.path.abspath(docs_path),
+            _os.path.getmtime(docs_path),
+        )
+    except OSError:
+        key = None
+    hit = _CLF_MODEL.get(key) if key is not None else None
+    if hit is not None:
+        return hit
+    from biglake_iceberg_pipeline_spark.operators.quality_clf import (
+        doc_features,
+        train_surrogate_gd,
+    )
+
+    docs = _planted_label_docs(spark, sf_dir)
+    # one cheap up-front count keeps the DF-prune threshold a
+    # literal: the returned scoring plan then carries no scalar cross
+    # join (the explain audit's BNLJ rule stays strict). DISTINCT ids
+    # — the oracle's COUNT(DISTINCT doc_id) and doc_features' own
+    # fallback both count distinct, and the three must agree or a
+    # token with df between the two thresholds hash-splits the query
+    # (review r9; latent while doc_id is unique)
+    n_docs = docs.select("doc_id").distinct().count()
+    feats = doc_features(
+        docs, label_col="y", n_buckets=512, df_max=0.5, n_docs=n_docs
+    ).persist()
+    labels = docs.select("doc_id", "y")
+    weights, bias = train_surrogate_gd(labels, feats)
+    # materialize the MODEL eagerly (<= 512 weights + 1 bias), then
+    # release the cached features: the scoring plan recomputes them
+    # in ONE fresh pass instead of leaking a persisted copy into the
+    # session per call (review r9). Deterministic math, so
+    # recompute == cache.
+    model = weights.crossJoin(F.broadcast(bias)).collect()  # 1 action
+    w_rows = [(int(r["bucket"]), float(r["w"])) for r in model]
+    bias_val = float(model[0]["bias"]) if model else 0.0
+    feats.unpersist()
+    out = (w_rows, bias_val)
+    if key is not None:
+        _CLF_MODEL[key] = out
+    return out
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality-classifier scores (G37; the DCLM/FineWeb-class
     TRAINED filter): a linear classifier over hashed bag-of-words
@@ -862,49 +952,22 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and the DuckDB replay; the true sigmoid runs once on the
     final bit-identical score, rounded with the portable floor-round.
 
-    Scale: one (doc, bucket) hash shuffle for the features, two
-    bucket-sized (512-row, broadcastable) weight aggregations, two
-    per-doc aggregations — fixed pass count, linear in the corpus."""
+    Scale: training (one (doc, bucket) hash shuffle for the
+    features, two bucket-sized broadcastable weight aggregations)
+    runs ONCE per corpus via the trained_quality_model artifact;
+    scoring is one fresh feature pass + a broadcast join — fixed
+    pass count, linear in the corpus."""
     from biglake_iceberg_pipeline_spark.operators.quality_clf import (
         doc_features,
-        train_surrogate_gd,
     )
 
-    marker = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(F.lit("qgood"), (F.col("doc_id") % 5).cast("string")),
-    ).otherwise(
-        F.concat(F.lit("qbad"), (F.col("doc_id") % 7).cast("string"))
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0).alias("y"),
-        F.concat_ws(" ", F.col("text"), marker, marker, marker).alias(
-            "text"
-        ),
-    )
-    # one cheap up-front count keeps the DF-prune threshold a
-    # literal: the returned scoring plan then carries no scalar cross
-    # join (the explain audit's BNLJ rule stays strict). DISTINCT ids
-    # — the oracle's COUNT(DISTINCT doc_id) and doc_features' own
-    # fallback both count distinct, and the three must agree or a
-    # token with df between the two thresholds hash-splits the query
-    # (review r9; latent while doc_id is unique)
+    w_rows, bias_val = trained_quality_model(spark, sf_dir)
+    docs = _planted_label_docs(spark, sf_dir)
     n_docs = docs.select("doc_id").distinct().count()
     feats = doc_features(
         docs, label_col="y", n_buckets=512, df_max=0.5, n_docs=n_docs
-    ).persist()
+    )
     labels = docs.select("doc_id", "y")
-    weights, bias = train_surrogate_gd(labels, feats)
-    # materialize the MODEL eagerly (<= 512 weights + 1 bias — the
-    # bounded-model convention of G24/G29), then release the cached
-    # features: the returned plan recomputes them in ONE fresh pass
-    # instead of leaking a persisted copy into the session per call
-    # (review r9). Deterministic math, so recompute == cache.
-    model = weights.crossJoin(F.broadcast(bias)).collect()  # 1 action
-    w_rows = [(int(r["bucket"]), float(r["w"])) for r in model]
-    bias_val = float(model[0]["bias"]) if model else 0.0
-    feats.unpersist()
     wdf = spark.createDataFrame(w_rows, "bucket bigint, w double")
     base = labels.select(
         "doc_id", F.col("y").cast("int").alias("label")
