@@ -507,6 +507,56 @@ def build_ivf_index_pq(
         )
 
 
+def _adc_topk(
+    scan: DataFrame,
+    id_col: str,
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+    rerank_source: DataFrame | None,
+    vec_col: str | None,
+    shortlist: int,
+) -> DataFrame:
+    """The PQ probe tail shared by the sign-bit and trained-coarse
+    indexes (r12 review: one implementation so the two tiers cannot
+    drift): ADC distances over the pre-filtered cell scan; without
+    ``rerank_source`` the top-k by ADC distance ascending, with it
+    an ADC shortlist re-ranked by exact cosine on the float table,
+    confined to the shortlist."""
+    from biglake_iceberg_pipeline_spark.operators.pq import adc_column
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+
+    scan = (
+        scan.select(
+            F.col(id_col),
+            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
+                "adc_dist"
+            ),
+        )
+        .where(F.col("adc_dist").isNotNull())
+    )
+    if rerank_source is None:
+        return scan.orderBy(
+            F.col("adc_dist").asc(), F.col(id_col).asc()
+        ).limit(k)
+    short = scan.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(shortlist)
+    return (
+        rerank_source.join(F.broadcast(short.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_vs_literal(F.col(vec_col), list(query_vec)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_probe_pq(
     spark: SparkSession,
     path: str,
@@ -530,11 +580,6 @@ def ivf_probe_pq(
     import json as _json
     import os as _os
 
-    from biglake_iceberg_pipeline_spark.operators.pq import adc_column
-    from biglake_iceberg_pipeline_spark.operators.similarity import (
-        cosine_vs_literal,
-    )
-
     with open(_os.path.join(path, "_pq_meta.json")) as fh:
         meta = _json.load(fh)
     codebooks = meta["codebooks"]
@@ -546,31 +591,9 @@ def ivf_probe_pq(
         spark.read.parquet(path).where(F.col("__code").isin(codes)),
         where,
     )
-    scan = (
-        scan
-        .select(
-            F.col(id_col),
-            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
-                "adc_dist"
-            ),
-        )
-        .where(F.col("adc_dist").isNotNull())
-    )
-    if rerank_source is None:
-        return scan.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
-    short = scan.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
-        shortlist
-    )
-    return (
-        rerank_source.join(F.broadcast(short.select(id_col)), id_col)
-        .select(
-            F.col(id_col),
-            F.round(
-                cosine_vs_literal(F.col(vec_col), list(query_vec)), 6
-            ).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-        .limit(k)
+    return _adc_topk(
+        scan, id_col, codebooks, query_vec, k,
+        rerank_source, vec_col, shortlist,
     )
 
 
@@ -717,11 +740,6 @@ def kmeans_ivf_probe_pq(
 
     import numpy as np
 
-    from biglake_iceberg_pipeline_spark.operators.pq import adc_column
-    from biglake_iceberg_pipeline_spark.operators.similarity import (
-        cosine_vs_literal,
-    )
-
     with open(_os.path.join(path, "_pq_meta.json")) as fh:
         meta = _json.load(fh)
     codebooks = meta["codebooks"]
@@ -733,32 +751,9 @@ def kmeans_ivf_probe_pq(
         spark.read.parquet(path).where(F.col("__cid").isin(probe)),
         where,
     )
-    scan = (
-        scan.select(
-            F.col(id_col),
-            adc_column(F.col("pq_code"), codebooks, query_vec).alias(
-                "adc_dist"
-            ),
-        )
-        .where(F.col("adc_dist").isNotNull())
-    )
-    if rerank_source is None:
-        return scan.orderBy(
-            F.col("adc_dist").asc(), F.col(id_col).asc()
-        ).limit(k)
-    short = scan.orderBy(
-        F.col("adc_dist").asc(), F.col(id_col).asc()
-    ).limit(shortlist)
-    return (
-        rerank_source.join(F.broadcast(short.select(id_col)), id_col)
-        .select(
-            F.col(id_col),
-            F.round(
-                cosine_vs_literal(F.col(vec_col), list(query_vec)), 6
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.col(id_col).asc())
-        .limit(k)
+    return _adc_topk(
+        scan, id_col, codebooks, query_vec, k,
+        rerank_source, vec_col, shortlist,
     )
 
 

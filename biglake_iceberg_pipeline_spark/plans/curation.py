@@ -874,7 +874,7 @@ def _planted_label_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def trained_quality_model(
     spark: SparkSession, sf_dir: str
-) -> tuple[list, float]:
+) -> tuple[list, float, int]:
     """Train-once model artifact: the ≤512-weight linear classifier
     fit by the distributed dyadic-exact GD, cached per corpus
     (path, mtime) — production trains a quality filter once and
@@ -886,14 +886,11 @@ def trained_quality_model(
     bit-identical to a re-fit, so hash parity is unaffected."""
     import os as _os
 
-    docs_path = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        key = (
-            _os.path.abspath(docs_path),
-            _os.path.getmtime(docs_path),
-        )
-    except OSError:
-        key = None
+    from biglake_iceberg_pipeline_spark.sources.catalog import (
+        corpus_cache_key,
+    )
+
+    key = corpus_cache_key(sf_dir)
     hit = _CLF_MODEL.get(key) if key is not None else None
     if hit is not None:
         return hit
@@ -925,7 +922,10 @@ def trained_quality_model(
     w_rows = [(int(r["bucket"]), float(r["w"])) for r in model]
     bias_val = float(model[0]["bias"]) if model else 0.0
     feats.unpersist()
-    out = (w_rows, bias_val)
+    # n_docs rides the artifact: the DF-prune threshold is part of
+    # the fitted feature space, and scoring re-counting it would be
+    # an extra full pass per cold score (r12 review)
+    out = (w_rows, bias_val, n_docs)
     if key is not None:
         _CLF_MODEL[key] = out
     return out
@@ -961,9 +961,8 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_features,
     )
 
-    w_rows, bias_val = trained_quality_model(spark, sf_dir)
+    w_rows, bias_val, n_docs = trained_quality_model(spark, sf_dir)
     docs = _planted_label_docs(spark, sf_dir)
-    n_docs = docs.select("doc_id").distinct().count()
     feats = doc_features(
         docs, label_col="y", n_buckets=512, df_max=0.5, n_docs=n_docs
     )

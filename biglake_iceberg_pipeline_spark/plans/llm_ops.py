@@ -167,15 +167,19 @@ def cluster_assignment_matview(spark: SparkSession, sf_dir: str):
         MaterializedView,
     )
 
-    docs_path = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        key = (
-            _os.path.abspath(docs_path),
-            _os.path.getmtime(docs_path),
-        )
-    except OSError:
-        key = None
+    from biglake_iceberg_pipeline_spark.sources.catalog import (
+        corpus_cache_key,
+    )
+
+    key = corpus_cache_key(sf_dir)
     mv = _CLUSTER_ARTIFACT.get(key) if key is not None else None
+    if mv is not None:
+        # the cached view was constructed with SOME session; serve
+        # it with the CALLER's (a cached handle bound to a stopped
+        # session would crash refresh()/read() — r12 review). The
+        # on-disk tables are session-independent.
+        mv.spark = spark
+        return mv
     if mv is None:
         from biglake_iceberg_pipeline_spark.operators.vector_index import (
             cleanup_index_at_exit,

@@ -4032,6 +4032,20 @@ class LakehouseTable:
                     "physical type (rewrite via merge/overwrite/"
                     "compact for the rest)"
                 )
+            # a live equality-delete file keys on write-time values;
+            # widening the key column makes later reads render the
+            # upcast data value differently from the delete file's
+            # narrower one (float 0.1 -> double 0.10000000149...),
+            # so the connector's string-keyed is_in overlay would
+            # resurrect the deleted rows (reproduced live, r12
+            # review). Same refusal rename/drop already apply.
+            for meta in (manifest.get("delete_meta") or {}).values():
+                if name in (meta.get("keys") or ()):
+                    raise ValueError(
+                        f"cannot widen {name!r}: a live equality-"
+                        "delete file keys on it — "
+                        "materialize_deletes first"
+                    )
             new_fields = [
                 type(f)(f.name, target_dt, f.nullable, f.metadata)
                 if f.name == name

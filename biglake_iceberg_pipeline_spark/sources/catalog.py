@@ -66,3 +66,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so plans can use spark.sql."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def corpus_cache_key(sf_dir: str, name: str = "documents"):
+    """Process-local cache key for per-corpus artifacts (the shared
+    pair-artifact / trained-model convention): identity is the
+    corpus file's (abspath, mtime) so a changed corpus recomputes
+    and two processes never share a stale artifact. Returns None
+    when the file is unreadable — callers then skip caching. One
+    implementation so the artifact caches can never drift on what
+    'same corpus' means (r12 review)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        return None

@@ -146,6 +146,21 @@ class _EqDeletePartition(InputPartition):
     renames: dict | None = None  # rename-journal map (overlay)
 
 
+def _eq_delete_key_stats(dk, keys):
+    """Per-key NULL flag + non-NULL [min, max] over a delete file's
+    key table — exactly the inputs ``eq_delete_may_hit`` prunes
+    with. One implementation shared by the CDF planner and the batch
+    overlay planner so the two can never drift on how delete-file
+    stats are derived (r12 review)."""
+    dranges: dict = {}
+    dnulls: dict = {}
+    for k in keys:
+        vals = [v for v in dk.column(k).to_pylist() if v is not None]
+        dnulls[k] = dk.column(k).null_count > 0
+        dranges[k] = (min(vals), max(vals)) if vals else None
+    return dnulls, dranges
+
+
 def _eq_key_strings(tbl, keys: list[str]):
     """NULL-safe composite key rendering for vectorized is_in
     matching: per-column percent-escape of '%', the \\x1f separator,
@@ -1153,23 +1168,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     for d, meta in eq_new:
                         keys = list(meta.get("keys", []))
                         applies = meta.get("applies_to")
-                        dk = _read_del(d, keys)
-                        dranges = {}
-                        dnulls = {}
-                        for k in keys:
-                            vals = [
-                                v
-                                for v in dk.column(k).to_pylist()
-                                if v is not None
-                            ]
-                            dnulls[k] = dk.column(
-                                k
-                            ).null_count > 0
-                            dranges[k] = (
-                                (min(vals), max(vals))
-                                if vals
-                                else None
-                            )
+                        dnulls, dranges = _eq_delete_key_stats(
+                            _read_del(d, keys), keys
+                        )
                         for f in prev["files"]:
                             fa = added_at.get(f)
                             if (
@@ -1493,17 +1494,9 @@ class LakehouseBatchReader(DataSourceReader):
                 continue
             keys = list(meta.get("keys", []))
             applies = int(meta["applies_to"])
-            dk = pq.read_table(d, columns=keys)
-            dranges: dict = {}
-            dnulls: dict = {}
-            for k in keys:
-                vals = [
-                    v
-                    for v in dk.column(k).to_pylist()
-                    if v is not None
-                ]
-                dnulls[k] = dk.column(k).null_count > 0
-                dranges[k] = (min(vals), max(vals)) if vals else None
+            dnulls, dranges = _eq_delete_key_stats(
+                pq.read_table(d, columns=keys), keys
+            )
             for f in files:
                 if self._added_at.get(f, 2**62) > applies:
                     continue  # appended after the delete committed

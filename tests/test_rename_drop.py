@@ -434,3 +434,41 @@ def test_unreadable_promotion_refused_on_append(spark, tmp_path):
     )
     assert dict(t.read(spark).dtypes)["v"] == "double"
     assert t.read(spark).count() == 2
+
+
+def test_widen_refuses_live_equality_delete_key(spark, tmp_path):
+    """Widening a live eq-delete key column is refused (r12 review,
+    reproduced live): the delete file stores the key at its
+    write-time width, and the connector's string-keyed is_in overlay
+    would render the upcast data value differently (float 0.1 reads
+    back as double 0.10000000149...) and resurrect the deleted rows
+    while the native eqNullSafe join still dropped them. Same
+    refusal rename/drop already apply; materialization clears it."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 0.1), (2, 0.25)], "id long, k float"
+        )
+    )
+    src = spark.createDataFrame([(9, 0.1)], "id long, k float")
+    src = src.withColumn("k", F.col("k").cast("float"))
+    t.merge(spark, src, keys=["k"], mode="merge-on-read")
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.widen_column("k", "double")
+    t.materialize_deletes(spark)
+    # the delete file stays LIVE while pre-materialization snapshots
+    # remain time-travelable (their reads still apply the tail, and
+    # the connector reads old snapshots with the CURRENT schema), so
+    # the guard holds until expiry GCs it — same lifecycle the
+    # rename/drop guard follows
+    with pytest.raises(ValueError, match="equality-delete"):
+        t.widen_column("k", "double")
+    t.expire_snapshots(keep_last=1)
+    t.widen_column("k", "double")  # tail expired: widen is safe
+    rows = {r["id"]: r["k"] for r in t.read(spark).collect()}
+    assert set(rows) == {2, 9}
+    assert t.read(spark).schema["k"].dataType.simpleString() == "double"
