@@ -480,6 +480,16 @@ class LakehouseStreamSource(DataSource):
       advances past this snapshot (inclusive); pair with
       ``startingSnapshotId`` to replay an exact commit range through
       the streaming pipeline, then the stream idles at the bound.
+    - ``skipChangeCommits``: ``"true"`` streams ONLY appends and
+      rides the offset past every row-changing transaction
+      (delete/merge/update/overwrite) instead of raising the lineage
+      error — Delta's skipChangeCommits: the consumer either
+      tolerates unpropagated deletes or handles them out-of-band.
+      The skipped commit is elided WHOLE (merge postimages too: they
+      pair with deletions this mode chose not to see); later appends
+      diff against the post-rewrite file set. Mutually exclusive
+      with ``readChangeFeed``, which exists to classify exactly the
+      commits this option skips.
     - ``readChangeFeed``: ``"true"`` streams CLASSIFIED row changes
       instead of raw appended rows (Delta CDF readStream / Iceberg
       changelog scan — the batch ``change_feed``'s continuous form):
@@ -621,6 +631,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
         mbt = options.get("maxBytesPerTrigger")
         self._max_bytes = int(mbt) if mbt is not None else None
         self._cdf = _opt_flag(options, "readChangeFeed")
+        # Delta parity: skip row-changing transactions entirely and
+        # stream only appends (the consumer handles deletes some
+        # other way, or tolerates them). Contradicts CDF — that mode
+        # exists to CLASSIFY the changes this one ignores.
+        self._skip_changes = _opt_flag(options, "skipChangeCommits")
+        if self._skip_changes and self._cdf:
+            raise ValueError(
+                "skipChangeCommits contradicts readChangeFeed: the "
+                "change feed classifies exactly the commits this "
+                "option skips — pass one or the other"
+            )
         stream_id = options.get("streamid") or options.get("streamId")
         if stream_id is None:
             # every option that shapes offsets is part of the key — a
@@ -637,6 +658,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 # key change would orphan the marker and fail the
                 # first restart with 'offset regressed'
                 stream_id += ":cdf=True"
+            if self._skip_changes:
+                # same back-compat rule: the option shapes which
+                # snapshots emit, so it is part of the offset key,
+                # appended only when ON
+                stream_id += ":skip=True"
         import hashlib
 
         self._cursor_key = hashlib.sha1(stream_id.encode()).hexdigest()[
@@ -793,6 +819,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 "(history gap); re-baseline downstream from a full read"
             )
         if not self._cdf:
+            if self._skip_changes:
+                # skipChangeCommits: every row-changing transaction
+                # in the range is skipped at planning, so nothing
+                # here can mis-attribute rows — no lineage check
+                return lo, hi
             non_append = [
                 s["id"]
                 for s in snaps[lo + 1 : hi + 1]
@@ -808,9 +839,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     f"stream crosses rewrite snapshots {non_append} "
                     "(merge/delete/update/overwrite/rollback "
                     "redistribute existing rows); re-baseline "
-                    "downstream from a full read, or stream with "
+                    "downstream from a full read, stream with "
                     ".option('readChangeFeed', 'true') if the "
-                    "rewrites are merge-on-read position deletes"
+                    "rewrites are merge-on-read position deletes, "
+                    "or .option('skipChangeCommits', 'true') to "
+                    "stream appends only"
                 )
             return lo, hi
         dmeta = (m or {}).get("delete_meta", {})
@@ -931,10 +964,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         taken_bytes = 0.0
         end = cursor
         for snap, added in self._added_per_snapshot(snaps, lo, hi):
-            if snap.get("data_change") is False:
-                # row-preserving rewrite: emits nothing, so it costs
-                # nothing against the rate-limit budgets — ride the
-                # offset past it unconditionally
+            if snap.get("data_change") is False or (
+                self._skip_changes and snap["operation"] != "append"
+            ):
+                # row-preserving rewrite — or a row-changing commit
+                # skipChangeCommits elides: emits nothing, so it
+                # costs nothing against the rate-limit budgets —
+                # ride the offset past it unconditionally
                 end = snap["id"]
                 continue
             # a file missing a footer row count / byte size
@@ -1048,6 +1084,15 @@ class LakehouseStreamReader(DataSourceStreamReader):
                 # already delivered — emit nothing, but advance the
                 # carried state so the NEXT snapshot diffs against
                 # the post-rewrite file set and delete tail
+                prev = snap
+                prev_tail = set(snap.get("deletes", []))
+                continue
+            if self._skip_changes and snap["operation"] != "append":
+                # Delta's skipChangeCommits: the whole row-changing
+                # transaction is skipped — postimages included (they
+                # pair with deletions this mode chose not to see) —
+                # but the carried file set advances so later appends
+                # diff against the post-rewrite state
                 prev = snap
                 prev_tail = set(snap.get("deletes", []))
                 continue
@@ -1908,6 +1953,7 @@ def read_lakehouse_stream(
     max_rows_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
     read_change_feed: bool = False,
+    skip_change_commits: bool = False,
 ) -> DataFrame:
     """Register the source (idempotent) and open the stream."""
     spark.dataSource.register(LakehouseStreamSource)
@@ -1934,6 +1980,8 @@ def read_lakehouse_stream(
         )
     if read_change_feed:
         reader = reader.option("readChangeFeed", "true")
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load()

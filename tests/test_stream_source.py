@@ -956,3 +956,52 @@ def test_plain_stream_rides_through_compaction(spark, tmp_path):
     except Exception as e:
         failed = "rewrite snapshots" in str(e) or "crosses" in str(e)
     assert failed, "MoR delete must still break the plain stream"
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """Delta's skipChangeCommits (r12): the stream rides past
+    row-changing transactions instead of raising — the skipped
+    commit is elided WHOLE (merge postimages included), later
+    appends still flow, and the offset advances so a restart does
+    not revisit the skipped range. Combining with readChangeFeed is
+    refused."""
+    tbl = LakehouseTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    ckpt = str(tmp_path / "ck")
+    got: list[tuple] = []
+
+    def sink(bdf, bid):
+        got.extend((r["id"], r["v"]) for r in bdf.collect())
+
+    def stream():
+        return read_lakehouse_stream(
+            spark, tbl.path, skip_change_commits=True
+        )
+
+    _run_to(spark, stream(), ckpt, sink)
+    assert sorted(got) == [(1, "a"), (2, "b")]
+    # MoR delete (op=delete), MoR merge (update 2 + insert 9), and a
+    # copy-on-write delete (full rewrite) — all skipped whole
+    tbl.delete_where_mor(spark, F.col("id") == 1)
+    src = spark.createDataFrame([(2, "B2"), (9, "new")], "id long, v string")
+    tbl.merge(spark, src, keys=["id"], mode="merge-on-read")
+    tbl.delete_where(spark, "id = 9")  # CoW rewrite
+    tbl.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    _run_to(spark, stream(), ckpt, sink)
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+    # restart with nothing new: offset rode past the skipped commits
+    _run_to(spark, stream(), ckpt, sink)
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+    # contradictory combination refused at stream construction
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run_to(
+            spark,
+            read_lakehouse_stream(
+                spark,
+                tbl.path,
+                read_change_feed=True,
+                skip_change_commits=True,
+            ),
+            str(tmp_path / "ck2"),
+            sink,
+        )
