@@ -206,14 +206,19 @@ def _eq_match_mask(aligned, eq_deletes):
     return pc.fill_null(mask, False)
 
 
-def _mor_overlay_batches(partition: _FilePartition, target):
+def _mor_overlay_batches(
+    partition: _FilePartition, target, project_names=None
+):
     """One data file with its merge-on-read delete tail applied —
     the executor half of the batch connector's MoR overlay (the
     native ``LakehouseTable._apply_deletes`` re-expressed per file:
     position deletes drop the named row indices, equality deletes
     drop key matches via the shared NULL-safe is_in). Work is
     O(file rows + its deletes); files the planner proved untouched
-    never take this path."""
+    never take this path. ``project_names`` drops helper columns
+    after masking — a ``columns``-projected read still reads the
+    equality-delete KEY columns (the match needs them), then
+    projects them away."""
     import numpy as np
     import pyarrow as pa
 
@@ -236,7 +241,10 @@ def _mor_overlay_batches(partition: _FilePartition, target):
                 if isinstance(mask, pa.ChunkedArray)
                 else mask
             )
-    yield from aligned.filter(pa.array(alive)).to_batches()
+    out = aligned.filter(pa.array(alive))
+    if project_names is not None:
+        out = out.select(list(project_names))
+    yield from out.to_batches()
 
 
 def _eq_preimage_batches(partition: _EqDeletePartition, target):
@@ -480,6 +488,15 @@ class LakehouseStreamSource(DataSource):
       advances past this snapshot (inclusive); pair with
       ``startingSnapshotId`` to replay an exact commit range through
       the streaming pipeline, then the stream idles at the bound.
+    - ``columns``: comma-separated PROJECTION applied at the source
+      (batch and streaming) — the Python DataSource API has
+      pushFilters but no column-pruning hook, so without this a
+      two-column read decodes every column of every parquet file.
+      The executor overlay reads only the projected columns; a
+      masked MoR read additionally reads (then drops) the
+      equality-delete key columns it must match on. Refused with
+      ``readChangeFeed`` (pre-images need full rows — project
+      downstream of the feed).
     - ``skipChangeCommits``: ``"true"`` streams ONLY appends and
       rides the offset past every row-changing transaction
       (delete/merge/update/overwrite) instead of raising the lineage
@@ -578,6 +595,35 @@ class LakehouseStreamSource(DataSource):
                 if sj:
                     schema_json = sj
         schema = StructType.fromJson(json.loads(schema_json))
+        cols_opt = self.options.get("columns")
+        if cols_opt and _opt_flag(self.options, "readChangeFeed"):
+            raise ValueError(
+                "columns cannot combine with readChangeFeed: change "
+                "classification reads pre-images by their full key "
+                "set — project downstream of the feed instead"
+            )
+        if cols_opt:
+            # manual column PROJECTION at the source (the Python
+            # DataSource API has pushFilters but no column-pruning
+            # hook, so without this a 2-column read decodes every
+            # column of every parquet file): the executor overlay
+            # reads only the projected columns. Equality-delete keys
+            # a live MoR tail needs are read additionally executor-
+            # side and dropped after masking — see
+            # LakehouseBatchReader.read.
+            want = [
+                c.strip()
+                for c in str(cols_opt).split(",")
+                if c.strip()
+            ]
+            by_name = {f.name: f for f in schema.fields}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"columns option names unknown columns "
+                    f"{missing}; table has {list(by_name)}"
+                )
+            schema = StructType([by_name[c] for c in want])
         if _opt_flag(self.options, "readChangeFeed"):
             from pyspark.sql.types import StringType, StructField
 
@@ -1354,6 +1400,12 @@ class LakehouseBatchReader(DataSourceReader):
         self._snapshot_id = snapshot_id
         self._files = list(snap["files"])
         self._fparts = m.get("file_partitions", {})
+        # committed CURRENT schema (pre-projection): a columns-
+        # projected masked read augments its target with eq-delete
+        # key fields typed from here
+        self._committed = StructType.fromJson(
+            json.loads(m["schema"])
+        ) if m.get("schema") else schema
         # unmaterialized merge-on-read tail of THIS snapshot: planned
         # into per-file overlays in partitions()
         self._deletes = list(snap.get("deletes", []))
@@ -1486,15 +1538,24 @@ class LakehouseBatchReader(DataSourceReader):
                     )
                 )
                 files = [f for f in files if f in keep]
-        declared = {f.name for f in self._schema.fields}
         pos_by_file, eq_by_file = self._plan_delete_overlay(files)
+        keep = {f.name for f in self._schema.fields}
+        # identity-partition values for eq-delete KEY columns must
+        # ride the payload even when the projection dropped them —
+        # the masked read needs the key readable to match
+        keep |= {
+            k
+            for entries in eq_by_file.values()
+            for _d, keys in entries
+            for k in keys
+        }
         return [
             _FilePartition(
                 file=f,
                 part_values={
                     k: v
                     for k, v in self._fparts.get(f, {}).items()
-                    if k in declared
+                    if k in keep
                 },
                 renames=self._renames,
                 drop_pos=tuple(sorted(pos_by_file.get(f, ()))),
@@ -1559,6 +1620,27 @@ class LakehouseBatchReader(DataSourceReader):
         if self._arrow_schema is None:
             self._arrow_schema = to_arrow_schema(self._schema)
         if partition.drop_pos or partition.eq_deletes:
+            declared = [f.name for f in self._schema.fields]
+            extra = [
+                k
+                for _d, keys in partition.eq_deletes
+                for k in keys
+                if k not in declared
+            ]
+            if extra:
+                # columns-projected read of an eq-tailed file: read
+                # the key columns too (typed from the committed
+                # schema), mask, then project them away
+                full = {f.name: f for f in self._committed.fields}
+                aug = StructType(
+                    list(self._schema.fields)
+                    + [full[k] for k in dict.fromkeys(extra)]
+                )
+                yield from _mor_overlay_batches(
+                    partition, to_arrow_schema(aug),
+                    project_names=declared,
+                )
+                return
             yield from _mor_overlay_batches(
                 partition, self._arrow_schema
             )

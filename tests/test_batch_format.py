@@ -360,3 +360,51 @@ def test_pushed_startswith_skips_files(spark, tmp_path):
         .count()
     )
     assert got == 100
+
+
+def test_batch_read_columns_projection(spark, tmp_path):
+    """The `columns` option projects at the SOURCE (the Python
+    DataSource API has no column-pruning hook): only the named
+    columns come back, values match a native select, partition-path
+    values restore when projected IN, and unknown names fail
+    loudly."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path, partition_by=["grp"])
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i) * 1.5, i % 3) for i in range(12)],
+            "id long, name string, score double, grp long",
+        )
+    )
+    got = _connector_read(spark, path, columns="id,grp")
+    assert got.columns == ["id", "grp"]
+    _same_rows(got, tbl.read(spark).select("id", "grp"))
+    with pytest.raises(Exception, match="unknown columns"):
+        _connector_read(spark, path, columns="id,ghost").collect()
+
+
+def test_batch_read_columns_projection_through_mor_tail(spark, tmp_path):
+    """Projection composes with the MoR overlay even when the
+    equality-delete KEY column is projected away: the executor reads
+    the key additionally, masks, then drops it — voided rows stay
+    gone in the two-column result."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(10)],
+            "id long, name string, score double",
+        )
+    )
+    tbl.delete_where_mor(spark, F.col("id") == 7)
+    src = spark.createDataFrame(
+        [(3, "NEW", 33.0)], "id long, name string, score double"
+    )
+    tbl.merge(spark, src, keys=["id"], mode="merge-on-read")
+    got = _connector_read(spark, path, columns="name,score")
+    assert got.columns == ["name", "score"]
+    rows = sorted(map(tuple, got.collect()))
+    assert ("n7", 7.0) not in rows  # position-deleted
+    assert ("n3", 3.0) not in rows  # eq-voided (key id projected away)
+    assert ("NEW", 33.0) in rows
+    assert len(rows) == 9
