@@ -488,6 +488,13 @@ class LakehouseStreamSource(DataSource):
       advances past this snapshot (inclusive); pair with
       ``startingSnapshotId`` to replay an exact commit range through
       the streaming pipeline, then the stream idles at the bound.
+    - ``branch`` (batch only): read a named branch's staged WAP
+      state — the branch tail's files with the base snapshot's
+      outstanding MoR delete tail applied through the same per-file
+      overlay. Mutually exclusive with snapshotId/tag/asOfTimestamp;
+      manifest-stats file skipping is snapshot-keyed, so branch
+      reads skip pruning (filters still apply row-wise). Streams
+      refuse it (publish the branch, then stream).
     - ``columns``: comma-separated PROJECTION applied at the source
       (batch and streaming) — the Python DataSource API has
       pushFilters but no column-pruning hook, so without this a
@@ -594,6 +601,15 @@ class LakehouseStreamSource(DataSource):
                 sj = LakehouseTable._schema_as_of(m, sid)
                 if sj:
                     schema_json = sj
+        branch = self.options.get("branch")
+        if branch is not None:
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                LakehouseTable,
+            )
+
+            br = LakehouseTable(self._path())._branch_state(m, branch)
+            if br.get("schema"):
+                schema_json = br["schema"]
         schema = StructType.fromJson(json.loads(schema_json))
         cols_opt = self.options.get("columns")
         if cols_opt and _opt_flag(self.options, "readChangeFeed"):
@@ -634,6 +650,11 @@ class LakehouseStreamSource(DataSource):
         return schema
 
     def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
+        if self.options.get("branch") is not None:
+            raise ValueError(
+                "branch is a batch read option; streams tail the "
+                "main history (publish the branch, then stream)"
+            )
         return LakehouseStreamReader(self._path(), schema, self.options)
 
     def reader(self, schema: StructType) -> "LakehouseBatchReader":
@@ -1385,20 +1406,42 @@ class LakehouseBatchReader(DataSourceReader):
         self._schema = schema
         self._arrow_schema = None
         table = LakehouseTable(path)
-        snapshot_id = _resolve_time_travel(options, path)
-        if snapshot_id is None:
-            snapshot_id = table.current_snapshot_id()
-            if snapshot_id is None:
-                raise ValueError(f"no snapshots in {path}")
         m = _read_manifest(path)
-        matches = [
-            s for s in m["snapshots"] if s["id"] == snapshot_id
-        ]
-        if not matches:
-            raise ValueError(f"snapshot {snapshot_id} not found")
-        snap = matches[0]
-        self._snapshot_id = snapshot_id
-        self._files = list(snap["files"])
+        branch = options.get("branch")
+        if branch is not None:
+            # BRANCH read (WAP staged state): the branch tail's file
+            # list with the base snapshot's outstanding delete tail
+            # applied — the native read's recipe through the same
+            # per-file overlay. Staged files are never in
+            # file_added_at, so equality deletes scope past them.
+            if _resolve_time_travel(options, path) is not None:
+                raise ValueError(
+                    "pass one of branch / snapshotId / tag / "
+                    "asOfTimestamp"
+                )
+            br = table._branch_state(m, branch)
+            self._files = list(LakehouseTable._branch_tail_files(br))
+            if not self._files:
+                raise ValueError(f"branch {branch!r} has no data")
+            # no snapshot id: manifest-stats pruning is keyed by
+            # snapshot, so branch reads skip file skipping (Spark
+            # still re-applies filters row-wise)
+            self._snapshot_id = None
+            snap = {"deletes": br.get("base_deletes", [])}
+        else:
+            snapshot_id = _resolve_time_travel(options, path)
+            if snapshot_id is None:
+                snapshot_id = table.current_snapshot_id()
+                if snapshot_id is None:
+                    raise ValueError(f"no snapshots in {path}")
+            matches = [
+                s for s in m["snapshots"] if s["id"] == snapshot_id
+            ]
+            if not matches:
+                raise ValueError(f"snapshot {snapshot_id} not found")
+            snap = matches[0]
+            self._snapshot_id = snapshot_id
+            self._files = list(snap["files"])
         self._fparts = m.get("file_partitions", {})
         # committed CURRENT schema (pre-projection): a columns-
         # projected masked read augments its target with eq-delete
@@ -1417,8 +1460,9 @@ class LakehouseBatchReader(DataSourceReader):
         )
 
         self._renames = (
-            LakehouseTable._renames_as_of(m, snapshot_id)
+            LakehouseTable._renames_as_of(m, self._snapshot_id)
             if _opt_flag(options, "useSnapshotSchema")
+            and self._snapshot_id is not None
             else column_rename_map(m)
         )
         self._ranges: dict[str, tuple] = {}
@@ -1515,7 +1559,9 @@ class LakehouseBatchReader(DataSourceReader):
 
     def partitions(self):
         files = self._files
-        if self._ranges or self._in_lists:
+        if (self._ranges or self._in_lists) and (
+            self._snapshot_id is not None
+        ):
             from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
                 LakehouseTable,
             )

@@ -408,3 +408,46 @@ def test_batch_read_columns_projection_through_mor_tail(spark, tmp_path):
     assert ("n3", 3.0) not in rows  # eq-voided (key id projected away)
     assert ("NEW", 33.0) in rows
     assert len(rows) == 9
+
+
+def test_batch_read_branch(spark, tmp_path):
+    """Connector branch reads (.option('branch', name)): the staged
+    WAP state — base files + branch appends, with the base's
+    outstanding MoR delete tail applied — equals the native branch
+    read; main stays unaffected; projection composes; streams refuse
+    the option."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    tbl.delete_where_mor(spark, F.col("id") == 2)  # base tail
+    tbl.create_branch("wip")
+    tbl.append_to_branch(
+        "wip",
+        spark.createDataFrame([(100, "staged")], "id long, v string"),
+    )
+    got = _connector_read(spark, path, branch="wip")
+    _same_rows(got, tbl.read(spark, branch="wip"))
+    ids = sorted(r["id"] for r in got.collect())
+    assert 100 in ids and 2 not in ids
+    # main read unaffected by the staged append
+    assert 100 not in {
+        r["id"] for r in _connector_read(spark, path).collect()
+    }
+    # projection composes with the branch read
+    proj = _connector_read(spark, path, branch="wip", columns="id")
+    assert proj.columns == ["id"]
+    assert sorted(r["id"] for r in proj.collect()) == ids
+    # mutually exclusive with time travel; unknown branch errors
+    with pytest.raises(Exception, match="one of"):
+        _connector_read(spark, path, branch="wip", snapshotId="1").collect()
+    with pytest.raises(Exception, match="not found"):
+        _connector_read(spark, path, branch="ghost").collect()
+    # streams tail main history only (readStream.load() defers
+    # streamReader construction to query start — invoke it directly)
+    src = LakehouseStreamSource({"path": path, "branch": "wip"})
+    with pytest.raises(ValueError, match="batch read option"):
+        src.streamReader(src.schema())
