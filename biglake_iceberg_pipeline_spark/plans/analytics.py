@@ -640,6 +640,100 @@ def lakehouse_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRANCH_TABLE_PATHS: dict[str, str] = {}
+
+
+def _branch_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders with a MoR position-delete tail (o_orderkey ≡ 5 mod
+    13), then a branch 'wip' staging an append of the o_orderkey <
+    100 rows re-keyed +1e9 — deterministic WAP state at every SF."""
+    if sf_dir not in _BRANCH_TABLE_PATHS:
+        import hashlib
+        import os
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = (
+            f"{tempfile.gettempdir()}/lakehouse_branch_{tag}_{os.getpid()}"
+        )
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        table = LakehouseTable(path)
+        orders = load_table(spark, sf_dir, "orders")
+        table.append(orders.repartition(4))
+        table.delete_where_mor(spark, F.col("o_orderkey") % 13 == 5)
+        table.create_branch("wip")
+        table.append_to_branch(
+            "wip",
+            orders.where(F.col("o_orderkey") < 100).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10**9)
+            ),
+        )
+        cleanup_index_at_exit(path)
+        _BRANCH_TABLE_PATHS[sf_dir] = path
+    return _BRANCH_TABLE_PATHS[sf_dir]
+
+
+def lakehouse_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch read THROUGH the batch connector (F47,
+    ``.option("branch", "wip")`` + ``columns`` projection): the
+    staged write-audit-publish state — base files with the base
+    snapshot's outstanding MoR delete tail applied, plus the
+    branch's staged append — aggregated per order priority. The
+    oracle replays the branch algebra in DuckDB: orders minus the
+    position-deleted keys, unioned with the re-keyed staged rows."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _branch_table_path(spark, sf_dir)
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("branch", "wip")
+        .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
+        .load()
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * 100.0 + 0.5).alias(
+                "cents_total"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LAKEHOUSE_BRANCH_READ_SQL = """
+WITH branch_state AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 13 <> 5
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(floor(SUM(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+           AS cents_total
+FROM branch_state
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 LAKEHOUSE_MOR_READ_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
@@ -667,6 +761,7 @@ QUERIES = {
     "lakehouse_point_lookup": lakehouse_point_lookup,
     "lakehouse_bloom_lookup": lakehouse_bloom_lookup,
     "lakehouse_mor_read": lakehouse_mor_read,
+    "lakehouse_branch_read": lakehouse_branch_read,
 }
 
 ORACLE = {
@@ -682,4 +777,5 @@ ORACLE = {
     "lakehouse_point_lookup": LAKEHOUSE_POINT_LOOKUP_SQL,
     "lakehouse_bloom_lookup": LAKEHOUSE_BLOOM_LOOKUP_SQL,
     "lakehouse_mor_read": LAKEHOUSE_MOR_READ_SQL,
+    "lakehouse_branch_read": LAKEHOUSE_BRANCH_READ_SQL,
 }

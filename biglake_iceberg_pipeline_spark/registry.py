@@ -38,6 +38,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # back as the window moves.
 PRIORITY_KEYS = (
     "lakehouse_mor_read",
+    "lakehouse_branch_read",
     "ann_recall_audit_int8",
     "ann_recall_audit_quantized",
     "ann_ivf_pq",
@@ -69,6 +70,7 @@ PRIORITY_KEYS = (
 # r10-green keys not needed to fill this window); they rotate back
 # in later rounds.
 DEMOTED_KEYS = frozenset({
+    "dedup_paragraph_corpus",
     "address_standardize",
     "ann_ivf",
     "ann_ivf_filtered",
