@@ -314,6 +314,40 @@ def _resolve_time_travel(options, path: str):
     return None
 
 
+def _project_columns(schema: StructType, options) -> StructType:
+    """Apply the ``columns`` option to a schema — manual column
+    PROJECTION at the source (the Python DataSource API has
+    pushFilters but no column-pruning hook, so without this a
+    2-column read decodes every column of every parquet file). The
+    executor overlay then reads only the projected columns;
+    equality-delete keys a live MoR tail needs are read additionally
+    executor-side and dropped after masking (see
+    LakehouseBatchReader.read). Called from ``schema()`` AND from
+    both reader constructors: Spark skips ``schema()`` entirely when
+    the user passes an explicit ``.schema(...)``, and the option
+    must not silently no-op there (r12 review). Idempotent, so the
+    double application is harmless. Refused with readChangeFeed —
+    pre-images need full rows; project downstream of the feed."""
+    cols_opt = options.get("columns")
+    if not cols_opt:
+        return schema
+    if _opt_flag(options, "readChangeFeed"):
+        raise ValueError(
+            "columns cannot combine with readChangeFeed: change "
+            "classification reads pre-images by their full key "
+            "set — project downstream of the feed instead"
+        )
+    want = [c.strip() for c in str(cols_opt).split(",") if c.strip()]
+    by_name = {f.name: f for f in schema.fields}
+    missing = [c for c in want if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"columns option names unknown columns {missing}; "
+            f"schema has {list(by_name)}"
+        )
+    return StructType([by_name[c] for c in want])
+
+
 def _opt_flag(options, name: str) -> bool:
     v = options.get(name.lower())
     if v is None:
@@ -581,14 +615,29 @@ class LakehouseStreamSource(DataSource):
 
     def schema(self) -> StructType:
         m = _read_manifest(self._path())
-        if not m.get("schema"):
+        branch = self.options.get("branch")
+        schema_json = None
+        if branch is not None:
+            # branch schema FIRST: a branch-first table (first
+            # commits staged via append_to_branch) has no committed
+            # MAIN schema yet, only the branch's (r12 review)
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                LakehouseTable,
+            )
+
+            br = LakehouseTable(self._path())._branch_state(m, branch)
+            schema_json = br.get("schema")
+        if not schema_json:
+            schema_json = m.get("schema")
+        if not schema_json:
             raise ValueError(
                 f"lakehouse table at {self._path()} has no committed "
                 "schema yet (no snapshots) — pass .schema(...) "
                 "explicitly to stream a table created later"
             )
-        schema_json = m["schema"]
-        if _opt_flag(self.options, "useSnapshotSchema"):
+        if branch is None and _opt_flag(
+            self.options, "useSnapshotSchema"
+        ):
             # Iceberg-style as-of-schema time travel for BATCH reads
             # (streams always follow the current schema): resolve the
             # travel target and overlay the schema it committed under
@@ -601,45 +650,8 @@ class LakehouseStreamSource(DataSource):
                 sj = LakehouseTable._schema_as_of(m, sid)
                 if sj:
                     schema_json = sj
-        branch = self.options.get("branch")
-        if branch is not None:
-            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
-                LakehouseTable,
-            )
-
-            br = LakehouseTable(self._path())._branch_state(m, branch)
-            if br.get("schema"):
-                schema_json = br["schema"]
         schema = StructType.fromJson(json.loads(schema_json))
-        cols_opt = self.options.get("columns")
-        if cols_opt and _opt_flag(self.options, "readChangeFeed"):
-            raise ValueError(
-                "columns cannot combine with readChangeFeed: change "
-                "classification reads pre-images by their full key "
-                "set — project downstream of the feed instead"
-            )
-        if cols_opt:
-            # manual column PROJECTION at the source (the Python
-            # DataSource API has pushFilters but no column-pruning
-            # hook, so without this a 2-column read decodes every
-            # column of every parquet file): the executor overlay
-            # reads only the projected columns. Equality-delete keys
-            # a live MoR tail needs are read additionally executor-
-            # side and dropped after masking — see
-            # LakehouseBatchReader.read.
-            want = [
-                c.strip()
-                for c in str(cols_opt).split(",")
-                if c.strip()
-            ]
-            by_name = {f.name: f for f in schema.fields}
-            missing = [c for c in want if c not in by_name]
-            if missing:
-                raise ValueError(
-                    f"columns option names unknown columns "
-                    f"{missing}; table has {list(by_name)}"
-                )
-            schema = StructType([by_name[c] for c in want])
+        schema = _project_columns(schema, self.options)
         if _opt_flag(self.options, "readChangeFeed"):
             from pyspark.sql.types import StringType, StructField
 
@@ -669,6 +681,12 @@ class LakehouseStreamSource(DataSource):
     def writer(
         self, schema: StructType, overwrite: bool
     ) -> "LakehouseBatchWriter":
+        if self.options.get("branch") is not None:
+            raise ValueError(
+                "branch is a batch READ option; the connector "
+                "writes to main — stage branch commits via "
+                "LakehouseTable.append_to_branch"
+            )
         return LakehouseBatchWriter(
             self._path(), schema, self.options, overwrite
         )
@@ -676,6 +694,12 @@ class LakehouseStreamSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> "LakehouseStreamWriter":
+        if self.options.get("branch") is not None:
+            raise ValueError(
+                "branch is a batch READ option; the streaming sink "
+                "writes to main — stage branch commits via "
+                "LakehouseTable.append_to_branch"
+            )
         if overwrite:
             raise ValueError(
                 "lakehouse streaming sink is append-only (outputMode "
@@ -687,6 +711,18 @@ class LakehouseStreamSource(DataSource):
 class LakehouseStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: StructType, options):
         self._path = path
+        # user-supplied .schema(...) bypasses DataSource.schema() and
+        # PINS the output schema — a disagreeing columns option must
+        # refuse, not silently no-op (schema()-derived schemas are
+        # already projected, so this is a no-op for them)
+        projected = _project_columns(schema, options)
+        if [f.name for f in projected] != [f.name for f in schema]:
+            raise ValueError(
+                "columns option conflicts with an explicit "
+                ".schema(...): Spark pins the output schema — "
+                "narrow the schema itself (that already prunes) or "
+                "drop the option"
+            )
         self._schema = schema
         self._starting = int(options.get("startingSnapshotId", 0))
         ending = options.get("endingSnapshotId")
@@ -1403,6 +1439,18 @@ class LakehouseBatchReader(DataSourceReader):
         )
 
         self._path = path
+        # user-supplied .schema(...) bypasses DataSource.schema() and
+        # PINS the output schema — a disagreeing columns option must
+        # refuse, not silently no-op (schema()-derived schemas are
+        # already projected, so this is a no-op for them)
+        projected = _project_columns(schema, options)
+        if [f.name for f in projected] != [f.name for f in schema]:
+            raise ValueError(
+                "columns option conflicts with an explicit "
+                ".schema(...): Spark pins the output schema — "
+                "narrow the schema itself (that already prunes) or "
+                "drop the option"
+            )
         self._schema = schema
         self._arrow_schema = None
         table = LakehouseTable(path)
@@ -1418,6 +1466,12 @@ class LakehouseBatchReader(DataSourceReader):
                 raise ValueError(
                     "pass one of branch / snapshotId / tag / "
                     "asOfTimestamp"
+                )
+            if _opt_flag(options, "useSnapshotSchema"):
+                raise ValueError(
+                    "useSnapshotSchema is snapshot time travel; a "
+                    "branch read already uses the branch's staged "
+                    "schema"
                 )
             br = table._branch_state(m, branch)
             self._files = list(LakehouseTable._branch_tail_files(br))

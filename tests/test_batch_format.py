@@ -451,3 +451,79 @@ def test_batch_read_branch(spark, tmp_path):
     src = LakehouseStreamSource({"path": path, "branch": "wip"})
     with pytest.raises(ValueError, match="batch read option"):
         src.streamReader(src.schema())
+
+
+def test_batch_read_branch_first_table(spark, tmp_path):
+    """A table whose FIRST commits arrive via a branch has no main
+    schema; the connector resolves the branch's own staged schema
+    (r12 review — schema() used to refuse before the branch arm)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.create_branch("wip")
+    tbl.append_to_branch(
+        "wip", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    got = _connector_read(spark, path, branch="wip")
+    assert sorted(map(tuple, got.collect())) == [(1, "a")]
+    _same_rows(got, tbl.read(spark, branch="wip"))
+    # branch + useSnapshotSchema refused loudly, not degraded
+    with pytest.raises(Exception, match="useSnapshotSchema"):
+        _connector_read(
+            spark, path, branch="wip", useSnapshotSchema="true"
+        ).collect()
+
+
+def test_batch_write_refuses_branch_option(spark, tmp_path):
+    """A named branch on the WRITE path must refuse, not silently
+    commit to main — unaudited rows visible to every main reader is
+    the exposure the WAP workflow exists to prevent (r12 review)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    tbl.create_branch("wip")
+    with pytest.raises(Exception, match="append_to_branch"):
+        spark.createDataFrame([(9,)], "id long").write.format(
+            "lakehouse"
+        ).option("path", path).option("branch", "wip").mode(
+            "append"
+        ).save()
+    assert tbl.read(spark).count() == 1  # main untouched
+
+
+def test_batch_read_columns_vs_explicit_schema(spark, tmp_path):
+    """Spark skips DataSource.schema() when the user passes
+    .schema(...) and PINS the output schema to it, so a disagreeing
+    columns option cannot narrow — it must refuse loudly instead of
+    silently reading every column (r12 review). An explicit NARROW
+    schema already is manual pruning and keeps working; a columns
+    option that MATCHES the explicit schema is a harmless no-op."""
+    from pyspark.sql.types import StructType
+
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "id long, v string, s double"
+        )
+    )
+    full = tbl.read(spark).schema
+    with pytest.raises(Exception, match="explicit"):
+        spark.read.format("lakehouse").schema(full).option(
+            "path", path
+        ).option("columns", "id,s").load().collect()
+    narrow = StructType([full["id"], full["s"]])
+    got = (
+        spark.read.format("lakehouse")
+        .schema(narrow)
+        .option("path", path)
+        .load()
+    )
+    assert sorted(map(tuple, got.collect())) == [(1, 2.0)]
+    agree = (
+        spark.read.format("lakehouse")
+        .schema(narrow)
+        .option("path", path)
+        .option("columns", "id,s")
+        .load()
+    )
+    assert sorted(map(tuple, agree.collect())) == [(1, 2.0)]
