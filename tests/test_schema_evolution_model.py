@@ -9,13 +9,25 @@ This is the schema-evolution sibling of test_manifest_model.py's
 file-list walk: the rename journal, schema log, vintage coalescing,
 and overlay interactions have enough composition surface (chains,
 drops of renamed columns' successors, widens of renamed columns,
-appends in mixed vintages) that targeted tests can't enumerate it."""
+appends in mixed vintages) that targeted tests can't enumerate it.
+
+r12: the walk also threads MERGE-ON-READ tails through the DDL —
+position deletes, equality-delete merges keyed on id, and an
+eq-delete merge keyed on a WIDENABLE column that must permanently
+lock rename/drop/widen of that column (the r12
+widen-resurrection guard, reproduced live before fixing: with the
+guard reverted the walk's DID-NOT-RAISE assertion fires — seed 2
+of the five catches it). The
+model applies every tail to its row map, so current reads AND as-of
+reads verify tails composing with renames/drops/widens."""
 
 from __future__ import annotations
 
 import random
 
 import pytest
+
+from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
     LakehouseTable,
@@ -36,6 +48,9 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
     cols: dict[str, str] = {"id": "bigint", "c0": "int"}  # name->type
     order = ["id", "c0"]
     retired: set[str] = set()
+    # columns a LIVE equality-delete file keys on: rename/drop/widen
+    # must refuse them forever (the walk never expires history)
+    eq_locked: set[str] = set()
     rows: dict[int, dict] = {}  # id -> {current col name: value}
     next_row = 0
     next_col = 1
@@ -83,7 +98,7 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
         op_append()  # the add lands via append-evolution
 
     def op_rename():
-        cands = [c for c in order if c != "id"]
+        cands = [c for c in order if c != "id" and c not in eq_locked]
         if not cands:
             return
         old = rng.choice(cands)
@@ -98,7 +113,9 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
             rows[rid][name] = rows[rid].pop(old)
 
     def op_drop():
-        cands = [c for c in order if c != "id"]
+        cands = [
+            c for c in order if c != "id" and c not in eq_locked
+        ]
         if len(cands) < 2:
             return
         victim = rng.choice(cands)
@@ -110,7 +127,11 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
             rows[rid].pop(victim, None)
 
     def op_widen():
-        cands = [c for c in order if cols[c] in _WIDEN]
+        cands = [
+            c
+            for c in order
+            if cols[c] in _WIDEN and c not in eq_locked
+        ]
         if not cands:
             return
         c = rng.choice(cands)
@@ -127,7 +148,13 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
         _ = old_t
 
     def op_unreadable_widen_refused():
-        cands = [c for c in order if cols[c] == "bigint" and c != "id"]
+        cands = [
+            c
+            for c in order
+            if cols[c] == "bigint"
+            and c != "id"
+            and c not in eq_locked
+        ]
         if not cands:
             return
         with pytest.raises(ValueError, match="READ-safe"):
@@ -142,6 +169,92 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
             return
         with pytest.raises(ValueError):
             t.rename_column(src, name)
+
+    def op_mor_delete():
+        live = sorted(rows)
+        if len(live) < 3:
+            return
+        k = rng.choice([3, 5, 7])
+        m = rng.randrange(k)
+        t.delete_where_mor(spark, F.col("id") % k == m)
+        for rid in [r for r in rows if r % k == m]:
+            del rows[rid]
+
+    def op_mor_merge_on_id():
+        nonlocal next_row
+        live = sorted(rows)
+        if not live:
+            return
+        upd = rng.sample(live, min(len(live), rng.randint(1, 2)))
+        new_id = next_row
+        next_row += 1
+        data = []
+        for rid in upd + [new_id]:
+            row = {"id": rid}
+            for c in order:
+                if c != "id":
+                    row[c] = _val(c, cols[c], rid + 5000)
+            rows[rid] = dict(row)
+            data.append(tuple(row[c] for c in order))
+        t.merge(
+            spark,
+            spark.createDataFrame(data, _sql_schema()),
+            keys=["id"],
+            mode="merge-on-read",
+        )
+        eq_locked.add("id")
+
+    def op_eq_merge_locks_widenable_column():
+        """Equality-delete merge keyed on a WIDENABLE int column:
+        from then on rename/drop/widen of that column must refuse
+        (the r12 widen-resurrection guard) — asserted immediately
+        and enforced on the model's candidate sets forever."""
+        nonlocal next_row
+        cands = [
+            c
+            for c in order
+            if cols[c] == "int" and c not in eq_locked
+        ]
+        live = sorted(rows)
+        if not cands or not live:
+            return
+        key = rng.choice(cands)
+        # every model value of an int column is rid+1 and NON-NULL
+        # only for rows appended while the column existed; restrict
+        # the merge to keys of rows with a non-null value
+        victims = [
+            rid for rid in live if rows[rid].get(key) is not None
+        ]
+        if not victims:
+            return
+        rid = rng.choice(victims)
+        new_id = next_row
+        next_row += 1
+        row = {"id": new_id}
+        for c in order:
+            if c != "id":
+                row[c] = _val(c, cols[c], new_id)
+        row[key] = rows[rid][key]  # same key value: voids rid
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [tuple(row[c] for c in order)], _sql_schema()
+            ),
+            keys=[key],
+            mode="merge-on-read",
+        )
+        # the eq delete voids EVERY older row matching the key value
+        kv = row[key]
+        for r2 in [x for x in list(rows) if rows[x].get(key) == kv]:
+            del rows[r2]
+        rows[new_id] = dict(row)
+        eq_locked.add(key)
+        with pytest.raises(ValueError, match="equality-delete"):
+            t.widen_column(key, "double")
+        with pytest.raises(ValueError, match="equality-delete"):
+            t.rename_column(key, f"locked_{key}")
+        with pytest.raises(ValueError, match="equality-delete"):
+            t.drop_column(key)
 
     def check():
         df = t.read(spark)
@@ -177,6 +290,9 @@ def test_schema_evolution_walk_matches_model(spark, tmp_path, seed):
         (op_widen, 2),
         (op_retired_reuse_refused, 1),
         (op_unreadable_widen_refused, 1),
+        (op_mor_delete, 2),
+        (op_mor_merge_on_id, 2),
+        (op_eq_merge_locks_widenable_column, 1),
     ]
     weighted = [f for f, w in ops for _ in range(w)]
 
