@@ -771,16 +771,66 @@ def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
 
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
         path = f"{tempfile.gettempdir()}/kmeans_ivf_index_{tag}_{os.getpid()}"
+        # label rides the index rows (include_cols): filtered probes
+        # push metadata predicates into the pruned cells — the same
+        # production VECTOR_SEARCH pattern as the sign-bit index
         build_kmeans_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
             path,
             "vec_id",
             "embedding",
             n_centroids=16,
+            include_cols=["label"],
         )
         cleanup_index_at_exit(path)
         _KMEANS_INDEX_PATHS[sf_dir] = path
     return _KMEANS_INDEX_PATHS[sf_dir]
+
+
+def ann_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN on the TRAINED tier (G43's production
+    config for this corpus): the label predicate applies INSIDE the
+    centroid-pruned cells (the index carries `label` via
+    include_cols) and the top-k is over MATCHING rows — the same
+    filtered-VECTOR_SEARCH contract ann_ivf_filtered pins on the
+    sign-bit tier, on the index kind that actually has recall here.
+    Rows-only driver check (k-means is not DuckDB-replayable); the
+    in-plan assert_true pins that every returned row matches the
+    filter AND that exactly k rows come back (an under-filled top-k
+    is the failure mode post-filtering would cause), and the
+    filtered-recall property is pinned in
+    tests/test_similarity_text.py."""
+    from pyspark.sql import functions as _F
+
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        kmeans_ivf_probe,
+    )
+
+    k = 10
+    out = kmeans_ivf_probe(
+        spark,
+        _kmeans_index_path(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=k,
+        nprobe=4,
+        where=_F.col("label") == 1,
+    )
+    # force the fill assertion into the returned plan without
+    # changing the row-level output: cross-join the broadcast 1-row
+    # frame (assert_true returns NULL on success — the repo's
+    # scalar-frame crossJoin convention) and drop it
+    total = out.agg(_F.count(_F.lit(1)).alias("n")).select(
+        _F.assert_true(
+            _F.col("n") == k,
+            _F.concat(
+                _F.lit("filtered probe under-returned: "),
+                _F.col("n").cast("string"),
+            ),
+        ).alias("__chk")
+    )
+    return out.crossJoin(_F.broadcast(total)).drop("__chk")
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1346,7 @@ QUERIES = {
     "ann_recall_audit_quantized": ann_recall_audit_quantized,
     "ann_ivf_int8": ann_ivf_int8,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_kmeans_filtered": ann_kmeans_filtered,
     "ann_ivf_pq": ann_ivf_pq,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,

@@ -41,6 +41,7 @@ PRIORITY_KEYS = (
     "lakehouse_branch_read",
     "ann_recall_audit_int8",
     "ann_recall_audit_quantized",
+    "ann_kmeans_filtered",
     "ann_ivf_pq",
     "dedup_clusters",
     "dedup_best_quality",
@@ -71,6 +72,7 @@ PRIORITY_KEYS = (
 # in later rounds.
 DEMOTED_KEYS = frozenset({
     "dedup_paragraph_corpus",
+    "source_quota_sample",
     "address_standardize",
     "ann_ivf",
     "ann_ivf_filtered",

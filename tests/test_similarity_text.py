@@ -674,3 +674,54 @@ def test_filtered_probe_int8_and_kmeans_variants(spark, tmp_path):
     ).collect()
     ids = [r["vec_id"] for r in got]
     assert len(ids) == 4 and all(v % 2 == 0 for v in ids)
+
+
+def test_kmeans_filtered_probe_matches_filtered_brute_force(spark, sf_dir):
+    """Filtered probe on the TRAINED tier (r12): the label predicate
+    applies INSIDE the pruned cells and the top-k is over MATCHING
+    rows — identical to brute-force-with-filter restricted to the
+    probed cells, and k rows come back (post-filtering would
+    under-return)."""
+    import numpy as np
+
+    from biglake_iceberg_pipeline_spark.operators import (
+        similarity,
+        vector_index as vi,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(__import__("tempfile").mkdtemp()) + "/kf"
+    vi.build_kmeans_ivf_index(
+        emb, path, "vec_id", "embedding", n_centroids=16,
+        include_cols=["label"],
+    )
+    q = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    got = vi.kmeans_ivf_probe(
+        spark, path, "vec_id", "embedding", q, k=10, nprobe=4,
+        where=F.col("label") == 1,
+    ).collect()
+    assert len(got) == 10
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+    # equality with filter-then-rank within the probed cells
+    import json, os
+
+    cents = np.asarray(
+        json.load(open(os.path.join(path, "_centroids.json"))),
+        dtype=np.float64,
+    )
+    d = ((cents - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:4]]
+    cells = spark.read.parquet(path).where(
+        F.col("__cid").isin(probe) & (F.col("label") == 1)
+    )
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            cells, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in got] == exact
