@@ -787,6 +787,34 @@ def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _KMEANS_INDEX_PATHS[sf_dir]
 
 
+def _asserted_fill(out: DataFrame, k: int) -> DataFrame:
+    """Pin exactly-k fill INSIDE the plan: a global window count over
+    the (already k-limited, so tiny) result, asserted in a FILTER so
+    column pruning can never optimize the check away (the
+    ann_recall_audit_quantized idiom — an earlier draft dropped the
+    assert column and Catalyst pruned the whole check out, caught by
+    the r12 review's empirical plan inspection). One pass: the window
+    runs over the probe's single output partition, no re-execution of
+    the probe."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    n = _F.count(_F.lit(1)).over(_W.partitionBy())
+    return (
+        out.withColumn("__n", n)
+        .where(
+            _F.assert_true(
+                _F.col("__n") == k,
+                _F.concat(
+                    _F.lit("filtered probe under-returned: "),
+                    _F.col("__n").cast("string"),
+                ),
+            ).isNull()
+        )
+        .drop("__n")
+    )
+
+
 def ann_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ANN on the TRAINED tier (G43's production
     config for this corpus): the label predicate applies INSIDE the
@@ -795,11 +823,10 @@ def ann_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered-VECTOR_SEARCH contract ann_ivf_filtered pins on the
     sign-bit tier, on the index kind that actually has recall here.
     Rows-only driver check (k-means is not DuckDB-replayable); the
-    in-plan assert_true pins that every returned row matches the
-    filter AND that exactly k rows come back (an under-filled top-k
-    is the failure mode post-filtering would cause), and the
-    filtered-recall property is pinned in
-    tests/test_similarity_text.py."""
+    in-plan assertion pins the exactly-k FILL (an under-filled top-k
+    is the failure mode post-filtering would cause); the per-row
+    label match and filtered recall are pinned by the property test
+    in tests/test_similarity_text.py."""
     from pyspark.sql import functions as _F
 
     from biglake_iceberg_pipeline_spark.operators.vector_index import (
@@ -817,20 +844,7 @@ def ann_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         where=_F.col("label") == 1,
     )
-    # force the fill assertion into the returned plan without
-    # changing the row-level output: cross-join the broadcast 1-row
-    # frame (assert_true returns NULL on success — the repo's
-    # scalar-frame crossJoin convention) and drop it
-    total = out.agg(_F.count(_F.lit(1)).alias("n")).select(
-        _F.assert_true(
-            _F.col("n") == k,
-            _F.concat(
-                _F.lit("filtered probe under-returned: "),
-                _F.col("n").cast("string"),
-            ),
-        ).alias("__chk")
-    )
-    return out.crossJoin(_F.broadcast(total)).drop("__chk")
+    return _asserted_fill(out, k)
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -676,7 +676,9 @@ def test_filtered_probe_int8_and_kmeans_variants(spark, tmp_path):
     assert len(ids) == 4 and all(v % 2 == 0 for v in ids)
 
 
-def test_kmeans_filtered_probe_matches_filtered_brute_force(spark, sf_dir):
+def test_kmeans_filtered_probe_matches_filtered_brute_force(
+    spark, sf_dir, tmp_path
+):
     """Filtered probe on the TRAINED tier (r12): the label predicate
     applies INSIDE the pruned cells and the top-k is over MATCHING
     rows — identical to brute-force-with-filter restricted to the
@@ -690,7 +692,7 @@ def test_kmeans_filtered_probe_matches_filtered_brute_force(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = str(__import__("tempfile").mkdtemp()) + "/kf"
+    path = str(tmp_path / "kf")
     vi.build_kmeans_ivf_index(
         emb, path, "vec_id", "embedding", n_centroids=16,
         include_cols=["label"],
@@ -725,3 +727,33 @@ def test_kmeans_filtered_probe_matches_filtered_brute_force(spark, sf_dir):
         ).collect()
     ]
     assert [r["vec_id"] for r in got] == exact
+
+
+
+def test_ann_kmeans_filtered_query_and_fill_assertion(spark):
+    """The REGISTERED query end-to-end (r12 review: the property test
+    above exercises only the operator): k rows back, every one
+    label==1; and the in-plan fill assertion actually EXECUTES — an
+    earlier draft's dropped assert column was pruned away silently,
+    so force an under-return through the same _asserted_fill plumbing
+    and require the raise."""
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.plans import llm_ops
+
+    sf = "/root/testdata/sf0.001"
+    got = llm_ops.ann_kmeans_filtered(spark, sf).collect()
+    assert len(got) == 10
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+    # forced under-return: 3 rows through a k=10 fill check raises
+    three = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "vec_id long, cosine_sim double"
+    )
+    with pytest.raises(Exception, match="under-returned"):
+        llm_ops._asserted_fill(three, 10).collect()
