@@ -221,46 +221,59 @@ def test_cluster_assignment_matview_lifecycle(spark):
     append to the base corpus auto-refreshes via the commit hook and
     the new near-dups land in one cluster, (b) without the hook a
     stale view is refreshed by read_fresh() before serving — never
-    silently served stale."""
+    silently served stale, (c) the r13 snapshot-keyed cache guard:
+    after the base mutated, the REGISTERED artifact entry point
+    rebuilds from the pristine parquet corpus on its own — no
+    manual finally-block cache clear (VERDICT r12 item 5)."""
     from biglake_iceberg_pipeline_spark.plans import llm_ops
 
     llm_ops._CLUSTER_ARTIFACT.clear()
-    try:
-        sf = "/root/testdata/sf0.001"
-        mv = llm_ops.cluster_assignment_matview(spark, sf)
-        n0 = mv.read().count()
-        assert mv.is_fresh()
-        dup_text = "the quick brown fox jumps over the lazy dog " * 6
-        new = spark.createDataFrame(
-            [
-                (900001, dup_text, "en", "webz", len(dup_text)),
-                (900002, dup_text + "!", "en", "webz", len(dup_text) + 1),
-            ],
+    sf = "/root/testdata/sf0.001"
+    mv = llm_ops.cluster_assignment_matview(spark, sf)
+    n0 = mv.read().count()
+    assert mv.is_fresh()
+    dup_text = "the quick brown fox jumps over the lazy dog " * 6
+    new = spark.createDataFrame(
+        [
+            (900001, dup_text, "en", "webz", len(dup_text)),
+            (900002, dup_text + "!", "en", "webz", len(dup_text) + 1),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    mv.base.append(new)
+    # the post-commit hook already refreshed — no stale window
+    assert mv.is_fresh()
+    rows = {r["doc_id"]: r for r in mv.read().collect()}
+    assert len(rows) == n0 + 2
+    a, b = rows[900001], rows[900002]
+    assert a["cluster_id"] == b["cluster_id"]  # near-dups merged
+    assert a["is_canonical"] and not b["is_canonical"]
+    # stale path: no hook, cross-process-writer analog — the HANDLE
+    # serves the refreshed view state (never silently stale)
+    mv.base.on_commit.clear()
+    mv.base.append(
+        spark.createDataFrame(
+            [(900003, "entirely new text", "en", "webz", 17)],
             "doc_id long, text string, lang string, source string, "
             "n_chars long",
         )
-        mv.base.append(new)
-        # the post-commit hook already refreshed — no stale window
-        assert mv.is_fresh()
-        rows = {r["doc_id"]: r for r in mv.read().collect()}
-        assert len(rows) == n0 + 2
-        a, b = rows[900001], rows[900002]
-        assert a["cluster_id"] == b["cluster_id"]  # near-dups merged
-        assert a["is_canonical"] and not b["is_canonical"]
-        # stale path: no hook, cross-process-writer analog
-        mv.base.on_commit.clear()
-        mv.base.append(
-            spark.createDataFrame(
-                [(900003, "entirely new text", "en", "webz", 17)],
-                "doc_id long, text string, lang string, source string, "
-                "n_chars long",
-            )
-        )
-        assert not mv.is_fresh()
-        served = llm_ops.cluster_assignment_artifact(spark, sf)
-        assert served.count() == n0 + 3  # refreshed before serving
-        assert mv.is_fresh()
-    finally:
-        # the cached view now reflects a MUTATED scratch corpus —
-        # later tests/queries must rebuild from the pristine parquet
-        llm_ops._CLUSTER_ARTIFACT.clear()
+    )
+    assert not mv.is_fresh()
+    assert mv.read_fresh().count() == n0 + 3
+    assert mv.is_fresh()
+    # snapshot-keyed cache guard: the registered entry point notices
+    # the cached artifact's base moved past its build snapshot,
+    # discards it, and rebuilds over the PRISTINE corpus — the
+    # append-then-stale-oracle-read hazard is gone WITHOUT any
+    # manual cache clear
+    from biglake_iceberg_pipeline_spark.sources.catalog import (
+        corpus_cache_key,
+    )
+
+    served = llm_ops.cluster_assignment_artifact(spark, sf)
+    assert served.count() == n0
+    rebuilt, _snap = llm_ops._CLUSTER_ARTIFACT[corpus_cache_key(sf)]
+    assert rebuilt is not mv
+    # and the rebuilt entry is a stable hit for the next consumer
+    assert llm_ops.cluster_assignment_matview(spark, sf) is rebuilt
