@@ -105,6 +105,12 @@ class _FilePartition(InputPartition):
     # ((delete_file, (key_col, ...)), ...) — executor re-matches via
     # the NULL-safe composite-key is_in (_eq_match_mask)
     eq_deletes: tuple = ()
+    # position-delete files past the inline threshold, shipped by
+    # REFERENCE (VERDICT r12 item 3): the executor reads its own
+    # file's voided positions with a file_path filter instead of the
+    # driver serializing O(tail) positions into every task payload —
+    # the Iceberg-v3 deletion-vector shape, by parquet filter
+    pos_refs: tuple = ()
 
 
 @dataclass
@@ -144,6 +150,42 @@ class _EqDeletePartition(InputPartition):
     prior_pos: tuple = ()  # row indices from earlier position deletes
     prior_eq: tuple = ()  # earlier ((delete_file, keys), ...) in scope
     renames: dict | None = None  # rename-journal map (overlay)
+
+
+#: position-delete files with at most this many rows inline their
+#: voided positions into the partition payloads (cheap, zero extra
+#: executor I/O); bigger tails ship by REFERENCE so the driver never
+#: serializes O(tail) positions into task payloads — a 10⁸-row
+#: unmaterialized delete would otherwise push fat payloads through
+#: the scheduler on a 100 TB table (VERDICT r12 item 3). maintain()
+#: bounds how long any tail lives either way.
+_POS_INLINE_MAX = 100_000
+
+
+def _pos_delete_candidates(pf, planned):
+    """Planned data files a by-reference position-delete file may
+    name, from row-group min/max statistics on ``file_path`` alone —
+    metadata-sized work, no data read. A false positive costs one
+    executor a filtered read that returns nothing; missing stats keep
+    every planned file (conservative, never wrong)."""
+    names = list(pf.schema_arrow.names)
+    try:
+        idx = names.index("file_path")
+    except ValueError:
+        return set(planned)
+    md = pf.metadata
+    spans = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return set(planned)
+        lo, hi = st.min, st.max
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode(), hi.decode()
+        spans.append((lo, hi))
+    return {
+        f for f in planned if any(lo <= f <= hi for lo, hi in spans)
+    }
 
 
 def _eq_delete_key_stats(dk, keys):
@@ -233,6 +275,21 @@ def _mor_overlay_batches(
     for pos in partition.drop_pos:
         if 0 <= pos < n:
             alive[pos] = False
+    for d in getattr(partition, "pos_refs", ()):
+        # by-reference tail (big position deletes): pull exactly this
+        # file's voided positions with a pushed file_path filter —
+        # pyarrow prunes row groups by the column's stats, then
+        # row-filters; a false-positive candidate reads nothing
+        import pyarrow.parquet as _pq
+
+        refs = _pq.read_table(
+            d,
+            columns=["pos"],
+            filters=[("file_path", "==", partition.file)],
+        )
+        for pos in refs.column("pos").to_pylist():
+            if 0 <= pos < n:
+                alive[pos] = False
     if partition.eq_deletes:
         mask = _eq_match_mask(aligned, list(partition.eq_deletes))
         if mask is not None:
@@ -1638,7 +1695,9 @@ class LakehouseBatchReader(DataSourceReader):
                     )
                 )
                 files = [f for f in files if f in keep]
-        pos_by_file, eq_by_file = self._plan_delete_overlay(files)
+        pos_by_file, eq_by_file, refs_by_file = (
+            self._plan_delete_overlay(files)
+        )
         keep = {f.name for f in self._schema.fields}
         # identity-partition values for eq-delete KEY columns must
         # ride the payload even when the projection dropped them —
@@ -1660,6 +1719,7 @@ class LakehouseBatchReader(DataSourceReader):
                 renames=self._renames,
                 drop_pos=tuple(sorted(pos_by_file.get(f, ()))),
                 eq_deletes=tuple(eq_by_file.get(f, ())),
+                pos_refs=tuple(refs_by_file.get(f, ())),
             )
             for f in files
         ]
@@ -1668,8 +1728,12 @@ class LakehouseBatchReader(DataSourceReader):
         """Driver-side half of the MoR overlay: read the snapshot's
         (metadata-sized) delete files once and scope them to the
         PLANNED files only (a file pruned by pushed filters needs no
-        overlay — deletes only remove rows). Position deletes ship
-        their row indices in the partition payload; equality deletes
+        overlay — deletes only remove rows). Position deletes up to
+        ``_POS_INLINE_MAX`` rows ship their row indices in the
+        partition payload; bigger tails ship by REFERENCE (scoped to
+        candidate files via row-group file_path stats), so a task
+        payload stays O(1) under any tail size — the Iceberg-v3
+        deletion-vector shape, by parquet filter. Equality deletes
         ship by reference, kept only for files inside the delete's
         added_at watermark (``LakehouseTable._apply_deletes``'s
         sequence-number scoping: missing added_at → the file is
@@ -1678,8 +1742,9 @@ class LakehouseBatchReader(DataSourceReader):
         materialize_deletes and the CDF planner)."""
         pos_by_file: dict[str, list] = {}
         eq_by_file: dict[str, list] = {}
+        refs_by_file: dict[str, list] = {}
         if not self._deletes:
-            return pos_by_file, eq_by_file
+            return pos_by_file, eq_by_file, refs_by_file
         import pyarrow.parquet as pq
 
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
@@ -1690,7 +1755,18 @@ class LakehouseBatchReader(DataSourceReader):
         for d in self._deletes:
             meta = self._dmeta.get(d, {})
             if meta.get("kind", "position") == "position":
-                pt = pq.read_table(d, columns=["file_path", "pos"])
+                pf = pq.ParquetFile(d)
+                if pf.metadata.num_rows > _POS_INLINE_MAX:
+                    # big tail: ship the delete file by REFERENCE to
+                    # the planned files its row-group file_path stats
+                    # say it may name — the partition payload stays
+                    # O(1) regardless of tail size, and the executor
+                    # pulls exactly its own positions with a pushed
+                    # file_path filter
+                    for fp in _pos_delete_candidates(pf, planned):
+                        refs_by_file.setdefault(fp, []).append(d)
+                    continue
+                pt = pf.read(columns=["file_path", "pos"])
                 for fp, pos in zip(
                     pt.column("file_path").to_pylist(),
                     pt.column("pos").to_pylist(),
@@ -1712,14 +1788,18 @@ class LakehouseBatchReader(DataSourceReader):
                     eq_by_file.setdefault(f, []).append(
                         (d, tuple(keys))
                     )
-        return pos_by_file, eq_by_file
+        return pos_by_file, eq_by_file, refs_by_file
 
     def read(self, partition: _FilePartition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._arrow_schema is None:
             self._arrow_schema = to_arrow_schema(self._schema)
-        if partition.drop_pos or partition.eq_deletes:
+        if (
+            partition.drop_pos
+            or partition.eq_deletes
+            or partition.pos_refs
+        ):
             declared = [f.name for f in self._schema.fields]
             extra = [
                 k

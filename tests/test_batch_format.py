@@ -527,3 +527,70 @@ def test_batch_read_columns_vs_explicit_schema(spark, tmp_path):
         .load()
     )
     assert sorted(map(tuple, agree.collect())) == [(1, 2.0)]
+
+
+def test_big_position_tail_ships_by_reference(spark, tmp_path, monkeypatch):
+    """A position-delete tail past the inline threshold ships by
+    REFERENCE (VERDICT r12 item 3): task payloads carry delete-file
+    PATHS, never O(tail) positions — the pickled partition stays
+    O(1) no matter how many rows the tail voids — and the executor
+    read (exercised in-process: the reader is plain pyarrow) still
+    equals the native overlay read. Below the threshold the tail
+    keeps inlining (no extra executor I/O for small deletes)."""
+    import pickle
+
+    import pyarrow as pa
+
+    from biglake_iceberg_pipeline_spark.streaming import source as src
+
+    monkeypatch.setattr(src, "_POS_INLINE_MAX", 100)
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.range(0, 5000)
+        .repartition(4)
+        .withColumn("v", F.col("id") * 2)
+    )
+    tbl.delete_where_mor(spark, F.col("id") % 3 == 0)  # ~1667 rows
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    parts = r.partitions()
+    assert len(parts) == 4
+    got_ids = []
+    for p in parts:
+        assert p.drop_pos == ()  # nothing inlined
+        assert p.pos_refs  # shipped by reference instead
+        assert len(pickle.dumps(p)) < 2048  # O(1) payload
+        tblchunk = pa.Table.from_batches(list(r.read(p)))
+        got_ids += tblchunk.column("id").to_pylist()
+    assert sorted(got_ids) == [i for i in range(5000) if i % 3 != 0]
+    # below the threshold the same tail inlines again
+    monkeypatch.setattr(src, "_POS_INLINE_MAX", 100_000)
+    r2 = LakehouseBatchReader(path, schema, {})
+    for p in r2.partitions():
+        assert p.pos_refs == () and p.drop_pos
+
+
+def test_big_position_tail_end_to_end(spark, tmp_path):
+    """The by-reference tail at the REAL threshold, through the whole
+    connector stack (Spark plans the source in its own worker, so a
+    monkeypatched threshold can't reach it): 120k voided positions >
+    _POS_INLINE_MAX, connector read == native overlay read."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.range(0, 240_000)
+        .repartition(4)
+        .withColumn("v", (F.col("id") % 97).cast("long"))
+    )
+    tbl.delete_where_mor(spark, F.col("id") % 2 == 0)  # 120k > 100k
+    schema = tbl.read(spark).schema
+    r = LakehouseBatchReader(path, schema, {})
+    assert all(p.pos_refs and not p.drop_pos for p in r.partitions())
+    got = _connector_read(spark, path)
+    assert got.count() == 120_000
+    assert got.where("id % 2 = 0").count() == 0
+    assert (
+        got.agg(F.sum("id")).first()[0]
+        == tbl.read(spark).agg(F.sum("id")).first()[0]
+    )
