@@ -734,6 +734,54 @@ ORDER BY o_orderpriority
 """
 
 
+def lakehouse_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change feed THROUGH the connector (F48,
+    ``.option("readChangeFeed", "true")`` + snapshot bounds): the
+    classified row changes of the MoR fixture's whole history —
+    the initial append as inserts, the position-delete commit as
+    coordinate-read delete pre-images, the MoR MERGE as postimage
+    inserts plus watermark/range-pruned eq-matched delete pre-images
+    with already-voided rows masked (no double-emit) — replayed as
+    one bounded batch, the CDC reconciliation read. The oracle
+    replays the classification arithmetic over the same synthetic
+    history in DuckDB, so the hash certifies the planner's change
+    attribution, not just row counts."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _mor_table_path(spark, sf_dir)
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", "0")
+        .load()
+    )
+    return df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "_change_type"
+    )
+
+
+LAKEHOUSE_BATCH_CDF_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       'insert' AS _change_type
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+FROM orders WHERE o_orderkey % 7 = 3
+UNION ALL
+SELECT o_orderkey, 'U' AS o_orderstatus,
+       o_totalprice * 2 AS o_totalprice, 'insert'
+FROM orders WHERE o_orderkey % 100 = 2
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+FROM orders WHERE o_orderkey % 100 = 2 AND o_orderkey % 7 <> 3
+"""
+
+
 LAKEHOUSE_MOR_READ_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
@@ -762,6 +810,7 @@ QUERIES = {
     "lakehouse_bloom_lookup": lakehouse_bloom_lookup,
     "lakehouse_mor_read": lakehouse_mor_read,
     "lakehouse_branch_read": lakehouse_branch_read,
+    "lakehouse_batch_cdf": lakehouse_batch_cdf,
 }
 
 ORACLE = {
@@ -778,4 +827,5 @@ ORACLE = {
     "lakehouse_bloom_lookup": LAKEHOUSE_BLOOM_LOOKUP_SQL,
     "lakehouse_mor_read": LAKEHOUSE_MOR_READ_SQL,
     "lakehouse_branch_read": LAKEHOUSE_BRANCH_READ_SQL,
+    "lakehouse_batch_cdf": LAKEHOUSE_BATCH_CDF_SQL,
 }

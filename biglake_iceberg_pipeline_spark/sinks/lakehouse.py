@@ -4339,10 +4339,40 @@ class LakehouseTable:
             target = self._read_files(spark, cur, schema_json=br["schema"])
             df = align_for_append(df, target)
         files = self._write_data(df)
+        return self.stage_branch_files(name, files, df.schema.json())
+
+    def stage_branch_files(
+        self,
+        name: str,
+        files: list[str],
+        schema_json: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
+        """Splice already-written parquet ``files`` onto a branch as
+        one staged append commit — the locked half of
+        ``append_to_branch``, exposed so the connector's batch writer
+        (executor-staged files) can target a branch (F49, the WAP
+        write side through the public DataSource API). Returns the
+        branch-local commit number, or None when ``txn=(app_id,
+        version)`` matched an already-staged stamp — the idempotent-
+        replay contract of ``_locked_commit``, against the BRANCH's
+        own stamp ledger AND main's (``fast_forward`` merges branch
+        stamps into main, so a replay arriving AFTER publish still
+        no-ops instead of restaging published rows on a new branch
+        of the same name). Callers must delete a skipped replay's
+        re-staged files — this method never references them."""
         lock = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             br = self._branch_state(manifest, name)
+            if txn is not None:
+                app_id, version = txn
+                seen = br.get("txns", {}).get(app_id)
+                if seen is None:
+                    seen = manifest.get("txns", {}).get(app_id)
+                if seen is not None and seen >= version:
+                    return None
+                br.setdefault("txns", {})[app_id] = int(version)
             tail = self._branch_tail_files(br)
             # per-file metadata lands at stage time so branch reads
             # can prune and publish is a pure manifest splice
@@ -4368,7 +4398,8 @@ class LakehouseTable:
                     "files": tail + files,
                 }
             )
-            br["schema"] = df.schema.json()
+            if schema_json:
+                br["schema"] = schema_json
             self._commit(manifest)
             return bid
         finally:
@@ -4456,6 +4487,14 @@ class LakehouseTable:
                     manifest, br["schema"]
                 )
                 manifest["schema"] = br["schema"]
+            # branch-staged txn stamps survive the publish: a writer
+            # replaying its epoch AFTER fast_forward must still no-op
+            # (stage_branch_files checks main's ledger too) instead of
+            # restaging published rows onto a fresh same-name branch
+            for app, ver in br.get("txns", {}).items():
+                ledger = manifest.setdefault("txns", {})
+                if ledger.get(app) is None or ledger[app] < ver:
+                    ledger[app] = ver
             del manifest["branches"][name]
             self._commit(manifest)
         finally:

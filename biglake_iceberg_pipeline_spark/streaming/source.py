@@ -726,24 +726,19 @@ class LakehouseStreamSource(DataSource):
             )
         return LakehouseStreamReader(self._path(), schema, self.options)
 
-    def reader(self, schema: StructType) -> "LakehouseBatchReader":
+    def reader(self, schema: StructType):
         if _opt_flag(self.options, "readChangeFeed"):
-            raise ValueError(
-                "readChangeFeed is a STREAMING option "
-                "(spark.readStream); for a batch change feed use "
-                "LakehouseTable.change_feed(spark, from, to)"
+            # batch CDF (F48): classified row changes over an exact
+            # snapshot range through the same public API as the
+            # streaming CDF — one plan, two trigger modes
+            return LakehouseBatchCDFReader(
+                self._path(), schema, self.options
             )
         return LakehouseBatchReader(self._path(), schema, self.options)
 
     def writer(
         self, schema: StructType, overwrite: bool
     ) -> "LakehouseBatchWriter":
-        if self.options.get("branch") is not None:
-            raise ValueError(
-                "branch is a batch READ option; the connector "
-                "writes to main — stage branch commits via "
-                "LakehouseTable.append_to_branch"
-            )
         return LakehouseBatchWriter(
             self._path(), schema, self.options, overwrite
         )
@@ -1828,6 +1823,112 @@ class LakehouseBatchReader(DataSourceReader):
         yield from _overlay_batches(partition, self._arrow_schema)
 
 
+class LakehouseBatchCDFReader(DataSourceReader):
+    """Batch half of the change feed (F48): ``spark.read.format(
+    "lakehouse").option("readChangeFeed", "true").option(
+    "startingSnapshotId", n)`` returns the CLASSIFIED row changes of
+    the (startingSnapshotId, endingSnapshotId] snapshot range — the
+    exact per-commit planning the STREAMING change feed uses
+    (``LakehouseStreamReader.partitions``: appends as inserts, MoR
+    position deletes as coordinate-read pre-images, MoR merges as
+    insert + watermark/range-pruned eq-matched deletes, MoR updates as
+    update_pre/postimage, data_change=False rewrites elided), replayed
+    as ONE bounded batch instead of micro-batches — Delta's batch
+    ``table_changes`` / Iceberg's changelog scan, so batch CDC
+    reconciliation runs through the same public API as the stream.
+
+    ``startingSnapshotId`` is REQUIRED (exclusive — the snapshot the
+    downstream state already reflects, the ``change_feed(from,...)``
+    contract); ``endingSnapshotId`` defaults to the current snapshot
+    (inclusive). Ranges crossing a row-REDISTRIBUTING commit (CoW
+    rewrite / overwrite / rollback) raise ``LineageBrokenError`` —
+    a file diff cannot attribute moved rows; the native keyed
+    ``LakehouseTable.change_feed(spark, from, to, keys=[...])``
+    snapshot diff is the distributed-join recovery for those (a join
+    belongs in the DataFrame layer, not a per-file source plan).
+    Mutually exclusive with time travel / branch / columns /
+    skipChangeCommits options."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        if options.get("branch") is not None:
+            raise ValueError(
+                "readChangeFeed reads the MAIN history; branch "
+                "state is unpublished — audit it with a branch read"
+            )
+        if _resolve_time_travel(options, path) is not None:
+            raise ValueError(
+                "readChangeFeed uses startingSnapshotId/"
+                "endingSnapshotId to bound its range; snapshotId/"
+                "tag/asOfTimestamp time travel cannot combine"
+            )
+        if _opt_flag(options, "skipChangeCommits"):
+            raise ValueError(
+                "skipChangeCommits contradicts readChangeFeed: the "
+                "change feed classifies exactly the commits this "
+                "option skips — pass one or the other"
+            )
+        if options.get("columns"):
+            raise ValueError(
+                "columns cannot combine with readChangeFeed: change "
+                "classification reads pre-images by their full key "
+                "set — project downstream of the feed instead"
+            )
+        start = options.get("startingsnapshotid") or options.get(
+            "startingSnapshotId"
+        )
+        if start is None:
+            raise ValueError(
+                "batch readChangeFeed requires .option("
+                "'startingSnapshotId', n): the EXCLUSIVE lower bound "
+                "— the snapshot the downstream state already "
+                "reflects (pass 0 for the full history)"
+            )
+        self._start = int(start)
+        end = options.get("endingsnapshotid") or options.get(
+            "endingSnapshotId"
+        )
+        if end is not None:
+            self._end = int(end)
+        else:
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+                LakehouseTable,
+            )
+
+            cur = LakehouseTable(path).current_snapshot_id()
+            # empty table: an empty (start, start] range plans to []
+            self._end = cur if cur is not None else self._start
+        if self._end < self._start:
+            raise ValueError(
+                f"endingSnapshotId {self._end} precedes "
+                f"startingSnapshotId {self._start}"
+            )
+        # the planning/reading engine IS the streaming CDF reader —
+        # one implementation, so batch and stream can never drift on
+        # classification; no rate caps, so none of its durable-cursor
+        # machinery activates on this path
+        self._sr = LakehouseStreamReader(
+            path,
+            schema,
+            {
+                "startingSnapshotId": str(self._start),
+                "readchangefeed": "true",
+            },
+        )
+
+    def partitions(self):
+        return self._sr.partitions(
+            {"snapshot_id": self._start},
+            {"snapshot_id": self._end},
+        )
+
+    def read(self, partition):
+        if partition is None:
+            # an empty snapshot range plans zero partitions; the batch
+            # API then hands read() one default None partition
+            return
+        yield from self._sr.read(partition)
+
+
 @dataclass
 class _StagedFiles(WriterCommitMessage):
     files: list
@@ -2144,14 +2245,49 @@ class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
     """``df.write.format("lakehouse")``: mode("append") is the
     loader-style append (schema evolution at commit), mode
     ("overwrite") replaces the table tail, both as ONE atomic
-    manifest commit of the staged files. No txn stamp — batch writes
-    have no epoch identity; idempotence is the caller's concern
-    (exactly-once belongs to the streaming sink)."""
+    manifest commit of the staged files.
+
+    ``.option("branch", name)`` (F49, append mode only) stages the
+    commit on an EXISTING named branch instead of main — the write
+    side of write-audit-publish through the public DataSource API:
+    stage here, audit via the F47 branch read, publish with
+    ``fast_forward``. Schema evolution runs against the BRANCH's
+    frame (exactly ``append_to_branch``); main readers see nothing
+    until publish; overwrite+branch refuses (a branch is a staged
+    APPEND log — truncation semantics belong to main). Optional
+    ``txnAppId`` + ``txnVersion`` stamp the staged commit for
+    idempotent retries: a replayed job no-ops (re-staged files
+    deleted on the spot) against the branch's stamp ledger and —
+    because ``fast_forward`` merges stamps into main — even when the
+    replay lands after the publish. Main-path batch writes stay
+    unstamped: they have no epoch identity (exactly-once belongs to
+    the streaming sink)."""
 
     def __init__(
         self, path: str, schema: StructType, options, overwrite: bool
     ):
         self._overwrite = overwrite
+        self._branch = options.get("branch")
+        app = options.get("txnappid") or options.get("txnAppId")
+        ver = options.get("txnversion") or options.get("txnVersion")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "txnAppId and txnVersion come as a pair: the stamp "
+                "is (stable app identity, monotone version)"
+            )
+        if app is not None and self._branch is None:
+            raise ValueError(
+                "txn stamps on the batch writer require a branch "
+                "target; main-path batch writes have no epoch "
+                "identity (use the streaming sink for exactly-once)"
+            )
+        self._txn = (app, int(ver)) if app is not None else None
+        if self._branch is not None and overwrite:
+            raise ValueError(
+                "overwrite cannot target a branch: a branch is a "
+                "staged APPEND log (WAP) — write to main, or stage "
+                "appends and publish via fast_forward"
+            )
         import uuid
 
         self._init_staging(
@@ -2160,6 +2296,29 @@ class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
             f"snap-batch-{uuid.uuid4().hex}",
             options.get("partitionby"),
         )
+        if self._branch is not None:
+            # fail BEFORE executors stage anything: unknown branch
+            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+                LakehouseTable,
+            )
+
+            LakehouseTable(path)._branch_state(
+                _read_manifest(path), self._branch
+            )
+
+    def _evolved_branch_schema_json(self, table) -> str:
+        br = table._branch_state(
+            table._read_manifest(), self._branch
+        )
+        base = br.get("schema")
+        if not base:
+            return self._schema.json()
+        from biglake_iceberg_pipeline_spark.operators.schema_evolution import (  # noqa: E501
+            evolve_schema_types,
+        )
+
+        current = StructType.fromJson(json.loads(base))
+        return evolve_schema_types(self._schema, current).json()
 
     def commit(self, messages) -> None:
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
@@ -2167,6 +2326,28 @@ class LakehouseBatchWriter(_StagingWriterCore, DataSourceArrowWriter):
         )
 
         files = [f for msg in messages if msg for f in msg.files]
+        if self._branch is not None:
+            if not files:
+                return
+            table = LakehouseTable(
+                self._path, partition_by=self._part_cols or None
+            )
+            bid = table.stage_branch_files(
+                self._branch,
+                files,
+                self._evolved_branch_schema_json(table),
+                txn=self._txn,
+            )
+            if bid is None:
+                # replayed stamped job: the txn guard skipped the
+                # staging, so this run's files are provably
+                # unreferenced
+                for f in files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+            return
         if self._overwrite:
             # zero-row overwrite still commits: truncation semantics
             table = LakehouseTable(

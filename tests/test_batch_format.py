@@ -473,21 +473,99 @@ def test_batch_read_branch_first_table(spark, tmp_path):
         ).collect()
 
 
-def test_batch_write_refuses_branch_option(spark, tmp_path):
-    """A named branch on the WRITE path must refuse, not silently
-    commit to main — unaudited rows visible to every main reader is
-    the exposure the WAP workflow exists to prevent (r12 review)."""
+def test_batch_write_branch_wap_loop(spark, tmp_path):
+    """The full write-audit-publish loop through the public DataSource
+    API (F49): connector-staged branch write → main unaffected →
+    audit via the F47 branch read → fast_forward publishes atomically
+    → main holds the staged rows."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    tbl.create_branch("wip")
+    spark.createDataFrame(
+        [(9, "staged"), (10, "staged2")], "id long, v string"
+    ).write.format("lakehouse").option("path", path).option(
+        "branch", "wip"
+    ).mode("append").save()
+    # main readers see nothing until publish
+    assert tbl.read(spark).count() == 1
+    assert _connector_read(spark, path).count() == 1
+    # audit the staged state through the branch read
+    staged = _connector_read(spark, path, branch="wip")
+    assert sorted(r["id"] for r in staged.collect()) == [1, 9, 10]
+    tbl.fast_forward("wip")
+    got = sorted(
+        (r["id"], r["v"]) for r in _connector_read(spark, path).collect()
+    )
+    assert got == [(1, "a"), (9, "staged"), (10, "staged2")]
+    _same_rows(_connector_read(spark, path), tbl.read(spark))
+
+
+def test_batch_write_branch_txn_replay_noop(spark, tmp_path):
+    """A txn-stamped branch write replays as a no-op: same stamp →
+    commit skipped, re-staged files reclaimed on the spot; and the
+    stamp survives fast_forward (a replay landing AFTER publish
+    still no-ops instead of restaging published rows on a fresh
+    same-name branch)."""
+    import glob
+
     path = str(tmp_path / "t")
     tbl = LakehouseTable(path)
     tbl.append(spark.createDataFrame([(1,)], "id long"))
     tbl.create_branch("wip")
-    with pytest.raises(Exception, match="append_to_branch"):
+
+    def stamped_write():
         spark.createDataFrame([(9,)], "id long").write.format(
             "lakehouse"
-        ).option("path", path).option("branch", "wip").mode(
-            "append"
-        ).save()
-    assert tbl.read(spark).count() == 1  # main untouched
+        ).option("path", path).option("branch", "wip").option(
+            "txnAppId", "job-7"
+        ).option("txnVersion", "3").mode("append").save()
+
+    stamped_write()
+    n_files = len(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+    stamped_write()  # replay: no new staged commit, no leaked files
+    m = tbl._read_manifest()
+    assert len(m["branches"]["wip"]["snapshots"]) == 1
+    assert (
+        len(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+        == n_files
+    )
+    tbl.fast_forward("wip")
+    assert tbl.read(spark).count() == 2
+    tbl.create_branch("wip")  # fresh same-name branch post-publish
+    stamped_write()  # replay after publish: main ledger still no-ops
+    m = tbl._read_manifest()
+    assert m["branches"]["wip"]["snapshots"] == []
+    assert tbl.read(spark).count() == 2
+
+
+def test_batch_write_branch_refusals(spark, tmp_path):
+    """Branch-write option contract: overwrite+branch refuses (a
+    branch is a staged APPEND log), unknown branches refuse before
+    staging, txn stamps come as a pair and need a branch target,
+    and the STREAMING sink still refuses the option."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    tbl.create_branch("wip")
+    df = spark.createDataFrame([(9,)], "id long")
+    with pytest.raises(Exception, match="overwrite cannot target"):
+        df.write.format("lakehouse").option("path", path).option(
+            "branch", "wip"
+        ).mode("overwrite").save()
+    with pytest.raises(Exception, match="not found"):
+        df.write.format("lakehouse").option("path", path).option(
+            "branch", "nope"
+        ).mode("append").save()
+    with pytest.raises(Exception, match="pair"):
+        df.write.format("lakehouse").option("path", path).option(
+            "branch", "wip"
+        ).option("txnAppId", "j").mode("append").save()
+    with pytest.raises(Exception, match="branch target"):
+        df.write.format("lakehouse").option("path", path).option(
+            "txnAppId", "j"
+        ).option("txnVersion", "1").mode("append").save()
+    assert tbl.read(spark).count() == 1  # main untouched throughout
 
 
 def test_batch_read_columns_vs_explicit_schema(spark, tmp_path):
@@ -594,3 +672,133 @@ def test_big_position_tail_end_to_end(spark, tmp_path):
         got.agg(F.sum("id")).first()[0]
         == tbl.read(spark).agg(F.sum("id")).first()[0]
     )
+
+
+def _cdf_read(spark, path: str, start=None, end=None):
+    r = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+    )
+    if start is not None:
+        r = r.option("startingSnapshotId", str(start))
+    if end is not None:
+        r = r.option("endingSnapshotId", str(end))
+    return r.load()
+
+
+def test_batch_read_change_feed(spark, tmp_path):
+    """Batch CDF through the connector (F48): the streaming CDF's
+    classified per-commit changes — appends as inserts, MoR position
+    deletes as pre-images, a MoR merge as insert + eq-matched delete
+    pre-images — replayed as one bounded batch; sub-ranges bound the
+    replay; append-only ranges equal the native change_feed."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    s1 = tbl.current_snapshot_id()
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 13)], "id long, v string"
+        )
+    )
+    s1b = tbl.current_snapshot_id()
+    tbl.delete_where_mor(spark, F.col("id") < 3)
+    s2 = tbl.current_snapshot_id()
+    src = spark.createDataFrame(
+        [(5, "NEW"), (100, "ins")], "id long, v string"
+    )
+    tbl.merge(spark, src, keys=["id"], mode="merge-on-read")
+    s3 = tbl.current_snapshot_id()
+    full = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in _cdf_read(spark, path, 0).collect()
+    )
+    assert full == sorted(
+        [(i, f"v{i}", "insert") for i in range(13)]
+        + [(i, f"v{i}", "delete") for i in range(3)]
+        + [(5, "NEW", "insert"), (100, "ins", "insert"),
+           (5, "v5", "delete")]
+    )
+    # bounded sub-range: exactly the position-delete commit
+    mid = sorted(
+        (r["id"], r["_change_type"])
+        for r in _cdf_read(spark, path, s1b, s2).collect()
+    )
+    assert mid == [(0, "delete"), (1, "delete"), (2, "delete")]
+    # empty range plans empty (downstream already at the tail)
+    assert _cdf_read(spark, path, s3).count() == 0
+    # append-only range equals the native change_feed
+    native = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in tbl.change_feed(spark, s1, s1b).collect()
+    )
+    batch = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in _cdf_read(spark, path, s1, s1b).collect()
+    )
+    assert native == batch
+
+
+def test_batch_read_change_feed_guards(spark, tmp_path):
+    """Option contract of the batch CDF arm: required start bound,
+    no time travel / columns / skipChangeCommits / branch combos,
+    end >= start, and CoW-crossing ranges refuse with the
+    re-baseline pointer (the keyed native change_feed)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.range(0, 5))
+    s1 = tbl.current_snapshot_id()
+    with pytest.raises(Exception, match="startingSnapshotId"):
+        _cdf_read(spark, path).collect()
+    with pytest.raises(Exception, match="cannot combine"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingSnapshotId", "0")
+            .option("snapshotId", str(s1))
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="columns"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingSnapshotId", "0")
+            .option("columns", "id")
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingSnapshotId", "0")
+            .option("skipChangeCommits", "true")
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="precedes"):
+        _cdf_read(spark, path, s1, 0).collect()
+    with pytest.raises(Exception, match="branch"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingSnapshotId", "0")
+            .option("branch", "wip")
+            .load()
+            .collect()
+        )
+    # a copy-on-write rewrite redistributes rows: the file diff
+    # cannot attribute them — refuse, pointing at the keyed diff
+    tbl.delete_where(spark, "id = 0")
+    with pytest.raises(Exception, match="change feed cannot stream"):
+        _cdf_read(spark, path, 0).collect()
