@@ -833,3 +833,261 @@ def kmeans_ivf_probe(
         .limit(k)
         .select(F.col(id_col), F.round("__cos", 4).alias("cosine_sim"))
     )
+
+
+# ------------------------------------------- audit-driven tier selection
+
+#: recall tie margin: within this the tiers are "equally good" and
+#: the SMALLER scanned fraction wins (the cheaper probe at 100 TB)
+_TIER_RECALL_TIE = 0.05
+
+
+def select_coarse_tier(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    root_path: str,
+    planes: int = 8,
+    n_centroids: int = 16,
+    nprobe_hamming: int = 1,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 8,
+    dim: int | None = None,
+    include_cols: list[str] | None = None,
+    seed: int = 7,
+    extra_query_ids: list | None = None,
+) -> dict:
+    """FAISS's index_factory decision made EMPIRICAL (VERDICT r12
+    item 1): build BOTH coarse quantizers over the corpus — the
+    training-free sign-bit hyperplane layout and the trained k-means
+    cell layout — audit each tier's recall@k against exact brute
+    force on a deterministic held-out query sample, keep the tier
+    with the higher mean recall (ties within ``_TIER_RECALL_TIE`` go
+    to the smaller mean scanned fraction — the cheaper probe), and
+    record the whole verdict in ``<root_path>/_tier_selection.json``
+    so probes (``selected_probe``) route by MEASURED recall instead
+    of oracle convenience. Which geometry wins is a property of the
+    corpus: fixed hyperplanes capture clustered/anisotropic corpora
+    at a tiny scan fraction but collapse on near-uniform embeddings
+    (the r12 audit measured 0.1–0.4 recall@10 there vs 0.9 for
+    trained cells) — so the registration step measures, not guesses.
+
+    Audit cost is bounded: n_queries exact top-k passes + 2×n_queries
+    index-pruned probes + one partition-count aggregate per tier, all
+    at registration time, never per probe. The losing layout is kept
+    on disk (it is the other tier's rebuild seed and the audit's
+    replay evidence); callers wanting the space back delete it."""
+    import json as _json
+    import os as _os
+
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    sign_path = _os.path.join(root_path, "signbit")
+    km_path = _os.path.join(root_path, "kmeans")
+    build_ivf_index(
+        df, sign_path, id_col, vec_col, planes=planes, dim=dim,
+        include_cols=include_cols,
+    )
+    build_kmeans_ivf_index(
+        df, km_path, id_col, vec_col, n_centroids=n_centroids,
+        seed=seed, include_cols=include_cols,
+    )
+    # deterministic held-out queries: the n_queries lowest-id
+    # non-null vectors (the corpus contract every audit row uses),
+    # plus any caller-named ids (a registered probe's OWN query
+    # belongs in the audit — its recorded per-query recall is the
+    # regression baseline the probe's in-plan floor asserts against)
+    qrows = (
+        df.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    queries = [(r[0], list(r[1])) for r in qrows]
+    have = {qid for qid, _ in queries}
+    for xid in extra_query_ids or ():
+        if xid in have:
+            continue
+        row = (
+            df.where(
+                (F.col(id_col) == F.lit(xid))
+                & F.col(vec_col).isNotNull()
+            )
+            .select(id_col, vec_col)
+            .first()
+        )
+        if row is not None:
+            queries.append((row[0], list(row[1])))
+    # per-partition row counts, one tiny aggregate per tier: scan
+    # fraction = rows in probed partitions / corpus rows
+    sign_counts = {
+        r["__code"]: r["n"]
+        for r in spark.read.parquet(sign_path)
+        .groupBy("__code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    km_counts = {
+        r["__cid"]: r["n"]
+        for r in spark.read.parquet(km_path)
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(sign_counts.values()) or 1
+    import numpy as np
+
+    with open(_os.path.join(km_path, "_centroids.json")) as fh:
+        centroids = np.asarray(_json.load(fh), dtype=np.float64)
+    recall = {"signbit": [], "kmeans": []}
+    frac = {"signbit": [], "kmeans": []}
+    per_query: dict = {}
+    for qid, qvec in queries:
+        # the query row is EXCLUDED from both sides: an in-corpus
+        # query trivially matches itself in its own cell, which
+        # inflates every tier's recall equally and hides the real
+        # neighbor-retrieval gap (the self-excluded "similar to
+        # product N" probe is what production runs)
+        not_self = F.col(id_col) != F.lit(qid)
+        exact = {
+            r[id_col]
+            for r in brute_force_topk(
+                df.where(not_self), id_col, vec_col, qvec, k=k
+            )
+            .select(id_col)
+            .collect()
+        }
+        got_s = {
+            r[id_col]
+            for r in ivf_probe(
+                spark, sign_path, id_col, vec_col, qvec, k=k,
+                planes=planes, nprobe_hamming=nprobe_hamming,
+                where=not_self,
+            ).select(id_col).collect()
+        }
+        got_k = {
+            r[id_col]
+            for r in kmeans_ivf_probe(
+                spark, km_path, id_col, vec_col, qvec, k=k,
+                nprobe=nprobe, where=not_self,
+            ).select(id_col).collect()
+        }
+        r_sign = len(got_s & exact) / float(k)
+        r_km = len(got_k & exact) / float(k)
+        recall["signbit"].append(r_sign)
+        recall["kmeans"].append(r_km)
+        per_query[str(qid)] = {"signbit": r_sign, "kmeans": r_km}
+        codes = probe_codes(qvec, planes, nprobe_hamming)
+        frac["signbit"].append(
+            sum(sign_counts.get(c, 0) for c in codes) / total
+        )
+        q = np.asarray(qvec, dtype=np.float64)
+        d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        cells = [int(c) for c in d.argsort()[:nprobe]]
+        frac["kmeans"].append(
+            sum(km_counts.get(c, 0) for c in cells) / total
+        )
+    mean = lambda xs: sum(xs) / len(xs) if xs else 0.0  # noqa: E731
+    r_s, r_k = mean(recall["signbit"]), mean(recall["kmeans"])
+    f_s, f_k = mean(frac["signbit"]), mean(frac["kmeans"])
+    if abs(r_s - r_k) <= _TIER_RECALL_TIE:
+        winner = "signbit" if f_s <= f_k else "kmeans"
+        why = (
+            f"recall tie ({r_s:.3f} vs {r_k:.3f} within "
+            f"{_TIER_RECALL_TIE}); smaller scan fraction wins "
+            f"({f_s:.3f} vs {f_k:.3f})"
+        )
+    else:
+        winner = "signbit" if r_s > r_k else "kmeans"
+        why = f"higher mean recall@{k} ({r_s:.3f} vs {r_k:.3f})"
+    verdict = {
+        "winner": winner,
+        "why": why,
+        "recall_at_k": {"signbit": r_s, "kmeans": r_k},
+        "scan_fraction": {"signbit": f_s, "kmeans": f_k},
+        "k": k,
+        "n_queries": len(queries),
+        "query_ids": [qid for qid, _ in queries],
+        # per-query recalls: a registered probe whose query rode the
+        # audit asserts its LIVE recall against this recorded
+        # baseline (regression check, not an absolute promise — on a
+        # near-random corpus no tier can beat its scan fraction)
+        "per_query": per_query,
+        "params": {
+            "planes": planes,
+            "n_centroids": n_centroids,
+            "nprobe_hamming": nprobe_hamming,
+            "nprobe": nprobe,
+            "seed": seed,
+        },
+        "paths": {"signbit": sign_path, "kmeans": km_path},
+    }
+    with open(
+        _os.path.join(root_path, "_tier_selection.json"), "w"
+    ) as fh:
+        _json.dump(verdict, fh)
+    return verdict
+
+
+def recorded_tier_verdict(root_path: str) -> dict:
+    """The selection verdict ``select_coarse_tier`` recorded — the
+    registration-time measurement registered probes derive their
+    in-plan regression floors from."""
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(root_path, "_tier_selection.json")
+    ) as fh:
+        return _json.load(fh)
+
+
+def selected_probe(
+    spark: SparkSession,
+    root_path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    where=None,
+) -> DataFrame:
+    """Probe through the recorded tier selection: reads the
+    ``_tier_selection.json`` verdict ``select_coarse_tier`` wrote and
+    routes to the winning tier's probe with the audited
+    hyperparameters — the production path follows measured recall,
+    never a hardcoded index kind."""
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(root_path, "_tier_selection.json")
+    ) as fh:
+        verdict = _json.load(fh)
+    p = verdict["params"]
+    if verdict["winner"] == "kmeans":
+        return kmeans_ivf_probe(
+            spark,
+            verdict["paths"]["kmeans"],
+            id_col,
+            vec_col,
+            query_vec,
+            k=k,
+            nprobe=p["nprobe"],
+            where=where,
+        )
+    return ivf_probe(
+        spark,
+        verdict["paths"]["signbit"],
+        id_col,
+        vec_col,
+        query_vec,
+        k=k,
+        planes=p["planes"],
+        nprobe_hamming=p["nprobe_hamming"],
+        where=where,
+    )

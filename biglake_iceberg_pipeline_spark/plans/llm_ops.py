@@ -837,6 +837,126 @@ def _asserted_fill(out: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _asserted_recall(
+    out: DataFrame, exact: DataFrame, id_col: str, k: int, floor: float
+) -> DataFrame:
+    """In-plan recall floor (the G43/G44 idiom): left-join the
+    probe's k rows against the exact top-k's ids (broadcast — both
+    sides are k rows), window-count the hits over the tiny result,
+    and assert ≥ ceil(floor·k) via the assert_true-as-filter shape
+    column pruning cannot optimize away. A recall regression fails
+    the query outright instead of silently shipping worse
+    neighbors."""
+    import math
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    need = math.ceil(floor * k)
+    marked = out.join(
+        _F.broadcast(
+            exact.select(_F.col(id_col), _F.lit(1).alias("__exact"))
+        ),
+        id_col,
+        "left",
+    )
+    n_hits = _F.sum(
+        _F.coalesce(_F.col("__exact"), _F.lit(0))
+    ).over(_W.partitionBy())
+    cols = out.columns
+    return (
+        marked.withColumn("__hits", n_hits)
+        .where(
+            _F.assert_true(
+                _F.col("__hits") >= need,
+                _F.concat(
+                    _F.lit(
+                        f"ANN recall floor breached (need {need}/{k} "
+                        "exact hits, got "
+                    ),
+                    _F.col("__hits").cast("string"),
+                    _F.lit(")"),
+                ),
+            ).isNull()
+        )
+        .select(*cols)
+    )
+
+
+#: audit-selected tier roots per (process, sf_dir): registration
+#: builds BOTH coarse quantizers over the embeddings corpus, audits
+#: recall, and records the winning tier's verdict (G44)
+_TIER_ROOTS: dict[str, str] = {}
+
+
+def _tier_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _TIER_ROOTS:
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            cleanup_index_at_exit,
+            select_coarse_tier,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        root = f"{tempfile.gettempdir()}/ann_tiers_{tag}_{os.getpid()}"
+        if os.path.exists(root):
+            shutil.rmtree(root, ignore_errors=True)
+        select_coarse_tier(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            root,
+        )
+        cleanup_index_at_exit(root)
+        _TIER_ROOTS[sf_dir] = root
+    return _TIER_ROOTS[sf_dir]
+
+
+def ann_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the AUDIT-SELECTED tier (G44, VERDICT r12 item 1):
+    registration builds both coarse quantizers, measures recall@10
+    per tier against exact brute force, and records the winner in the
+    index sidecar; this probe routes by that verdict — on this corpus
+    the trained k-means cells win (≈0.65 mean recall vs ≈0.32 for
+    sign-bit hyperplanes at a larger scan fraction), on hyperplane-
+    friendly corpora sign-bit wins on scan fraction at equal recall
+    (both pinned in tests/test_similarity_text.py). Rows-only driver
+    check (the winner is empirical; k-means is not DuckDB-
+    replayable): in-plan floors pin exactly-k FILL and a recall
+    REGRESSION bound — the live probe must stay within 0.2 of the
+    recall the registration audit recorded for this very query
+    (vec_id 0 rides the audit sample), the honest floor on a corpus
+    where absolute recall is a data property, not a promise."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        recorded_tier_verdict,
+        selected_probe,
+    )
+
+    k = 10
+    root = _tier_root(spark, sf_dir)
+    out = selected_probe(
+        spark,
+        root,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=k,
+    )
+    v = recorded_tier_verdict(root)
+    floor = max(
+        0.0, v["per_query"]["0"][v["winner"]] - 0.2
+    )
+    exact = ann_topk(spark, sf_dir).select("vec_id")
+    return _asserted_recall(
+        _asserted_fill(out, k), exact, "vec_id", k, floor
+    )
+
+
 def ann_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ANN on the TRAINED tier (G43's production
     config for this corpus): the label predicate applies INSIDE the
@@ -1383,6 +1503,7 @@ QUERIES = {
     "ann_ivf_int8": ann_ivf_int8,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_kmeans_filtered": ann_kmeans_filtered,
+    "ann_selected": ann_selected,
     "ann_ivf_pq": ann_ivf_pq,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,

@@ -757,3 +757,102 @@ def test_ann_kmeans_filtered_query_and_fill_assertion(spark):
     )
     with pytest.raises(Exception, match="under-returned"):
         llm_ops._asserted_fill(three, 10).collect()
+
+
+def test_tier_selector_trained_wins_on_uniform_corpus(
+    spark, sf_dir, tmp_path
+):
+    """G44: on the near-uniform synthetic embeddings corpus the
+    recall audit routes production probes to the TRAINED k-means
+    tier — fixed sign-bit hyperplanes capture no neighbor structure
+    here (the r12 audit finding this selector operationalizes) —
+    and selected_probe follows the recorded verdict."""
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        select_coarse_tier,
+        selected_probe,
+    )
+    from biglake_iceberg_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "tiers")
+    v = select_coarse_tier(spark, emb, "vec_id", "embedding", root)
+    assert v["winner"] == "kmeans"
+    assert (
+        v["recall_at_k"]["kmeans"]
+        > v["recall_at_k"]["signbit"] + 0.05
+    )
+    # the audit recorded per-query baselines for the sample
+    assert str(v["query_ids"][0]) in v["per_query"]
+    qvec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    got = selected_probe(
+        spark, root, "vec_id", "embedding", qvec, k=10
+    )
+    assert got.count() == 10
+    # routed to the kmeans layout: the probed parquet is cell-
+    # partitioned (one __cid directory per trained centroid)
+    import os
+
+    assert os.path.isdir(os.path.join(root, "kmeans"))
+    assert any(
+        d.startswith("__cid=")
+        for d in os.listdir(os.path.join(root, "kmeans"))
+    )
+
+
+def test_tier_selector_signbit_wins_on_clustered_corpus(spark, tmp_path):
+    """G44, the other verdict: on a hyperplane-friendly corpus (tight
+    well-separated clusters) BOTH tiers reach full recall, so the
+    selector keeps the sign-bit layout for its smaller scanned
+    fraction — 9 hamming-1 codes of ~100 populated vs 4 of 16
+    trained cells. Recall ties break toward the cheaper probe."""
+    import numpy as np
+
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        select_coarse_tier,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(100, 16))
+    rows = []
+    i = 0
+    for c in range(100):
+        for _ in range(20):
+            rows.append(
+                (i, (centers[c] + 0.01 * rng.normal(size=16)).tolist())
+            )
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = select_coarse_tier(
+        spark, df, "vec_id", "embedding", str(tmp_path / "tiers")
+    )
+    assert v["winner"] == "signbit"
+    assert v["recall_at_k"]["signbit"] >= 0.9
+    assert v["recall_at_k"]["kmeans"] >= 0.9
+    assert (
+        v["scan_fraction"]["signbit"] < v["scan_fraction"]["kmeans"]
+    )
+
+
+def test_asserted_recall_floor_trips(spark):
+    """The in-plan recall floor fails the QUERY when the probe's
+    result diverges from the exact set — assert_true-as-filter, so
+    column pruning cannot drop the check (the G43 idiom)."""
+    import pytest
+
+    from biglake_iceberg_pipeline_spark.plans.llm_ops import (
+        _asserted_recall,
+    )
+
+    out = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8)], "vec_id long, cosine_sim double"
+    )
+    good = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    bad = spark.createDataFrame([(7,), (8,)], "vec_id long")
+    ok = _asserted_recall(out, good, "vec_id", 2, 1.0)
+    assert ok.count() == 2
+    assert ok.columns == ["vec_id", "cosine_sim"]
+    trips = _asserted_recall(out, bad, "vec_id", 2, 0.5)
+    with pytest.raises(Exception, match="recall floor breached"):
+        trips.collect()
