@@ -26,89 +26,93 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-12 window: the three queries added this round (the MoR-tail
-# connector read and the two new ANN recall audits) plus the three
-# whose registered code changed (ann_ivf_pq now probes the trained-
-# coarse IVF-PQ index; dedup_clusters/dedup_best_quality now read
-# through the cluster-assignment matview) lead, then the twenty
-# r9-stale keys (the verdict's rotation target: after this round no
-# key's latest row is older than r10). The window fills to exactly
-# 50 with the stalest r10-green keys in module order; everything
-# else (r11-green plus the remaining r10-green) demotes and rotates
+# Round-13 window: the three queries added this round (the batch
+# change feed through the connector and the two audit-selected ANN
+# probes) plus the four whose registered code changed (the MoR
+# overlay planner now ships big position tails by reference —
+# lakehouse_mor_read / lakehouse_branch_read re-verify the connector;
+# dedup_clusters / dedup_best_quality now read through the
+# snapshot-guarded artifact cache) lead, then the twenty-five
+# r10-stale keys (the verdict's rotation target: after this round no
+# key's latest row is older than r11). The window fills to exactly
+# 50 with the stalest r11-green keys in module order; everything
+# else (r12-green plus the remaining r11-green) demotes and rotates
 # back as the window moves.
 PRIORITY_KEYS = (
+    "lakehouse_batch_cdf",
+    "ann_selected",
+    "product_catalog_ann_selected",
     "lakehouse_mor_read",
     "lakehouse_branch_read",
-    "ann_recall_audit_int8",
-    "ann_recall_audit_quantized",
-    "ann_kmeans_filtered",
-    "ann_ivf_pq",
     "dedup_clusters",
     "dedup_best_quality",
-    "ann_ivf_int8",
-    "customers_without_orders",
-    "dedup_embedding",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "describe_customer",
-    "embedding_stats",
-    "events_json_extract",
-    "events_windowed",
-    "orders_with_returns",
-    "q22_idle_customers",
-    "quality_classifier_score",
-    "revenue_rollup",
-    "revenue_running_total",
-    "skew_safe_segment_activity",
-    "small_quantity_revenue",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-)
-
-# Keys green on their latest driver row (r11's full window plus the
-# r10-green keys not needed to fill this window); they rotate back
-# in later rounds.
-DEMOTED_KEYS = frozenset({
-    "dedup_paragraph_corpus",
-    "source_quota_sample",
-    "address_standardize",
-    "ann_ivf",
-    "ann_ivf_filtered",
-    "ann_recall_audit",
-    "asof_last_purchase",
-    "ccnet_ppl_buckets",
     "clean_customer",
-    "clean_documents",
-    "cohort_retention",
     "currency_convert",
     "customer_lookalike",
-    "customer_profiles",
-    "decontaminate_corpus",
-    "dedup_exact_substrings",
+    "dedup_paragraph_corpus",
     "doc_chunks",
-    "drop_empty_rows",
-    "events_attribution",
     "events_funnel",
-    "events_gapfill",
-    "events_hypertable_rollup",
-    "extract_currency",
-    "flag_duplicates",
     "gold_customer_metrics",
     "gold_daily_sales",
-    "gold_orders_enriched",
     "gold_product_performance",
-    "multimodal_features",
-    "ngram_contamination",
-    "product_catalog",
     "product_catalog_ann",
     "profile_column_stats",
+    "profile_type_distribution",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_profit_by_nation",
+    "silver_dedup_events",
+    "silver_orders",
+    "source_quota_sample",
+    "strip_markup",
+    "url_extraction",
+    "users_enriched",
+)
+
+# Keys green on their latest driver row (r12's full window plus the
+# r11-green keys not needed to fill this window); they rotate back
+# in later rounds.
+DEMOTED_KEYS = frozenset({
+    "ann_ivf_int8",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_kmeans_filtered",
+    "ann_recall_audit_int8",
+    "ann_recall_audit_quantized",
+    "ann_topk",
+    "approx_event_stats",
+    "compare_schemas",
+    "customers_without_orders",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "describe_customer",
+    "embedding_quantization",
+    "embedding_stats",
+    "events_json_extract",
+    "events_sessions",
+    "events_windowed",
+    "gopher_quality_filter",
+    "hash_split",
+    "lakehouse_bloom_lookup",
+    "lakehouse_point_lookup",
+    "multimodal_features",
+    "ngram_contamination",
+    "order_value_percentiles",
+    "orders_with_returns",
+    "pack_training_sequences",
+    "pii_redaction",
+    "product_catalog",
     "profile_date_potential",
     "profile_nulls",
     "profile_number_potential",
-    "profile_type_distribution",
-    "q10_returned_items",
     "q11_important_parts",
     "q12_priority_shipping",
     "q13_order_distribution",
@@ -119,31 +123,36 @@ DEMOTED_KEYS = frozenset({
     "q19_bracket_revenue",
     "q1_pricing_summary",
     "q20_excess_suppliers",
-    "q21_waiting_suppliers",
+    "q22_idle_customers",
     "q2_min_cost_supplier",
-    "q3_top_orders",
     "q4_priority_waiting",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
     "q8_market_share",
-    "q9_profit_by_nation",
     "quality_approx_duplicates",
+    "quality_classifier_score",
     "quality_duplicates",
     "quality_null_like",
     "quality_type_pollution",
     "range_join_incidents",
+    "revenue_pivot_by_priority",
+    "revenue_rollup",
+    "revenue_running_total",
     "rfm_segments",
     "safe_type_coercion",
-    "silver_dedup_events",
-    "silver_orders",
+    "sample_mixture",
+    "semantic_dedup",
+    "skew_safe_segment_activity",
+    "small_quantity_revenue",
     "span_boilerplate",
-    "strip_markup",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
     "text_lm_score",
+    "text_quality",
+    "text_repetition",
+    "text_tokens",
     "tfidf_keywords",
     "token_budget_mixture",
-    "url_extraction",
-    "users_enriched",
+    "top_parts_per_brand",
 })
 
 
