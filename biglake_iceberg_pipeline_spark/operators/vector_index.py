@@ -44,6 +44,34 @@ def cleanup_index_at_exit(path: str) -> None:
     atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
+def process_scratch_root(
+    cache: dict, sf_dir: str, prefix: str, build
+) -> str:
+    """ONE implementation of the per-(process, sf_dir) materialized-
+    fixture lifecycle the registered plans share (r13 review: the
+    hash-tag/pid-path/leftover-rmtree/atexit-cleanup idiom had grown
+    five hand-rolled copies that were already drifting): hash-tagged
+    pid-scoped tmp path (concurrent processes never overwrite a root
+    this one is probing), leftover trees from a crashed prior build
+    or recycled pid removed before building, ``build(path)`` runs
+    once, the root is registered for interpreter-exit removal, and
+    the path memoizes in ``cache``."""
+    if sf_dir not in cache:
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/{prefix}_{tag}_{os.getpid()}"
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        build(path)
+        cleanup_index_at_exit(path)
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
 class StaleVectorIndexError(RuntimeError):
     """The table's rows were rewritten (merge/delete/update/overwrite/
     rollback) after the index was built — probing would return deleted
@@ -939,7 +967,13 @@ def select_coarse_tier(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    total = sum(sign_counts.values()) or 1
+    # PER-TIER totals: the k-means layout excludes NULL/ragged
+    # vectors (__cid >= 0) that the sign-bit layout carries — one
+    # shared denominator would understate every k-means fraction on
+    # a null-bearing corpus and silently invert the cheaper-probe
+    # tie-break (r13 review)
+    total_s = sum(sign_counts.values()) or 1
+    total_k = sum(km_counts.values()) or 1
     import numpy as np
 
     with open(_os.path.join(km_path, "_centroids.json")) as fh:
@@ -984,13 +1018,13 @@ def select_coarse_tier(
         per_query[str(qid)] = {"signbit": r_sign, "kmeans": r_km}
         codes = probe_codes(qvec, planes, nprobe_hamming)
         frac["signbit"].append(
-            sum(sign_counts.get(c, 0) for c in codes) / total
+            sum(sign_counts.get(c, 0) for c in codes) / total_s
         )
         q = np.asarray(qvec, dtype=np.float64)
         d = ((centroids - q[None, :]) ** 2).sum(axis=1)
         cells = [int(c) for c in d.argsort()[:nprobe]]
         frac["kmeans"].append(
-            sum(km_counts.get(c, 0) for c in cells) / total
+            sum(km_counts.get(c, 0) for c in cells) / total_k
         )
     mean = lambda xs: sum(xs) / len(xs) if xs else 0.0  # noqa: E731
     r_s, r_k = mean(recall["signbit"]), mean(recall["kmeans"])

@@ -890,31 +890,29 @@ _TIER_ROOTS: dict[str, str] = {}
 
 
 def _tier_root(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _TIER_ROOTS:
-        import hashlib
-        import os
-        import shutil
-        import tempfile
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        process_scratch_root,
+        select_coarse_tier,
+    )
 
-        from biglake_iceberg_pipeline_spark.operators.vector_index import (
-            cleanup_index_at_exit,
-            select_coarse_tier,
-        )
-
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        root = f"{tempfile.gettempdir()}/ann_tiers_{tag}_{os.getpid()}"
-        if os.path.exists(root):
-            shutil.rmtree(root, ignore_errors=True)
-        select_coarse_tier(
+    return process_scratch_root(
+        _TIER_ROOTS,
+        sf_dir,
+        "ann_tiers",
+        # the registered probe's query (vec_id 0) rides the audit
+        # EXPLICITLY: its recorded per-query recall is the floor's
+        # regression baseline, and the contract must hold by
+        # construction, not because 0 happens to be among the 8
+        # lowest ids (r13 review)
+        lambda root: select_coarse_tier(
             spark,
             load_table(spark, sf_dir, "embeddings"),
             "vec_id",
             "embedding",
             root,
-        )
-        cleanup_index_at_exit(root)
-        _TIER_ROOTS[sf_dir] = root
-    return _TIER_ROOTS[sf_dir]
+            extra_query_ids=[0],
+        ),
+    )
 
 
 def ann_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,8 +928,16 @@ def ann_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable): in-plan floors pin exactly-k FILL and a recall
     REGRESSION bound — the live probe must stay within 0.2 of the
     recall the registration audit recorded for this very query
-    (vec_id 0 rides the audit sample), the honest floor on a corpus
-    where absolute recall is a data property, not a promise."""
+    (vec_id 0 rides the audit sample via extra_query_ids), the
+    honest floor on a corpus where absolute recall is a data
+    property, not a promise. The live measurement follows the
+    audit's protocol EXACTLY — query row excluded from both the
+    probe and the exact side (a self-included live read carries one
+    guaranteed free hit, which would quietly weaken the regression
+    bound by ~1/k — r13 review)."""
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
     from biglake_iceberg_pipeline_spark.operators.vector_index import (
         recorded_tier_verdict,
         selected_probe,
@@ -939,6 +945,7 @@ def ann_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 10
     root = _tier_root(spark, sf_dir)
+    not_self = F.col("vec_id") != 0
     out = selected_probe(
         spark,
         root,
@@ -946,12 +953,19 @@ def ann_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _query_vec(spark, sf_dir),
         k=k,
+        where=not_self,
     )
     v = recorded_tier_verdict(root)
     floor = max(
         0.0, v["per_query"]["0"][v["winner"]] - 0.2
     )
-    exact = ann_topk(spark, sf_dir).select("vec_id")
+    exact = brute_force_topk(
+        load_table(spark, sf_dir, "embeddings").where(not_self),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=k,
+    ).select("vec_id")
     return _asserted_recall(
         _asserted_fill(out, k), exact, "vec_id", k, floor
     )

@@ -267,24 +267,16 @@ _CATALOG_TIER_ROOTS: dict[str, str] = {}
 
 
 def _catalog_tier_root(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _CATALOG_TIER_ROOTS:
-        import hashlib
-        import os
-        import shutil
-        import tempfile
+    from biglake_iceberg_pipeline_spark.operators.vector_index import (
+        process_scratch_root,
+        select_coarse_tier,
+    )
 
-        from biglake_iceberg_pipeline_spark.operators.vector_index import (
-            cleanup_index_at_exit,
-            select_coarse_tier,
-        )
-
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        root = (
-            f"{tempfile.gettempdir()}/catalog_tiers_{tag}_{os.getpid()}"
-        )
-        if os.path.exists(root):
-            shutil.rmtree(root, ignore_errors=True)
-        select_coarse_tier(
+    return process_scratch_root(
+        _CATALOG_TIER_ROOTS,
+        sf_dir,
+        "catalog_tiers",
+        lambda root: select_coarse_tier(
             spark,
             build_product_catalog(spark, sf_dir).select(
                 "product_id", "embedding"
@@ -298,10 +290,8 @@ def _catalog_tier_root(spark: SparkSession, sf_dir: str) -> str:
             # recorded per-query recall is the regression baseline
             # the in-plan floor asserts against
             extra_query_ids=[SIMILAR_TO],
-        )
-        cleanup_index_at_exit(root)
-        _CATALOG_TIER_ROOTS[sf_dir] = root
-    return _CATALOG_TIER_ROOTS[sf_dir]
+        ),
+    )
 
 
 def product_catalog_ann_selected(

@@ -4367,9 +4367,20 @@ class LakehouseTable:
             br = self._branch_state(manifest, name)
             if txn is not None:
                 app_id, version = txn
-                seen = br.get("txns", {}).get(app_id)
-                if seen is None:
-                    seen = manifest.get("txns", {}).get(app_id)
+                # MAX over both ledgers, not branch-first: a lower
+                # stamp on this branch must not shadow a higher one
+                # already PUBLISHED into main via another branch's
+                # fast_forward — that replay would restage published
+                # rows (r13 review)
+                stamps = [
+                    s
+                    for s in (
+                        br.get("txns", {}).get(app_id),
+                        manifest.get("txns", {}).get(app_id),
+                    )
+                    if s is not None
+                ]
+                seen = max(stamps) if stamps else None
                 if seen is not None and seen >= version:
                     return None
                 br.setdefault("txns", {})[app_id] = int(version)

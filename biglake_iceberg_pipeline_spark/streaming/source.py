@@ -748,9 +748,11 @@ class LakehouseStreamSource(DataSource):
     ) -> "LakehouseStreamWriter":
         if self.options.get("branch") is not None:
             raise ValueError(
-                "branch is a batch READ option; the streaming sink "
-                "writes to main — stage branch commits via "
-                "LakehouseTable.append_to_branch"
+                "the streaming sink writes to main; to stage a "
+                "stream's epochs on a branch (WAP), write each batch "
+                "via foreachBatch with df.write.format('lakehouse')"
+                ".option('branch', name) and txnAppId/txnVersion "
+                "stamps, then fast_forward after the audit"
             )
         if overwrite:
             raise ValueError(

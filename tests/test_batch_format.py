@@ -565,7 +565,48 @@ def test_batch_write_branch_refusals(spark, tmp_path):
         df.write.format("lakehouse").option("path", path).option(
             "txnAppId", "j"
         ).option("txnVersion", "1").mode("append").save()
+    # the STREAMING sink still refuses the option (its epochs stage
+    # via foreachBatch batch-writes instead); streamWriter
+    # construction is deferred to query start, so invoke it directly
+    src = LakehouseStreamSource(
+        {"path": path, "branch": "wip", "txnAppId": "j"}
+    )
+    with pytest.raises(ValueError, match="foreachBatch"):
+        src.streamWriter(src.schema(), overwrite=False)
     assert tbl.read(spark).count() == 1  # main untouched throughout
+
+
+def test_branch_txn_stamp_never_shadowed_by_lower_branch_stamp(
+    spark, tmp_path
+):
+    """A version already PUBLISHED into main via another branch's
+    fast_forward must no-op even on a branch holding a LOWER stamp
+    for the same app — the guard takes the MAX over both ledgers,
+    not branch-first (r13 review: branch-first let v4 restage on a
+    branch whose own ledger stopped at v2)."""
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(path)
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+
+    def stamped(branch, ver, val):
+        spark.createDataFrame([(val,)], "id long").write.format(
+            "lakehouse"
+        ).option("path", path).option("branch", branch).option(
+            "txnAppId", "app-a"
+        ).option("txnVersion", str(ver)).mode("append").save()
+
+    tbl.create_branch("b")
+    stamped("b", 2, 92)  # B's ledger: app-a -> 2
+    tbl.create_branch("c")
+    stamped("c", 5, 95)  # C's ledger: app-a -> 5
+    tbl.fast_forward("c")  # main ledger now app-a -> 5
+    assert tbl.read(spark).count() == 2  # base + v5 row
+    stamped("b", 4, 94)  # delayed replay of v4: must NO-OP on B
+    m = tbl._read_manifest()
+    assert len(m["branches"]["b"]["snapshots"]) == 1  # still only v2
+    assert m["branches"]["b"]["txns"] == {"app-a": 2}  # not bumped
+    # (publishing B later would conflict on main's advance anyway —
+    # the point pinned here is that v4's rows were never staged)
 
 
 def test_batch_read_columns_vs_explicit_schema(spark, tmp_path):
