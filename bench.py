@@ -106,6 +106,26 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 .collect(),
             )
             clock(
+                "lh_batch_cdf",
+                # r13 (F48): classified change feed of the whole
+                # history (append + MoR delete) as one bounded batch
+                lambda: spark.read.format("lakehouse")
+                .option("path", t.path)
+                .option("readChangeFeed", "true")
+                .option("startingSnapshotId", "0")
+                .load()
+                .count(),
+            )
+            def _branch_stage():
+                # r13 (F49): connector-staged branch write (the WAP
+                # write side), then drop the branch so reps are clean
+                t.create_branch("bench_wip")
+                orders8.limit(10_000).write.format("lakehouse").option(
+                    "path", t.path
+                ).option("branch", "bench_wip").mode("append").save()
+                t.delete_branch("bench_wip")
+            clock("lh_branch_stage", _branch_stage)
+            clock(
                 "lh_materialize", lambda: t.materialize_deletes(spark)
             )
             clock(
@@ -183,6 +203,20 @@ def bench_expensive_tail(
         out["quality_clf_train"] = round(time.perf_counter() - t0, 3)
     except Exception as exc:
         out["quality_clf_train_error"] = str(exc)[:120]  # type: ignore[assignment]
+    # the audit-driven tier selection (r13, G44): registration builds
+    # BOTH coarse quantizers and runs the recall audit — the cost a
+    # production CREATE VECTOR INDEX pays once; timed from scratch
+    # here so it stays visible round-over-round
+    try:
+        from biglake_iceberg_pipeline_spark.plans import llm_ops
+
+        llm_ops._tier_root(spark, "/root/testdata/sf0.001")  # warm
+        llm_ops._TIER_ROOTS.clear()
+        t0 = time.perf_counter()
+        llm_ops._tier_root(spark, sf_dir)
+        out["ann_tier_select"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        out["ann_tier_select_error"] = str(exc)[:120]  # type: ignore[assignment]
     for key in EXPENSIVE_TAIL:
         if key not in qs:
             continue
