@@ -684,7 +684,12 @@ def test_cdf_stream_mor_merge_delete_plus_insert(spark, tmp_path):
     assert current == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
 
 
-def test_cdf_option_refused_on_batch_read(spark, tmp_path):
+def test_cdf_batch_read_requires_start_bound(spark, tmp_path):
+    """Batch readChangeFeed is SUPPORTED since r13 (F48) — but only
+    with an explicit startingSnapshotId: a change feed without a
+    lower bound has no defined downstream state to reconcile from,
+    so the option alone refuses with the contract in the message
+    (the old behavior refused the option outright)."""
     from biglake_iceberg_pipeline_spark.streaming.source import (
         LakehouseStreamSource,
     )
@@ -693,7 +698,7 @@ def test_cdf_option_refused_on_batch_read(spark, tmp_path):
     tbl.append(spark.createDataFrame([(1,)], "id long"))
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakehouseStreamSource)
-    with pytest.raises(Exception, match="STREAMING option"):
+    with pytest.raises(Exception, match="startingSnapshotId"):
         (
             spark.read.format("lakehouse")
             .option("path", tbl.path)
@@ -701,6 +706,16 @@ def test_cdf_option_refused_on_batch_read(spark, tmp_path):
             .load()
             .collect()
         )
+    # and WITH the bound it returns the classified history
+    got = (
+        spark.read.format("lakehouse")
+        .option("path", tbl.path)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", "0")
+        .load()
+        .collect()
+    )
+    assert [(r["id"], r["_change_type"]) for r in got] == [(1, "insert")]
 
 
 def test_cdf_stream_refuses_mixed_delete_kind_commit(spark, tmp_path):
