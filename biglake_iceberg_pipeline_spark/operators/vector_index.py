@@ -870,6 +870,63 @@ def kmeans_ivf_probe(
 _TIER_RECALL_TIE = 0.05
 
 
+def _batch_exact_topk(
+    df: DataFrame, id_col: str, vec_col: str, queries: list, k: int
+) -> dict:
+    """Exact self-excluded top-k for ALL audit queries in ONE corpus
+    pass: per-query cosine expressions stack into (qidx, id, cos)
+    rows via an inline struct array + explode, one window takes the
+    top-k per query — a single scan + one narrow shuffle instead of
+    n_queries full corpus scans, the registration cost that matters
+    when the audit runs over a 100 TB embedding column. Ordering
+    (cos desc, id asc) matches ``brute_force_topk`` exactly, so the
+    recall numbers are identical to the per-query form."""
+    from pyspark.sql import Window
+
+    from biglake_iceberg_pipeline_spark.operators.similarity import (
+        cosine_vs_literal,
+    )
+
+    qids = [qid for qid, _ in queries]
+    structs = [
+        F.struct(
+            F.lit(i).alias("qidx"),
+            cosine_vs_literal(F.col(vec_col), qvec).alias("cos"),
+        )
+        for i, (_qid, qvec) in enumerate(queries)
+    ]
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    stacked = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.explode(F.array(*structs)).alias("s")
+        )
+        .select(
+            id_col,
+            F.col("s.qidx").alias("qidx"),
+            F.col("s.cos").alias("cos"),
+        )
+        # self-exclusion, per query: the row whose id IS the query
+        .where(
+            F.col(id_col)
+            != F.element_at(qid_arr, F.col("qidx") + 1)
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("qidx").orderBy(
+        F.desc("cos"), F.col(id_col).asc()
+    )
+    out: dict = {qid: set() for qid in qids}
+    for r in (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qidx", id_col)
+        .collect()
+    ):
+        out[qids[r["qidx"]]].add(r[id_col])
+    return out
+
+
 def select_coarse_tier(
     spark: SparkSession,
     df: DataFrame,
@@ -902,17 +959,15 @@ def select_coarse_tier(
     (the r12 audit measured 0.1–0.4 recall@10 there vs 0.9 for
     trained cells) — so the registration step measures, not guesses.
 
-    Audit cost is bounded: n_queries exact top-k passes + 2×n_queries
-    index-pruned probes + one partition-count aggregate per tier, all
-    at registration time, never per probe. The losing layout is kept
+    Audit cost is bounded: ONE batched exact pass over the corpus
+    (all queries' top-k in a single scan + one narrow shuffle —
+    ``_batch_exact_topk``) + 2×n_queries partition-pruned probes +
+    one partition-count aggregate per tier, all at registration
+    time, never per probe. The losing layout is kept
     on disk (it is the other tier's rebuild seed and the audit's
     replay evidence); callers wanting the space back delete it."""
     import json as _json
     import os as _os
-
-    from biglake_iceberg_pipeline_spark.operators.similarity import (
-        brute_force_topk,
-    )
 
     sign_path = _os.path.join(root_path, "signbit")
     km_path = _os.path.join(root_path, "kmeans")
@@ -981,21 +1036,17 @@ def select_coarse_tier(
     recall = {"signbit": [], "kmeans": []}
     frac = {"signbit": [], "kmeans": []}
     per_query: dict = {}
+    # the query row is EXCLUDED from both sides everywhere below: an
+    # in-corpus query trivially matches itself in its own cell, which
+    # inflates every tier's recall equally and hides the real
+    # neighbor-retrieval gap (the self-excluded "similar to product
+    # N" probe is what production runs). All exact top-k sets come
+    # from ONE corpus pass (_batch_exact_topk), not one scan per
+    # query.
+    exact_by_qid = _batch_exact_topk(df, id_col, vec_col, queries, k)
     for qid, qvec in queries:
-        # the query row is EXCLUDED from both sides: an in-corpus
-        # query trivially matches itself in its own cell, which
-        # inflates every tier's recall equally and hides the real
-        # neighbor-retrieval gap (the self-excluded "similar to
-        # product N" probe is what production runs)
         not_self = F.col(id_col) != F.lit(qid)
-        exact = {
-            r[id_col]
-            for r in brute_force_topk(
-                df.where(not_self), id_col, vec_col, qvec, k=k
-            )
-            .select(id_col)
-            .collect()
-        }
+        exact = exact_by_qid[qid]
         got_s = {
             r[id_col]
             for r in ivf_probe(
