@@ -734,6 +734,121 @@ ORDER BY o_orderpriority
 """
 
 
+_WAP_TABLE_PATHS: dict[str, str] = {}
+
+
+def _wap_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders published through the FULL write-audit-publish loop via
+    the public DataSource API (F49): base append → branch 'audit' →
+    connector-staged txn-stamped branch write (o_orderkey < 100
+    re-keyed +2e9, totalprice ×3, priority 'X-WAP') → a REPLAY of the
+    same stamped write (must no-op) → fast_forward. The fixture state
+    is main AFTER the publish — deterministic at every SF."""
+    if sf_dir not in _WAP_TABLE_PATHS:
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            process_scratch_root,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+        from biglake_iceberg_pipeline_spark.streaming.source import (
+            LakehouseStreamSource,
+        )
+
+        spark.dataSource.register(LakehouseStreamSource)
+
+        def build(root: str) -> None:
+            import os as _os
+
+            path = _os.path.join(root, "t")
+            table = LakehouseTable(path)
+            orders = load_table(spark, sf_dir, "orders")
+            table.append(orders.repartition(4))
+            table.create_branch("audit")
+            staged = orders.where(F.col("o_orderkey") < 100).select(
+                (F.col("o_orderkey") + F.lit(2 * 10**9)).alias(
+                    "o_orderkey"
+                ),
+                *[c for c in orders.columns if c != "o_orderkey"],
+            ).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 3
+            ).withColumn("o_orderpriority", F.lit("X-WAP"))
+
+            def stamped_write():
+                staged.write.format("lakehouse").option(
+                    "path", path
+                ).option("branch", "audit").option(
+                    "txnAppId", "wap-fixture"
+                ).option("txnVersion", "1").mode("append").save()
+
+            stamped_write()
+            stamped_write()  # replayed epoch: txn guard must no-op
+            table.fast_forward("audit")
+
+        root = process_scratch_root(
+            _WAP_TABLE_PATHS_SCRATCH, sf_dir, "lakehouse_wap", build
+        )
+        import os as _os
+
+        _WAP_TABLE_PATHS[sf_dir] = _os.path.join(root, "t")
+    return _WAP_TABLE_PATHS[sf_dir]
+
+
+_WAP_TABLE_PATHS_SCRATCH: dict[str, str] = {}
+
+
+def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish THROUGH the connector end to end (F49):
+    the fixture stages a txn-stamped batch write on a branch via
+    ``df.write.format("lakehouse").option("branch", ...)``, REPLAYS
+    the same stamped write (the no-op guard — a double-staged epoch
+    would double these aggregates and fail the hash), and publishes
+    with ``fast_forward``; this query aggregates MAIN after the
+    publish through the connector read. The oracle replays the
+    branch algebra: orders plus exactly ONE copy of the re-keyed
+    staged rows."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _wap_table_path(spark, sf_dir)
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
+        .load()
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * 100.0 + 0.5).alias(
+                "cents_total"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LAKEHOUSE_WAP_PUBLISH_SQL = """
+WITH published AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey + 2000000000, 'X-WAP' AS o_orderpriority,
+           o_totalprice * 3 AS o_totalprice
+    FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(floor(SUM(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+           AS cents_total
+FROM published
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def lakehouse_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch change feed THROUGH the connector (F48,
     ``.option("readChangeFeed", "true")`` + snapshot bounds): the
@@ -811,6 +926,7 @@ QUERIES = {
     "lakehouse_mor_read": lakehouse_mor_read,
     "lakehouse_branch_read": lakehouse_branch_read,
     "lakehouse_batch_cdf": lakehouse_batch_cdf,
+    "lakehouse_wap_publish": lakehouse_wap_publish,
 }
 
 ORACLE = {
@@ -828,4 +944,5 @@ ORACLE = {
     "lakehouse_mor_read": LAKEHOUSE_MOR_READ_SQL,
     "lakehouse_branch_read": LAKEHOUSE_BRANCH_READ_SQL,
     "lakehouse_batch_cdf": LAKEHOUSE_BATCH_CDF_SQL,
+    "lakehouse_wap_publish": LAKEHOUSE_WAP_PUBLISH_SQL,
 }

@@ -26,9 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-13 window: the three queries added this round (the batch
-# change feed through the connector and the two audit-selected ANN
-# probes) plus the four whose registered code changed (the MoR
+# Round-13 window: the four queries added this round (the batch
+# change feed through the connector, the connector WAP publish loop,
+# and the two audit-selected ANN probes) plus the four whose registered code changed (the MoR
 # overlay planner now ships big position tails by reference —
 # lakehouse_mor_read / lakehouse_branch_read re-verify the connector;
 # dedup_clusters / dedup_best_quality now read through the
@@ -40,6 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # back as the window moves.
 PRIORITY_KEYS = (
     "lakehouse_batch_cdf",
+    "lakehouse_wap_publish",
     "ann_selected",
     "product_catalog_ann_selected",
     "lakehouse_mor_read",
@@ -77,6 +78,7 @@ PRIORITY_KEYS = (
 # r11-green keys not needed to fill this window); they rotate back
 # in later rounds.
 DEMOTED_KEYS = frozenset({
+    "gold_orders_enriched",
     "ann_ivf_int8",
     "ann_ivf_kmeans",
     "ann_ivf_pq",
