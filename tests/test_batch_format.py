@@ -843,3 +843,85 @@ def test_batch_read_change_feed_guards(spark, tmp_path):
     tbl.delete_where(spark, "id = 0")
     with pytest.raises(Exception, match="change feed cannot stream"):
         _cdf_read(spark, path, 0).collect()
+
+
+def test_batch_cdf_net_effect_property(spark, tmp_path):
+    """The CDF apply law, implementation-agnostic: start-snapshot rows
+    plus the classified changes of (start, end] — inserts/postimages
+    add, deletes/preimages remove, multiset semantics — must equal
+    the end-snapshot read EXACTLY, for a randomized sequence of
+    appends, MoR deletes, MoR merges, MoR updates, and row-preserving
+    maintenance (which must contribute nothing). This pins the batch
+    CDF's change attribution against the table's own read path — two
+    independent implementations of 'what changed'."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 11):
+        random.seed(seed)
+        path = str(tmp_path / f"t{seed}")
+        tbl = LakehouseTable(path)
+        next_id = 0
+
+        def fresh_rows(n):
+            nonlocal next_id
+            rows = [(next_id + i, f"v{next_id + i}") for i in range(n)]
+            next_id += n
+            return spark.createDataFrame(rows, "id long, v string")
+
+        tbl.append(fresh_rows(20))
+        start = tbl.current_snapshot_id()
+        start_rows = Counter(
+            (r["id"], r["v"]) for r in tbl.read(spark).collect()
+        )
+        for _ in range(5):
+            op = random.choice(
+                ["append", "delete", "merge", "update", "maintain"]
+            )
+            if op == "append":
+                tbl.append(fresh_rows(random.randint(1, 8)))
+            elif op == "delete":
+                m = random.randint(3, 7)
+                tbl.delete_where_mor(spark, F.col("id") % m == 1)
+            elif op == "merge":
+                live = [r["id"] for r in tbl.read(spark).collect()]
+                keys = random.sample(live, min(3, len(live)))
+                src = spark.createDataFrame(
+                    [(k, f"merged{k}") for k in keys]
+                    + [(next_id, f"v{next_id}")],
+                    "id long, v string",
+                )
+                next_id += 1
+                tbl.merge(
+                    spark, src, keys=["id"], mode="merge-on-read"
+                )
+            elif op == "update":
+                m = random.randint(3, 7)
+                tbl.update_where(
+                    spark,
+                    F.col("id") % m == 2,
+                    {"v": F.concat(F.col("v"), F.lit("!"))},
+                    mode="merge-on-read",
+                )
+            else:
+                tbl.maintain(spark, max_files=4, keep_snapshots=10**6)
+        end = tbl.current_snapshot_id()
+        if end == start:
+            continue
+        changes = _cdf_read(spark, path, start, end).collect()
+        state = Counter(start_rows)
+        for r in changes:
+            row = (r["id"], r["v"])
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[row] += 1
+            else:
+                assert r["_change_type"] in (
+                    "delete",
+                    "update_preimage",
+                )
+                state[row] -= 1
+        state = Counter({k: n for k, n in state.items() if n})
+        end_rows = Counter(
+            (r["id"], r["v"]) for r in tbl.read(spark).collect()
+        )
+        assert state == end_rows, f"seed {seed}: CDF net effect diverged"
