@@ -910,6 +910,92 @@ WHERE o_orderkey BETWEEN 1 AND 5000 AND o_orderkey % 100 = 2
 """
 
 
+_DV_TABLE_PATHS: dict[str, str] = {}
+_DV_TABLE_PATHS_SCRATCH: dict[str, str] = {}
+
+
+def _dv_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders with TWO MoR position-delete commits (o_orderkey ≡ 3
+    mod 7, then ≡ 4 mod 11) whose tail is then consolidated into
+    DELETION VECTORS (``rewrite_position_deletes(as_dv=True)``,
+    F51): one blob row per affected data file, positions
+    delta+deflate encoded — deterministic at every SF."""
+    if sf_dir not in _DV_TABLE_PATHS:
+        import os as _os
+
+        from biglake_iceberg_pipeline_spark.operators.vector_index import (
+            process_scratch_root,
+        )
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            LakehouseTable,
+        )
+
+        def build(root: str) -> None:
+            path = _os.path.join(root, "t")
+            table = LakehouseTable(path)
+            orders = load_table(spark, sf_dir, "orders")
+            table.append(
+                orders.repartitionByRange(8, "o_orderkey")
+                .sortWithinPartitions("o_orderkey")
+            )
+            table.delete_where_mor(
+                spark, F.col("o_orderkey") % 7 == 3
+            )
+            table.delete_where_mor(
+                spark, F.col("o_orderkey") % 11 == 4
+            )
+            table.rewrite_position_deletes(spark, as_dv=True)
+
+        root = process_scratch_root(
+            _DV_TABLE_PATHS_SCRATCH, sf_dir, "lakehouse_dv", build
+        )
+        _DV_TABLE_PATHS[sf_dir] = _os.path.join(root, "t")
+    return _DV_TABLE_PATHS[sf_dir]
+
+
+def lakehouse_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range read THROUGH the batch connector of a table whose
+    position-delete tail was consolidated into DELETION VECTORS
+    (F51, ``rewrite_position_deletes(as_dv=True)`` — Iceberg v3's
+    deletion vectors re-expressed portably): the planner maps each
+    planned file to its blob by the DV file's own file_path column
+    (exact, metadata-sized), ships the blob path by REFERENCE, and
+    the executor decodes its single delta+deflate row into a numpy
+    void mask — O(1) task payloads under any tail size, composing
+    with pushed-filter file pruning. The oracle replays both delete
+    predicates arithmetically, so the hash certifies the decoded
+    positions, not just counts."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakehouseStreamSource)
+    path = _dv_table_path(spark, sf_dir)
+    return (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 5000)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+LAKEHOUSE_DV_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 5000
+  AND o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 4
+"""
+
+
 QUERIES = {
     "skew_safe_segment_activity": skew_safe_segment_activity,
     "order_value_percentiles": order_value_percentiles,
@@ -927,6 +1013,7 @@ QUERIES = {
     "lakehouse_branch_read": lakehouse_branch_read,
     "lakehouse_batch_cdf": lakehouse_batch_cdf,
     "lakehouse_wap_publish": lakehouse_wap_publish,
+    "lakehouse_dv_read": lakehouse_dv_read,
 }
 
 ORACLE = {
@@ -945,4 +1032,5 @@ ORACLE = {
     "lakehouse_branch_read": LAKEHOUSE_BRANCH_READ_SQL,
     "lakehouse_batch_cdf": LAKEHOUSE_BATCH_CDF_SQL,
     "lakehouse_wap_publish": LAKEHOUSE_WAP_PUBLISH_SQL,
+    "lakehouse_dv_read": LAKEHOUSE_DV_READ_SQL,
 }

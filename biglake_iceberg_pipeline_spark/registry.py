@@ -26,8 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-13 window: the four queries added this round (the batch
+# Round-13 window: the five queries added this round (the batch
 # change feed through the connector, the connector WAP publish loop,
+# the deletion-vector connector read,
 # and the two audit-selected ANN probes) plus the four whose registered code changed (the MoR
 # overlay planner now ships big position tails by reference —
 # lakehouse_mor_read / lakehouse_branch_read re-verify the connector;
@@ -41,6 +42,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY_KEYS = (
     "lakehouse_batch_cdf",
     "lakehouse_wap_publish",
+    "lakehouse_dv_read",
     "ann_selected",
     "product_catalog_ann_selected",
     "lakehouse_mor_read",
@@ -78,6 +80,7 @@ PRIORITY_KEYS = (
 # r11-green keys not needed to fill this window); they rotate back
 # in later rounds.
 DEMOTED_KEYS = frozenset({
+    "drop_empty_rows",
     "gold_orders_enriched",
     "ann_ivf_int8",
     "ann_ivf_kmeans",

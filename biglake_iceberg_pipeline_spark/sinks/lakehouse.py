@@ -240,6 +240,40 @@ def eq_delete_may_hit(
     return True
 
 
+def encode_dv(positions) -> bytes:
+    """Deletion-vector blob for ONE data file's voided row positions
+    (Iceberg v3's deletion vectors, re-expressed portably): sorted
+    deduplicated int64 positions, delta-encoded (first value
+    absolute), packed little-endian, deflated. Dense runs delta to
+    streams of 1s that deflate to well under a byte per position;
+    decode is two vectorized numpy passes — no bit-twiddling a
+    Python loop would pay for. Empty input encodes to b''."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+    if arr.size == 0:
+        return b""
+    deltas = np.diff(arr, prepend=np.int64(0))
+    return zlib.compress(deltas.astype("<i8").tobytes(), 6)
+
+
+def decode_dv(blob) -> "object":
+    """Inverse of ``encode_dv``: the sorted voided positions as an
+    int64 numpy array."""
+    import zlib
+
+    import numpy as np
+
+    if not blob:
+        return np.empty(0, dtype=np.int64)
+    deltas = np.frombuffer(
+        zlib.decompress(bytes(blob)), dtype="<i8"
+    )
+    return np.cumsum(deltas).astype(np.int64)
+
+
 class _SnapshotChain:
     """Forward-replay decoder for delta-encoded snapshot lists with a
     memoized cursor: sequential access over history costs one linear
@@ -2548,7 +2582,17 @@ class LakehouseTable:
             total += rows[f]
         dmeta = manifest.get("delete_meta", {})
         for d in snap.get("deletes", []):
-            if dmeta.get(d, {}).get("kind", "position") != "position":
+            kind = dmeta.get(d, {}).get("kind", "position")
+            if kind == "dv":
+                # deletion vector: the blob file's parquet row count
+                # is #affected files; the voided-position total was
+                # recorded at rewrite time — still metadata-exact
+                dv_rows = dmeta.get(d, {}).get("rows")
+                if dv_rows is None:
+                    return None
+                total -= dv_rows
+                continue
+            if kind != "position":
                 return None
             if d not in rows:
                 return None
@@ -5266,6 +5310,7 @@ class LakehouseTable:
         zorder_by: list[str] | None = None,
         max_delete_files: int = 4,
         target_file_bytes: int | None = None,
+        delete_tail_mode: str = "materialize",
     ) -> dict:
         """The nightly maintenance job (Iceberg's rewrite_data_files +
         expire_snapshots + remove_orphan_files as one call): compact
@@ -5277,13 +5322,27 @@ class LakehouseTable:
         sort/z-order clustering while at it, expire old snapshots,
         sweep orphans. Returns what was done. Streaming appends create
         one-file-per-batch fragmentation; running this on a schedule
-        keeps scans at O(max_files) opens instead of O(batches)."""
+        keeps scans at O(max_files) opens instead of O(batches).
+
+        ``delete_tail_mode`` picks the over-long-tail remedy:
+        ``"materialize"`` (default) rewrites the delete-affected data
+        files; ``"rewrite"`` / ``"dv"`` instead consolidate the
+        position tail itself (``rewrite_position_deletes``, the
+        latter as deletion vectors) — O(tail) work with zero data
+        write amplification, the right call when deletes churn
+        faster than compaction should."""
+        if delete_tail_mode not in ("materialize", "rewrite", "dv"):
+            raise ValueError(
+                f"unknown delete_tail_mode {delete_tail_mode!r}: "
+                "pass 'materialize', 'rewrite', or 'dv'"
+            )
         report: dict = {
             "compacted_from": None,
             "compact_conflict": False,
             "expired_snapshots": [],
             "orphans_removed": 0,
             "deletes_materialized": 0,
+            "deletes_rewritten": 0,
         }
         snaps = self.snapshots
         compact_target = max_files
@@ -5343,12 +5402,21 @@ class LakehouseTable:
         elif dels_over:
             # delete tail too long but the file count is healthy:
             # targeted materialization rewrites only delete-affected
-            # files instead of the whole table
+            # files instead of the whole table — or, under
+            # delete_tail_mode 'rewrite'/'dv', consolidate the tail
+            # itself with no data write amplification
             try:
-                self.materialize_deletes(spark)
-                report["deletes_materialized"] = len(
-                    snaps[-1].get("deletes", [])
-                )
+                if delete_tail_mode == "materialize":
+                    self.materialize_deletes(spark)
+                    report["deletes_materialized"] = len(
+                        snaps[-1].get("deletes", [])
+                    )
+                else:
+                    before = len(snaps[-1].get("deletes", []))
+                    self.rewrite_position_deletes(
+                        spark, as_dv=delete_tail_mode == "dv"
+                    )
+                    report["deletes_rewritten"] = before
             except CommitConflict:
                 report["compact_conflict"] = True
         report["expired_snapshots"] = self.expire_snapshots(
@@ -5495,13 +5563,40 @@ class LakehouseTable:
             for p in delete_paths
             if meta.get(p, {}).get("kind") == "equality"
         ]
+        dvs = [
+            p
+            for p in delete_paths
+            if meta.get(p, {}).get("kind") == "dv"
+        ]
+        coords = None
         if pos:
-            dels = spark.read.parquet(*pos).select(
+            coords = spark.read.parquet(*pos).select(
                 F.col("file_path").alias("__del_file"),
                 F.col("pos").alias("__del_pos"),
             )
+        if dvs:
+            # deletion vectors (rewrite_position_deletes(as_dv=True)):
+            # one row per affected file, positions as a delta+deflate
+            # blob — decode distributed (Arrow-batched), explode to
+            # the same (file, pos) coordinates the anti-join keys on
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<long>")
+            def _dv_positions(blobs):
+                return blobs.map(lambda b: decode_dv(b).tolist())
+
+            decoded = spark.read.parquet(*dvs).select(
+                F.col("file_path").alias("__del_file"),
+                F.explode(_dv_positions("dv")).alias("__del_pos"),
+            )
+            coords = (
+                decoded
+                if coords is None
+                else coords.unionByName(decoded)
+            )
+        if coords is not None:
             df = df.join(
-                F.broadcast(dels),
+                F.broadcast(coords),
                 (F.col("__file") == F.col("__del_file"))
                 & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
@@ -5682,6 +5777,11 @@ class LakehouseTable:
             for p in deletes
             if meta.get(p, {}).get("kind") == "equality"
         ]
+        dvs = [
+            p
+            for p in deletes
+            if meta.get(p, {}).get("kind") == "dv"
+        ]
         affected: set[str] = set()
         if pos:
             affected.update(
@@ -5691,6 +5791,17 @@ class LakehouseTable:
                 .distinct()
                 .collect()
             )
+        if dvs:
+            # a deletion vector names its affected files in its own
+            # file_path column — metadata-sized, one row per file
+            import pyarrow.parquet as _pq
+
+            for p in dvs:
+                affected.update(
+                    _pq.read_table(p, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
         for p in eqs:
             keys = meta[p]["keys"]
             applies = meta[p]["applies_to"]
@@ -5746,6 +5857,143 @@ class LakehouseTable:
             # row-preserving: the delete rows already vanished from
             # reads when the MoR delete snapshot committed; this
             # commit only folds them into the data files
+            data_change=False,
+        )[0]
+        self._fire_commit_hooks("replace", snap_id)
+        return snap_id
+
+    def rewrite_position_deletes(
+        self, spark: SparkSession, as_dv: bool = False
+    ) -> int:
+        """Consolidate the merge-on-read POSITION-delete tail without
+        touching data files (Iceberg's
+        rewrite_position_delete_files): a table taking steady MoR
+        deletes accumulates one delete file per commit and every
+        read overlays ALL of them — this folds the position tail
+        (plus any prior deletion-vector entries) into ONE file,
+        sorted by (file_path, pos) and deduplicated, so read
+        planning stays O(delete tail)=O(1 file) and row-group
+        file_path statistics prune by-reference executor reads
+        tightly. ``as_dv=True`` encodes the result as deletion
+        vectors instead (Iceberg v3's shape): one row per affected
+        data file, the positions as a delta+deflate blob
+        (``encode_dv``) readers decode executor-side — task payloads
+        O(1) under any tail size.
+
+        Equality deletes are carried UNTOUCHED: their ``applies_to``
+        watermarks scope different data-file sets and cannot merge.
+        Commits ``op='replace', data_change=False`` — the logical
+        row set is unchanged, so streams, incremental scans, and
+        change feeds ride through emitting nothing. The replaced
+        delete files stay referenced by older snapshots until expiry
+        reaps them. Returns the new snapshot id (the current one
+        when the tail is already consolidated)."""
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError("empty table")
+        snap = snaps[-1]
+        base = snap["id"]
+        meta = manifest.get("delete_meta", {})
+        tail = snap.get("deletes", [])
+        pos = [
+            d
+            for d in tail
+            if meta.get(d, {}).get("kind", "position") == "position"
+        ]
+        dvs = [
+            d for d in tail if meta.get(d, {}).get("kind") == "dv"
+        ]
+        eqs = [
+            d
+            for d in tail
+            if meta.get(d, {}).get("kind") == "equality"
+        ]
+        src = pos + dvs
+        if not src or (
+            len(src) == 1 and (bool(dvs) == bool(as_dv))
+        ):
+            return base  # already in the target encoding
+        frames = None
+        if pos:
+            frames = spark.read.parquet(*pos).select(
+                "file_path", "pos"
+            )
+        if dvs:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<long>")
+            def _dv_positions(blobs):
+                return blobs.map(lambda b: decode_dv(b).tolist())
+
+            decoded = (
+                spark.read.parquet(*dvs)
+                .select(
+                    "file_path",
+                    F.explode(_dv_positions("dv")).alias("pos"),
+                )
+            )
+            frames = (
+                decoded
+                if frames is None
+                else frames.unionByName(decoded)
+            )
+        all_pos = frames.dropDuplicates(["file_path", "pos"])
+        if as_dv:
+            import pandas as pd
+
+            def _enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                vals = pdf["pos"].to_numpy()
+                return pd.DataFrame(
+                    {
+                        "file_path": [pdf["file_path"].iloc[0]],
+                        "dv": [encode_dv(vals)],
+                        "ndel": [int(len(set(vals.tolist())))],
+                    }
+                )
+
+            out = (
+                all_pos.groupBy("file_path")
+                .applyInPandas(
+                    _enc, "file_path string, dv binary, ndel long"
+                )
+                .coalesce(1)
+                .sortWithinPartitions("file_path")
+            )
+        else:
+            out = all_pos.coalesce(1).sortWithinPartitions(
+                "file_path", "pos"
+            )
+        new_files = self._write_delete_file(out)
+        if as_dv:
+            import pyarrow.parquet as _pq
+
+            new_meta = {}
+            for nf in new_files:
+                col = _pq.read_table(nf, columns=["ndel"]).column(
+                    "ndel"
+                )
+                # per-blob-file voided-position total: row_count()
+                # subtracts it metadata-only (the parquet row count
+                # is #affected files, not #positions)
+                new_meta[nf] = {
+                    "kind": "dv",
+                    "rows": int(sum(col.to_pylist())),
+                }
+        else:
+            new_meta = {nf: {"kind": "position"} for nf in new_files}
+        snap_id = self._locked_commit(
+            "replace",
+            [],
+            {},
+            None,
+            expected_tail=base,
+            inherit_prev_files=True,
+            delete_files=new_files + eqs,
+            delete_meta=new_meta,
+            # row-preserving: the same rows were already voided when
+            # the original delete commits landed; this re-encodes
+            # the tail only
             data_change=False,
         )[0]
         self._fire_commit_hooks("replace", snap_id)
@@ -6421,12 +6669,16 @@ class LakehouseTable:
             rows = []
             for d in (snap or {}).get("deletes", []):
                 m = dmeta.get(d, {})
+                kind = m.get("kind", "position")
                 rows.append((
                     d,
-                    m.get("kind", "position"),
+                    kind,
                     m.get("keys"),
                     m.get("applies_to"),
-                    file_rows.get(d),
+                    # a deletion vector's parquet row count is
+                    # #affected files; surface the voided-position
+                    # total recorded at rewrite time instead
+                    m.get("rows") if kind == "dv" else file_rows.get(d),
                     self._size_of(d, manifest),
                 ))
             return spark.createDataFrame(rows, schema)

@@ -111,6 +111,11 @@ class _FilePartition(InputPartition):
     # driver serializing O(tail) positions into every task payload —
     # the Iceberg-v3 deletion-vector shape, by parquet filter
     pos_refs: tuple = ()
+    # deletion-vector blob files (rewrite_position_deletes(as_dv=
+    # True)) that name THIS file: the executor reads its single
+    # (file_path, dv) row and decodes the delta+deflate blob —
+    # always by reference, O(1) payload under any tail size
+    dv_refs: tuple = ()
 
 
 @dataclass
@@ -290,6 +295,25 @@ def _mor_overlay_batches(
         for pos in refs.column("pos").to_pylist():
             if 0 <= pos < n:
                 alive[pos] = False
+    for d in getattr(partition, "dv_refs", ()):
+        # deletion-vector tail: this file's single (file_path, dv)
+        # row, blob decoded to the voided positions (numpy cumsum —
+        # no per-position Python loop)
+        import pyarrow.parquet as _pq
+
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            decode_dv,
+        )
+
+        refs = _pq.read_table(
+            d,
+            columns=["dv"],
+            filters=[("file_path", "==", partition.file)],
+        )
+        for blob in refs.column("dv").to_pylist():
+            voided = decode_dv(blob)
+            voided = voided[(voided >= 0) & (voided < n)]
+            alive[voided] = False
     if partition.eq_deletes:
         mask = _eq_match_mask(aligned, list(partition.eq_deletes))
         if mask is not None:
@@ -1353,6 +1377,25 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 prior_pos_by_file.setdefault(
                                     fp, []
                                 ).append(pos)
+                        elif pmeta.get("kind") == "dv":
+                            # consolidated deletion vector in the
+                            # prior tail (a rewrite landed before
+                            # this range's merge): decode to the
+                            # same per-file voided positions
+                            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                                decode_dv,
+                            )
+
+                            pt = _read_del(p, ["file_path", "dv"])
+                            for fp, blob in zip(
+                                pt.column("file_path").to_pylist(),
+                                pt.column("dv").to_pylist(),
+                            ):
+                                prior_pos_by_file.setdefault(
+                                    fp, []
+                                ).extend(
+                                    decode_dv(blob).tolist()
+                                )
                         else:
                             prior_eq_entries.append(
                                 (
@@ -1692,7 +1735,7 @@ class LakehouseBatchReader(DataSourceReader):
                     )
                 )
                 files = [f for f in files if f in keep]
-        pos_by_file, eq_by_file, refs_by_file = (
+        pos_by_file, eq_by_file, refs_by_file, dv_by_file = (
             self._plan_delete_overlay(files)
         )
         keep = {f.name for f in self._schema.fields}
@@ -1717,6 +1760,7 @@ class LakehouseBatchReader(DataSourceReader):
                 drop_pos=tuple(sorted(pos_by_file.get(f, ()))),
                 eq_deletes=tuple(eq_by_file.get(f, ())),
                 pos_refs=tuple(refs_by_file.get(f, ())),
+                dv_refs=tuple(dv_by_file.get(f, ())),
             )
             for f in files
         ]
@@ -1730,7 +1774,11 @@ class LakehouseBatchReader(DataSourceReader):
         partition payload; bigger tails ship by REFERENCE (scoped to
         candidate files via row-group file_path stats), so a task
         payload stays O(1) under any tail size — the Iceberg-v3
-        deletion-vector shape, by parquet filter. Equality deletes
+        deletion-vector shape, by parquet filter. Actual deletion
+        vectors (``rewrite_position_deletes(as_dv=True)``, kind
+        'dv') map exactly: the blob file's own file_path column
+        lists the affected files, and each planned file gets the
+        blob path by reference. Equality deletes
         ship by reference, kept only for files inside the delete's
         added_at watermark (``LakehouseTable._apply_deletes``'s
         sequence-number scoping: missing added_at → the file is
@@ -1740,8 +1788,9 @@ class LakehouseBatchReader(DataSourceReader):
         pos_by_file: dict[str, list] = {}
         eq_by_file: dict[str, list] = {}
         refs_by_file: dict[str, list] = {}
+        dv_by_file: dict[str, list] = {}
         if not self._deletes:
-            return pos_by_file, eq_by_file, refs_by_file
+            return pos_by_file, eq_by_file, refs_by_file, dv_by_file
         import pyarrow.parquet as pq
 
         from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
@@ -1751,6 +1800,18 @@ class LakehouseBatchReader(DataSourceReader):
         planned = set(files)
         for d in self._deletes:
             meta = self._dmeta.get(d, {})
+            if meta.get("kind") == "dv":
+                # deletion vector: its file_path column IS the
+                # affected-file list (one row per file, metadata-
+                # sized) — exact mapping, no stats heuristics
+                for fp in (
+                    pq.read_table(d, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                ):
+                    if fp in planned:
+                        dv_by_file.setdefault(fp, []).append(d)
+                continue
             if meta.get("kind", "position") == "position":
                 pf = pq.ParquetFile(d)
                 if pf.metadata.num_rows > _POS_INLINE_MAX:
@@ -1785,7 +1846,7 @@ class LakehouseBatchReader(DataSourceReader):
                     eq_by_file.setdefault(f, []).append(
                         (d, tuple(keys))
                     )
-        return pos_by_file, eq_by_file, refs_by_file
+        return pos_by_file, eq_by_file, refs_by_file, dv_by_file
 
     def read(self, partition: _FilePartition):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1796,6 +1857,7 @@ class LakehouseBatchReader(DataSourceReader):
             partition.drop_pos
             or partition.eq_deletes
             or partition.pos_refs
+            or partition.dv_refs
         ):
             declared = [f.name for f in self._schema.fields]
             extra = [
