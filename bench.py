@@ -49,6 +49,9 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
       unmaterialized — times the driver-side overlay planning +
       executor-side masked read (F45), the read path a table lives
       on between a MoR write and its next compaction.
+    - lh_dv_rewrite / lh_connector_read_dv (r13, F51): consolidate
+      the position tail into deletion vectors (no data rewrite),
+      then the same point lookup through the DV-encoded tail.
     - lh_connector_read: point lookup THROUGH
       spark.read.format("lakehouse") with pushed-filter file skipping
       on the delete-materialized table.
@@ -116,6 +119,25 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 .load()
                 .count(),
             )
+            clock(
+                "lh_dv_rewrite",
+                # r13 (F51): consolidate the position tail into
+                # deletion vectors (no data rewrite)
+                lambda: t.rewrite_position_deletes(
+                    spark, as_dv=True
+                ),
+            )
+            clock(
+                "lh_connector_read_dv",
+                # the same point lookup through the DV-encoded tail:
+                # blob shipped by reference, executor decodes one row
+                lambda: spark.read.format("lakehouse")
+                .option("path", t.path)
+                .load()
+                .filter(F.col("o_orderkey") == key)
+                .collect(),
+            )
+
             def _branch_stage():
                 # r13 (F49): connector-staged branch write (the WAP
                 # write side), then drop the branch so reps are clean

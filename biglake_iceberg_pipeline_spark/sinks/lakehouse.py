@@ -5327,10 +5327,11 @@ class LakehouseTable:
         ``delete_tail_mode`` picks the over-long-tail remedy:
         ``"materialize"`` (default) rewrites the delete-affected data
         files; ``"rewrite"`` / ``"dv"`` instead consolidate the
-        position tail itself (``rewrite_position_deletes``, the
-        latter as deletion vectors) — O(tail) work with zero data
-        write amplification, the right call when deletes churn
-        faster than compaction should."""
+        tail itself (``rewrite_position_deletes`` with equality
+        deletes resolved into coordinates, the latter encoding as
+        deletion vectors) — zero data write amplification, the
+        right call when deletes churn faster than compaction
+        should."""
         if delete_tail_mode not in ("materialize", "rewrite", "dv"):
             raise ValueError(
                 f"unknown delete_tail_mode {delete_tail_mode!r}: "
@@ -5413,8 +5414,15 @@ class LakehouseTable:
                     )
                 else:
                     before = len(snaps[-1].get("deletes", []))
+                    # resolve_equality: eq deletes fold into the
+                    # consolidated coordinates too, so the rewrite
+                    # modes fully replace materialization (an all-eq
+                    # over-threshold tail would otherwise never
+                    # shrink) and row_count() stays metadata-exact
                     self.rewrite_position_deletes(
-                        spark, as_dv=delete_tail_mode == "dv"
+                        spark,
+                        as_dv=delete_tail_mode == "dv",
+                        resolve_equality=True,
                     )
                     report["deletes_rewritten"] = before
             except CommitConflict:
@@ -5735,6 +5743,60 @@ class LakehouseTable:
         self._fire_commit_hooks("delete", snap_id)
         return snap_id
 
+    def _eq_candidate_files(
+        self,
+        manifest: dict,
+        snap: dict,
+        eqs: list[str],
+        skip: set | frozenset = frozenset(),
+    ) -> set:
+        """Data files an equality-delete tail may void rows in:
+        scoped by each delete's added_at watermark, pruned by footer
+        min/max intersection between the data file's key range and
+        the delete file's key range (``eq_delete_may_hit`` —
+        conservative on NULLs/missing stats: the delete file's own
+        footer min/max bounds the key set, but min/max EXCLUDE
+        nulls and the read overlay matches NULL keys via eqNullSafe,
+        so a delete holding a NULL key must not skip files that
+        also hold NULLs). Shared by ``materialize_deletes`` and
+        ``rewrite_position_deletes(resolve_equality=True)`` so the
+        two can never disagree about which files a delete may
+        touch. ``skip``: files already known affected."""
+        meta = manifest.get("delete_meta", {})
+        added = manifest.get("file_added_at", {})
+        fstats = manifest.get("file_stats", {})
+        out: set[str] = set()
+        for p in eqs:
+            keys = meta[p]["keys"]
+            applies = meta[p]["applies_to"]
+            dstats = self._file_stats([p]).get(p, {})
+            dnulls = self._file_null_counts([p]).get(p, {})
+            d_has_null = {
+                k: bool(dnulls.get(k, 1)) or dnulls.get(k) is None
+                for k in keys
+            }
+            for f in snap["files"]:
+                if f in out or f in skip:
+                    continue
+                if added.get(f, 0) > applies:
+                    continue  # appended after the delete: out of scope
+                per = fstats.get(f, {})
+                fnulls_memo: list = []
+
+                def fnulls_fn(f=f, memo=fnulls_memo):
+                    # lazily-read footer null counts, once per file
+                    if not memo:
+                        memo.append(
+                            self._file_null_counts([f]).get(f, {})
+                        )
+                    return memo[0]
+
+                if eq_delete_may_hit(
+                    keys, d_has_null, dstats, per, fnulls_fn
+                ):
+                    out.add(f)
+        return out
+
     def materialize_deletes(self, spark: SparkSession) -> int:
         """Targeted delete materialization (Iceberg's
         rewrite_position_delete_files / delete-aware
@@ -5802,39 +5864,9 @@ class LakehouseTable:
                     .column("file_path")
                     .to_pylist()
                 )
-        for p in eqs:
-            keys = meta[p]["keys"]
-            applies = meta[p]["applies_to"]
-            # the delete file's own footer min/max bounds the key set;
-            # min/max EXCLUDE nulls, but the read overlay matches NULL
-            # keys via eqNullSafe — when the delete holds a NULL key,
-            # range pruning must not skip files that also hold NULLs
-            dstats = self._file_stats([p]).get(p, {})
-            dnulls = self._file_null_counts([p]).get(p, {})
-            d_has_null = {
-                k: bool(dnulls.get(k, 1)) or dnulls.get(k) is None
-                for k in keys
-            }
-            for f in snap["files"]:
-                if f in affected:
-                    continue
-                if added.get(f, 0) > applies:
-                    continue  # appended after the delete: out of scope
-                per = fstats.get(f, {})
-                fnulls_memo: list = []
-
-                def fnulls_fn(f=f, memo=fnulls_memo):
-                    # lazily-read footer null counts, once per file
-                    if not memo:
-                        memo.append(
-                            self._file_null_counts([f]).get(f, {})
-                        )
-                    return memo[0]
-
-                if eq_delete_may_hit(
-                    keys, d_has_null, dstats, per, fnulls_fn
-                ):
-                    affected.add(f)
+        affected |= self._eq_candidate_files(
+            manifest, snap, eqs, skip=affected
+        )
         affected &= set(snap["files"])
         carried = [f for f in snap["files"] if f not in affected]
         new_files: list[str] = []
@@ -5863,7 +5895,10 @@ class LakehouseTable:
         return snap_id
 
     def rewrite_position_deletes(
-        self, spark: SparkSession, as_dv: bool = False
+        self,
+        spark: SparkSession,
+        as_dv: bool = False,
+        resolve_equality: bool = False,
     ) -> int:
         """Consolidate the merge-on-read POSITION-delete tail without
         touching data files (Iceberg's
@@ -5880,8 +5915,20 @@ class LakehouseTable:
         (``encode_dv``) readers decode executor-side — task payloads
         O(1) under any tail size.
 
-        Equality deletes are carried UNTOUCHED: their ``applies_to``
-        watermarks scope different data-file sets and cannot merge.
+        Equality deletes are carried UNTOUCHED by default: their
+        ``applies_to`` watermarks scope different data-file sets and
+        cannot merge as-is. ``resolve_equality=True`` instead
+        RESOLVES them into positions (Iceberg v3's
+        convert-equality-deletes maintenance): one scan of the
+        watermark+key-range-pruned candidate files (the
+        ``materialize_deletes`` pruning, shared) re-matches each
+        delete's keys exactly as the read overlay would and folds
+        the matched coordinates into the consolidated tail — the eq
+        files leave the tail entirely, every read drops their
+        broadcast anti-joins, and ``row_count()`` becomes
+        metadata-exact again. O(candidate file rows) read, zero
+        data write amplification.
+
         Commits ``op='replace', data_change=False`` — the logical
         row set is unchanged, so streams, incremental scans, and
         change feeds ride through emitting nothing. The replaced
@@ -5910,8 +5957,10 @@ class LakehouseTable:
             if meta.get(d, {}).get("kind") == "equality"
         ]
         src = pos + dvs
-        if not src or (
-            len(src) == 1 and (bool(dvs) == bool(as_dv))
+        resolving = resolve_equality and bool(eqs)
+        if not resolving and (
+            not src
+            or (len(src) == 1 and (bool(dvs) == bool(as_dv)))
         ):
             return base  # already in the target encoding
         frames = None
@@ -5938,34 +5987,121 @@ class LakehouseTable:
                 if frames is None
                 else frames.unionByName(decoded)
             )
-        all_pos = frames.dropDuplicates(["file_path", "pos"])
-        if as_dv:
-            import pandas as pd
-
-            def _enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
-                vals = pdf["pos"].to_numpy()
-                return pd.DataFrame(
-                    {
-                        "file_path": [pdf["file_path"].iloc[0]],
-                        "dv": [encode_dv(vals)],
-                        "ndel": [int(len(set(vals.tolist())))],
-                    }
-                )
-
-            out = (
-                all_pos.groupBy("file_path")
-                .applyInPandas(
-                    _enc, "file_path string, dv binary, ndel long"
-                )
-                .coalesce(1)
-                .sortWithinPartitions("file_path")
+        if resolving:
+            # resolve each equality delete into the exact (file,
+            # pos) coordinates the read overlay would void: scan
+            # only the watermark/key-range candidate files, then
+            # re-apply `_apply_deletes`' matching rule (added_at
+            # scoping with missing→survives, NULL-safe key
+            # equality) as a semi join per key group
+            cand = sorted(
+                self._eq_candidate_files(manifest, snap, eqs)
+                & set(snap["files"])
             )
+            if cand:
+                from collections import defaultdict
+
+                cdf = self._read_files(
+                    spark, cand, with_meta=True
+                )
+                added = manifest.get("file_added_at", {})
+                amap = spark.createDataFrame(
+                    [(f, int(a)) for f, a in added.items()],
+                    schema="__file_a string, __added_at long",
+                )
+                cdf = cdf.join(
+                    F.broadcast(amap),
+                    F.col("__file") == F.col("__file_a"),
+                    "left",
+                ).drop("__file_a")
+                by_keys: dict[tuple, list[str]] = defaultdict(list)
+                for p in eqs:
+                    by_keys[tuple(meta[p]["keys"])].append(p)
+                for keys, paths in by_keys.items():
+                    dframes = None
+                    for p in paths:
+                        d = spark.read.parquet(p).select(
+                            *[
+                                F.col(k).alias(f"__eq_{k}")
+                                for k in keys
+                            ],
+                            F.lit(
+                                int(meta[p]["applies_to"])
+                            ).alias("__eq_applies"),
+                        )
+                        dframes = (
+                            d
+                            if dframes is None
+                            else dframes.unionByName(d)
+                        )
+                    cond = F.coalesce(
+                        F.col("__added_at"), F.lit(2**62)
+                    ) <= F.col("__eq_applies")
+                    for k in keys:
+                        cond = cond & F.col(k).eqNullSafe(
+                            F.col(f"__eq_{k}")
+                        )
+                    matched = cdf.join(
+                        F.broadcast(dframes), cond, "left_semi"
+                    ).select(
+                        F.col("__file").alias("file_path"),
+                        F.col("__pos").alias("pos"),
+                    )
+                    frames = (
+                        matched
+                        if frames is None
+                        else frames.unionByName(matched)
+                    )
+        if frames is None:
+            # eq deletes resolved to zero candidates and no position
+            # sources: the tail empties outright
+            all_pos = None
         else:
-            out = all_pos.coalesce(1).sortWithinPartitions(
-                "file_path", "pos"
-            )
-        new_files = self._write_delete_file(out)
-        if as_dv:
+            all_pos = frames.dropDuplicates(["file_path", "pos"])
+        new_files: list[str] = []
+        if all_pos is not None:
+            if as_dv:
+                import pandas as pd
+
+                def _enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                    vals = pdf["pos"].to_numpy()
+                    return pd.DataFrame(
+                        {
+                            "file_path": [pdf["file_path"].iloc[0]],
+                            "dv": [encode_dv(vals)],
+                            "ndel": [int(len(set(vals.tolist())))],
+                        }
+                    )
+
+                out = (
+                    all_pos.groupBy("file_path")
+                    .applyInPandas(
+                        _enc, "file_path string, dv binary, ndel long"
+                    )
+                    .coalesce(1)
+                    .sortWithinPartitions("file_path")
+                )
+            else:
+                out = all_pos.coalesce(1).sortWithinPartitions(
+                    "file_path", "pos"
+                )
+            new_files = self._write_delete_file(out)
+            if (
+                sum(self._file_row_counts(new_files).values()) == 0
+            ):
+                # every source delete resolved to nothing (eq keys
+                # matching no surviving candidate rows): drop the
+                # empty file and commit a clean tail
+                import shutil
+
+                shutil.rmtree(
+                    os.path.dirname(new_files[0]),
+                    ignore_errors=True,
+                )
+                new_files = []
+        if not new_files:
+            new_meta: dict = {}
+        elif as_dv:
             import pyarrow.parquet as _pq
 
             new_meta = {}
@@ -5989,7 +6125,7 @@ class LakehouseTable:
             None,
             expected_tail=base,
             inherit_prev_files=True,
-            delete_files=new_files + eqs,
+            delete_files=new_files + ([] if resolving else eqs),
             delete_meta=new_meta,
             # row-preserving: the same rows were already voided when
             # the original delete commits landed; this re-encodes

@@ -377,6 +377,100 @@ def test_maintain_delete_tail_mode_dv(spark, tmp_path):
     assert report["deletes_rewritten"] == 0
 
 
+def test_resolve_equality_folds_eq_deletes_into_dv(spark, tmp_path):
+    """Iceberg v3's convert-equality-deletes maintenance: the eq
+    tail resolves into exact coordinates, reads drop the broadcast
+    anti-joins, and row_count() becomes metadata-exact again."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "id long, v string"
+        )
+    )
+    t.delete_where(spark, "id < 3", mode="merge-on-read")
+    src = spark.createDataFrame(
+        [(5, "NEW"), (6, "NEW6")], "id long, v string"
+    )
+    t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    # a later append sharing a deleted key must STILL survive after
+    # resolution (the watermark scoped it out of the delete)
+    t.append(spark.createDataFrame([(5, "after")], "id long, v string"))
+    before = sorted(map(tuple, t.read(spark).collect()))
+    assert t.row_count() is None  # eq tail: unknowable from metadata
+    t.rewrite_position_deletes(spark, as_dv=True, resolve_equality=True)
+    assert _kinds(t) == ["dv"]
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert t.row_count() == len(before)  # exact again
+
+
+def test_resolve_equality_positions_match_materialization(
+    spark, tmp_path
+):
+    """Resolution and materialization agree: resolving then
+    materializing equals materializing directly."""
+    mk = lambda p: LakehouseTable(str(p))  # noqa: E731
+    rows = [(i, f"v{i % 7}") for i in range(50)]
+    a, b = mk(tmp_path / "a"), mk(tmp_path / "b")
+    for t in (a, b):
+        t.append(
+            spark.createDataFrame(rows, "id long, v string")
+        )
+        t.delete_where(spark, "id % 9 = 1", mode="merge-on-read")
+        src = spark.createDataFrame(
+            [(10, "X"), (20, "Y")], "id long, v string"
+        )
+        t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    a.rewrite_position_deletes(spark, resolve_equality=True)
+    a.materialize_deletes(spark)
+    b.materialize_deletes(spark)
+    got_a = sorted(map(tuple, a.read(spark).collect()))
+    got_b = sorted(map(tuple, b.read(spark).collect()))
+    assert got_a == got_b
+
+
+def test_resolve_equality_no_match_clears_tail(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    # merge inserting only unseen keys: eq delete voids nothing
+    src = spark.createDataFrame([(999, "ins")], "id long, v string")
+    t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    assert _kinds(t) == ["equality"]
+    t.rewrite_position_deletes(spark, resolve_equality=True)
+    assert not _tail(t)
+    assert t.read(spark).count() == 11
+    assert t.row_count() == 11
+
+
+def test_maintain_dv_mode_resolves_all_eq_tail(spark, tmp_path):
+    """An over-threshold all-equality tail shrinks under mode 'dv'
+    (it would no-op without resolution and grow forever)."""
+    t = LakehouseTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+    )
+    for i in range(5):
+        src = spark.createDataFrame(
+            [(i, f"m{i}")], "id long, v string"
+        )
+        t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    assert _kinds(t).count("equality") == 5
+    before = sorted(map(tuple, t.read(spark).collect()))
+    report = t.maintain(
+        spark, max_files=64, max_delete_files=4, delete_tail_mode="dv"
+    )
+    assert report["deletes_rewritten"] == 5
+    kinds = _kinds(t)
+    assert "equality" not in kinds and kinds.count("dv") == 1
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert t.row_count() == len(before)
+
+
 def test_maintain_default_still_materializes(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     for i in range(5):
