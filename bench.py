@@ -119,25 +119,6 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 .load()
                 .count(),
             )
-            clock(
-                "lh_dv_rewrite",
-                # r13 (F51): consolidate the position tail into
-                # deletion vectors (no data rewrite)
-                lambda: t.rewrite_position_deletes(
-                    spark, as_dv=True
-                ),
-            )
-            clock(
-                "lh_connector_read_dv",
-                # the same point lookup through the DV-encoded tail:
-                # blob shipped by reference, executor decodes one row
-                lambda: spark.read.format("lakehouse")
-                .option("path", t.path)
-                .load()
-                .filter(F.col("o_orderkey") == key)
-                .collect(),
-            )
-
             def _branch_stage():
                 # r13 (F49): connector-staged branch write (the WAP
                 # write side), then drop the branch so reps are clean
@@ -163,6 +144,33 @@ def bench_lakehouse_ops(spark, sf_dir: str, reps: int) -> dict[str, float]:
                 lambda: t.maintain(
                     spark, max_files=4, keep_snapshots=1
                 ),
+            )
+            # r13 (F51) — LAST, with its own unclocked delete setup,
+            # so every pre-existing datapoint keeps measuring exactly
+            # what it measured in prior rounds (lh_materialize stays
+            # the raw position-tail path, like-for-like)
+            t.delete_where(
+                spark,
+                F.col("o_orderkey") % 89 == 0,
+                mode="merge-on-read",
+            )
+            clock(
+                "lh_dv_rewrite",
+                # consolidate the position tail into deletion
+                # vectors (no data rewrite)
+                lambda: t.rewrite_position_deletes(
+                    spark, as_dv=True
+                ),
+            )
+            clock(
+                "lh_connector_read_dv",
+                # the same point lookup through the DV-encoded tail:
+                # blob shipped by reference, executor decodes one row
+                lambda: spark.read.format("lakehouse")
+                .option("path", t.path)
+                .load()
+                .filter(F.col("o_orderkey") == key)
+                .collect(),
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)

@@ -274,6 +274,71 @@ def decode_dv(blob) -> "object":
     return np.cumsum(deltas).astype(np.int64)
 
 
+def dv_coordinates(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Deletion-vector blob files as a distributed (file_path, pos)
+    coordinate frame: blobs decode in an Arrow-batched pandas UDF
+    and explode to the same coordinates position-delete files store
+    — the ONE decode-and-explode implementation every driver-side DV
+    consumer (read overlay, tail rewrite) shares, so a blob-format
+    change can never make them drift. Executor-side per-file reads
+    (`_mor_overlay_batches`) instead filter to their own row and
+    call ``decode_dv`` directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _dv_positions(blobs):
+        return blobs.map(lambda b: decode_dv(b).tolist())
+
+    return spark.read.parquet(*paths).select(
+        "file_path", F.explode(_dv_positions("dv")).alias("pos")
+    )
+
+
+def pos_delete_file_clustered(path: str) -> bool:
+    """True iff a position-delete file's row-group file_path spans
+    are sorted and non-overlapping — the property by-reference
+    readers (F50) prune row groups with. A single delete commit can
+    write one big file in scan-partition order; such a file is NOT
+    consolidated even though the tail length is 1, and
+    ``rewrite_position_deletes`` must re-cluster it. Metadata-only:
+    missing stats → not clustered (conservative rewrite)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = list(pf.schema_arrow.names)
+    try:
+        idx = names.index("file_path")
+    except ValueError:
+        return False
+    md = pf.metadata
+    prev_hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return False
+        lo, hi = st.min, st.max
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode(), hi.decode()
+        if prev_hi is not None and lo < prev_hi:
+            return False  # overlapping / unsorted spans
+        prev_hi = hi
+    return True
+
+
+def dv_affected_files(path: str) -> list[str]:
+    """The data files a deletion-vector blob file names — its own
+    file_path column, one row per file, metadata-sized (no blob is
+    decoded). Shared by ``materialize_deletes`` and the connector's
+    overlay planner."""
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(path, columns=["file_path"])
+        .column("file_path")
+        .to_pylist()
+    )
+
+
 class _SnapshotChain:
     """Forward-replay decoder for delta-encoded snapshot lists with a
     memoized cursor: sequential access over history costs one linear
@@ -5587,15 +5652,9 @@ class LakehouseTable:
             # one row per affected file, positions as a delta+deflate
             # blob — decode distributed (Arrow-batched), explode to
             # the same (file, pos) coordinates the anti-join keys on
-            from pyspark.sql.functions import pandas_udf
-
-            @pandas_udf("array<long>")
-            def _dv_positions(blobs):
-                return blobs.map(lambda b: decode_dv(b).tolist())
-
-            decoded = spark.read.parquet(*dvs).select(
+            decoded = dv_coordinates(spark, dvs).select(
                 F.col("file_path").alias("__del_file"),
-                F.explode(_dv_positions("dv")).alias("__del_pos"),
+                F.col("pos").alias("__del_pos"),
             )
             coords = (
                 decoded
@@ -5856,14 +5915,8 @@ class LakehouseTable:
         if dvs:
             # a deletion vector names its affected files in its own
             # file_path column — metadata-sized, one row per file
-            import pyarrow.parquet as _pq
-
             for p in dvs:
-                affected.update(
-                    _pq.read_table(p, columns=["file_path"])
-                    .column("file_path")
-                    .to_pylist()
-                )
+                affected.update(dv_affected_files(p))
         affected |= self._eq_candidate_files(
             manifest, snap, eqs, skip=affected
         )
@@ -5958,30 +6011,24 @@ class LakehouseTable:
         ]
         src = pos + dvs
         resolving = resolve_equality and bool(eqs)
-        if not resolving and (
-            not src
-            or (len(src) == 1 and (bool(dvs) == bool(as_dv)))
-        ):
-            return base  # already in the target encoding
+        if not resolving:
+            if not src:
+                return base
+            if len(src) == 1 and bool(dvs) == bool(as_dv):
+                # a lone DV is consolidated by construction; a lone
+                # position file only counts if its row-group
+                # file_path spans are already clustered — one big
+                # delete commit can write scan-partition order that
+                # by-reference readers prune loosely forever
+                if dvs or pos_delete_file_clustered(src[0]):
+                    return base
         frames = None
         if pos:
             frames = spark.read.parquet(*pos).select(
                 "file_path", "pos"
             )
         if dvs:
-            from pyspark.sql.functions import pandas_udf
-
-            @pandas_udf("array<long>")
-            def _dv_positions(blobs):
-                return blobs.map(lambda b: decode_dv(b).tolist())
-
-            decoded = (
-                spark.read.parquet(*dvs)
-                .select(
-                    "file_path",
-                    F.explode(_dv_positions("dv")).alias("pos"),
-                )
-            )
+            decoded = dv_coordinates(spark, dvs)
             frames = (
                 decoded
                 if frames is None

@@ -154,6 +154,11 @@ class _EqDeletePartition(InputPartition):
     # pre-image when a later merge matches the same key:
     prior_pos: tuple = ()  # row indices from earlier position deletes
     prior_eq: tuple = ()  # earlier ((delete_file, keys), ...) in scope
+    # earlier deletion-vector blob files that may name this data
+    # file, shipped by REFERENCE (the executor decodes only its own
+    # file's blob row) — a consolidated 10⁸-position DV must not be
+    # decoded driver-side into every candidate payload
+    prior_dv: tuple = ()
     renames: dict | None = None  # rename-journal map (overlay)
 
 
@@ -351,6 +356,24 @@ def _eq_preimage_batches(partition: _EqDeletePartition, target):
     for pos in partition.prior_pos:
         if 0 <= pos < n:
             alive[pos] = False
+    for d in getattr(partition, "prior_dv", ()):
+        # prior deletion vector by reference: this file's single
+        # blob row, decoded to its voided positions
+        import pyarrow.parquet as _pq
+
+        from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
+            decode_dv,
+        )
+
+        refs = _pq.read_table(
+            d,
+            columns=["dv"],
+            filters=[("file_path", "==", partition.data_file)],
+        )
+        for blob in refs.column("dv").to_pylist():
+            voided = decode_dv(blob)
+            voided = voided[(voided >= 0) & (voided < n)]
+            alive[voided] = False
     if partition.prior_eq:
         prior = _eq_match_mask(aligned, list(partition.prior_eq))
         if prior is not None:
@@ -1360,6 +1383,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     # prior tail state (as of the PREDECESSOR): rows
                     # already voided must not re-emit as deletes
                     prior_pos_by_file: dict[str, list] = {}
+                    prior_dv_by_file: dict[str, list] = {}
                     prior_eq_entries: list = []
                     for p in prev.get("deletes", []):
                         pmeta = dmeta.get(p, {})
@@ -1380,22 +1404,21 @@ class LakehouseStreamReader(DataSourceStreamReader):
                         elif pmeta.get("kind") == "dv":
                             # consolidated deletion vector in the
                             # prior tail (a rewrite landed before
-                            # this range's merge): decode to the
-                            # same per-file voided positions
-                            from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
-                                decode_dv,
-                            )
-
-                            pt = _read_del(p, ["file_path", "dv"])
-                            for fp, blob in zip(
-                                pt.column("file_path").to_pylist(),
-                                pt.column("dv").to_pylist(),
+                            # this range's merge): map affected
+                            # files from the blob's own file_path
+                            # column (metadata-sized) and ship the
+                            # blob by REFERENCE — decoding a 10⁸-
+                            # position vector driver-side into every
+                            # candidate payload would break the O(1)
+                            # payload contract the batch overlay
+                            # keeps
+                            pt = _read_del(p, ["file_path"])
+                            for fp in set(
+                                pt.column("file_path").to_pylist()
                             ):
-                                prior_pos_by_file.setdefault(
+                                prior_dv_by_file.setdefault(
                                     fp, []
-                                ).extend(
-                                    decode_dv(blob).tolist()
-                                )
+                                ).append(p)
                         else:
                             prior_eq_entries.append(
                                 (
@@ -1449,6 +1472,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
                                 renames=renames,
                                 prior_pos=tuple(
                                     prior_pos_by_file.get(f, ())
+                                ),
+                                prior_dv=tuple(
+                                    prior_dv_by_file.get(f, ())
                                 ),
                                 prior_eq=tuple(
                                     (p, keys)
@@ -1804,11 +1830,11 @@ class LakehouseBatchReader(DataSourceReader):
                 # deletion vector: its file_path column IS the
                 # affected-file list (one row per file, metadata-
                 # sized) — exact mapping, no stats heuristics
-                for fp in (
-                    pq.read_table(d, columns=["file_path"])
-                    .column("file_path")
-                    .to_pylist()
-                ):
+                from biglake_iceberg_pipeline_spark.sinks.lakehouse import (  # noqa: E501
+                    dv_affected_files,
+                )
+
+                for fp in dv_affected_files(d):
                     if fp in planned:
                         dv_by_file.setdefault(fp, []).append(d)
                 continue

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from biglake_iceberg_pipeline_spark.sinks.lakehouse import (
     LakehouseTable,
     decode_dv,
+    dv_affected_files,
+    dv_coordinates,
     encode_dv,
+    pos_delete_file_clustered,
 )
 
 
@@ -80,6 +83,67 @@ def test_dv_codec_compresses_dense_runs():
     # before deflate; after deflate it must be far below 8 B/pos
     blob = encode_dv(list(range(100_000)))
     assert len(blob) < 100_000  # < 1 byte per position
+
+
+def test_pos_delete_file_clustered_predicate(tmp_path):
+    """The consolidated-enough test for a lone position file: sorted
+    non-overlapping row-group file_path spans pass; interleaved
+    spans (one big delete written in scan-partition order) fail and
+    trigger a re-clustering rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(rows, path, rg):
+        tbl = pa.table(
+            {
+                "file_path": [r[0] for r in rows],
+                "pos": pa.array(
+                    [r[1] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=rg)
+        return str(path)
+
+    sorted_rows = [("a", 1), ("a", 2), ("b", 1), ("c", 9)]
+    assert pos_delete_file_clustered(
+        write(sorted_rows, tmp_path / "s.parquet", 2)
+    )
+    interleaved = [("a", 1), ("c", 2), ("b", 1), ("a", 9)]
+    assert not pos_delete_file_clustered(
+        write(interleaved, tmp_path / "u.parquet", 2)
+    )
+    # single row group: trivially clustered (readers scan the whole
+    # group when it matches anyway)
+    assert pos_delete_file_clustered(
+        write(interleaved, tmp_path / "one.parquet", 10)
+    )
+
+
+def test_dv_helper_roundtrip(spark, tmp_path):
+    """dv_coordinates / dv_affected_files agree with the codec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "dv.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": ["f1", "f2"],
+                "dv": pa.array(
+                    [encode_dv([0, 5, 9]), encode_dv([2])],
+                    type=pa.binary(),
+                ),
+                "ndel": pa.array([3, 1], type=pa.int64()),
+            }
+        ),
+        path,
+    )
+    assert dv_affected_files(path) == ["f1", "f2"]
+    got = sorted(
+        map(tuple, dv_coordinates(spark, [path]).collect())
+    )
+    assert got == [("f1", 0), ("f1", 5), ("f1", 9), ("f2", 2)]
 
 
 # ------------------------------------------- tail consolidation
@@ -375,6 +439,50 @@ def test_maintain_delete_tail_mode_dv(spark, tmp_path):
         delete_tail_mode="dv",
     )
     assert report["deletes_rewritten"] == 0
+
+
+def test_cdf_masks_rows_already_voided_by_prior_dv(spark, tmp_path):
+    """A change-feed range whose PRIOR tail is a consolidated DV:
+    rows the vector already voided must not re-emit delete
+    pre-images when a later merge matches their key — and the DV
+    ships by reference (the executor decodes its own blob row), not
+    as driver-inlined positions."""
+    from biglake_iceberg_pipeline_spark.streaming.source import (
+        LakehouseStreamSource,
+    )
+
+    spark.dataSource.register(LakehouseStreamSource)
+    path = str(tmp_path / "t")
+    t = LakehouseTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    t.delete_where(spark, "id < 3", mode="merge-on-read")
+    t.rewrite_position_deletes(spark, as_dv=True)
+    base = t.current_snapshot_id()
+    src = spark.createDataFrame(
+        [(1, "GHOST"), (5, "LIVE")], "id long, v string"
+    )
+    t.merge(spark, src, keys=["id"], mode="merge-on-read")
+    feed = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", base)
+        .load()
+    )
+    rows = sorted(
+        (r["id"], r["_change_type"]) for r in feed.collect()
+    )
+    # id=1 was already voided by the DV: postimage insert only, no
+    # delete pre-image; id=5 was live: delete + insert
+    assert rows == [
+        (1, "insert"),
+        (5, "delete"),
+        (5, "insert"),
+    ]
 
 
 def test_resolve_equality_folds_eq_deletes_into_dv(spark, tmp_path):
