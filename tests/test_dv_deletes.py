@@ -78,6 +78,27 @@ def test_dv_codec_sorts_and_dedupes():
     assert decode_dv(encode_dv([5, 1, 5, 3, 1])).tolist() == [1, 3, 5]
 
 
+def test_dv_codec_roundtrip_property():
+    """Hypothesis: encode/decode is exact for ANY multiset of
+    non-negative positions (dupes collapse, order is irrelevant,
+    output is sorted-unique int64)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**50),
+            max_size=400,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def prop(positions):
+        out = decode_dv(encode_dv(positions))
+        assert out.tolist() == sorted(set(positions))
+
+    prop()
+
+
 def test_dv_codec_compresses_dense_runs():
     # a dense run delta-encodes to near-constant bytes per position
     # before deflate; after deflate it must be far below 8 B/pos

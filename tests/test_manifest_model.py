@@ -374,3 +374,202 @@ def test_random_walk_matches_model(tmp_path, seed):
                 check(f"{step}+compact")
     finally:
         lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY = old
+
+
+# Separate walk (own seeds, own rng stream) so the mutation-verified
+# seed set of test_random_walk_matches_model stays valid — adding an
+# op there would reshuffle every draw and silently retire its
+# documented kill evidence.
+@pytest.mark.parametrize("seed", [101, 102, 103, 104, 105, 106])
+def test_delete_tail_shape_walk(tmp_path, seed):
+    """Random walk over the DELETE-TAIL transition shapes the F51
+    rewrite introduced: mor_delete appends one entry, dv_rewrite
+    REPLACES the whole tail with one entry in a single commit
+    (removals + addition — a delta the other walk never encodes),
+    materialize empties it, expiry prunes delete_meta, segment
+    compaction folds it all. Disk truth after every step."""
+    rng = random.Random(seed)
+    old = (lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY)
+    lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY = 3, 2
+    try:
+        t = lh.LakehouseTable(str(tmp_path / "t"))
+        model_snaps: list = []
+        model_meta: dict = {}
+        ctr = 0
+
+        def cur_files():
+            return list(model_snaps[-1]["files"]) if model_snaps else []
+
+        def next_id():
+            return (model_snaps[-1]["id"] + 1) if model_snaps else 1
+
+        def op_append(m):
+            nonlocal ctr
+            ctr += 1
+            sid = next_id()
+            files = cur_files() + [f"data/a{ctr}"]
+            prev_tail = (
+                list(model_snaps[-1].get("deletes", []))
+                if model_snaps
+                else []
+            )
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "append",
+                    "files": files,
+                    "deletes": prev_tail,
+                }
+            ]
+            model_snaps.append(
+                {"id": sid, "files": files, "deletes": prev_tail}
+            )
+
+        def op_mor_delete(m):
+            nonlocal ctr
+            if not model_snaps:
+                return op_append(m)
+            ctr += 1
+            d = f"deletes/d{ctr}"
+            kind = rng.choice(["position", "position", "equality"])
+            meta = (
+                {"kind": "position"}
+                if kind == "position"
+                else {"kind": "equality", "keys": ["k"], "applies_to": ctr}
+            )
+            m.setdefault("delete_meta", {})[d] = meta
+            model_meta[d] = meta
+            sid = next_id()
+            tail = list(model_snaps[-1].get("deletes", [])) + [d]
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "delete",
+                    "files": cur_files(),
+                    "deletes": tail,
+                }
+            ]
+            model_snaps.append(
+                {"id": sid, "files": cur_files(), "deletes": tail}
+            )
+
+        def op_dv_rewrite(m):
+            # the F51 commit shape: same files, whole tail replaced
+            # by ONE dv entry, data_change=False
+            nonlocal ctr
+            if not model_snaps or not model_snaps[-1].get("deletes"):
+                return op_mor_delete(m)
+            ctr += 1
+            d = f"deletes/dv{ctr}"
+            m.setdefault("delete_meta", {})[d] = {
+                "kind": "dv",
+                "rows": ctr,
+            }
+            model_meta[d] = {"kind": "dv", "rows": ctr}
+            sid = next_id()
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "replace",
+                    "files": cur_files(),
+                    "deletes": [d],
+                    "data_change": False,
+                }
+            ]
+            model_snaps.append(
+                {"id": sid, "files": cur_files(), "deletes": [d]}
+            )
+
+        def op_materialize(m):
+            nonlocal ctr
+            if not model_snaps or not model_snaps[-1].get("deletes"):
+                return op_mor_delete(m)
+            ctr += 1
+            sid = next_id()
+            files = cur_files() + [f"data/m{ctr}"]
+            m["snapshots"] = list(m["snapshots"]) + [
+                {
+                    "id": sid,
+                    "operation": "replace",
+                    "files": files,
+                    "deletes": [],
+                    "data_change": False,
+                }
+            ]
+            model_snaps.append(
+                {"id": sid, "files": files, "deletes": []}
+            )
+
+        def op_expire(m):
+            if len(model_snaps) < 3:
+                return op_append(m)
+            k = rng.randint(1, len(model_snaps) - 2)
+            dropped = model_snaps[:k]
+            del model_snaps[:k]
+            m["snapshots"] = [
+                s
+                for s in m["snapshots"]
+                if s["id"] >= model_snaps[0]["id"]
+            ]
+            live_d = {
+                d for s in model_snaps for d in s.get("deletes", [])
+            }
+            for s in dropped:
+                for d in s.get("deletes", []):
+                    if d not in live_d:
+                        model_meta.pop(d, None)
+                        m.get("delete_meta", {}).pop(d, None)
+
+        ops = [
+            (op_append, 4),
+            (op_mor_delete, 4),
+            (op_dv_rewrite, 3),
+            (op_materialize, 2),
+            (op_expire, 1),
+        ]
+        weighted = [f for f, w in ops for _ in range(w)]
+
+        def check(step):
+            saved = (
+                dict(lh._ASSEMBLY_CACHE),
+                dict(lh._SEGMENT_CACHE),
+                dict(lh._SEGMENT_DECODE_CACHE),
+            )
+            lh._ASSEMBLY_CACHE.clear()
+            lh._SEGMENT_CACHE.clear()
+            lh._SEGMENT_DECODE_CACHE.clear()
+            m2 = lh.LakehouseTable(t.path)._read_manifest()
+            got = [
+                {
+                    "id": s["id"],
+                    "files": list(s.get("files", [])),
+                    "deletes": list(s.get("deletes", [])),
+                }
+                for s in m2["snapshots"]
+            ]
+            want = [
+                {
+                    "id": s["id"],
+                    "files": list(s["files"]),
+                    "deletes": list(s.get("deletes", [])),
+                }
+                for s in model_snaps
+            ]
+            assert got == want, f"seed {seed} step {step}: snapshots"
+            assert dict(m2.get("delete_meta", {})) == model_meta, (
+                f"seed {seed} step {step}: delete_meta"
+            )
+            lh._ASSEMBLY_CACHE.update(saved[0])
+            lh._SEGMENT_CACHE.update(saved[1])
+            lh._SEGMENT_DECODE_CACHE.update(saved[2])
+
+        for step in range(50):
+            _commit(t, rng.choice(weighted))
+            check(step)
+            if rng.random() < 0.15:
+                t.compact_manifest_segments(
+                    max_segments=rng.randint(1, 3)
+                )
+                check(f"{step}+compact")
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS, lh._SEGMENT_RESET_EVERY = old
