@@ -438,6 +438,39 @@ def test_expire_reaps_replaced_delete_files(spark, tmp_path):
     assert t.read(spark).count() == 88
 
 
+def test_dv_composes_with_clone_branch_and_range_scan(
+    spark, tmp_path
+):
+    """The DV tail rides every other lifecycle surface: a clone
+    carries the blob and reads identically, a branch read applies
+    the base's DV under the staged append, and a range scan prunes
+    files while still masking voided rows."""
+    t = _mk(spark, tmp_path / "t", n=100)
+    t.delete_where(spark, "id % 4 = 1", mode="merge-on-read")
+    t.rewrite_position_deletes(spark, as_dv=True)
+    expected = [i for i in range(100) if i % 4 != 1]
+    # clone: blob carried, reads equal
+    c = t.clone_to(str(tmp_path / "c"))
+    assert sorted(r["id"] for r in c.read(spark).collect()) == expected
+    # branch: staged append over the DV-tailed base
+    t.create_branch("wip")
+    t.append_to_branch(
+        "wip",
+        spark.createDataFrame(
+            [(1000, "x", 0)], "id long, name string, grp long"
+        ),
+    )
+    got = sorted(
+        r["id"] for r in t.read(spark, branch="wip").collect()
+    )
+    assert got == expected + [1000]
+    # range scan: pruned read still masks DV-voided rows
+    sub = t.scan(spark, ranges={"id": (10, 20)})
+    assert sorted(r["id"] for r in sub.collect()) == [
+        i for i in range(10, 21) if i % 4 != 1
+    ]
+
+
 def test_maintain_delete_tail_mode_dv(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     for i in range(5):
