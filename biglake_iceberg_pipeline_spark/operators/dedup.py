@@ -204,19 +204,9 @@ def incremental_minhash_candidates(
     b_sig = minhash_signatures(batch, id_col, content_col, num_hashes)
 
     def bands_of(sig: DataFrame, out_id: str) -> DataFrame:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(
-                        F.slice("__sig", b * r + 1, r), F.lit(b)
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
-        )
         return sig.select(
-            F.col("__id").alias(out_id), F.explode(band_structs).alias("bd")
+            F.col("__id").alias(out_id),
+            F.expr(_bands_sql(bands, r)).alias("bd"),
         ).select(out_id, "bd.band_id", "bd.band_key")
 
     bb = bands_of(b_sig, "batch_id")
@@ -239,6 +229,24 @@ def _word_shingles(text: Column, k: int) -> Column:
     )
     return F.array_distinct(
         F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def _bands_sql(bands: int, r: int) -> str:
+    """The LSH band-struct explode as one SQL string (same py4j
+    rationale as the signature aggregate in
+    :func:`minhash_signatures`): band b's key is
+    ``xxhash64(slice(__sig, b*r+1, r), b)`` — identical expression
+    tree and INT literal types as the former per-band Column build,
+    ~100 fewer driver round-trips per call."""
+    return (
+        "explode(array("
+        + ",".join(
+            f"struct({b} AS band_id, "
+            f"xxhash64(slice(__sig, {b * r + 1}, {r}), {b}) AS band_key)"
+            for b in range(bands)
+        )
+        + "))"
     )
 
 
@@ -286,15 +294,20 @@ def minhash_signatures(
         F.col(id_col).alias("__id"),
         F.explode(_word_shingles(F.col(text_col), shingle_k)).alias("__sh0"),
     ).select("__id", F.xxhash64("__sh0").alias("__sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__s{i}")
-        for i in range(num_hashes)
-    ]
-    per_doc = shingled.groupBy("__id").agg(*aggs)
-    return per_doc.select(
-        "__id",
-        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("__sig"),
+    # the 64 per-permutation min-aggregates as ONE SQL string parsed
+    # JVM-side: building them as nested Column objects costs ~200
+    # py4j round-trips ≈ 0.7-1.0 s of DRIVER time per call (measured
+    # sf-independent — pure plan-construction overhead the bench pays
+    # every rep); the parsed expression tree, types (INT literal
+    # seeds) and the physical aggregation are identical
+    sig_sql = (
+        "array("
+        + ",".join(
+            f"min(xxhash64(__sh, {i}))" for i in range(num_hashes)
+        )
+        + ") AS __sig"
     )
+    return shingled.groupBy("__id").agg(F.expr(sig_sql))
 
 
 def minhash_lsh_pairs(
@@ -314,19 +327,8 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.slice("__sig", b * r + 1, r), F.lit(b)
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
-        "__id", "__sig", F.explode(band_structs).alias("band")
+        "__id", "__sig", F.expr(_bands_sql(bands, r)).alias("band")
     ).select("__id", "__sig", "band.band_id", "band.band_key")
     # Materialize the banded signatures before the self-join: the two
     # join sides otherwise recompute the whole scan→shingle→hash×64

@@ -34,6 +34,38 @@ TABLES = (
 # constant-size dims are force-broadcast by the plans that join them).
 CONSTANT_DIMS = ("region", "nation")
 
+#: schema cache for the scale-factor tables, keyed on (abspath, mtime)
+#: — METADATA only, the catalog-resolution role a real table format's
+#: manifest plays (guide §6: Iceberg/Delta avoid per-query listing +
+#: footer schema inference entirely). A plain ``spark.read.parquet``
+#: costs ~100-220 ms per call in driver-side footer inference, paid on
+#: EVERY load in every query (a 6-table join pays it six times);
+#: supplying the cached schema drops that to ~50 ms while the plan,
+#: expression ids and the execution-time data scan are completely
+#: unchanged — every action still reads the parquet files in full.
+#: The mtime key means a rewritten file re-infers, never serves a
+#: stale schema.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with (abspath, mtime)-keyed schema reuse
+    — construction-time metadata only; see ``_SCHEMA_CACHE``."""
+    import os
+
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None:
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -46,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type.startswith("timestamp"):
             # Already a timestamp (micros vintage); normalize NTZ→TIMESTAMP
@@ -55,7 +87,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Legacy nanos-as-long vintage: truncate to micros via integer DIV
         # (no double round-trip, so no precision loss on ~1.7e18 epochs).
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
