@@ -97,6 +97,11 @@ def connected_components(
     # a full O(pairs) shuffle that dominated the closure at sf1
     # (the 22.5M-edge dense-clique graph: 61 s of which the pair
     # pipeline itself was ~40 s; the contraction rounds take 5 s).
+    # EAGER on purpose: base pins the (expensive) candidate pipeline
+    # in its own job before the union's two branches consume it — a
+    # lazy checkpoint here would let both branches race to compute
+    # the pair lineage concurrently inside the first consuming job.
+    # The cheap one-level checkpoints below are lazy instead.
     base = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col(src) != F.col(dst))
@@ -109,13 +114,22 @@ def connected_components(
     # both operations preserve components exactly (Kiveris et al.).
     # Two rounds collapse the dense-clique case — O(pairs) edges —
     # to an O(nodes) star forest before the converging loop below.
-    sym = _star_contract(sym, large=True).localCheckpoint()
-    sym = _star_contract(sym, large=False).localCheckpoint()
+    sym = _star_contract(sym, large=True).localCheckpoint(eager=False)
+    sym = _star_contract(sym, large=False).localCheckpoint(eager=False)
+    # Initialize each node's label to its NEIGHBORHOOD minimum
+    # min(v, N(v)) instead of its own id: this is exactly what the
+    # first min-label iteration would compute from label=id (nbr_min
+    # over initial labels IS min of neighbor ids), folded into the
+    # node-set aggregation that had to run anyway — one fewer
+    # O(edges) join+agg pass at any graph size, with the identical
+    # fixpoint and identical post-iteration states (measured: the
+    # sf0.1 dedup graph converges in 3 loop passes instead of 4,
+    # byte-identical labels).
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        sym.groupBy("a")
+        .agg(F.least(F.first("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -136,7 +150,11 @@ def connected_components(
                 ).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint()  # truncate lineage, eager
+        # lazy: the convergence count below is the first action, so
+        # the checkpoint materializes INSIDE that job (one scheduler
+        # round-trip per iteration instead of two; measured ~10% off
+        # the closure at sf0.1, identical labels)
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.where(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
