@@ -294,3 +294,59 @@ def test_dedup_paragraphs_first_occurrence_survives(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_ngram_jaccard_positional_filter_lossless(spark):
+    """The PPJoin positional prefix filter (r13 optimization) must be
+    LOSSLESS: the filtered candidate join returns exactly the pairs a
+    brute-force all-pairs exact Jaccard finds, at several thresholds,
+    on a corpus engineered with heavy shared-prefix collisions (many
+    docs built from one base alphabet, so candidate pairs share many
+    prefix grams — the regime the filter actually prunes in)."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(40):
+        base = [words[rng.randrange(len(words))] for _ in range(12)]
+        if i % 3 == 0 and rows:
+            # mutate a previous doc: near-dup with shifted positions
+            prev = rows[rng.randrange(len(rows))][1].split()
+            k = rng.randrange(1, 3)
+            for _ in range(k):
+                prev[rng.randrange(len(prev))] = words[
+                    rng.randrange(len(words))
+                ]
+            text = " ".join(prev)
+        else:
+            text = " ".join(base)
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "id long, text string").withColumn(
+        "part", F.lit("p")
+    )
+
+    def grams(t, n=3):
+        t = t.lower()
+        m = max(len(t) - (n - 1), 1)
+        return set(t[i : i + n] for i in range(m))
+
+    gsets = {i: grams(t) for i, t in rows}
+    for threshold in (0.5, 0.7, 0.9):
+        expect = set()
+        for a, b in itertools.combinations(sorted(gsets), 2):
+            inter = len(gsets[a] & gsets[b])
+            union = len(gsets[a] | gsets[b])
+            if round(inter / union, 4) >= threshold:
+                expect.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "id", "text", "part", n=3, threshold=threshold
+            ).collect()
+        }
+        assert got == expect, (
+            f"threshold {threshold}: got {len(got)} pairs, "
+            f"expected {len(expect)}"
+        )
