@@ -234,8 +234,8 @@ def register_lakehouse_index(
             signbit_code(df[vec_col], planes, dim=dim).alias("__code"),
         )
         _hash_distribute(coded, "__code").write.mode(
-        "overwrite"
-    ).partitionBy("__code").parquet(path)
+            "overwrite"
+        ).partitionBy("__code").parquet(path)
     meta = {
         "path": path,
         "id_col": id_col,
