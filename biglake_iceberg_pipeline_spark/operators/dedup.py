@@ -561,7 +561,16 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    g = df.select(
+    # Spread a few-file corpus across the cluster BEFORE the Arrow
+    # tokenizer (same rationale as minhash_signatures): a 1-file
+    # parquet scans as ONE task, serializing the per-doc n-gram
+    # kernel on one core. Keyed on the id so the hash exchange moves
+    # COMPACT doc rows once and the per-doc prefix-rank window below
+    # then needs no exchange at all — the alternative (no spread)
+    # shuffles the ~140×-larger EXPLODED token stream for the window
+    # (guide §3.3: explode before a shuffle multiplies it). No-op
+    # when the source already has enough splits (the 100 TB case).
+    g = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.col(partition_col).alias("__part"),
         char_ngrams_pandas(F.col(text_col), n).alias("__ng"),
@@ -603,6 +612,17 @@ def ngram_jaccard_pairs(
         .where(F.col("__rk") <= pref_len)
         .select("__id", "__part", "__n", "__tok", "__rk")
     )
+    # Materialize the prefix tokens before the self-join — the same
+    # rationale as minhash_lsh_pairs' banded pin: without it BOTH
+    # join sides recompute the explode → doc-frequency join → per-doc
+    # rank window subtree (the broadcast build side can't share the
+    # streamed side's exchange). The pinned frame is the PREFIX
+    # fraction only (~(1-t) of the exploded grams, ids + one gram per
+    # row — never text), so at 100 TB it is the candidate index LSH
+    # practice materializes anyway. Measured at sf0.1: ~0.5-1.0 s off
+    # the pair build, candidates byte-identical. Lazy: the first
+    # consuming job materializes it (one scheduler round-trip).
+    tokens = tokens.localCheckpoint(eager=False)
     ta, tb = tokens.alias("ta"), tokens.alias("tb")
     size_ok = F.least(F.col("ta.__n"), F.col("tb.__n")) >= F.lit(
         threshold

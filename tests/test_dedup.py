@@ -350,3 +350,44 @@ def test_ngram_jaccard_positional_filter_lossless(spark):
             f"threshold {threshold}: got {len(got)} pairs, "
             f"expected {len(expect)}"
         )
+
+
+def test_ngram_jaccard_partitioning_invariant(spark, tmp_path):
+    """The r13 spread + prefix-token pin must be INVISIBLE in the
+    output: the exact pair set (ids AND jaccard values) is identical
+    whether the corpus scans as one file-backed partition (the local
+    single-file case `_spread` re-spreads) or arrives pre-split —
+    repartitioning and the localCheckpoint barrier are placement-only
+    transforms, never content transforms."""
+    rows = [
+        (i, ("lorem ipsum dolor sit amet " * 3) + f"tail {i % 7}", "s")
+        for i in range(60)
+    ]
+    one = str(tmp_path / "one")
+    spark.createDataFrame(
+        rows, "id long, text string, part string"
+    ).coalesce(1).write.parquet(one)
+    docs_one = spark.read.parquet(one)
+    assert len(docs_one.inputFiles()) == 1  # the re-spread regime
+    many = str(tmp_path / "many")
+    spark.createDataFrame(
+        rows, "id long, text string, part string"
+    ).repartition(16).write.parquet(many)
+    docs_many = spark.read.parquet(many)
+
+    def as_set(df):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+        }
+
+    a = as_set(
+        dedup.ngram_jaccard_pairs(
+            docs_one, "id", "text", "part", n=3, threshold=0.6
+        )
+    )
+    b = as_set(
+        dedup.ngram_jaccard_pairs(
+            docs_many, "id", "text", "part", n=3, threshold=0.6
+        )
+    )
+    assert a == b and a  # identical, and non-trivially non-empty
