@@ -623,7 +623,37 @@ def ngram_jaccard_pairs(
     # the pair build, candidates byte-identical. Lazy: the first
     # consuming job materializes it (one scheduler round-trip).
     tokens = tokens.localCheckpoint(eager=False)
-    ta, tb = tokens.alias("ta"), tokens.alias("tb")
+    # ASYMMETRIC INDEX PREFIX (AllPairs, Bayardo et al. WWW'07 —
+    # the indexing-prefix half the symmetric form leaves on the
+    # table): orient every candidate pair so side a is the SMALLER
+    # document (ties by id), and pre-filter side a to its INDEX
+    # prefix |A| − ⌈2t/(1+t)·|A|⌉ + 1 — shorter than the probe
+    # prefix |A| − ⌈t·|A|⌉ + 1 kept in ``tokens`` (0.25·|A| vs
+    # 0.4·|A| at t = 0.6). LOSSLESS: a true pair (A, B), |A| ≤ |B|,
+    # needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and its FIRST shared
+    # gram sits at positions (i, j) with i ≤ |A| − α + 1 and
+    # j ≤ |B| − α + 1; α ≥ ⌈2t/(1+t)·|A|⌉ (since |B| ≥ |A|) puts i
+    # inside A's index prefix, and α ≥ t·|B| (since |A| ≥ t·|B| for
+    # any true pair) puts j inside B's probe prefix — so at least
+    # one join row per true pair survives. This shrinks the hash
+    # join's BUILD side ~40%, cutting the per-key pair enumeration
+    # (the widest part of the stage) proportionally — the filters
+    # below only cut OUTPUT rows, this cuts the comparisons
+    # themselves (guide §2.3). Same widen-only epsilon convention.
+    idx_len = (
+        F.col("__n")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("__n")
+            - F.lit(eps)
+        ).cast("int")
+        + F.lit(1)
+    )
+    ta = tokens.where(F.col("__rk") <= idx_len).alias("ta")
+    tb = tokens.alias("tb")
+    orient = (F.col("ta.__n") < F.col("tb.__n")) | (
+        (F.col("ta.__n") == F.col("tb.__n"))
+        & (F.col("ta.__id") < F.col("tb.__id"))
+    )
     size_ok = F.least(F.col("ta.__n"), F.col("tb.__n")) >= F.lit(
         threshold
     ) * F.greatest(F.col("ta.__n"), F.col("tb.__n")) - F.lit(eps)
@@ -650,13 +680,17 @@ def ngram_jaccard_pairs(
             tb,
             (F.col("ta.__part") == F.col("tb.__part"))
             & (F.col("ta.__tok") == F.col("tb.__tok"))
-            & (F.col("ta.__id") < F.col("tb.__id"))
+            & orient
             & size_ok
             & pos_ok,
         )
         .select(
-            F.col("ta.__id").alias("id_a"),
-            F.col("tb.__id").alias("id_b"),
+            # size-oriented sides back to the id-ordered pair the
+            # verify and the output contract use
+            F.least(F.col("ta.__id"), F.col("tb.__id")).alias("id_a"),
+            F.greatest(F.col("ta.__id"), F.col("tb.__id")).alias(
+                "id_b"
+            ),
         )
         .distinct()
     )
