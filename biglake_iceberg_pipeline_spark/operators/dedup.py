@@ -468,6 +468,11 @@ def simhash_pairs(
 #: fixed-width bitmaps (popcount-AND, ≤ 2 KB/doc) to sorted int
 #: arrays — module-level so tests can force either path
 BITMAP_VOCAB_MAX = 16384
+# Broadcast the (gram → df, gid) vocabulary when its EXACT row count
+# proves the built hash relation small (~60 B/row ⇒ ≲60 MB at the
+# cap). The pinned vocabulary is a LogicalRDD with no stats, so the
+# planner would otherwise sort-merge the token join at any size.
+GID_BROADCAST_MAX = 1_000_000
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
@@ -593,36 +598,90 @@ def ngram_jaccard_pairs(
     # any consistent total order is lossless, but ordering by rarity
     # makes prefixes the most selective grams — under lexicographic
     # order the candidate join floods on grams half the corpus
-    # shares. The df table is vocabulary-sized (≪ corpus); AQE
-    # broadcasts it at runtime when small — no explicit hint, so a
-    # CJK-scale vocabulary degrades to a shuffle join instead of an
-    # OOM.
+    # shares.
     all_tokens = g.select(
         "__id", "__part", "__n", F.explode("__ng").alias("__tok")
     )
-    gram_df = all_tokens.groupBy("__tok").agg(
-        F.count(F.lit(1)).alias("__df")
+    # ---- ONE vocabulary job (fused, r14): doc frequency AND dense
+    # gram ids from a single pinned vocab-sized frame. Previously the
+    # doc-frequency aggregate was recomputed THREE times at execution
+    # (the n_vocab count action, inside the prefix-rank plan, and
+    # again inside the verify's factorization) because pinning the
+    # live aggregate forfeits its AQE runtime broadcast (the r13
+    # rejected variant). Pinning the RANKED vocabulary and explicitly
+    # broadcasting the (tok → df, gid) table when it is provably
+    # small keeps the broadcast AND collapses the three aggregations
+    # into one. Dense ids come from the same two-level scan the
+    # large-vocab path always used (range shuffle + per-partition
+    # local ranks + O(partitions) driver offsets — no single-task
+    # global sort at any vocabulary size); n_vocab falls out of the
+    # collected partition counts, replacing the separate count()
+    # action. gid values are identical to the old factorization
+    # (dense 0..n_vocab-1 in __tok order).
+    ranked_vocab = (
+        all_tokens.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .repartitionByRange(32, F.col("__tok"))
+        .sortWithinPartitions("__tok")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ranked_vocab.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_vocab = sum(counts.values())
+    run = 0
+    offs = {}
+    for pid in sorted(counts):
+        offs[pid] = run
+        run += counts[pid]
+    off_df = ranked_vocab.sparkSession.createDataFrame(
+        list(offs.items()), "__pid int, __off long"
+    )
+    local_rk = F.row_number().over(
+        Window.partitionBy("__pid").orderBy("__tok")
+    )
+    gid = (
+        ranked_vocab.withColumn("__lrk", local_rk)
+        .join(F.broadcast(off_df), "__pid")
+        .select(
+            "__tok",
+            "__df",
+            (F.col("__off") + F.col("__lrk") - 1).alias("__gid"),
+        )
+    )
+    if n_vocab <= GID_BROADCAST_MAX:
+        # the pinned vocabulary is a LogicalRDD with no stats, so AQE
+        # would never broadcast it on its own — hint it explicitly
+        # when the EXACT count proves it small (≲60 MB built); a
+        # CJK-scale vocabulary stays a shuffle join, never an OOM
+        gid = F.broadcast(gid)
+    # ---- ONE pass over the exploded stream: join the (df, gid)
+    # vocabulary once, rank each doc's grams rare-first, and pin the
+    # result. (__df, __gid) ordering ≡ (__df, __tok) — gid is
+    # strictly increasing in __tok — so ranks are identical to the
+    # old per-consumer builds. Everything downstream (both candidate
+    # self-join sides, the verify's set build, the doc sizes) reads
+    # THIS pin: no tokenizer re-runs, no doc-frequency recomputes,
+    # no re-explodes (guide §2.4). The pinned frame is all-int rows
+    # (id, part, n, gid, rk — the gram string is dropped, so the
+    # candidate join now shuffles ints, §2.3); at 100 TB it is the
+    # candidate index LSH practice materializes anyway, spilling to
+    # disk past memory. Lazy: the first consuming job materializes
+    # it (one scheduler round-trip).
     rk = F.row_number().over(
-        Window.partitionBy("__id").orderBy("__df", "__tok")
+        Window.partitionBy("__id").orderBy("__df", "__gid")
     )
-    tokens = (
-        all_tokens.join(gram_df, "__tok")
+    ranked_all = (
+        all_tokens.join(gid, "__tok")
         .withColumn("__rk", rk)
-        .where(F.col("__rk") <= pref_len)
-        .select("__id", "__part", "__n", "__tok", "__rk")
+        .select("__id", "__part", "__n", "__gid", "__rk")
+        .localCheckpoint(eager=False)
     )
-    # Materialize the prefix tokens before the self-join — the same
-    # rationale as minhash_lsh_pairs' banded pin: without it BOTH
-    # join sides recompute the explode → doc-frequency join → per-doc
-    # rank window subtree (the broadcast build side can't share the
-    # streamed side's exchange). The pinned frame is the PREFIX
-    # fraction only (~(1-t) of the exploded grams, ids + one gram per
-    # row — never text), so at 100 TB it is the candidate index LSH
-    # practice materializes anyway. Measured at sf0.1: ~0.5-1.0 s off
-    # the pair build, candidates byte-identical. Lazy: the first
-    # consuming job materializes it (one scheduler round-trip).
-    tokens = tokens.localCheckpoint(eager=False)
+    tokens = ranked_all.where(F.col("__rk") <= pref_len)
     # ASYMMETRIC INDEX PREFIX (AllPairs, Bayardo et al. WWW'07 —
     # the indexing-prefix half the symmetric form leaves on the
     # table): orient every candidate pair so side a is the SMALLER
@@ -679,7 +738,7 @@ def ngram_jaccard_pairs(
         ta.join(
             tb,
             (F.col("ta.__part") == F.col("tb.__part"))
-            & (F.col("ta.__tok") == F.col("tb.__tok"))
+            & (F.col("ta.__gid") == F.col("tb.__gid"))
             & orient
             & size_ok
             & pos_ok,
@@ -705,53 +764,16 @@ def ngram_jaccard_pairs(
     # Either way |A∪B| = |A| + |B| − |A∩B| (distinct sets) — no
     # union materialization. The vocabulary count is one bounded
     # metadata job (|vocab| ≪ corpus).
-    n_vocab = gram_df.count()
-    if n_vocab <= BITMAP_VOCAB_MAX:
-        # a single-task window over ≤16k vocabulary rows is trivial
-        gid = gram_df.select(
-            "__tok",
-            (F.row_number().over(Window.orderBy("__tok")) - 1).alias(
-                "__gid"
-            ),
-        )
-        ids = all_tokens.join(F.broadcast(gid), "__tok")
-    else:
-        # large vocabulary (CJK-scale char n-grams): dense ids via
-        # the two-level scan (range shuffle + per-partition local
-        # ranks + O(partitions) driver offsets) — no single-task
-        # global sort, no vocabulary broadcast
-        ranked = (
-            gram_df.repartitionByRange(32, F.col("__tok"))
-            .sortWithinPartitions("__tok")
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint()
-        )
-        counts = {
-            r["__pid"]: r["c"]
-            for r in ranked.groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        run = 0
-        offs = {}
-        for pid in sorted(counts):
-            offs[pid] = run
-            run += counts[pid]
-        off_df = ranked.sparkSession.createDataFrame(
-            list(offs.items()), "__pid int, __off long"
-        )
-        local_rk = F.row_number().over(
-            Window.partitionBy("__pid").orderBy("__tok")
-        )
-        gid = (
-            ranked.withColumn("__lrk", local_rk)
-            .join(F.broadcast(off_df), "__pid")
-            .select(
-                "__tok",
-                (F.col("__off") + F.col("__lrk") - 1).alias("__gid"),
-            )
-        )
-        ids = all_tokens.join(gid, "__tok")
+    # n_vocab was computed EXACTLY above (the pinned vocabulary's
+    # partition counts), and ranked_all already carries the dense
+    # __gid for every (doc, gram) row — the verify reads the pin
+    # instead of re-deriving doc frequency + ids from a third pass
+    # over the exploded stream (guide §2.4). gid densification is
+    # the two-level scan at EVERY vocabulary size now (it equals the
+    # old single-task Window.orderBy ids exactly: dense 0..n_vocab-1
+    # in __tok order), so the bitmap-vs-array branch is purely about
+    # the per-doc set representation.
+    ids = ranked_all.select("__id", "__gid")
     if n_vocab <= BITMAP_VOCAB_MAX:  # ≤ 256 longs (2 KB) per doc
         n_words = (n_vocab + 63) // 64
         words = ids.groupBy(
