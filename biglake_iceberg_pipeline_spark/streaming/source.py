@@ -516,6 +516,55 @@ def _overlay_batches(partition: _FilePartition, target):
     ).to_batches()
 
 
+def _pushed_row_batches(batches, ranges, in_lists):
+    """Row-level application of the pushed-filter ranges the planner
+    already uses for file skipping — executor-side, AFTER any delete
+    overlay (positions index physical order, so masking must happen
+    first). Guide §4: the Python DataSource boundary's cost is how
+    many rows cross it as Arrow; a point lookup that plans down to
+    one file still shipped that WHOLE file to the JVM for Spark's
+    row-wise re-filter. Every range/in-list comes from a
+    null-rejecting top-level conjunct (EqualTo / >,>= / <,<= /
+    StartsWith as a successor-bounded closed range, intersected per
+    column), so a row outside the closed range — or NULL in the
+    column — can never survive Spark's re-application; dropping it
+    here changes transferred bytes, never results. Boundary rows a
+    strict predicate would drop (StartsWith successor, > vs >=) are
+    KEPT (closed-range test) and re-filtered by Spark. Any
+    evaluation problem (missing column, incomparable types) keeps
+    the batch whole — correctness never depends on this filter."""
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        mask = None
+        try:
+            names = set(batch.schema.names)
+            for col, (lo, hi) in ranges.items():
+                if col not in names:
+                    continue
+                arr = batch.column(col)
+                m = pc.is_valid(arr)
+                if lo is not None:
+                    m = pc.and_(m, pc.greater_equal(arr, lo))
+                if hi is not None:
+                    m = pc.and_(m, pc.less_equal(arr, hi))
+                mask = m if mask is None else pc.and_(mask, m)
+            for col, vals in in_lists.items():
+                if col not in names:
+                    continue
+                arr = batch.column(col)
+                import pyarrow as pa
+
+                m = pc.is_in(
+                    arr, value_set=pa.array(vals).cast(arr.type)
+                )
+                m = pc.and_(pc.is_valid(arr), m)
+                mask = m if mask is None else pc.and_(mask, m)
+        except Exception:
+            mask = None  # conservative: ship the batch whole
+        yield batch if mask is None else batch.filter(mask)
+
+
 def _with_ctype(tbl, ctype: str):
     """Append the CDF label column to an aligned table."""
     import pyarrow as pa
@@ -1875,6 +1924,16 @@ class LakehouseBatchReader(DataSourceReader):
         return pos_by_file, eq_by_file, refs_by_file, dv_by_file
 
     def read(self, partition: _FilePartition):
+        batches = self._read_overlaid(partition)
+        if self._ranges or self._in_lists:
+            # ship only rows that can survive the pushed conjuncts
+            # (post-mask, so delete positions stayed physical)
+            batches = _pushed_row_batches(
+                batches, self._ranges, self._in_lists
+            )
+        yield from batches
+
+    def _read_overlaid(self, partition: _FilePartition):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._arrow_schema is None:
