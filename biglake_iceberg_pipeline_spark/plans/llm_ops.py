@@ -147,6 +147,10 @@ def _cluster_pipeline(docs: DataFrame) -> DataFrame:
         partition_col="source",
         n=3,
         threshold=0.6,
+        # closure edges are order-insensitive: skip the presentation
+        # sort (and its range-exchange sampling job) the declared
+        # pair query keeps
+        ordered=False,
     )
     return dedup_cluster_assignment(docs, pairs, "doc_id")
 
@@ -206,7 +210,16 @@ def cluster_assignment_matview(spark: SparkSession, sf_dir: str):
         root = tempfile.mkdtemp(prefix="spark-pair-artifact-")
         cleanup_index_at_exit(root)  # scratch, not a leak
         base = LakehouseTable(_os.path.join(root, "documents"))
-        base.append(load_table(spark, sf_dir, "documents"))
+        # register the corpus parquet by REFERENCE (Iceberg add_files:
+        # metadata-only, footer stats recorded, ownership NOT taken —
+        # GC never deletes the originals) instead of re-writing every
+        # document into the scratch table: the artifact build used to
+        # pay a full executor write + append commit of the corpus
+        # before computing anything (guide §6 — the migration path
+        # exists precisely so onboarding data is not an ingest)
+        base.add_files(
+            spark, _os.path.join(sf_dir, "documents.parquet")
+        )
         mv = MaterializedView(
             spark,
             "dedup_clusters",

@@ -2811,14 +2811,24 @@ class LakehouseTable:
             spark, files, schema_json, txn
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         # overwrite replaces whatever the tail is — no read-state
-        # dependency, so no conflict check (last overwrite wins)
+        # dependency, so no conflict check (last overwrite wins).
+        # ``txn`` stamps the writer watermark in the SAME manifest
+        # commit (matview full recompute: result + watermark land
+        # atomically, one commit instead of overwrite + stamp).
         files = self._write_data(df)
-        snap = self._locked_commit(
-            "overwrite", files, self._file_stats(files), df.schema.json()
-        )[0]
-        self._fire_commit_hooks("overwrite", snap)
+        snap, committed = self._locked_commit(
+            "overwrite",
+            files,
+            self._file_stats(files),
+            df.schema.json(),
+            txn=txn,
+        )
+        if committed:
+            self._fire_commit_hooks("overwrite", snap)
         return snap
 
     def overwrite_where(

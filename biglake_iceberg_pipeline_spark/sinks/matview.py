@@ -160,9 +160,13 @@ class MaterializedView:
 
     def _full_recompute(self) -> int:
         base_snap = self.base.current_snapshot_id()
-        self.table.overwrite(self.defining_query(self.base.read(self.spark)))
-        lock_free_stamp(self.table, base_snap, app=self._app)
-        return self.table.current_snapshot_id()
+        # single commit: the materialized rows and the watermark stamp
+        # land atomically (txn= rides the overwrite's manifest swap)
+        # instead of overwrite + a second lock_free_stamp commit
+        return self.table.overwrite(
+            self.defining_query(self.base.read(self.spark)),
+            txn=(self._app, base_snap),
+        )
 
     def auto_refresh_on_commit(self) -> "MaterializedView":
         """Register this view on the base table's post-commit hook so
