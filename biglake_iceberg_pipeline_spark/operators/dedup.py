@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.session import pin
+
 HASH_PRIME = 1000000007
 
 
@@ -318,6 +320,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    ordered: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature
     agreement (estimated Jaccard). Returns (id_a, id_b, est_jaccard).
@@ -337,7 +340,7 @@ def minhash_lsh_pairs(
     # materialized set is docs × bands × ~24 bytes — at 1B docs ~400 GB
     # across executors, standard LSH practice (signatures are the
     # index), vs re-hashing the full corpus.
-    banded = banded.localCheckpoint(eager=False)
+    banded = pin(banded, eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -365,13 +368,12 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return (
-        cand.select(
-            "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    out = cand.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+    # ordered=False: see ngram_jaccard_pairs — identical pair set,
+    # no presentation sort for order-insensitive edge consumers
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def simhash_signatures(
@@ -441,7 +443,7 @@ def simhash_pairs(
     # Same reasoning as minhash_lsh_pairs: materialize the (doc × 4
     # chunks × 16 bytes) signature set so the self-join doesn't run
     # the scan→shingle→hash pipeline once per side.
-    chunked = chunked.localCheckpoint(eager=False)
+    chunked = pin(chunked, eager=False)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(
         F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
@@ -522,6 +524,7 @@ def ngram_jaccard_pairs(
     partition_col: str,
     n: int = 3,
     threshold: float = 0.7,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ``partition_col`` —
     the AllPairs/PPJoin shape (Bayardo et al., WWW'07), EXACT output.
@@ -584,7 +587,7 @@ def ngram_jaccard_pairs(
     # prefixes, factorization, verify sets) derives from ONE
     # materialization — no tokenizer re-runs, and no construction-vs-
     # execution drift between the vocabulary count and the gram ids
-    g = g.localCheckpoint()
+    g = pin(g)
     eps = 1e-9  # prefilter slack: widen-only, never drop (see doc)
     # prefix length |A| - ceil(t*|A| - eps) + 1 (>= 1 when non-empty)
     pref_len = (
@@ -618,13 +621,12 @@ def ngram_jaccard_pairs(
     # collected partition counts, replacing the separate count()
     # action. gid values are identical to the old factorization
     # (dense 0..n_vocab-1 in __tok order).
-    ranked_vocab = (
+    ranked_vocab = pin(
         all_tokens.groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__df"))
         .repartitionByRange(32, F.col("__tok"))
         .sortWithinPartitions("__tok")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     counts = {
         r["__pid"]: r["c"]
@@ -675,11 +677,11 @@ def ngram_jaccard_pairs(
     rk = F.row_number().over(
         Window.partitionBy("__id").orderBy("__df", "__gid")
     )
-    ranked_all = (
+    ranked_all = pin(
         all_tokens.join(gid, "__tok")
         .withColumn("__rk", rk)
-        .select("__id", "__part", "__n", "__gid", "__rk")
-        .localCheckpoint(eager=False)
+        .select("__id", "__part", "__n", "__gid", "__rk"),
+        eager=False,
     )
     tokens = ranked_all.where(F.col("__rk") <= pref_len)
     # ASYMMETRIC INDEX PREFIX (AllPairs, Bayardo et al. WWW'07 —
@@ -832,15 +834,21 @@ def ngram_jaccard_pairs(
     jac = inter.cast("double") / (
         F.col("__n_a") + F.col("__n_b") - inter
     ).cast("double")
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b", F.round(jac, 4).alias("jaccard")
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # ``ordered=False`` is for ORDER-INSENSITIVE consumers (the
+    # transitive-closure edge list): the global sort exists only for
+    # presentation determinism, and under a materializing consumer it
+    # costs a range exchange + its sampling job (guide §2.4 — an
+    # orderBy used only to make output deterministic). The pair SET
+    # is identical either way.
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def cosine_pandas(a: Column, b: Column) -> Column:

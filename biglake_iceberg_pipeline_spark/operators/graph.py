@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.session import pin
+
 
 def _star_contract(sym: DataFrame, large: bool) -> DataFrame:
     """One large-star (``large=True``) or small-star round over a
@@ -102,10 +104,9 @@ def connected_components(
     # lazy checkpoint here would let both branches race to compute
     # the pair lineage concurrently inside the first consuming job.
     # The cheap one-level checkpoints below are lazy instead.
-    base = (
+    base = pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col(src) != F.col(dst))
-        .localCheckpoint()
     )
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # component membership of the ORIGINAL node set must survive the
@@ -114,8 +115,8 @@ def connected_components(
     # both operations preserve components exactly (Kiveris et al.).
     # Two rounds collapse the dense-clique case — O(pairs) edges —
     # to an O(nodes) star forest before the converging loop below.
-    sym = _star_contract(sym, large=True).localCheckpoint(eager=False)
-    sym = _star_contract(sym, large=False).localCheckpoint(eager=False)
+    sym = pin(_star_contract(sym, large=True), eager=False)
+    sym = pin(_star_contract(sym, large=False), eager=False)
     # Initialize each node's label to its NEIGHBORHOOD minimum
     # min(v, N(v)) instead of its own id: this is exactly what the
     # first min-label iteration would compute from label=id (nbr_min
@@ -125,11 +126,11 @@ def connected_components(
     # fixpoint and identical post-iteration states (measured: the
     # sf0.1 dedup graph converges in 3 loop passes instead of 4,
     # byte-identical labels).
-    labels = (
+    labels = pin(
         sym.groupBy("a")
         .agg(F.least(F.first("a"), F.min("b")).alias("component"))
-        .select(F.col("a").alias("id"), "component")
-        .localCheckpoint(eager=False)
+        .select(F.col("a").alias("id"), "component"),
+        eager=False,
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -154,7 +155,7 @@ def connected_components(
         # the checkpoint materializes INSIDE that job (one scheduler
         # round-trip per iteration instead of two; measured ~10% off
         # the closure at sf0.1, identical labels)
-        updated = updated.localCheckpoint(eager=False)
+        updated = pin(updated, eager=False)
         n_changed = updated.where(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:

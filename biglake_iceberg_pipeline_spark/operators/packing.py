@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from biglake_iceberg_pipeline_spark.session import pin
+
 
 def _packing_plan(
     df: DataFrame,
@@ -135,7 +137,7 @@ def pack_sequences(
     try:
         # materialize before unpersist: callers get a frame that no
         # longer depends on the cached layout
-        out = out.localCheckpoint(eager=True)
+        out = pin(out, eager=True)
     finally:
         laid.unpersist()
     return out

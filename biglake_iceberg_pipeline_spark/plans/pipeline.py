@@ -100,7 +100,9 @@ def curate_documents(
 
     # 3. near-dup: LSH candidate pairs → connected clusters → keep the
     # cluster minimum
-    pairs = dedup.minhash_lsh_pairs(deduped, "doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        deduped, "doc_id", "text", ordered=False
+    )
     clusters = dedup_cluster_assignment(
         deduped.select("doc_id"), pairs, "doc_id"
     )

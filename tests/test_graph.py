@@ -147,3 +147,32 @@ def test_long_chain_still_converges(spark):
     got = connected_components(df, "id_a", "id_b").collect()
     assert {r["component"] for r in got} == {0}
     assert len(got) == 41
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR swaps every pin from executor-local
+    localCheckpoint to reliable checkpoint() against the directory
+    (fault tolerance at cluster scale): identical labels, and the
+    checkpoint dir actually receives RDD data."""
+    import os
+
+    from biglake_iceberg_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    written = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing to the dir"
