@@ -364,6 +364,14 @@ def main() -> None:
         calibration_io = calibration_io_op(spark, reps)
     except Exception as exc:  # never fail the bench over a pin file
         calibration_io = f"error: {str(exc)[:120]}"
+    # Per-section calibration stamps (VERDICT r13 item 3): one
+    # single-rep re-probe of the SAME fixed op after each section, so
+    # a mid-run host throttle is attributable section-by-section
+    # instead of invalidating the whole run (r13 lost its entire
+    # 32-core comparison to one contended window). Additive output
+    # only — calibration_s keeps measuring exactly what it always
+    # did (best-of-reps at run start).
+    calibration_probes: dict[str, float] = {"start": calibration}
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")
@@ -375,6 +383,10 @@ def main() -> None:
             _ = n
         timings[key] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    try:
+        calibration_probes["post_headline"] = calibration_op(spark, 1)
+    except Exception:
+        pass
     # second section: lakehouse/connector op latencies (not part of
     # the headline total — "value" stays comparable across rounds)
     try:
@@ -383,6 +395,10 @@ def main() -> None:
         )
     except Exception as exc:  # never fail the query bench over this
         lakehouse_ops = {"error": str(exc)[:200]}
+    try:
+        calibration_probes["post_lakehouse"] = calibration_op(spark, 1)
+    except Exception:
+        pass
     # third section: the expensive registered tail, warm (VERDICT r9
     # item 6) — also outside the headline total
     try:
@@ -391,6 +407,10 @@ def main() -> None:
         )
     except Exception as exc:
         expensive_tail = {"error": str(exc)[:200]}
+    try:
+        calibration_probes["end"] = calibration_op(spark, 1)
+    except Exception:
+        pass
     load_after = os.getloadavg()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -411,6 +431,9 @@ def main() -> None:
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "calibration_s": calibration,
                 "calibration_io_s": calibration_io,
+                # single-rep re-probes bracketing each section (see
+                # above): start / post_headline / post_lakehouse / end
+                "calibration_probes": calibration_probes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
