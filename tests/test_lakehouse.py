@@ -1872,35 +1872,50 @@ def test_manifest_commits_write_o_delta_bytes(spark, tmp_path):
     seal-window's worth."""
     import json as _json
 
-    t = LakehouseTable(str(tmp_path / "t"))
-    per_commit = []
-    for i in range(100):
-        t.append(spark.createDataFrame([(i,)], "id long"))
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    # seal cadence shrunk 64 → 8 so the same sealed-vs-tail dynamics
+    # (several sealed segments, bounded open tail) need 32 one-row
+    # Spark writes instead of 100 — the writes, not the manifest
+    # logic, were the test's 30 s (suite wall-clock, VERDICT r13
+    # item 1); the O(delta) assertion is cadence-relative either way
+    old_seal = lh._SEGMENT_SEAL_SNAPSHOTS
+    lh._SEGMENT_SEAL_SNAPSHOTS = 8
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        per_commit = []
+        for i in range(32):
+            t.append(spark.createDataFrame([(i,)], "id long"))
+            with open(t.manifest_path) as f:
+                core = _json.load(f)
+            written = os.path.getsize(t.manifest_path)
+            # each append rewrites exactly the open tail segment (the
+            # last descriptor) + the core
+            written += os.path.getsize(
+                os.path.join(
+                    t.path, "_segments", core["segments"][-1]["name"]
+                )
+            )
+            per_commit.append(written)
+        first, second = sum(per_commit[:16]), sum(per_commit[16:])
+        assert second < 1.8 * first, (first, second)
+        # sealed segments are reused byte-identical: after 32 epochs
+        # the sealed segment files' mtimes predate the tail's, and the
+        # core stays metadata-sized (no per-file maps, no snapshot
+        # lists)
         with open(t.manifest_path) as f:
             core = _json.load(f)
-        written = os.path.getsize(t.manifest_path)
-        # each append rewrites exactly the open tail segment (the
-        # last descriptor) + the core
-        written += os.path.getsize(
-            os.path.join(t.path, "_segments", core["segments"][-1]["name"])
-        )
-        per_commit.append(written)
-    first, second = sum(per_commit[:50]), sum(per_commit[50:])
-    assert second < 1.8 * first, (first, second)
-    # sealed segments are reused byte-identical: after 100 epochs the
-    # sealed segment files' mtimes predate the tail's, and the core
-    # stays metadata-sized (no per-file maps, no snapshot lists)
-    with open(t.manifest_path) as f:
-        core = _json.load(f)
-    assert len(core["segments"]) >= 2  # at least one sealed + tail
-    assert "file_stats" not in core and "snapshots" not in core
-    assert os.path.getsize(t.manifest_path) < 4096
-    # and history still reconstructs exactly
-    snaps = t.snapshots
-    per_append = len(snaps[0]["files"])
-    assert len(snaps[-1]["files"]) == 100 * per_append
-    assert t.read(spark).count() == 100
-    assert t.row_count() == 100
+        assert len(core["segments"]) >= 2  # at least one sealed + tail
+        assert "file_stats" not in core and "snapshots" not in core
+        assert os.path.getsize(t.manifest_path) < 4096
+        # and history still reconstructs exactly
+        snaps = t.snapshots
+        per_append = len(snaps[0]["files"])
+        assert len(snaps[-1]["files"]) == 32 * per_append
+        assert t.read(spark).count() == 32
+        assert t.row_count() == 32
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS = old_seal
 
 
 def test_manifest_delta_encoding_growth_and_roundtrip(spark, tmp_path):
@@ -1910,14 +1925,16 @@ def test_manifest_delta_encoding_growth_and_roundtrip(spark, tmp_path):
     TOTAL manifest footprint (core + segments) and that decode
     reconstructs every historical file list exactly."""
     t = LakehouseTable(str(tmp_path / "t"))
+    # 32 epochs instead of 100 (the one-row Spark writes were ~28 s
+    # of suite wall-clock; linear-vs-quadratic growth separates just
+    # as cleanly at 16 vs 32 epochs: ~2x for delta encoding, ~4x for
+    # full-list re-serialization)
     sizes = {}
-    for i in range(100):
+    for i in range(32):
         t.append(spark.createDataFrame([(i,)], "id long"))
-        if i + 1 in (50, 100):
+        if i + 1 in (16, 32):
             sizes[i + 1] = _manifest_footprint(t)[0]
-    # quadratic full-list encoding would make 100 epochs ~4x the 50-
-    # epoch bytes; linear delta encoding is ~2x (plus flat overhead)
-    assert sizes[100] < 2.5 * sizes[50], sizes
+    assert sizes[32] < 2.5 * sizes[16], sizes
     # on disk: the tail segment's snapshots carry deltas, not lists
     _, core = _manifest_footprint(t)
     import json as _json
@@ -1931,13 +1948,13 @@ def test_manifest_delta_encoding_growth_and_roundtrip(spark, tmp_path):
     # in memory: full lists reconstruct exactly, history included
     snaps = t.snapshots
     per_append = len(snaps[0]["files"])
-    assert len(snaps[-1]["files"]) == 100 * per_append
-    assert snaps[49]["files"] == snaps[-1]["files"][: len(snaps[49]["files"])]
+    assert len(snaps[-1]["files"]) == 32 * per_append
+    assert snaps[15]["files"] == snaps[-1]["files"][: len(snaps[15]["files"])]
     # reads + time travel see every row
-    assert t.read(spark).count() == 100
-    mid = snaps[49]["id"]
-    assert t.read(spark, snapshot_id=mid).count() == 50
-    assert t.row_count() == 100
+    assert t.read(spark).count() == 32
+    mid = snaps[15]["id"]
+    assert t.read(spark, snapshot_id=mid).count() == 16
+    assert t.row_count() == 32
 
 
 def test_manifest_delta_encoding_survives_rewrites(spark, tmp_path):
@@ -2641,25 +2658,36 @@ def test_manifest_segment_compaction(spark, tmp_path):
     (history and time travel intact)."""
     import json as _json
 
-    t = LakehouseTable(str(tmp_path / "t"))
-    df = spark.createDataFrame([(1,)], "id long").coalesce(1)
-    for i in range(140):  # > 2 sealed segments + tail
-        t.append(df)
-    with open(t.manifest_path) as f:
-        before = len(_json.load(f)["segments"])
-    assert before >= 3
-    # under threshold: no-op
-    assert t.compact_manifest_segments(max_segments=before) == 0
-    folded = t.compact_manifest_segments(max_segments=2)
-    assert folded == before - 1
-    with open(t.manifest_path) as f:
-        core = _json.load(f)
-    assert len(core["segments"]) == 1
-    # nothing lost: full history, reads, time travel
-    snaps = t.snapshots
-    assert len(snaps) == 140
-    assert t.read(spark).count() == 140
-    assert t.read(spark, snapshot_id=snaps[69]["id"]).count() == 70
+    from biglake_iceberg_pipeline_spark.sinks import lakehouse as lh
+
+    # shrink the seal cadence so ">2 sealed segments + tail" needs 20
+    # one-row appends instead of 140 (identical code paths — sealing,
+    # folding, reaping, decode — at 1/7 the suite wall-clock; the
+    # 140-append form cost 100 s of a 37-minute serial run)
+    old_seal = lh._SEGMENT_SEAL_SNAPSHOTS
+    lh._SEGMENT_SEAL_SNAPSHOTS = 8
+    try:
+        t = LakehouseTable(str(tmp_path / "t"))
+        df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+        for i in range(20):  # > 2 sealed segments + tail
+            t.append(df)
+        with open(t.manifest_path) as f:
+            before = len(_json.load(f)["segments"])
+        assert before >= 3
+        # under threshold: no-op
+        assert t.compact_manifest_segments(max_segments=before) == 0
+        folded = t.compact_manifest_segments(max_segments=2)
+        assert folded == before - 1
+        with open(t.manifest_path) as f:
+            core = _json.load(f)
+        assert len(core["segments"]) == 1
+        # nothing lost: full history, reads, time travel
+        snaps = t.snapshots
+        assert len(snaps) == 20
+        assert t.read(spark).count() == 20
+        assert t.read(spark, snapshot_id=snaps[9]["id"]).count() == 10
+    finally:
+        lh._SEGMENT_SEAL_SNAPSHOTS = old_seal
     # replaced segment files are reaped immediately (review r9: they
     # must not linger as O(history) JSON copies until an orphan
     # sweep's grace window); exactly the referenced one remains

@@ -39,21 +39,46 @@ def test_running_user_stats_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    rows = {
-        r["user_id"]: r
-        for r in spark.sql(
-            """SELECT * FROM (
-                 SELECT *, ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY n_events DESC) rn
-                 FROM user_stats WHERE status = 'active') WHERE rn = 1"""
-        ).collect()
-    }
-    assert rows[1]["n_events"] == 3
-    assert rows[1]["total_value"] == 17.5
-    assert rows[2]["n_events"] == 2
-    assert rows[2]["total_value"] == 7.0  # NULL value treated as 0
-    assert rows[1]["last_seen"].minute == 10
+    # ProcessingTimeTimeout makes the stateful operator report
+    # "should run another batch" on every poll (pending timers), so
+    # an availableNow query NEVER self-terminates — measured: batch
+    # ids climb ~1.4/s indefinitely on empty input. The old
+    # awaitTermination(180) burned its full timeout and then LEAKED
+    # the still-active query, spinning empty micro-batches through
+    # every later test in the suite. processAllAvailable cannot
+    # latch either (each timer batch counts as progress). Poll the
+    # sink for the final state instead, then stop explicitly.
+    import time as _time
+
+    def _snapshot():
+        return {
+            r["user_id"]: r
+            for r in spark.sql(
+                """SELECT * FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rn
+                     FROM user_stats WHERE status = 'active') WHERE rn = 1"""
+            ).collect()
+        }
+
+    try:
+        deadline = _time.time() + 120
+        rows = _snapshot()
+        while _time.time() < deadline and not (
+            rows.get(1)
+            and rows[1]["n_events"] == 3
+            and rows.get(2)
+            and rows[2]["n_events"] == 2
+        ):
+            _time.sleep(0.5)
+            rows = _snapshot()
+        assert rows[1]["n_events"] == 3
+        assert rows[1]["total_value"] == 17.5
+        assert rows[2]["n_events"] == 2
+        assert rows[2]["total_value"] == 7.0  # NULL value treated as 0
+        assert rows[1]["last_seen"].minute == 10
+    finally:
+        q.stop()
 
 
 def test_orc_roundtrip(spark, tmp_path):

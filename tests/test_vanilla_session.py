@@ -36,13 +36,17 @@ sys.path.insert(0, %(repo)r)
 from pyspark.sql import SparkSession
 
 # The driver environment: a vanilla builder, NO repo session configs.
-spark = SparkSession.builder.master("local[2]").getOrCreate()
+# (master parallelism is not a config the queries may depend on — the
+# gate is about session CONFS like Arrow/pushdown/timezone.)
+spark = SparkSession.builder.master("local[4]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 from biglake_iceberg_pipeline_spark.registry import spark_queries
 
 failures = []
-for key, fn in spark_queries().items():
+for i, (key, fn) in enumerate(sorted(spark_queries().items())):
+    if i %% %(shards)d != %(shard)d:
+        continue
     try:
         df = fn(spark, %(sf)r)
         df.collect()  # the driver collects — force full execution
@@ -61,23 +65,45 @@ sys.exit(1 if failures else 0)
 
 
 def test_all_registered_queries_run_under_bare_session():
-    script = _RUNNER % {"repo": REPO, "sf": "/root/testdata/sf0.001"}
+    # Every registered key still runs under a bare session — but in
+    # THREE concurrent subprocesses (round-robin key shards, each its
+    # own vanilla JVM) instead of one serial pass: the serial form
+    # was the single slowest test in the suite (236 s of a 37-minute
+    # serial run the driver's budget truncates; the host has cores to
+    # spare while pytest is single-threaded).
     env = dict(os.environ)
     # a leaked SPARK_GRAFT_* var must not tune the vanilla session
     for k in list(env):
         if k.startswith("SPARK_GRAFT_"):
             env.pop(k)
-    proc = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        env=env,
-        cwd=REPO,
-    )
-    tail = "\n".join(proc.stdout.splitlines()[-80:])
-    assert proc.returncode == 0, (
-        f"registered queries failed under a vanilla session:\n{tail}\n"
-        f"stderr tail:\n{chr(10).join(proc.stderr.splitlines()[-15:])}"
-    )
-    assert "VANILLA-RESULT 0 failures" in proc.stdout, tail
+    shards = 3
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _RUNNER
+                % {
+                    "repo": REPO,
+                    "sf": "/root/testdata/sf0.001",
+                    "shards": shards,
+                    "shard": shard,
+                },
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for shard in range(shards)
+    ]
+    outs = [p.communicate(timeout=3600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        tail = "\n".join(out.splitlines()[-80:])
+        assert p.returncode == 0, (
+            f"registered queries failed under a vanilla session:\n"
+            f"{tail}\nstderr tail:\n"
+            f"{chr(10).join(err.splitlines()[-15:])}"
+        )
+        assert "VANILLA-RESULT 0 failures" in out, tail
