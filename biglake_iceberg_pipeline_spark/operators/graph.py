@@ -44,6 +44,10 @@ from pyspark.sql import functions as F
 
 from biglake_iceberg_pipeline_spark.session import pin
 
+#: frontier size below which the min-label loop batches two
+#: propagation steps per scheduled job (see the loop comment)
+_FRONTIER_DOUBLE_MAX = 1024
+
 
 def _star_contract(sym: DataFrame, large: bool) -> DataFrame:
     """One large-star (``large=True``) or small-star round over a
@@ -149,24 +153,42 @@ def connected_components(
             ).alias("__changed"),
         )
 
+    prev_changed: int | None = None
     for _ in range(max_iter):
-        # TWO propagation steps per scheduled job (r14): each loop
-        # pass used to cost one driver round-trip PLUS one broadcast-
-        # exchange job per tiny join — 41 jobs for a 202-edge closure,
-        # almost pure scheduler overhead. Labels are monotone
-        # non-increasing, so "anything changed across the double
-        # step" ≡ final < initial, and extra propagations past the
-        # fixpoint are no-ops — the fixpoint (component minimum) is
-        # IDENTICAL; measured 41 → 31 jobs and ~-40% closure
-        # wall-clock at sf0.1, label sets hash-equal. At 100 TB the
-        # trade is one possibly-redundant O(edges) pass against half
-        # the convergence-check barriers.
-        updated = _propagate(_propagate(labels).drop("__changed"))
+        # ADAPTIVE double-stepping (r14): once the previous pass's
+        # frontier is tiny (< _FRONTIER_DOUBLE_MAX changed labels),
+        # run TWO propagation steps per scheduled job — the
+        # convergence tail is scheduler-bound (each pass costs a
+        # driver round-trip plus one broadcast-exchange job per tiny
+        # join; a 202-edge closure ran 41 jobs), and labels are
+        # monotone non-increasing so "changed across the double
+        # step" ≡ final < initial and propagating past the fixpoint
+        # is a no-op — the fixpoint is IDENTICAL (hash-equal across
+        # single/double/adaptive on both bench graphs). While the
+        # frontier is LARGE the loop stays single-step: each
+        # propagation is an O(edges) join whatever the frontier, so
+        # unconditional doubling risks one redundant full-edge pass
+        # at 100 TB to save one barrier — measured a wash at 42k
+        # edges and a loss waiting to happen at 22.5M (sf1).
+        # Adaptive measured: 42k-edge closure 34 → 29-30 jobs and
+        # best wall-clock of the three policies; 202-edge closure
+        # 41 → 39 jobs (the pure-double win there is within noise of
+        # this form).
+        double = (
+            prev_changed is not None
+            and prev_changed < _FRONTIER_DOUBLE_MAX
+        )
+        updated = _propagate(
+            _propagate(labels).drop("__changed")
+            if double
+            else labels
+        )
         # lazy: the convergence count below is the first action, so
         # the checkpoint materializes INSIDE that job (one scheduler
         # round-trip per pass instead of two)
         updated = pin(updated, eager=False)
         n_changed = updated.where(F.col("__changed")).count()
+        prev_changed = n_changed
         labels = updated.drop("__changed")
         if n_changed == 0:
             return labels
